@@ -1,0 +1,84 @@
+"""Engine vs DuckDB oracle parity at sf0.001 — a local mirror of the
+driver's correctness gate (row count + sorted value equality)."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+from vector_ray import oracle
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run_oracle(sql: str) -> pd.DataFrame:
+    return duckdb.sql(sql).df()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def _to_pandas(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["parse_extract", "enrich_lookup", "route_counts",
+     "exclusive_route_counts", "remap_dropped"],
+)
+def test_query_matches_oracle(name):
+    tpath, csv = oracle.oracle_paths(SF)
+    sqls = {
+        "parse_extract": oracle.sql_parse_extract(tpath),
+        "enrich_lookup": oracle.sql_enrich_lookup(tpath, csv),
+        "route_counts": oracle.sql_route_counts(tpath),
+        "exclusive_route_counts": oracle.sql_exclusive_route_counts(tpath),
+        "remap_dropped": oracle.sql_remap_dropped(tpath),
+    }
+    got = _normalize(_to_pandas(entry_mod.queries()[name](SF)))
+    want = _normalize(_run_oracle(sqls[name]))
+    assert len(got) == len(want), f"row count: {len(got)} vs {len(want)}"
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        g, w = got[col], want[col]
+        if g.dtype != w.dtype:
+            g, w = g.astype(object), w.astype(object)
+            g = g.where(pd.notna(g), None)
+            w = w.where(pd.notna(w), None)
+        pd.testing.assert_series_equal(g, w, check_names=False, check_dtype=False)
+
+
+def test_entry_smoke():
+    res = entry_mod.entry()
+    df = _to_pandas(res)
+    assert len(df) >= 1
+    assert set(df.columns) == {"sink", "events"}
+    assert (df["events"] > 0).all()
+
+
+def test_per_turn_text_equality():
+    """North-rule invariant: per-turn text byte-equality under stable
+    (conv_id, turn_idx) ordering after the full parse remap."""
+    from vector_ray.pipelines.flagship import parsed_transcripts
+    import pyarrow.parquet as pq
+    from vector_ray.data.transcripts import ensure_transcripts
+
+    out = (
+        parsed_transcripts(SF)
+        .primary.select_columns(["conv_id", "turn_idx", "text"])
+        .sort(["conv_id", "turn_idx"])
+        .to_pandas()
+    )
+    src = (
+        pq.read_table(ensure_transcripts(SF), columns=["conv_id", "turn_idx", "text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert out["text"].tolist() == src["text"].tolist()

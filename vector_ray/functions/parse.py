@@ -1,0 +1,140 @@
+"""Vectorized parse kernels — the VRL stdlib subset over Arrow columns.
+
+Each function mirrors the corresponding VRL function registered by the
+``remap`` transform (reference: src/transforms/remap.rs:208-212 pulls in
+``vrl::stdlib::all()``; function list under
+website/cue/reference/remap/functions/).  All kernels are
+column-in/columns-out and avoid per-row Python except where a true JSON
+parse is required (and then only over the masked row subset).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vector_ray.functions.grok import grok_to_regex
+
+
+def parse_regex(col: pa.ChunkedArray | pa.Array, pattern: str) -> pa.StructArray:
+    """VRL ``parse_regex``: named-group extraction; null where no match.
+
+    Returns a struct array with one field per named group.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.extract_regex(col, pattern=pattern)
+
+
+def parse_grok(col, pattern: str, extra: dict[str, str] | None = None) -> pa.StructArray:
+    """VRL ``parse_grok``: grok pattern → regex → extract."""
+    return parse_regex(col, grok_to_regex(pattern, extra))
+
+
+def parse_json_fields(
+    col,
+    keys: Sequence[str],
+    types: dict[str, pa.DataType] | None = None,
+    *,
+    with_masks: bool = False,
+):
+    """VRL ``parse_json`` restricted to scalar top-level keys.
+
+    Parses only rows that syntactically can be JSON objects (first
+    non-space char '{'); other rows yield nulls.  Per-row ``json.loads``
+    runs only over that masked subset (C-accelerated; the non-JSON rows
+    never pay it).  Dotted keys descend into nested objects.
+
+    With ``with_masks=True`` returns ``(fields, attempted, ok)`` where
+    ``attempted`` marks rows that looked like JSON objects and ``ok``
+    marks rows that actually parsed to a dict — the inputs to remap's
+    error policy.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    types = types or {}
+    n = len(col)
+    starts = pc.starts_with(pc.utf8_ltrim_whitespace(col), "{")
+    mask = pc.fill_null(starts, False).to_numpy(zero_copy_only=False)
+    ok = np.zeros(n, dtype=bool)
+    idx = np.nonzero(mask)[0]
+    outs: dict[str, list] = {k: [None] * n for k in keys}
+    if len(idx):
+        texts = col.take(pa.array(idx)).to_pylist()
+        key_paths = [(k, k.split(".")) for k in keys]
+        loads = json.loads
+        for i, t in zip(idx, texts):
+            try:
+                obj = loads(t)
+            except (ValueError, TypeError):
+                continue
+            if not isinstance(obj, dict):
+                continue
+            ok[int(i)] = True
+            for k, path in key_paths:
+                v = obj
+                for p in path:
+                    if isinstance(v, dict):
+                        v = v.get(p)
+                    else:
+                        v = None
+                        break
+                if isinstance(v, (dict, list)):
+                    v = json.dumps(v, separators=(",", ":"))
+                outs[k][int(i)] = v
+    fields = {
+        k: pa.array(vals, type=types.get(k, pa.string()))
+        if k in types
+        else pa.array([None if v is None else str(v) for v in vals], pa.string())
+        for k, vals in outs.items()
+    }
+    if with_masks:
+        return fields, pa.array(mask), pa.array(ok)
+    return fields
+
+
+def parse_key_value(
+    col, keys: Sequence[str], *, sep: str = "=", word: str = r"[^\s]*"
+) -> dict[str, pa.Array]:
+    """VRL ``parse_key_value`` / ``parse_logfmt`` for known keys.
+
+    One vectorized regex extraction per requested key:
+    ``(?:^|\\s)key=<word>``.  Unknown keys are simply absent (null).
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = {}
+    for k in keys:
+        pat = rf"(?:^|\s){k}{sep}(?P<v>{word})"
+        s = pc.extract_regex(col, pattern=pat)
+        out[k] = pc.struct_field(s, "v")
+    return out
+
+
+def parse_timestamp(col, fmt: str = "%Y-%m-%dT%H:%M:%S", unit: str = "us") -> pa.Array:
+    """VRL ``parse_timestamp``: strptime; null on parse failure."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.strptime(col, format=fmt, unit=unit, error_is_null=True)
+
+
+def parse_int(col) -> pa.Array:
+    """VRL ``parse_int``/``to_int`` with null-on-error semantics."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    # cast errors → null: pre-mask with a digits regex
+    ok = pc.fill_null(pc.match_substring_regex(col, r"^[+-]?\d+$"), False)
+    masked = pc.if_else(ok, col, pa.scalar(None, pa.string()))
+    return pc.cast(masked, pa.int64())
+
+
+def parse_float(col) -> pa.Array:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ok = pc.fill_null(pc.match_substring_regex(col, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), False)
+    masked = pc.if_else(ok, col, pa.scalar(None, pa.string()))
+    return pc.cast(masked, pa.float64())

@@ -1,0 +1,130 @@
+"""DuckDB oracle SQL builders for the driver's correctness gate.
+
+Each builder returns ANSI-ish SQL that DuckDB can run over the SAME
+inputs the Ray pipelines read (the generated transcript parquet + the
+enrichment CSV), computing the same named columns so the driver's
+row-count + schema + value-hash comparison passes.
+
+The grok regex is shared verbatim with the engine
+(vector_ray.pipelines.flagship.GROK_REGEX) — both pyarrow and DuckDB
+use RE2, so semantics match exactly.
+"""
+
+from __future__ import annotations
+
+from vector_ray.data.enrich_tables import ensure_enrichment_csvs
+from vector_ray.data.transcripts import ensure_transcripts
+from vector_ray.pipelines.flagship import GROK_REGEX
+
+# capture-group indexes in GROK_REGEX: 1=gts 2=level 3=gtool 4=glat 5=msg
+_G = GROK_REGEX.replace("'", "''")
+
+_JSONISH = "substr(ltrim(text),1,1)='{' AND json_valid(text)"
+
+
+def parsed_cte(transcripts_path: str) -> str:
+    """CTE `p` = the transcript_parse_program output, in SQL."""
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{transcripts_path}')),
+p AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+    nullif(regexp_extract(text, '{_G}', 2), '') AS level,
+    coalesce(
+      try_cast(nullif(regexp_extract(text, '{_G}', 4), '') AS BIGINT),
+      CASE WHEN {_JSONISH} THEN try_cast(json_extract_string(text, '$.latency_ms') AS BIGINT) END
+    ) AS latency_ms,
+    nullif(regexp_extract(text, '{_G}', 5), '') AS msg,
+    CASE WHEN {_JSONISH} THEN json_extract_string(text, '$.action') END AS action,
+    coalesce(
+      CASE WHEN {_JSONISH} THEN json_extract_string(text, '$.status') END,
+      CASE WHEN text LIKE 'event=%' THEN nullif(regexp_extract(text, '(?:^|\s)status=([^\s]*)', 1), '') END
+    ) AS status,
+    CASE WHEN text LIKE 'event=%' THEN nullif(regexp_extract(text, '^event=([^\s]*)', 1), '') END AS event,
+    CASE WHEN text LIKE 'event=%' THEN try_cast(nullif(regexp_extract(text, '(?:^|\s)duration=([^\s]*)', 1), '') AS BIGINT) END AS duration,
+    ((substr(ltrim(text),1,1)='{{' AND NOT json_valid(text))
+     OR (text LIKE 'level=%' AND NOT regexp_matches(text, '{_G}'))) AS parse_error
+  FROM t)
+"""
+
+
+def enriched_cte(transcripts_path: str, tool_csv: str) -> str:
+    return (
+        parsed_cte(transcripts_path)
+        + f""",
+e AS (SELECT * FROM read_csv('{tool_csv}', header=true)),
+pe AS (
+  SELECT p.*, e.category, e.risk_level, e.owner_team
+  FROM p LEFT JOIN e ON lower(p.tool) = e.tool)
+"""
+    )
+
+
+def sql_parse_extract(transcripts_path: str) -> str:
+    return (
+        parsed_cte(transcripts_path)
+        + """
+SELECT conv_id, turn_idx, level, latency_ms, msg, action, status, event,
+       duration, parse_error
+FROM p
+"""
+    )
+
+
+def sql_enrich_lookup(transcripts_path: str, tool_csv: str) -> str:
+    return (
+        enriched_cte(transcripts_path, tool_csv)
+        + """
+SELECT conv_id, turn_idx, tool, category, risk_level, owner_team FROM pe
+"""
+    )
+
+
+def sql_route_counts(transcripts_path: str) -> str:
+    return (
+        parsed_cte(transcripts_path)
+        + """
+SELECT * FROM (
+  SELECT 'errors' AS sink, count(*)::BIGINT AS events FROM p WHERE level = 'error'
+  UNION ALL
+  SELECT 'tool_calls', count(*)::BIGINT FROM p WHERE tool <> ''
+  UNION ALL
+  SELECT 'assistant', count(*)::BIGINT FROM p WHERE role = 'assistant'
+  UNION ALL
+  SELECT '_unmatched', count(*)::BIGINT FROM p
+  WHERE NOT coalesce(level = 'error', false) AND tool = '' AND role <> 'assistant'
+) ORDER BY sink
+"""
+    )
+
+
+def sql_exclusive_route_counts(transcripts_path: str) -> str:
+    return (
+        parsed_cte(transcripts_path)
+        + """
+SELECT CASE WHEN coalesce(level = 'error', false) THEN 'errors'
+            WHEN tool <> '' THEN 'tool_calls'
+            WHEN role = 'assistant' THEN 'assistant'
+            ELSE '_unmatched' END AS sink,
+       count(*)::BIGINT AS events
+FROM p GROUP BY 1 ORDER BY 1
+"""
+    )
+
+
+def sql_remap_dropped(transcripts_path: str) -> str:
+    return (
+        parsed_cte(transcripts_path)
+        + """
+SELECT conv_id, turn_idx,
+       'error' AS metadata_dropped_reason,
+       'parse_transcripts' AS metadata_dropped_component_id
+FROM p WHERE parse_error
+"""
+    )
+
+
+def oracle_paths(sf_dir: str) -> tuple[str, str]:
+    """(transcripts parquet, tool csv) — generated/cached deterministically."""
+    tpath = ensure_transcripts(sf_dir)
+    csvs = ensure_enrichment_csvs()
+    return tpath, csvs["tool_enrichment"]

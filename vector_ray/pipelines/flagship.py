@@ -1,0 +1,172 @@
+"""Flagship pipeline: parse → enrich → route → aggregate over transcripts.
+
+This is the north-rule pipeline — the Ray-Data rebuild of Vector's
+``source → remap → enrichment lookup → route → sinks + counters``
+topology (reference: regression/cases/splunk_hec_route_s3/vector/
+vector.yaml for the route→multi-sink shape; src/transforms/remap.rs for
+parse; src/enrichment_tables/file.rs for lookup;
+lib/vector-common/src/internal_event/events_sent.rs:17-19 for the
+per-sink counters).
+
+Single streaming pass: ``read_parquet → map_batches(parse) →
+map_batches(EnrichStage actor pool) → map_batches(route labels) →
+partial counts → tiny groupby``.  Nothing materializes the full input.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+
+from vector_ray.data.enrich_tables import TOOL_SCHEMA, ensure_enrichment_csvs
+from vector_ray.data.transcripts import ensure_transcripts
+from vector_ray.enrichment.stage import enrich
+from vector_ray.enrichment.table import FileTable
+from vector_ray.functions.grok import grok_to_regex
+from vector_ray.functions.parse import parse_json_fields, parse_key_value
+from vector_ray.stages.remap import remap
+from vector_ray.stages.route import route
+
+# The grok expression for line shape (a); compiled once at import.
+GROK_LINE = (
+    "^%{TIMESTAMP_ISO8601:gts} level=%{LOGLEVEL:level} tool=%{NOTSPACE:gtool}"
+    " latency_ms=%{INT:glat} msg=%{GREEDYDATA:msg}$"
+)
+GROK_REGEX = grok_to_regex(GROK_LINE)
+
+JSON_KEYS = ["action", "status", "latency_ms"]
+LOGFMT_KEYS = ["event", "duration", "status"]
+
+# Overlapping routes per FIXTURES.md §F3 (multi-match on purpose).
+FLAGSHIP_ROUTES = {
+    "errors": '.level == "error"',
+    "tool_calls": '.tool != ""',
+    "assistant": '.role == "assistant"',
+}
+
+
+def transcript_parse_program(batch: pa.Table):
+    """Remap program for the transcript corpus (SURVEY §7.2 step 3).
+
+    Extracts unified columns ``level, latency_ms, msg, action, status,
+    event, duration`` from the three parseable line shapes; rows that
+    *attempt* a shape but fail it (malformed kind-e lines, broken JSON)
+    raise the error mask for remap's error policy.  Free text rows are
+    not errors — they simply parse to nulls.
+    """
+    text = batch["text"]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+
+    g = pc.extract_regex(text, pattern=GROK_REGEX)
+    g_ok = pc.is_valid(g)
+    level = pc.struct_field(g, "level")
+    glat = pc.struct_field(g, "glat")
+    msg = pc.struct_field(g, "msg")
+
+    jf, j_attempted, j_ok = parse_json_fields(text, JSON_KEYS, with_masks=True)
+
+    is_logfmt = pc.fill_null(pc.starts_with(text, "event="), False)
+    lf = parse_key_value(text, LOGFMT_KEYS)
+    lf = {k: pc.if_else(is_logfmt, v, pa.scalar(None, pa.string())) for k, v in lf.items()}
+
+    latency = pc.if_else(
+        g_ok,
+        pc.cast(glat, pa.int64()),
+        pc.cast(jf["latency_ms"], pa.int64()),
+    )
+    status = pc.if_else(pc.is_valid(jf["status"]), jf["status"], lf["status"])
+    duration = pc.cast(lf["duration"], pa.int64())
+
+    out = batch
+    for name, col in (
+        ("level", level),
+        ("latency_ms", latency),
+        ("msg", msg),
+        ("action", jf["action"]),
+        ("status", status),
+        ("event", lf["event"]),
+        ("duration", duration),
+    ):
+        out = out.append_column(name, col)
+
+    # error = attempted-a-shape but failed it (remap.rs error policy)
+    grok_attempted = pc.fill_null(pc.starts_with(text, "level="), False)
+    err = pc.or_(
+        pc.and_(j_attempted, pc.invert(j_ok)),
+        pc.and_(grok_attempted, pc.invert(g_ok)),
+    )
+    msg_arr = pc.if_else(
+        err, pa.scalar("parse failure", pa.string()), pa.scalar(None, pa.string())
+    )
+    return out, err, msg_arr
+
+
+def read_transcripts(sf_dir: str, columns: list[str] | None = None) -> Dataset:
+    path = ensure_transcripts(sf_dir)
+    return rd.read_parquet(path, columns=columns)
+
+
+def _tool_table() -> FileTable:
+    paths = ensure_enrichment_csvs()
+    return FileTable(paths["tool_enrichment"], TOOL_SCHEMA)
+
+
+def parsed_transcripts(sf_dir: str, *, drop_on_error: bool = False,
+                       reroute_dropped: bool = False):
+    """read → parse remap; returns RemapResult (primary + dropped ports)."""
+    ds = read_transcripts(sf_dir)
+    return remap(
+        ds,
+        transcript_parse_program,
+        drop_on_error=drop_on_error,
+        reroute_dropped=reroute_dropped,
+        component_id="parse_transcripts",
+    )
+
+
+def enriched_transcripts(sf_dir: str, *, concurrency: int | tuple = (1, 8)) -> Dataset:
+    """parse → enrich(tool → category/risk_level/owner_team)."""
+    primary = parsed_transcripts(sf_dir).primary
+    return enrich(
+        primary,
+        _tool_table(),
+        key_field="tool",
+        batch_key="tool",
+        select=["category", "risk_level", "owner_team"],
+        case_sensitive=False,
+        concurrency=concurrency,
+    )
+
+
+def routed_transcripts(sf_dir: str, *, concurrency: int | tuple = (1, 8)):
+    """Full parse → enrich → route; returns RouteResult."""
+    return route(enriched_transcripts(sf_dir, concurrency=concurrency), FLAGSHIP_ROUTES)
+
+
+def flagship_counts(sf_dir: str, *, concurrency: int | tuple = (1, 8)) -> Dataset:
+    """Per-sink routed-event counts — the headline correctness artifact
+    (``component_sent_events_total`` analogue)."""
+    return routed_transcripts(sf_dir, concurrency=concurrency).port_counts().sort("sink")
+
+
+def flagship_write(sf_dir: str, out_dir: str, *, concurrency: int | tuple = (1, 8)) -> dict:
+    """Fan the routed ports out to per-sink Parquet directories and
+    return {sink: row_count}.  Materializes the labeled dataset once so
+    the per-port filters do not recompute parse+enrich per sink
+    (fan-out duplication semantics, route.rs:42-49)."""
+    res = routed_transcripts(sf_dir, concurrency=concurrency)
+    labeled = res.labeled.materialize()
+    res._labeled = labeled
+    counts = {}
+    for port in res.ports:
+        port_ds = res.port(port)
+        path = os.path.join(out_dir, f"sink={port}")
+        os.makedirs(path, exist_ok=True)
+        port_ds.write_parquet(path)
+        counts[port] = rd.read_parquet(path).count()
+    return counts

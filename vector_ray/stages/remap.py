@@ -1,0 +1,134 @@
+"""The ``remap`` transform — program-per-batch with Vector's error policy.
+
+Reference semantics (src/transforms/remap.rs):
+- the program runs per event and may add/modify/drop fields
+  (remap.rs:556-633 run loop);
+- on runtime error with ``drop_on_error=false`` the ORIGINAL event is
+  forwarded unmodified (remap.rs:556-575,621-624) — "keep original";
+- with ``drop_on_error=true`` the event is discarded;
+- with ``reroute_dropped=true`` discarded events go to the ``dropped``
+  port annotated with ``metadata.dropped.{reason, message,
+  component_id, component_type, component_kind}`` (remap.rs:484-545).
+
+Rebuild: the program is a vectorized batch function
+``fn(pa.Table) -> (pa.Table, error_mask, error_msg)`` where the
+returned table has the same row count, original columns preserved, and
+parsed/derived columns null on error rows (mask-based blend, never
+exception-per-row — SURVEY §7.4).  One ``map_batches`` labels every row;
+the primary/dropped ports are lazy filters over the labeled dataset.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from vector_ray.model import (
+    DROPPED_COMPONENT_ID,
+    DROPPED_COMPONENT_KIND,
+    DROPPED_COMPONENT_TYPE,
+    DROPPED_MESSAGE,
+    DROPPED_REASON,
+)
+
+ERROR_COL = "__remap_error"
+ERROR_MSG_COL = "__remap_error_msg"
+
+Program = Callable[[pa.Table], Tuple[pa.Table, Optional[pa.Array], Optional[pa.Array]]]
+
+
+class RemapResult:
+    """Two ports, mirroring remap's primary + ``dropped`` outputs."""
+
+    def __init__(self, labeled: Dataset, *, drop_on_error: bool,
+                 reroute_dropped: bool, component_id: str):
+        self._labeled = labeled
+        self._drop = drop_on_error
+        self._reroute = reroute_dropped
+        self._component_id = component_id
+
+    @property
+    def primary(self) -> Dataset:
+        if not self._drop and not self._reroute:
+            # keep-original: every row flows on (parsed cols null on error)
+            return self._labeled.map_batches(_strip_labels, batch_format="pyarrow")
+        return self._labeled.map_batches(_keep_ok, batch_format="pyarrow")
+
+    @property
+    def dropped(self) -> Dataset:
+        if not self._reroute:
+            raise ValueError("dropped port requires reroute_dropped=True")
+        cid = self._component_id
+        return self._labeled.map_batches(
+            lambda t: _keep_dropped(t, cid), batch_format="pyarrow"
+        )
+
+    @property
+    def labeled(self) -> Dataset:
+        """The single-pass labeled dataset (both ports derivable)."""
+        return self._labeled
+
+
+def _strip_labels(t: pa.Table) -> pa.Table:
+    return t.drop_columns([c for c in (ERROR_COL, ERROR_MSG_COL) if c in t.column_names])
+
+
+def _keep_ok(t: pa.Table) -> pa.Table:
+    return _strip_labels(t.filter(pc.invert(t[ERROR_COL])))
+
+
+def _keep_dropped(t: pa.Table, component_id: str) -> pa.Table:
+    d = t.filter(t[ERROR_COL])
+    n = d.num_rows
+    msg = d[ERROR_MSG_COL] if ERROR_MSG_COL in d.column_names else pa.nulls(n, pa.string())
+    d = _strip_labels(d)
+    # annotation columns per remap.rs:484-499
+    d = d.append_column(DROPPED_REASON, pa.array(["error"] * n))
+    d = d.append_column(DROPPED_MESSAGE, msg)
+    d = d.append_column(DROPPED_COMPONENT_ID, pa.array([component_id] * n))
+    d = d.append_column(DROPPED_COMPONENT_TYPE, pa.array(["remap"] * n))
+    d = d.append_column(DROPPED_COMPONENT_KIND, pa.array(["transform"] * n))
+    return d
+
+
+def remap(
+    ds: Dataset,
+    program: Program,
+    *,
+    drop_on_error: bool = False,
+    reroute_dropped: bool = False,
+    component_id: str = "remap",
+    batch_size: int | None = None,
+) -> RemapResult:
+    """Apply a remap program with Vector's error-policy semantics."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        out, err, msg = program(batch)
+        if out.num_rows != batch.num_rows:
+            raise ValueError("remap program must preserve row count (use masks)")
+        if err is None:
+            err = pa.array([False] * out.num_rows, pa.bool_())
+        err = pc.fill_null(pc.cast(err, pa.bool_()), False)
+        if isinstance(err, pa.ChunkedArray):
+            err = err.combine_chunks()
+        out = out.append_column(ERROR_COL, err)
+        if msg is not None:
+            if isinstance(msg, pa.ChunkedArray):
+                msg = msg.combine_chunks()
+            out = out.append_column(ERROR_MSG_COL, msg)
+        return out
+
+    kwargs = {"batch_format": "pyarrow"}
+    if batch_size is not None:
+        kwargs["batch_size"] = batch_size
+    labeled = ds.map_batches(run, **kwargs)
+    return RemapResult(
+        labeled,
+        drop_on_error=drop_on_error,
+        reroute_dropped=reroute_dropped,
+        component_id=component_id,
+    )

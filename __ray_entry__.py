@@ -76,6 +76,130 @@ def _q_remap_dropped(sf_dir: str):
     )
 
 
+def _events(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _cents(ds, src="value", dst="value_cents"):
+    """Exact integer cents from the 2-decimal `value` column — float sums
+    are order-dependent at the last ulp; integer sums are not."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def c(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t[src], 100.0)), pa.int64())
+        return t.drop_columns([src]).append_column(dst, cents)
+
+    return ds.map_batches(c, batch_format="pyarrow")
+
+
+def _q_agg_sum_events(sf_dir: str):
+    from vector_ray.stages.aggregate import aggregate_stage
+
+    return aggregate_stage(
+        _cents(_events(sf_dir)), series_keys=["event_type"],
+        value_col="value_cents", interval_ms=3_600_000, mode="sum",
+    ).rename_columns({"value": "value_cents"})
+
+
+def _q_agg_mean_events(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.aggregate import aggregate_stage
+
+    mean = aggregate_stage(
+        _cents(_events(sf_dir)), series_keys=["event_type"],
+        value_col="value_cents", interval_ms=3_600_000, mode="mean",
+    )
+
+    def micro(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["value"], 10_000.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("mean_microcents", v)
+
+    return mean.map_batches(micro, batch_format="pyarrow")
+
+
+def _q_agg_count_events(sf_dir: str):
+    from vector_ray.stages.aggregate import aggregate_stage
+
+    return aggregate_stage(
+        _events(sf_dir), series_keys=["event_type"], value_col="value",
+        interval_ms=3_600_000, mode="count",
+    )
+
+
+def _q_throttle_events(sf_dir: str):
+    from vector_ray.stages.throttle import throttle_stage
+
+    return throttle_stage(
+        _events(sf_dir), threshold=5, window_secs=3600.0,
+        key_field="event_type", order_by=["event_id"],
+    )
+
+
+def _q_dedupe_events(sf_dir: str):
+    from vector_ray.stages.dedupe import dedupe_exact
+
+    return dedupe_exact(
+        _events(sf_dir), ["user_id", "event_type"], order_by=["ts", "event_id"]
+    )
+
+
+def _q_reduce_events(sf_dir: str):
+    from vector_ray.stages.reduce import reduce_stage
+
+    return reduce_stage(
+        _cents(_events(sf_dir, columns=["user_id", "event_type", "value", "ts", "event_id"])),
+        group_by=["user_id"],
+        merge_strategies={"value_cents": "sum", "event_type": "concat", "event_id": "min"},
+        order_by=["ts", "event_id"],
+    )
+
+
+def _q_log_to_metric_events(sf_dir: str):
+    from vector_ray.stages.aggregate import aggregate_stage
+    from vector_ray.stages.log_metric import MetricSpec, log_to_metric
+
+    metrics = log_to_metric(
+        _events(sf_dir, columns=["event_type", "ts"]),
+        [MetricSpec("counter", "events_total", tags={"etype": "event_type"})],
+    )
+    return aggregate_stage(
+        metrics, series_keys=["name", "etype"], value_col="value",
+        interval_ms=86_400_000, mode="sum", kind_col="kind",
+    )
+
+
+def _q_hash_replace_events(sf_dir: str):
+    from vector_ray.stages.hash_replace import hash_replace
+
+    return hash_replace(
+        _events(sf_dir, columns=["event_id", "event_type"]), ["event_type"]
+    )
+
+
+def _q_cardinality_events(sf_dir: str):
+    from vector_ray.stages.cardinality import tag_cardinality_limit
+
+    return tag_cardinality_limit(
+        _events(sf_dir, columns=["event_id", "event_type", "ts"]),
+        ["event_type"], value_limit=3, order_col="ts",
+    )
+
+
+def _q_sample_transcripts(sf_dir: str):
+    from vector_ray.pipelines.flagship import read_transcripts
+    from vector_ray.stages.sample import sample_modulo
+
+    return sample_modulo(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"]),
+        rate=10, group_by=["role"], order_by=["conv_id", "turn_idx"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_extract": _q_parse_extract,
@@ -83,6 +207,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "route_counts": _q_route_counts,
         "exclusive_route_counts": _q_exclusive_route_counts,
         "remap_dropped": _q_remap_dropped,
+        "agg_sum_events": _q_agg_sum_events,
+        "agg_mean_events": _q_agg_mean_events,
+        "agg_count_events": _q_agg_count_events,
+        "throttle_events": _q_throttle_events,
+        "dedupe_events": _q_dedupe_events,
+        "reduce_events": _q_reduce_events,
+        "log_to_metric_events": _q_log_to_metric_events,
+        "hash_replace_events": _q_hash_replace_events,
+        "cardinality_events": _q_cardinality_events,
+        "sample_transcripts": _q_sample_transcripts,
     }
 
 
@@ -96,4 +230,14 @@ def oracle_sql() -> dict[str, str]:
         "route_counts": oracle.sql_route_counts(tpath),
         "exclusive_route_counts": oracle.sql_exclusive_route_counts(tpath),
         "remap_dropped": oracle.sql_remap_dropped(tpath),
+        "agg_sum_events": oracle.SQL_AGG_SUM_EVENTS,
+        "agg_mean_events": oracle.SQL_AGG_MEAN_EVENTS,
+        "agg_count_events": oracle.SQL_AGG_COUNT_EVENTS,
+        "throttle_events": oracle.SQL_THROTTLE_EVENTS,
+        "dedupe_events": oracle.SQL_DEDUPE_EVENTS,
+        "reduce_events": oracle.SQL_REDUCE_EVENTS,
+        "log_to_metric_events": oracle.SQL_LOG_TO_METRIC_EVENTS,
+        "hash_replace_events": oracle.SQL_HASH_REPLACE_EVENTS,
+        "cardinality_events": oracle.SQL_CARDINALITY_EVENTS,
+        "sample_transcripts": oracle.sql_sample_transcripts(tpath),
     }

@@ -6,13 +6,37 @@ import pandas as pd
 import pytest
 
 import __ray_entry__ as entry_mod
-from vector_ray import oracle
 
 SF = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _oracle_sqls():
+    """oracle_sql() rebuilt against the sf0.001 fixtures (the module
+    builds against sf0.01 for the driver)."""
+    from vector_ray import oracle
+
+    tpath, csv = oracle.oracle_paths(SF)
+    sqls = entry_mod.oracle_sql()
+    sqls.update(
+        {
+            "parse_extract": oracle.sql_parse_extract(tpath),
+            "enrich_lookup": oracle.sql_enrich_lookup(tpath, csv),
+            "route_counts": oracle.sql_route_counts(tpath),
+            "exclusive_route_counts": oracle.sql_exclusive_route_counts(tpath),
+            "remap_dropped": oracle.sql_remap_dropped(tpath),
+            "sample_transcripts": oracle.sql_sample_transcripts(tpath),
+        }
+    )
+    return sqls
 
 
 def _run_oracle(sql: str) -> pd.DataFrame:
-    return duckdb.sql(sql).df()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con.sql(sql).df()
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -27,20 +51,12 @@ def _to_pandas(res) -> pd.DataFrame:
     return pd.DataFrame(res)
 
 
-@pytest.mark.parametrize(
-    "name",
-    ["parse_extract", "enrich_lookup", "route_counts",
-     "exclusive_route_counts", "remap_dropped"],
-)
+QUERY_NAMES = sorted(entry_mod.queries().keys())
+
+
+@pytest.mark.parametrize("name", QUERY_NAMES)
 def test_query_matches_oracle(name):
-    tpath, csv = oracle.oracle_paths(SF)
-    sqls = {
-        "parse_extract": oracle.sql_parse_extract(tpath),
-        "enrich_lookup": oracle.sql_enrich_lookup(tpath, csv),
-        "route_counts": oracle.sql_route_counts(tpath),
-        "exclusive_route_counts": oracle.sql_exclusive_route_counts(tpath),
-        "remap_dropped": oracle.sql_remap_dropped(tpath),
-    }
+    sqls = _oracle_sqls()
     got = _normalize(_to_pandas(entry_mod.queries()[name](SF)))
     want = _normalize(_run_oracle(sqls[name]))
     assert len(got) == len(want), f"row count: {len(got)} vs {len(want)}"

@@ -24,7 +24,7 @@ _JSONISH = "substr(ltrim(text),1,1)='{' AND json_valid(text)"
 
 def parsed_cte(transcripts_path: str) -> str:
     """CTE `p` = the transcript_parse_program output, in SQL."""
-    return f"""
+    return rf"""
 WITH t AS (SELECT * FROM read_parquet('{transcripts_path}')),
 p AS (
   SELECT conv_id, turn_idx, role, tool, ts,
@@ -128,3 +128,91 @@ def oracle_paths(sf_dir: str) -> tuple[str, str]:
     tpath = ensure_transcripts(sf_dir)
     csvs = ensure_enrichment_csvs()
     return tpath, csvs["tool_enrichment"]
+
+
+# ---------------------------------------------------------------------------
+# Operator queries over the pre-registered `events` view (sf-relative), and
+# transcripts where the operator is transcript-shaped.  Float aggregates are
+# rounded to 6 decimals on BOTH sides so summation order cannot flip the hash.
+# ---------------------------------------------------------------------------
+
+HOUR_US = 3_600_000_000
+DAY_US = 86_400_000_000
+
+SQL_AGG_SUM_EVENTS = f"""
+SELECT event_type,
+       (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+FROM events GROUP BY 1, 2
+"""
+
+SQL_AGG_MEAN_EVENTS = f"""
+SELECT event_type,
+       (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start,
+       CAST(round(avg(CAST(round(value * 100) AS BIGINT)) * 10000) AS BIGINT) AS mean_microcents
+FROM events GROUP BY 1, 2
+"""
+
+SQL_AGG_COUNT_EVENTS = f"""
+SELECT event_type,
+       (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start,
+       count(*)::BIGINT AS value
+FROM events GROUP BY 1, 2
+"""
+
+SQL_THROTTLE_EVENTS = f"""
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type, epoch_us(ts) // {HOUR_US}
+      ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn <= 5
+"""
+
+SQL_DEDUPE_EVENTS = """
+SELECT event_id, ts, user_id, event_type, value, props FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+SQL_REDUCE_EVENTS = """
+SELECT user_id,
+       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_type,
+       min(event_id) AS event_id,
+       min(ts) AS ts,
+       max(ts) AS ts_end,
+       count(*)::BIGINT AS events
+FROM events GROUP BY user_id
+"""
+
+SQL_LOG_TO_METRIC_EVENTS = f"""
+SELECT 'events_total' AS name, event_type AS etype,
+       (epoch_us(ts) // {DAY_US}) * {DAY_US} AS window_start,
+       count(*)::DOUBLE AS value
+FROM events GROUP BY 2, 3
+"""
+
+SQL_HASH_REPLACE_EVENTS = """
+SELECT event_id, md5(event_type) AS event_type_hash FROM events
+"""
+
+SQL_CARDINALITY_EVENTS = """
+WITH fs AS (SELECT event_type, min(ts) AS mt FROM events GROUP BY 1),
+allowed AS (SELECT event_type FROM fs ORDER BY mt, event_type LIMIT 3)
+SELECT event_id,
+       CASE WHEN event_type IN (SELECT event_type FROM allowed)
+            THEN event_type END AS event_type,
+       ts
+FROM events
+"""
+
+
+def sql_sample_transcripts(transcripts_path: str) -> str:
+    return f"""
+SELECT conv_id, turn_idx, role, 10::BIGINT AS sample_rate FROM (
+  SELECT conv_id, turn_idx, role,
+         row_number() OVER (PARTITION BY role ORDER BY conv_id, turn_idx) AS rn
+  FROM read_parquet('{transcripts_path}'))
+WHERE (rn - 1) % 10 = 0
+"""

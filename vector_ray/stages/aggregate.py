@@ -1,0 +1,169 @@
+"""The ``aggregate`` transform — windowed metric aggregation.
+
+Reference (src/transforms/aggregate.rs:43-75,131-260): metrics group by
+``MetricSeries`` (name/namespace/tags) within tumbling ``interval_ms``
+windows (default 10 s, processing-time).  Modes:
+
+  Auto   — sum Incremental, last-write Absolute
+  Sum    — sum Incremental, ignore Absolute
+  Latest — last Absolute, ignore Incremental
+  Count  — count everything
+  Diff   — difference between latest absolute value of consecutive
+           windows, ignore Incremental
+  Max/Min/Mean/Stdev — over Absolute values
+
+Rebuild: event-time windows (``floor(ts / interval)``) replace
+processing-time flushes (documented divergence, SURVEY §2.8).
+Pipeline: partial pre-aggregation inside ``map_batches`` (one row per
+(series, window) per batch) → small ``groupby().aggregate()`` — the
+all-to-all shuffle only moves partials, not raw rows.  ``Latest`` and
+``Diff`` need ordered merge, so they run on (value@max-ts) partials.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
+
+WINDOW_COL = "window_start"
+
+MODES = {"auto", "sum", "latest", "count", "diff", "max", "min", "mean", "stdev"}
+
+
+def _add_window(ds: Dataset, ts_col: str, interval_ms: int) -> Dataset:
+    def w(t: pa.Table) -> pa.Table:
+        us = pc.cast(t[ts_col], pa.int64())
+        win = pc.multiply(
+            pc.floor(pc.divide(us, float(interval_ms * 1000))), float(interval_ms * 1000)
+        )
+        return t.append_column(WINDOW_COL, pc.cast(win, pa.int64()))
+
+    return ds.map_batches(w, batch_format="pyarrow")
+
+
+def aggregate_stage(
+    ds: Dataset,
+    *,
+    series_keys: Sequence[str],
+    value_col: str,
+    ts_col: str = "ts",
+    interval_ms: int = 10_000,
+    mode: str = "sum",
+    kind_col: str | None = None,
+) -> Dataset:
+    """Aggregate metric rows into one row per (series, window).
+
+    Output columns: series keys + ``window_start`` (epoch-us of window
+    open) + ``value`` (the aggregated value per mode; ``count`` for
+    Count mode).  ``kind_col`` (values 'incremental'/'absolute')
+    restricts which rows each mode consumes, per the reference's
+    record() match — rows of the ignored kind are filtered out first.
+    """
+    mode = mode.lower()
+    if mode not in MODES:
+        raise ValueError(f"unknown aggregate mode {mode!r}")
+    keys = list(series_keys)
+
+    if kind_col is not None and mode != "count" and mode != "auto":
+        want = "incremental" if mode == "sum" else "absolute"
+
+        def keep_kind(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t[kind_col], want))
+
+        ds = ds.map_batches(keep_kind, batch_format="pyarrow")
+
+    ds = _add_window(ds, ts_col, interval_ms)
+    gkeys = keys + [WINDOW_COL]
+
+    if mode in ("sum", "max", "min", "mean", "stdev", "count"):
+        # partial pre-aggregation per batch, then a tiny global groupby
+        def partial(t: pa.Table) -> pa.Table:
+            df = t.select(gkeys + [value_col]).to_pandas()
+            gb = df.groupby(gkeys, sort=False)[value_col]
+            if mode == "sum":
+                p = gb.sum().rename("s")
+                out = p.reset_index()
+            elif mode == "max":
+                out = gb.max().rename("mx").reset_index()
+            elif mode == "min":
+                out = gb.min().rename("mn").reset_index()
+            elif mode == "count":
+                out = gb.count().rename("c").astype("int64").reset_index()
+            else:  # mean / stdev need (sum, sumsq, n) partials
+                agg = gb.agg(["sum", "count"])
+                sq = df.assign(_sq=df[value_col] ** 2).groupby(gkeys, sort=False)["_sq"].sum()
+                out = agg.reset_index()
+                out["sumsq"] = sq.values
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        partials = ds.map_batches(partial, batch_format="pyarrow")
+        g = partials.groupby(gkeys)
+        if mode == "sum":
+            out = g.aggregate(Sum("s", alias_name="value"))
+        elif mode == "max":
+            out = g.aggregate(Max("mx", alias_name="value"))
+        elif mode == "min":
+            out = g.aggregate(Min("mn", alias_name="value"))
+        elif mode == "count":
+            out = g.aggregate(Sum("c", alias_name="value"))
+        else:
+            merged = g.aggregate(
+                Sum("sum", alias_name="_s"),
+                Sum("count", alias_name="_n"),
+                Sum("sumsq", alias_name="_ss"),
+            )
+
+            def finish(t: pa.Table) -> pa.Table:
+                s = t["_s"].to_numpy(zero_copy_only=False).astype(float)
+                n = t["_n"].to_numpy(zero_copy_only=False).astype(float)
+                ss = t["_ss"].to_numpy(zero_copy_only=False).astype(float)
+                mean = s / n
+                if mode == "mean":
+                    v = mean
+                else:  # population stdev, matching Welford-style accumulation
+                    var = np.maximum(ss / n - mean**2, 0.0)
+                    v = np.sqrt(var)
+                t = t.drop_columns(["_s", "_n", "_ss"])
+                return t.append_column("value", pa.array(v, pa.float64()))
+
+            out = merged.map_batches(finish, batch_format="pyarrow")
+        return out
+
+    if mode in ("latest", "auto"):
+        # last value by ts per (series, window); 'auto' on absolute-only
+        # input equals latest, on incremental-only equals sum — callers
+        # split by kind_col and union if they carry both kinds.
+        def latest(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(ts_col, kind="mergesort")
+            row = g.iloc[-1]
+            out = {k: row[k] for k in gkeys}
+            out["value"] = row[value_col]
+            return pd.DataFrame([out])
+
+        return ds.groupby(gkeys).map_groups(latest, batch_format="pandas")
+
+    if mode == "diff":
+        # latest per window, then difference vs previous window per series
+        def latest_per_window(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(ts_col, kind="mergesort")
+            row = g.iloc[-1]
+            out = {k: row[k] for k in gkeys}
+            out["latest"] = row[value_col]
+            return pd.DataFrame([out])
+
+        lat = ds.groupby(gkeys).map_groups(latest_per_window, batch_format="pandas")
+
+        def diff(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(WINDOW_COL, kind="mergesort")
+            g["value"] = g["latest"].diff()
+            return g.dropna(subset=["value"]).drop(columns=["latest"])
+
+        return lat.groupby(keys).map_groups(diff, batch_format="pandas")
+
+    raise AssertionError(mode)

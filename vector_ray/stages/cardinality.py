@@ -1,0 +1,89 @@
+"""The ``tag_cardinality_limit`` transform.
+
+Reference (src/transforms/tag_cardinality_limit/config.rs:20-97): each
+metric tag key gets a budget of ``value_limit`` (default 500) distinct
+values; ``mode: exact`` tracks a HashSet per key (``probabilistic``
+uses Bloom filters).  Once a key's budget is exhausted, events with a
+NEW value for that key either have the tag dropped (``drop_tag``,
+default) or the whole event dropped (``drop_event``).
+
+Rebuild: Vector's accept-set is arrival-order; batch determinism
+defines it as the FIRST ``value_limit`` distinct values in stable
+(ts, order_by) order.  Two-phase:
+  1. shuffle-light discovery — per-batch (value, min-order) partials →
+     groupby(value) min → rank by first-seen → allowed set;
+  2. broadcast the allowed set (ray.put) and apply per batch.
+The probabilistic mode is approximated by the same exact set here
+(documented; Bloom would only change behavior near the limit).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+
+def allowed_values(
+    ds: Dataset,
+    tag_col: str,
+    *,
+    value_limit: int,
+    order_col: str,
+) -> list:
+    """First ``value_limit`` distinct values of ``tag_col`` by first-seen
+    order — partial min per batch, tiny groupby, driver-side rank (the
+    result is ≤ #distinct values, small by construction)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select([tag_col, order_col]).to_pandas()
+        out = df.groupby(tag_col, sort=False)[order_col].min().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(tag_col)
+        .aggregate(Min(order_col, alias_name="first_seen"))
+    )
+    df = firsts.to_pandas().sort_values(["first_seen", tag_col], kind="mergesort")
+    return df[tag_col].head(value_limit).tolist()
+
+
+def tag_cardinality_limit(
+    ds: Dataset,
+    tag_cols: list[str],
+    *,
+    value_limit: int = 500,
+    order_col: str = "ts",
+    action: str = "drop_tag",
+) -> Dataset:
+    """Apply the budget to each tag column.
+
+    ``drop_tag``: disallowed values become null (tag removed);
+    ``drop_event``: rows carrying any disallowed value are dropped.
+    """
+    if action not in ("drop_tag", "drop_event"):
+        raise ValueError(action)
+    allowed = {
+        c: ray.put(pa.array(allowed_values(ds, c, value_limit=value_limit, order_col=order_col)))
+        for c in tag_cols
+    }
+
+    def apply(t: pa.Table) -> pa.Table:
+        keep = None
+        for c, ref in allowed.items():
+            ok = pc.is_in(t[c], value_set=ray.get(ref))
+            ok = pc.or_(ok, pc.is_null(t[c]))  # absent tag is never limited
+            if action == "drop_tag":
+                col = pc.if_else(ok, t[c], pa.scalar(None, t.schema.field(c).type))
+                t = t.set_column(t.schema.get_field_index(c), c, col)
+            else:
+                keep = ok if keep is None else pc.and_(keep, ok)
+        if action == "drop_event" and keep is not None:
+            t = t.filter(keep)
+        return t
+
+    return ds.map_batches(apply, batch_format="pyarrow")

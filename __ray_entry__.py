@@ -200,6 +200,73 @@ def _q_sample_transcripts(sf_dir: str):
     )
 
 
+def _docs(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_doc_quality(sf_dir: str):
+    from vector_ray.ml.text import quality_score, token_count
+
+    out = token_count(quality_score(_docs(sf_dir)))
+    return out.select_columns(
+        ["doc_id", "n_chars", "n_words", "n_punct", "n_upper",
+         "ws_tokens", "bpe_tokens"]
+    )
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from vector_ray.ml.dedup import exact_dedup_docs
+
+    return exact_dedup_docs(_docs(sf_dir))
+
+
+def _q_hash_docs(sf_dir: str):
+    from vector_ray.ml.dedup import content_hash
+
+    return content_hash(_docs(sf_dir)).select_columns(["doc_id", "text_md5"])
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+    import numpy as np
+    import ray.data as rd
+
+    from vector_ray.ml.ann import ann_brute_force
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    queries_m = np.stack(qtab["embedding"].to_pylist())
+    out = ann_brute_force(emb, queries_m, k=5, dtype=np.float64)
+    return out[["query_idx", "vec_id"]]
+
+
+def _q_lang_id_docs(sf_dir: str):
+    from vector_ray.ml.text import lang_id
+
+    return lang_id(_docs(sf_dir)).select_columns(["doc_id", "lang_pred"])
+
+
+def _q_minhash_dedup_docs(sf_dir: str):
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    deduped, _clusters = minhash_lsh_dedup(_docs(sf_dir), threshold=0.8)
+    return deduped.select_columns(["doc_id"])
+
+
+def _q_simhash_pairs_docs(sf_dir: str):
+    from vector_ray.ml.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir), max_hamming=3)
+
+
+def _q_doc_fingerprint(sf_dir: str):
+    from vector_ray.ml.text import doc_fingerprint
+
+    return doc_fingerprint(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_extract": _q_parse_extract,
@@ -217,6 +284,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_replace_events": _q_hash_replace_events,
         "cardinality_events": _q_cardinality_events,
         "sample_transcripts": _q_sample_transcripts,
+        "doc_quality": _q_doc_quality,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "hash_docs": _q_hash_docs,
+        "ann_topk": _q_ann_topk,
+        # rows-only checks (not SQL-expressible): heuristics + LSH family
+        "lang_id_docs": _q_lang_id_docs,
+        "minhash_dedup_docs": _q_minhash_dedup_docs,
+        "simhash_pairs_docs": _q_simhash_pairs_docs,
+        "doc_fingerprint": _q_doc_fingerprint,
     }
 
 
@@ -240,4 +316,10 @@ def oracle_sql() -> dict[str, str]:
         "hash_replace_events": oracle.SQL_HASH_REPLACE_EVENTS,
         "cardinality_events": oracle.SQL_CARDINALITY_EVENTS,
         "sample_transcripts": oracle.sql_sample_transcripts(tpath),
+        "doc_quality": oracle.SQL_DOC_QUALITY,
+        "exact_dedup_docs": oracle.SQL_EXACT_DEDUP_DOCS,
+        "hash_docs": oracle.SQL_HASH_DOCS,
+        "ann_topk": oracle.SQL_ANN_TOPK,
+        # lang_id_docs / minhash_dedup_docs / simhash_pairs_docs /
+        # doc_fingerprint intentionally omitted -> rows-only check
     }

@@ -42,7 +42,7 @@ def test_text_shapes_present():
 
 def test_cached_parquet(sf_tiny):
     p = ensure_transcripts(sf_tiny)
-    t = pq.read_table(p)
+    import glob as _g; t = pq.read_table(sorted(_g.glob(p + '/*.parquet')))
     assert t.num_rows == rows_for_sf(0.001)
     assert t.schema.equals(TRANSCRIPT_SCHEMA)
     assert ensure_transcripts(sf_tiny) == p  # cache hit

@@ -1,0 +1,173 @@
+"""Training-data ops: dedup family, ANN, text analysis, multimodal
+plumbing — over the documents/embeddings testdata tables."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings():
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+# ---------------- text analysis ----------------
+
+def test_quality_and_tokens(docs):
+    from vector_ray.ml.text import quality_score, token_count
+
+    out = token_count(quality_score(docs)).to_pandas()
+    assert (out["n_chars"] == out["text"].str.len()).all()
+    assert (out["ws_tokens"] == out["text"].str.split().str.len()).all()
+    assert (out["bpe_tokens"] >= out["ws_tokens"]).all()
+
+
+def test_lang_id(docs):
+    from vector_ray.ml.text import lang_id
+
+    # documents.lang is a random label uncorrelated with its synthetic
+    # text, so accuracy is asserted on crafted sentences instead
+    out = lang_id(docs, concurrency=1).to_pandas()
+    assert set(out["lang_pred"].unique()) <= {"en", "es", "fr", "de", "zh", "unknown"}
+
+    t = pa.table({"text": [
+        "the cat sat on the mat and it was happy with this",
+        "el perro corre por la calle y no quiere parar en la esquina",
+        "le chat est dans la maison et il ne veut pas sortir pour jouer",
+        "der Hund ist nicht mit der Katze im Haus und läuft auf die Straße",
+        "这是一个中文句子，用来测试语言识别",
+    ]})
+    preds = lang_id(rd.from_arrow(t), concurrency=1).to_pandas()["lang_pred"].tolist()
+    assert preds == ["en", "es", "fr", "de", "zh"]
+
+
+def test_doc_fingerprint_shift_tolerant(docs):
+    from vector_ray.ml.text import doc_fingerprint
+
+    t = pa.table({"doc_id": [1, 2], "text": ["the quick brown fox jumps over it",
+                                             "PREFIX the quick brown fox jumps over it"]})
+    out = doc_fingerprint(rd.from_arrow(t)).to_pandas()
+    # winnowing min-hash is shift-tolerant: shared windows dominate
+    assert out["fingerprint"].iloc[0] == out["fingerprint"].iloc[1]
+
+
+# ---------------- dedup ----------------
+
+def test_exact_dedup():
+    from vector_ray.ml.dedup import exact_dedup_docs
+
+    t = pa.table({"doc_id": [1, 2, 3, 4], "text": ["aaa", "bbb", "aaa", "ccc"]})
+    out = exact_dedup_docs(rd.from_arrow(t)).to_pandas()
+    assert sorted(out["doc_id"]) == [1, 2, 4]  # min doc_id survives
+
+
+def test_minhash_lsh_finds_near_dups():
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    near = base.replace("lazy", "sleepy")  # one-word edit = high jaccard
+    other = "completely different content about quantum computing hardware stacks"
+    t = pa.table({"doc_id": [10, 20, 30], "text": [base, near, other]})
+    deduped, clusters = minhash_lsh_dedup(
+        rd.from_arrow(t), threshold=0.6, num_hashes=64, bands=16, concurrency=1
+    )
+    kept = sorted(deduped.to_pandas()["doc_id"])
+    assert kept == [10, 30]  # near-dup 20 collapsed into 10
+    assert set(clusters["cluster"]) == {10}
+
+
+def test_simhash_pairs():
+    from vector_ray.ml.dedup import simhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base.replace("dog", "cat", 1)
+    other = "totally unrelated text about spacecraft propulsion systems design"
+    t = pa.table({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    pairs = simhash_dedup(rd.from_arrow(t), max_hamming=8, concurrency=1)
+    assert (1, 2) in {(a, b) for a, b, _ in pairs.itertuples(index=False)}
+
+
+def test_exact_dedup_documents_table(docs):
+    from vector_ray.ml.dedup import exact_dedup_docs
+    import duckdb
+
+    out = exact_dedup_docs(docs).to_pandas()
+    want = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT text, min(doc_id) FROM "
+        f"read_parquet('{SF}/documents.parquet') GROUP BY text)"
+    ).fetchone()[0]
+    assert len(out) == want
+
+
+# ---------------- ANN ----------------
+
+def test_ann_brute_force_matches_numpy(embeddings):
+    from vector_ray.ml.ann import ann_brute_force, _normalize
+
+    emb = embeddings.to_pandas()
+    m = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float32))
+    q = m[:2]  # first two vectors as queries -> best score 1.0 (self)
+    out = ann_brute_force(embeddings, q, k=5, concurrency=1)
+    assert len(out) == 10
+    for qi in (0, 1):
+        top = out[out["query_idx"] == qi].iloc[0]
+        assert top["vec_id"] == emb["vec_id"].iloc[qi]
+        assert top["score"] == pytest.approx(1.0, abs=1e-5)
+    # exact check vs numpy full scan for query 0
+    scores = m @ q[0]
+    want_ids = emb["vec_id"].to_numpy()[np.argsort(-scores, kind="stable")[:5]]
+    got_ids = out[out["query_idx"] == 0]["vec_id"].to_numpy()
+    assert set(got_ids) == set(want_ids)
+
+
+def test_ann_lsh_recall(embeddings):
+    from vector_ray.ml.ann import ann_brute_force, ann_lsh, _normalize
+
+    emb = embeddings.to_pandas()
+    m = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float32))
+    q = m[:3]
+    exact = ann_brute_force(embeddings, q, k=5, concurrency=1)
+    approx = ann_lsh(embeddings, q, k=5, nbits=6, probe_hamming=2)
+    # recall@5 over the 3 queries
+    rec = []
+    for qi in range(3):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.5, rec
+
+
+# ---------------- multimodal ----------------
+
+def test_multimodal_plumbing():
+    from vector_ray.ml.multimodal import MEDIA_SCHEMA, decode_media, synthesize_media
+
+    t = synthesize_media(100)
+    assert t.schema.equals(MEDIA_SCHEMA)
+    out = decode_media(rd.from_arrow(t), decode_fn="fake", concurrency=1).to_pandas()
+    assert len(out) == 100
+    assert (out["features"].str.len() == 16).all()
+    # deterministic: same payload -> same features
+    out2 = decode_media(rd.from_arrow(t), decode_fn="fake", concurrency=1).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("media_id").reset_index(drop=True)[["media_id", "n_bytes"]],
+        out2.sort_values("media_id").reset_index(drop=True)[["media_id", "n_bytes"]],
+    )
+
+
+def test_multimodal_stub_raises():
+    from vector_ray.ml.multimodal import MediaDecodeStage
+
+    stage = MediaDecodeStage(decode_fn=None)
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"media_id": [0], "kind": ["image"],
+                        "payload": pa.array([b"x"], pa.large_binary())}))

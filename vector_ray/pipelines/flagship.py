@@ -27,7 +27,7 @@ from vector_ray.data.transcripts import ensure_transcripts
 from vector_ray.enrichment.stage import enrich
 from vector_ray.enrichment.table import FileTable
 from vector_ray.functions.grok import grok_to_regex
-from vector_ray.functions.parse import parse_json_fields, parse_key_value
+from vector_ray.functions.parse import extract_regex_masked, parse_json_fields
 from vector_ray.stages.remap import remap
 from vector_ray.stages.route import route
 
@@ -61,18 +61,27 @@ def transcript_parse_program(batch: pa.Table):
     text = batch["text"]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
+    n = len(text)
+    nulls = pa.nulls(n, pa.string())
 
-    g = pc.extract_regex(text, pattern=GROK_REGEX)
-    g_ok = pc.is_valid(g)
-    level = pc.struct_field(g, "level")
-    glat = pc.struct_field(g, "glat")
-    msg = pc.struct_field(g, "msg")
+    # each shape's regex runs only over its candidate rows (masked
+    # extract + scatter-back) — on the mixed corpus this cuts kernel
+    # cost roughly in half vs whole-column extraction
+    is_grokish = pc.fill_null(pc.match_substring_regex(text, r"^\d{4}-"), False)
+    gf, g_ok = extract_regex_masked(text, GROK_REGEX, is_grokish)
+    level = gf.get("level", nulls)
+    glat = gf.get("glat", nulls)
+    msg = gf.get("msg", nulls)
 
     jf, j_attempted, j_ok = parse_json_fields(text, JSON_KEYS, with_masks=True)
 
     is_logfmt = pc.fill_null(pc.starts_with(text, "event="), False)
-    lf = parse_key_value(text, LOGFMT_KEYS)
-    lf = {k: pc.if_else(is_logfmt, v, pa.scalar(None, pa.string())) for k, v in lf.items()}
+    lf = {}
+    for k in LOGFMT_KEYS:
+        f, _ok = extract_regex_masked(
+            text, rf"(?:^|\s){k}=(?P<v>[^\s]*)", is_logfmt
+        )
+        lf[k] = f.get("v", nulls)
 
     latency = pc.if_else(
         g_ok,
@@ -129,7 +138,8 @@ def parsed_transcripts(sf_dir: str, *, drop_on_error: bool = False,
     )
 
 
-def enriched_transcripts(sf_dir: str, *, concurrency: int | tuple = (1, 8)) -> Dataset:
+def enriched_transcripts(sf_dir: str, *, concurrency: int | tuple = (1, 8),
+                         keep_columns: list[str] | None = None) -> Dataset:
     """parse → enrich(tool → category/risk_level/owner_team)."""
     primary = parsed_transcripts(sf_dir).primary
     return enrich(
@@ -140,6 +150,7 @@ def enriched_transcripts(sf_dir: str, *, concurrency: int | tuple = (1, 8)) -> D
         select=["category", "risk_level", "owner_team"],
         case_sensitive=False,
         concurrency=concurrency,
+        keep_columns=keep_columns,
     )
 
 
@@ -150,8 +161,16 @@ def routed_transcripts(sf_dir: str, *, concurrency: int | tuple = (1, 8)):
 
 def flagship_counts(sf_dir: str, *, concurrency: int | tuple = (1, 8)) -> Dataset:
     """Per-sink routed-event counts — the headline correctness artifact
-    (``component_sent_events_total`` analogue)."""
-    return routed_transcripts(sf_dir, concurrency=concurrency).port_counts().sort("sink")
+    (``component_sent_events_total`` analogue).
+
+    The counting path prunes to the three routing columns INSIDE the
+    fused parse+enrich actor stage, so the wide ``text`` column never
+    crosses an operator boundary after parsing.
+    """
+    slim = enriched_transcripts(
+        sf_dir, concurrency=concurrency, keep_columns=["level", "tool", "role"]
+    )
+    return route(slim, FLAGSHIP_ROUTES).port_counts()  # already sink-sorted
 
 
 def flagship_write(sf_dir: str, out_dir: str, *, concurrency: int | tuple = (1, 8)) -> dict:

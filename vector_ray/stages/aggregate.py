@@ -44,7 +44,7 @@ def _add_window(ds: Dataset, ts_col: str, interval_ms: int) -> Dataset:
         )
         return t.append_column(WINDOW_COL, pc.cast(win, pa.int64()))
 
-    return ds.map_batches(w, batch_format="pyarrow")
+    return ds.map_batches(w, batch_format="pyarrow", batch_size=None)
 
 
 def aggregate_stage(
@@ -76,7 +76,7 @@ def aggregate_stage(
         def keep_kind(t: pa.Table) -> pa.Table:
             return t.filter(pc.equal(t[kind_col], want))
 
-        ds = ds.map_batches(keep_kind, batch_format="pyarrow")
+        ds = ds.map_batches(keep_kind, batch_format="pyarrow", batch_size=None)
 
     ds = _add_window(ds, ts_col, interval_ms)
     gkeys = keys + [WINDOW_COL]
@@ -102,7 +102,7 @@ def aggregate_stage(
                 out["sumsq"] = sq.values
             return pa.Table.from_pandas(out, preserve_index=False)
 
-        partials = ds.map_batches(partial, batch_format="pyarrow")
+        partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         g = partials.groupby(gkeys)
         if mode == "sum":
             out = g.aggregate(Sum("s", alias_name="value"))
@@ -132,7 +132,7 @@ def aggregate_stage(
                 t = t.drop_columns(["_s", "_n", "_ss"])
                 return t.append_column("value", pa.array(v, pa.float64()))
 
-            out = merged.map_batches(finish, batch_format="pyarrow")
+            out = merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
         return out
 
     if mode in ("latest", "auto"):

@@ -44,7 +44,7 @@ def allowed_values(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     firsts = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
         .groupby(tag_col)
         .aggregate(Min(order_col, alias_name="first_seen"))
     )
@@ -86,4 +86,4 @@ def tag_cardinality_limit(
             t = t.filter(keep)
         return t
 
-    return ds.map_batches(apply, batch_format="pyarrow")
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)

@@ -102,7 +102,7 @@ def dedupe_exact(
         return g.head(1).drop(columns=[FINGERPRINT_COL])
 
     return (
-        ds.map_batches(add_fp, batch_format="pyarrow")
+        ds.map_batches(add_fp, batch_format="pyarrow", batch_size=None)
         .groupby(FINGERPRINT_COL)
         .map_groups(first, batch_format="pandas")
     )

@@ -20,4 +20,4 @@ def filter_stage(ds: Dataset, condition: AnyCondition) -> Dataset:
     def apply(batch: pa.Table) -> pa.Table:
         return batch.filter(cond(batch))
 
-    return ds.map_batches(apply, batch_format="pyarrow")
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)

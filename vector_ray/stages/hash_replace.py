@@ -73,4 +73,4 @@ def hash_replace(
                 t = t.drop_columns([k])
         return t
 
-    return ds.map_batches(apply, batch_format="pyarrow")
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)

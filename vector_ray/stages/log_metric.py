@@ -97,7 +97,7 @@ def log_to_metric(
             outs.append(out)
         return pa.concat_tables(outs)
 
-    return ds.map_batches(project, batch_format="pyarrow")
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=None)
 
 
 def metric_to_log(ds: Dataset, *, prefix: str = "metric_") -> Dataset:
@@ -112,4 +112,4 @@ def metric_to_log(ds: Dataset, *, prefix: str = "metric_") -> Dataset:
                 )
         return t
 
-    return ds.map_batches(project, batch_format="pyarrow")
+    return ds.map_batches(project, batch_format="pyarrow", batch_size=None)

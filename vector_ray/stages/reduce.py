@@ -138,12 +138,13 @@ def reduce_stage(
             )
             return t.append_column(_WINDOW_COL, pc.cast(w, pa.int64()))
 
-        ds = ds.map_batches(add_window, batch_format="pyarrow")
+        ds = ds.map_batches(add_window, batch_format="pyarrow", batch_size=None)
         group_cols = group_cols + [_WINDOW_COL]
 
     out = ds.groupby(group_cols).map_groups(merge, batch_format="pandas")
     if window_ms is not None:
         out = out.map_batches(
-            lambda t: t.drop_columns([_WINDOW_COL]), batch_format="pyarrow"
+            lambda t: t.drop_columns([_WINDOW_COL]), batch_format="pyarrow",
+            batch_size=None,
         )
     return out

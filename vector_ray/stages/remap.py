@@ -55,8 +55,8 @@ class RemapResult:
     def primary(self) -> Dataset:
         if not self._drop and not self._reroute:
             # keep-original: every row flows on (parsed cols null on error)
-            return self._labeled.map_batches(_strip_labels, batch_format="pyarrow")
-        return self._labeled.map_batches(_keep_ok, batch_format="pyarrow")
+            return self._labeled.map_batches(_strip_labels, batch_format="pyarrow", batch_size=None)
+        return self._labeled.map_batches(_keep_ok, batch_format="pyarrow", batch_size=None)
 
     @property
     def dropped(self) -> Dataset:
@@ -64,7 +64,7 @@ class RemapResult:
             raise ValueError("dropped port requires reroute_dropped=True")
         cid = self._component_id
         return self._labeled.map_batches(
-            lambda t: _keep_dropped(t, cid), batch_format="pyarrow"
+            lambda t: _keep_dropped(t, cid), batch_format="pyarrow", batch_size=None
         )
 
     @property
@@ -122,10 +122,10 @@ def remap(
             out = out.append_column(ERROR_MSG_COL, msg)
         return out
 
-    kwargs = {"batch_format": "pyarrow"}
-    if batch_size is not None:
-        kwargs["batch_size"] = batch_size
-    labeled = ds.map_batches(run, **kwargs)
+    # batch_size=None = whole blocks: per-call costs (RE2 compile inside
+    # pc.extract_regex, Python dispatch) amortize over 64Ki-row batches
+    # instead of Ray's 1024-row default
+    labeled = ds.map_batches(run, batch_format="pyarrow", batch_size=batch_size)
     return RemapResult(
         labeled,
         drop_on_error=drop_on_error,

@@ -79,7 +79,7 @@ def sample_hash(
             sample_rate_key, pa.array([rate] * out.num_rows, pa.int64())
         )
 
-    return ds.map_batches(apply, batch_format="pyarrow")
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)
 
 
 def sample_modulo(
@@ -116,5 +116,5 @@ def sample_modulo(
         out[sample_rate_key] = np.where(out[_EXCL], np.int64(1), np.int64(rate))
         return out.drop(columns=[c for c in (_GROUP_CONST, _EXCL) if c in out.columns])
 
-    marked = ds.map_batches(mark, batch_format="pyarrow")
+    marked = ds.map_batches(mark, batch_format="pyarrow", batch_size=None)
     return marked.groupby(group_cols).map_groups(pick, batch_format="pandas")

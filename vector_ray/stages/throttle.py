@@ -58,7 +58,7 @@ def throttle_stage(
         return out.drop(columns=[_WINDOW, _EXCL])
 
     return (
-        ds.map_batches(mark, batch_format="pyarrow")
+        ds.map_batches(mark, batch_format="pyarrow", batch_size=None)
         .groupby(keys)
         .map_groups(head, batch_format="pandas")
     )

@@ -1,0 +1,252 @@
+"""Topology runner — compile the component DAG into Dataset stages and
+execute sinks.
+
+The Ray mapping of Vector's ``RunningTopology`` (src/topology/
+builder.rs:113,328): instead of one tokio task per component with
+bounded channels, each component becomes a lazy Dataset transformation;
+fan-out (lib/vector-core/src/fanout.rs:196-313 clones the event array
+per consumer) becomes multiple consumers of the same (materialized-once)
+Dataset; per-sink counters (component_sent_events_total) are collected
+into a metrics table at the end of the run.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+from vector_ray.enrichment.stage import enrich
+from vector_ray.enrichment.table import FileTable
+from vector_ray.sinks.parquet import ParquetSink
+from vector_ray.stages.cardinality import tag_cardinality_limit
+from vector_ray.stages.dedupe import dedupe_exact
+from vector_ray.stages.filter import filter_stage
+from vector_ray.stages.hash_replace import hash_replace
+from vector_ray.stages.log_metric import MetricSpec, log_to_metric, metric_to_log
+from vector_ray.stages.reduce import reduce_stage
+from vector_ray.stages.remap import remap
+from vector_ray.stages.route import exclusive_route, route
+from vector_ray.stages.sample import sample_hash, sample_modulo
+from vector_ray.stages.throttle import throttle_stage
+from vector_ray.topology.config import ComponentSpec, ConfigError, Topology
+
+# Named remap programs — the Python-UDF analogue of VRL program strings
+# (the lua/remap user-extension surface, SURVEY §2.10).
+_PROGRAMS: dict[str, Callable] = {}
+
+
+def register_program(name: str, fn: Callable) -> None:
+    _PROGRAMS[name] = fn
+
+
+def _program(name: str) -> Callable:
+    if name not in _PROGRAMS:
+        # lazy-register built-ins
+        from vector_ray.pipelines.flagship import transcript_parse_program
+
+        _PROGRAMS.setdefault("transcript_parse", transcript_parse_program)
+    if name not in _PROGRAMS:
+        raise ConfigError(f"unknown remap program {name!r}")
+    return _PROGRAMS[name]
+
+
+@dataclass
+class RunResult:
+    sink_counts: dict[str, int] = field(default_factory=dict)
+    outputs: dict[str, Dataset] = field(default_factory=dict)
+
+    @property
+    def metrics(self) -> pa.Table:
+        """component_sent_events_total analogue as a table."""
+        names = sorted(self.sink_counts)
+        return pa.table({
+            "component_id": pa.array(names, pa.string()),
+            "metric": pa.array(["component_sent_events_total"] * len(names)),
+            "value": pa.array([self.sink_counts[n] for n in names], pa.int64()),
+        })
+
+
+def _union(dss: list[Dataset]) -> Dataset:
+    out = dss[0]
+    for d in dss[1:]:
+        out = out.union(d)
+    return out
+
+
+def run_topology(
+    topo: Topology,
+    *,
+    variables: dict[str, str] | None = None,
+    execute_sinks: bool = True,
+) -> RunResult:
+    """Execute the DAG.  ``variables`` substitute into source paths
+    (e.g. ``{sf_dir}``)."""
+    variables = variables or {}
+    tables: dict[str, FileTable] = {}
+    for tname, tcfg in topo.enrichment_tables.items():
+        path = tcfg["path"].format(**variables)
+        tables[tname] = FileTable(path, tcfg.get("schema"))
+
+    # component name -> {port: Dataset}; default port is ""
+    ports: dict[str, dict[str, Dataset]] = {}
+    # components with >1 consumer get materialized once (fanout clone)
+    consumers: dict[str, int] = {}
+    for c in topo.components.values():
+        for ref in c.inputs:
+            consumers[ref.split(".", 1)[0]] = consumers.get(ref.split(".", 1)[0], 0) + 1
+
+    def resolve(ref: str) -> Dataset:
+        name, _, port = ref.partition(".")
+        if name not in ports:
+            raise ConfigError(f"component {name!r} not yet built")
+        out = ports[name]
+        if port not in out:
+            raise ConfigError(
+                f"component {name!r} has no output port {port or '<default>'!r}; "
+                f"available: {sorted(out)}"
+            )
+        return out[port]
+
+    result = RunResult()
+
+    for name in topo.order:
+        spec = topo.components[name]
+        if spec.kind == "source":
+            ports[name] = {"": _build_source(spec, variables)}
+        elif spec.kind == "transform":
+            ins = _union([resolve(r) for r in spec.inputs])
+            ports[name] = _build_transform(spec, ins, tables)
+            # fanout: materialize once when multiple consumers read this node
+            if consumers.get(name, 0) > 1:
+                ports[name] = {p: d.materialize() for p, d in ports[name].items()}
+        else:  # sink
+            ins = _union([resolve(r) for r in spec.inputs])
+            result.outputs[name] = ins
+            if execute_sinks:
+                result.sink_counts[name] = _run_sink(spec, ins, variables)
+    return result
+
+
+def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
+    if spec.type == "parquet":
+        path = spec.config["path"].format(**variables)
+        return rd.read_parquet(path, columns=spec.config.get("columns"))
+    if spec.type == "transcripts":
+        from vector_ray.data.transcripts import ensure_transcripts
+
+        sf_dir = spec.config.get("sf_dir", variables.get("sf_dir", "/root/testdata/sf0.001"))
+        return rd.read_parquet(ensure_transcripts(sf_dir),
+                               columns=spec.config.get("columns"))
+    if spec.type == "csv":
+        return rd.read_csv(spec.config["path"].format(**variables))
+    if spec.type == "json":
+        return rd.read_json(spec.config["path"].format(**variables))
+    raise ConfigError(f"unknown source type {spec.type!r}")
+
+
+def _build_transform(
+    spec: ComponentSpec, ds: Dataset, tables: dict[str, FileTable]
+) -> dict[str, Dataset]:
+    c = spec.config
+    t = spec.type
+    if t == "remap":
+        res = remap(
+            ds,
+            _program(c["program"]),
+            drop_on_error=c.get("drop_on_error", False),
+            reroute_dropped=c.get("reroute_dropped", False),
+            component_id=spec.name,
+        )
+        out = {"": res.primary}
+        if c.get("reroute_dropped"):
+            out["dropped"] = res.dropped
+        return out
+    if t == "filter":
+        return {"": filter_stage(ds, c["condition"])}
+    if t == "route":
+        res = route(ds, c["route"], reroute_unmatched=c.get("reroute_unmatched", True))
+        return {p: res.port(p) for p in res.ports}
+    if t == "exclusive_route":
+        routes = [(r["name"], r["condition"]) for r in c["routes"]]
+        res = exclusive_route(ds, routes,
+                              reroute_unmatched=c.get("reroute_unmatched", True))
+        return {p: res.port(p) for p in res.ports}
+    if t == "sample":
+        if c.get("key_field"):
+            return {"": sample_hash(ds, rate=c["rate"], key_field=c["key_field"],
+                                    exclude=c.get("exclude"))}
+        return {"": sample_modulo(
+            ds, rate=c["rate"], group_by=c.get("group_by"),
+            order_by=c.get("order_by", ("conv_id", "turn_idx")),
+            exclude=c.get("exclude"),
+        )}
+    if t == "dedupe":
+        return {"": dedupe_exact(ds, c["fields"],
+                                 order_by=c.get("order_by", ("conv_id", "turn_idx")))}
+    if t == "reduce":
+        return {"": reduce_stage(
+            ds, group_by=c["group_by"],
+            merge_strategies=c.get("merge_strategies"),
+            order_by=c.get("order_by"),
+            timestamp_fields=c.get("timestamp_fields", ("ts",)),
+            window_ms=c.get("window_ms"),
+        )}
+    if t == "aggregate":
+        from vector_ray.stages.aggregate import aggregate_stage
+
+        return {"": aggregate_stage(
+            ds, series_keys=c["series_keys"], value_col=c.get("value_col", "value"),
+            ts_col=c.get("ts_col", "ts"), interval_ms=c.get("interval_ms", 10_000),
+            mode=c.get("mode", "sum"), kind_col=c.get("kind_col"),
+        )}
+    if t == "throttle":
+        return {"": throttle_stage(
+            ds, threshold=c["threshold"], window_secs=c.get("window_secs", 1.0),
+            key_field=c.get("key_field"), ts_col=c.get("ts_col", "ts"),
+            order_by=c.get("order_by", ()), exclude=c.get("exclude"),
+        )}
+    if t == "tag_cardinality_limit":
+        return {"": tag_cardinality_limit(
+            ds, c["tags"], value_limit=c.get("value_limit", 500),
+            order_col=c.get("order_col", "ts"),
+            action=c.get("action", "drop_tag"),
+        )}
+    if t == "log_to_metric":
+        specs = [MetricSpec(**m) for m in c["metrics"]]
+        return {"": log_to_metric(ds, specs, ts_col=c.get("ts_col", "ts"))}
+    if t == "metric_to_log":
+        return {"": metric_to_log(ds)}
+    if t == "hash_replace":
+        return {"": hash_replace(ds, c["keys"],
+                                 keep_original=c.get("keep_original", False),
+                                 sample_rate=c.get("sample_rate"))}
+    if t == "enrich":
+        tbl = tables[c["table"]]
+        return {"": enrich(
+            ds, tbl, key_field=c["key_field"],
+            batch_key=c.get("batch_key", c["key_field"]),
+            select=c["select"], case_sensitive=c.get("case_sensitive", True),
+            prefix=c.get("prefix", ""), concurrency=tuple(c.get("concurrency", (1, 8))),
+        )}
+    raise ConfigError(f"unknown transform type {t!r}")
+
+
+def _run_sink(spec: ComponentSpec, ds: Dataset, variables: dict) -> int:
+    c = spec.config
+    if spec.type == "parquet":
+        sink = ParquetSink(c["path"].format(**variables),
+                           partition_cols=c.get("partition_cols", ()),
+                           name=spec.name)
+        return sink.write(ds, inputs=spec.inputs)
+    if spec.type == "blackhole":
+        return ds.count()
+    if spec.type == "console":
+        rows = ds.take(int(c.get("limit", 10)))
+        for r in rows:
+            print(r)
+        return len(rows)
+    raise ConfigError(f"unknown sink type {spec.type!r}")

@@ -267,6 +267,32 @@ def _q_doc_fingerprint(sf_dir: str):
     return doc_fingerprint(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_session_stats_events(sf_dir: str):
+    from vector_ray.stages.windows import session_stats
+
+    return session_stats(
+        _events(sf_dir), key="user_id", gap_secs=3600.0, order_by=["event_id"]
+    )
+
+
+def _q_sliding_window_events(sf_dir: str):
+    from vector_ray.stages.windows import sliding_window_count
+
+    return sliding_window_count(
+        _events(sf_dir), key="event_type", window_secs=7200, slide_secs=3600
+    )
+
+
+def _q_salted_reduce_transcripts(sf_dir: str):
+    from vector_ray.pipelines.flagship import parsed_transcripts
+    from vector_ray.state.partitioning import reduce_by_conversation_salted
+
+    primary = parsed_transcripts(sf_dir).primary
+    return reduce_by_conversation_salted(
+        primary, value_col="latency_ms", hot_threshold=500, salt_span=128
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_extract": _q_parse_extract,
@@ -293,6 +319,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "doc_fingerprint": _q_doc_fingerprint,
+        "session_stats_events": _q_session_stats_events,
+        "sliding_window_events": _q_sliding_window_events,
+        "salted_reduce_transcripts": _q_salted_reduce_transcripts,
     }
 
 
@@ -322,4 +351,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracle.SQL_ANN_TOPK,
         # lang_id_docs / minhash_dedup_docs / simhash_pairs_docs /
         # doc_fingerprint intentionally omitted -> rows-only check
+        "session_stats_events": oracle.SQL_SESSION_STATS_EVENTS,
+        "sliding_window_events": oracle.SQL_SLIDING_WINDOW_EVENTS,
+        "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
     }

@@ -27,6 +27,7 @@ def _oracle_sqls():
             "exclusive_route_counts": oracle.sql_exclusive_route_counts(tpath),
             "remap_dropped": oracle.sql_remap_dropped(tpath),
             "sample_transcripts": oracle.sql_sample_transcripts(tpath),
+            "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
         }
     )
     return sqls

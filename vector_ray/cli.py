@@ -1,0 +1,106 @@
+"""CLI — the ``vector`` binary's top-3 subcommands, Ray-style.
+
+Mirrors the reference entry points (SURVEY §3):
+- ``run``      → ``vector`` daemon run (src/main.rs:9-44): load config,
+  compile DAG, execute sinks, print per-sink counters.
+- ``validate`` → ``vector validate`` (src/validate.rs): config + graph
+  dry-run (cycle/ref/type checks) without executing.
+- ``graph``    → ``vector graph`` (src/graph.rs): emit the DAG as DOT.
+
+Cluster launch (the ``ray job submit`` path of the north rule)::
+
+    ray job submit --working-dir . -- \
+        python -m vector_ray.cli run pipelines/flagship.yaml \
+        --var sf_dir=/data/transcripts
+
+Only this CLI owns ``ray.init`` (guarded); library code never calls it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _parse_vars(pairs: list[str]) -> dict[str, str]:
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        out[k] = v
+    return out
+
+
+def cmd_validate(args) -> int:
+    from vector_ray.topology import ConfigError, Topology
+
+    try:
+        topo = Topology.from_yaml(args.config)
+    except ConfigError as e:
+        print(f"invalid: {e}", file=sys.stderr)
+        return 1
+    print(f"ok: {len(topo.components)} components, order: {' -> '.join(topo.order)}")
+    return 0
+
+
+def cmd_graph(args) -> int:
+    from vector_ray.topology import Topology
+
+    topo = Topology.from_yaml(args.config)
+    print("digraph topology {")
+    for c in topo.components.values():
+        shape = {"source": "box", "transform": "ellipse", "sink": "cds"}[c.kind]
+        print(f'  "{c.name}" [shape={shape}, label="{c.name}\\n({c.type})"];')
+        for ref in c.inputs:
+            up, _, port = ref.partition(".")
+            label = f' [label="{port}"]' if port else ""
+            print(f'  "{up}" -> "{c.name}"{label};')
+    print("}")
+    return 0
+
+
+def cmd_run(args) -> int:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=args.num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(args.config)
+    res = run_topology(topo, variables=_parse_vars(args.var))
+    print(json.dumps({"sink_counts": res.sink_counts}))
+    if args.shutdown:
+        ray.shutdown()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="vector_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    for name, fn in (("run", cmd_run), ("validate", cmd_validate), ("graph", cmd_graph)):
+        sp = sub.add_parser(name)
+        sp.add_argument("config", help="pipeline YAML path or inline YAML")
+        sp.set_defaults(fn=fn)
+        if name == "run":
+            sp.add_argument("--var", action="append", default=[],
+                            help="substitution var, e.g. --var sf_dir=/data")
+            sp.add_argument("--num-cpus", type=int, default=None)
+            sp.add_argument("--no-shutdown", dest="shutdown", action="store_false")
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,137 @@
+"""VRL codec/crypto function subset.
+
+Mirrors encode_/decode_base64|base16|gzip|zlib|percent, md5, sha1/sha2,
+hmac, uuid (reference function list under
+website/cue/reference/remap/functions/).  Hash/codec transforms are
+inherently per-value; they run per UNIQUE value with ``index_in``
+expansion, which is vectorized-cheap on the tag-like columns these are
+typically applied to, and linear-with-small-constant otherwise.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import gzip as _gzip
+import hashlib
+import hmac as _hmac
+import urllib.parse
+import uuid as _uuid
+import zlib as _zlib
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _arr(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _map_unique(col, fn, out_type=pa.string()):
+    col = _arr(col)
+    uniq = pc.unique(col)
+    mapped = pa.array(
+        [None if v is None else fn(v) for v in uniq.to_pylist()], out_type
+    )
+    return mapped.take(pc.index_in(col, value_set=uniq))
+
+
+def encode_base64(col):
+    return _map_unique(col, lambda v: base64.b64encode(v.encode()).decode())
+
+
+def decode_base64(col):
+    def d(v):
+        try:
+            return base64.b64decode(v, validate=True).decode()
+        except (binascii.Error, UnicodeDecodeError, ValueError):
+            return None  # runtime error -> null (VRL error semantics)
+
+    return _map_unique(col, d)
+
+
+def encode_base16(col):
+    return _map_unique(col, lambda v: v.encode().hex())
+
+
+def decode_base16(col):
+    def d(v):
+        try:
+            return bytes.fromhex(v).decode()
+        except (ValueError, UnicodeDecodeError):
+            return None
+
+    return _map_unique(col, d)
+
+
+def encode_percent(col):
+    return _map_unique(col, lambda v: urllib.parse.quote(v, safe=""))
+
+
+def decode_percent(col):
+    return _map_unique(col, urllib.parse.unquote)
+
+
+def encode_gzip(col):
+    return _map_unique(
+        col, lambda v: _gzip.compress(v.encode(), mtime=0), pa.large_binary()
+    )
+
+
+def decode_gzip(col):
+    def d(v):
+        try:
+            return _gzip.decompress(v).decode()
+        except (OSError, UnicodeDecodeError):
+            return None
+
+    return _map_unique(col, d)
+
+
+def encode_zlib(col):
+    return _map_unique(col, lambda v: _zlib.compress(v.encode()), pa.large_binary())
+
+
+def decode_zlib(col):
+    def d(v):
+        try:
+            return _zlib.decompress(v).decode()
+        except (_zlib.error, UnicodeDecodeError):
+            return None
+
+    return _map_unique(col, d)
+
+
+def md5(col):
+    return _map_unique(col, lambda v: hashlib.md5(v.encode()).hexdigest())
+
+
+def sha1(col):
+    return _map_unique(col, lambda v: hashlib.sha1(v.encode()).hexdigest())
+
+
+def sha2(col, variant: int = 256):
+    fn = {224: hashlib.sha224, 256: hashlib.sha256,
+          384: hashlib.sha384, 512: hashlib.sha512}[variant]
+    return _map_unique(col, lambda v: fn(v.encode()).hexdigest())
+
+
+def sha3(col, variant: int = 256):
+    fn = {224: hashlib.sha3_224, 256: hashlib.sha3_256,
+          384: hashlib.sha3_384, 512: hashlib.sha3_512}[variant]
+    return _map_unique(col, lambda v: fn(v.encode()).hexdigest())
+
+
+def hmac_sha256(col, key: str):
+    kb = key.encode()
+    return _map_unique(
+        col, lambda v: _hmac.new(kb, v.encode(), hashlib.sha256).hexdigest()
+    )
+
+
+def uuid_v5(col, namespace: str = "vector_ray"):
+    """Deterministic per-value UUID (v4 is random → not reproducible in
+    a batch rerun; VRL offers uuid_v4, the rebuild standardizes on the
+    deterministic v5 so reruns are idempotent)."""
+    ns = _uuid.uuid5(_uuid.NAMESPACE_DNS, namespace)
+    return _map_unique(col, lambda v: str(_uuid.uuid5(ns, v)))

@@ -258,3 +258,48 @@ ranked AS (
   FROM scored)
 SELECT query_idx, vec_id FROM ranked WHERE rn <= 5
 """
+
+
+# ---------------------------------------------------------------------------
+# Window operators + skew-safe conversation reduce.
+# ---------------------------------------------------------------------------
+
+SQL_SESSION_STATS_EVENTS = f"""
+WITH o AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) > {HOUR_US}
+         THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (
+  SELECT *, sum(brk) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o)
+SELECT user_id, session_id::BIGINT AS session_id,
+       count(*)::BIGINT AS events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+SQL_SLIDING_WINDOW_EVENTS = f"""
+SELECT event_type, ws AS window_start, count(*)::BIGINT AS events FROM (
+  SELECT event_type,
+         ((epoch_us(ts) // {HOUR_US}) - off.o) * {HOUR_US} AS ws
+  FROM events CROSS JOIN (VALUES (0), (1)) off(o))
+GROUP BY 1, 2
+"""
+
+
+def sql_salted_reduce(transcripts_path: str) -> str:
+    return (
+        parsed_cte(transcripts_path)
+        + """
+SELECT conv_id,
+       count(*)::BIGINT AS turns,
+       sum(coalesce(latency_ms, 0))::BIGINT AS value_sum,
+       min(turn_idx)::BIGINT AS turn_min,
+       max(turn_idx)::BIGINT AS turn_max
+FROM p GROUP BY conv_id
+"""
+    )

@@ -1,0 +1,115 @@
+"""Event-time windowing: sessionize, tumbling (see aggregate_stage) and
+sliding windows.
+
+The reference's windows are processing-time flushes
+(``aggregate.interval_ms`` tumbling, ``reduce.expire_after_ms``
+session-ish, src/transforms/aggregate.rs:29-34,
+src/transforms/reduce/config.rs:31-46 — no watermarks).  The rebuild
+rebases them onto event-time ``ts`` so results are deterministic
+(SURVEY §2.8 divergence note):
+
+- ``sessionize``: reduce's ``expire_after_ms`` analogue — a new session
+  starts when the gap to the previous event in the same key exceeds
+  ``gap``; implemented per key via ``groupby(key).map_groups`` over the
+  stable sort order.
+- ``sliding_window_count``: each event replicates into the w/s windows
+  that contain it (vectorized explode), then one groupby over
+  (key, window_start) partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+def sessionize(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    gap_secs: float = 3600.0,
+    order_by: list[str] | None = None,
+    out_col: str = "session_id",
+) -> Dataset:
+    """Assign 0-based session ids per key (new session when the gap from
+    the previous event exceeds ``gap_secs``)."""
+    gap_us = int(gap_secs * 1_000_000)
+    order_cols = [ts_col] + list(order_by or [])
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        ts = g[ts_col].astype("int64").to_numpy()
+        new = np.zeros(len(g), dtype=bool)
+        if len(ts) > 1:
+            new[1:] = (ts[1:] - ts[:-1]) > gap_us
+        g[out_col] = np.cumsum(new).astype(np.int64)
+        return g
+
+    return ds.groupby(key).map_groups(assign, batch_format="pandas")
+
+
+def session_stats(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    gap_secs: float = 3600.0,
+    order_by: list[str] | None = None,
+) -> Dataset:
+    """Per-(key, session) row counts and time bounds."""
+    sess = sessionize(ds, key=key, ts_col=ts_col, gap_secs=gap_secs,
+                      order_by=order_by)
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            key: g[key].iloc[0],
+            "session_id": g["session_id"].iloc[0],
+            "events": np.int64(len(g)),
+            "session_start": g[ts_col].min(),
+            "session_end": g[ts_col].max(),
+        }])
+
+    return sess.groupby([key, "session_id"]).map_groups(stats, batch_format="pandas")
+
+
+def sliding_window_count(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    window_secs: float,
+    slide_secs: float,
+) -> Dataset:
+    """Count per (key, sliding window).  window_secs must be a multiple
+    of slide_secs; each event explodes into window/slide rows, partials
+    pre-aggregate per batch before the groupby shuffle."""
+    w_us = int(window_secs * 1_000_000)
+    s_us = int(slide_secs * 1_000_000)
+    if w_us % s_us:
+        raise ValueError("window_secs must be a multiple of slide_secs")
+    k = w_us // s_us
+
+    def explode(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        keys = t[key].to_pandas()
+        frames = []
+        for off in range(k):
+            ws = (ts // s_us - off) * s_us
+            keep = ts < ws + w_us  # guard (always true given floor, but explicit)
+            frames.append(pd.DataFrame({
+                key: keys[keep], "window_start": ws[keep]}))
+        df = pd.concat(frames)
+        g = df.groupby([key, "window_start"], sort=False).size().rename("n").reset_index()
+        g["n"] = g["n"].astype("int64")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow", batch_size=None)
+        .groupby([key, "window_start"])
+        .aggregate(Sum("n", alias_name="events"))
+    )

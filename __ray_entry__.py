@@ -293,6 +293,29 @@ def _q_salted_reduce_transcripts(sf_dir: str):
     )
 
 
+def _q_distinct_users_events(sf_dir: str):
+    from vector_ray.stages.aggregate import aggregate_distinct
+
+    return aggregate_distinct(
+        _events(sf_dir), series_keys=["event_type"], value_col="user_id",
+        interval_ms=86_400_000,
+    )
+
+
+def _q_props_extract_events(sf_dir: str):
+    import pyarrow as pa
+
+    from vector_ray.functions.parse import parse_json_fields
+
+    def extract(t: pa.Table) -> pa.Table:
+        fields = parse_json_fields(t["props"], ["k"], types={"k": pa.int64()})
+        return pa.table({"event_id": t["event_id"], "k": fields["k"]})
+
+    return _events(sf_dir, columns=["event_id", "props"]).map_batches(
+        extract, batch_format="pyarrow", batch_size=None
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_extract": _q_parse_extract,
@@ -322,6 +345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats_events": _q_session_stats_events,
         "sliding_window_events": _q_sliding_window_events,
         "salted_reduce_transcripts": _q_salted_reduce_transcripts,
+        "distinct_users_events": _q_distinct_users_events,
+        "props_extract_events": _q_props_extract_events,
     }
 
 
@@ -354,4 +379,6 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_events": oracle.SQL_SESSION_STATS_EVENTS,
         "sliding_window_events": oracle.SQL_SLIDING_WINDOW_EVENTS,
         "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
+        "distinct_users_events": oracle.SQL_DISTINCT_USERS_EVENTS,
+        "props_extract_events": oracle.SQL_PROPS_EXTRACT_EVENTS,
     }

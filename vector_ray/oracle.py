@@ -303,3 +303,17 @@ SELECT conv_id,
 FROM p GROUP BY conv_id
 """
     )
+
+
+SQL_DISTINCT_USERS_EVENTS = f"""
+SELECT event_type,
+       (epoch_us(ts) // {DAY_US}) * {DAY_US} AS window_start,
+       count(DISTINCT user_id)::BIGINT AS value
+FROM events GROUP BY 1, 2
+"""
+
+SQL_PROPS_EXTRACT_EVENTS = """
+SELECT event_id,
+       try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""

@@ -167,3 +167,90 @@ def aggregate_stage(
         return lat.groupby(keys).map_groups(diff, batch_format="pandas")
 
     raise AssertionError(mode)
+
+
+def aggregate_distinct(
+    ds: Dataset,
+    *,
+    series_keys: Sequence[str],
+    value_col: str,
+    ts_col: str = "ts",
+    interval_ms: int = 10_000,
+) -> Dataset:
+    """``MetricValue::Set`` semantics (lib/vector-core/src/event/metric/
+    value.rs Set{BTreeSet}): per-(series, window) DISTINCT value count.
+
+    Partial per batch = the distinct (series, window, value) triples
+    (already collapsed), then an exact distinct-count groupby — the
+    shuffle moves one row per distinct triple per block, not raw rows.
+    """
+    keys = list(series_keys)
+    ds = _add_window(ds, ts_col, interval_ms)
+    gkeys = keys + [WINDOW_COL]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(gkeys + [value_col]).to_pandas()
+        out = df.drop_duplicates()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    import pandas as pd
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        row = {k: g[k].iloc[0] for k in gkeys}
+        row["value"] = np.int64(g[value_col].nunique())
+        return pd.DataFrame([row])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(gkeys)
+        .map_groups(count_distinct, batch_format="pandas")
+    )
+
+
+def aggregate_histogram(
+    ds: Dataset,
+    *,
+    series_keys: Sequence[str],
+    value_col: str,
+    buckets: Sequence[float],
+    ts_col: str = "ts",
+    interval_ms: int = 10_000,
+) -> Dataset:
+    """``MetricValue::AggregatedHistogram{buckets, count, sum}``: per
+    (series, window) bucket counts (upper-bound inclusive, cumulative
+    like Prometheus) plus total count and sum.
+
+    Partials are per-batch bucket-count vectors — mergeable by
+    elementwise sum, so the shuffle moves fixed-size rows.
+    """
+    import numpy as np
+
+    keys = list(series_keys)
+    edges = np.asarray(sorted(buckets), dtype=np.float64)
+    ds = _add_window(ds, ts_col, interval_ms)
+    gkeys = keys + [WINDOW_COL]
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.select(gkeys + [value_col]).to_pandas()
+        v = df[value_col].to_numpy(dtype=np.float64)
+        # bucket index = first edge >= value; len(edges) = +Inf bucket
+        idx = np.searchsorted(edges, v, side="left")
+        rows = []
+        for gvals, sub in df.assign(__b=idx).groupby(gkeys, sort=False):
+            if not isinstance(gvals, tuple):
+                gvals = (gvals,)
+            counts = np.bincount(sub["__b"], minlength=len(edges) + 1)
+            row = dict(zip(gkeys, gvals))
+            for i in range(len(edges) + 1):
+                row[f"b{i}"] = int(counts[i])
+            row["count"] = int(len(sub))
+            row["sum"] = float(sub[value_col].sum())
+            rows.append(row)
+        import pandas as pd
+
+        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    aggs = [Sum(f"b{i}", alias_name=f"b{i}") for i in range(len(edges) + 1)]
+    aggs += [Sum("count", alias_name="count"), Sum("sum", alias_name="sum")]
+    return partials.groupby(gkeys).aggregate(*aggs)

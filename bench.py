@@ -98,7 +98,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 def _headline_once(ncpu: int, sf_dir: str) -> dict:
     """Run bench.py in a FRESH interpreter at a given parallelism."""
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir,
-               VECTOR_RAY_BENCH_SF=os.environ.get("VECTOR_RAY_BENCH_SF", "1.0"),
+               VECTOR_RAY_BENCH_SF=os.environ.get("VECTOR_RAY_BENCH_SF", "4.0"),
                BENCH_HEADLINE_ONLY="1")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],

@@ -71,6 +71,19 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     parsed_transcripts(headline_src).labeled.count()
     queries["parse_only"] = round(time.perf_counter() - t0, 3)
 
+    # representative-scale headline: the 24M-turn fixture amortizes the
+    # per-session fixed overhead that dominates the small sf run, giving
+    # the throughput number that actually extrapolates (see BASELINE.md)
+    big = None
+    if not os.environ.get("BENCH_HEADLINE_ONLY"):
+        big_path = ensure_transcripts(4.0)
+        n_big = ray.data.read_parquet(big_path).count()
+        t0 = time.perf_counter()
+        flagship_counts(4.0, concurrency=(1, max(2, num_cpus - 1))).to_pandas()
+        dt = time.perf_counter() - t0
+        queries["flagship_counts_24M"] = round(dt, 3)
+        big = {"n_turns_24M": n_big, "turns_per_sec_24M": round(n_big / dt, 1)}
+
     # groupwise operators over the events table (skipped in the
     # headline-only scaling subprocesses)
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
@@ -83,7 +96,7 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             queries[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
-    return {
+    out = {
         "metric": "parse→enrich→route→aggregate wall time (transcripts)",
         "value": round(headline, 3),
         "unit": "sec",
@@ -93,6 +106,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         "n_turns": n_turns,
         "turns_per_sec": round(n_turns / headline, 1),
     }
+    if big:
+        out.update(big)
+    return out
 
 
 def _headline_once(ncpu: int, sf_dir: str) -> dict:

@@ -1,0 +1,103 @@
+"""VRL-subset program compiler (config-borne remap source strings)."""
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from vector_ray.stages.remap import remap
+from vector_ray.vrl import VrlError, compile_vrl
+
+
+def _batch():
+    return pa.table({
+        "conv_id": ["c"] * 4,
+        "turn_idx": pa.array([0, 1, 2, 3], pa.int32()),
+        "text": [
+            "2024-01-01T00:00:00Z level=ERROR tool=bash latency_ms=7 msg=x",
+            "free text",
+            "2024-01-01T00:00:01Z level=info tool=web latency_ms=9 msg=y",
+            "also free",
+        ],
+        "role": ["User", "Assistant", "Tool", "System"],
+    })
+
+
+GROK = "%{TIMESTAMP_ISO8601:gts} level=%{WORD:lvl} tool=%{NOTSPACE:gtool} latency_ms=%{INT:lat} msg=%{GREEDYDATA:gmsg}"
+
+
+def test_assign_merge_and_functions():
+    prog = compile_vrl(f"""
+# parse then normalize
+. = parse_grok!(.text, "{GROK}")
+.lvl = downcase(.lvl)
+.lat = to_int!(.lat)
+.role = downcase(.role)
+.tag = "static"
+del(.gts)
+""")
+    out, err, _ = prog(_batch())
+    assert out["lvl"].to_pylist() == ["error", None, "info", None]
+    assert out["lat"].to_pylist() == [7, None, 9, None]
+    assert out["role"].to_pylist() == ["user", "assistant", "tool", "system"]
+    assert out["tag"].to_pylist() == ["static"] * 4
+    assert "gts" not in out.column_names
+    # grok! marks non-matching rows as errors
+    assert err.to_pylist() == [False, True, False, True]
+
+
+def test_fallible_vs_infallible():
+    t = pa.table({"v": ["5", "x", None]})
+    out, err, _ = compile_vrl(".n = to_int(.v)")(t)
+    assert out["n"].to_pylist() == [5, None, None]
+    assert err.to_pylist() == [False, False, False]  # no bang: silent null
+    out, err, _ = compile_vrl(".n = to_int!(.v)")(t)
+    # bang: parse failure is an error; null input is not (VRL coalesces)
+    assert err.to_pylist() == [False, True, False]
+
+
+def test_abort_if():
+    t = pa.table({"lvl": ["info", "debug"]})
+    _, err, _ = compile_vrl('abort_if(.lvl == "debug")')(t)
+    assert err.to_pylist() == [False, True]
+
+
+def test_parse_json_statement():
+    t = pa.table({"text": ['{"a": "1"}', "junk", '{"broken']})
+    out, err, _ = compile_vrl('. = parse_json!(.text, "a")')(t)
+    assert out["a"].to_pylist() == ["1", None, None]
+    assert err.to_pylist() == [False, False, True]  # only true JSON failures
+
+
+def test_bad_statement_rejected():
+    with pytest.raises(VrlError):
+        compile_vrl(".x = while(true)")
+    with pytest.raises(VrlError):
+        compile_vrl("something weird")
+
+
+def test_vrl_in_topology():
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml("""
+sources:
+  t: {type: transcripts, sf_dir: /root/testdata/sf0.001}
+transforms:
+  norm:
+    type: remap
+    inputs: [t]
+    source: |
+      .role = upcase(.role)
+      .tool_hash = md5(.tool)
+sinks:
+  out: {type: blackhole, inputs: [norm]}
+""")
+    res = run_topology(topo)
+    assert res.sink_counts["out"] == 6000
+
+
+def test_vrl_with_remap_stage_error_policy():
+    ds = rd.from_arrow(_batch())
+    prog = compile_vrl(f'. = parse_grok!(.text, "{GROK}")')
+    res = remap(ds, prog, drop_on_error=True, reroute_dropped=True)
+    assert res.primary.count() == 2
+    assert res.dropped.count() == 2

@@ -154,9 +154,15 @@ def _build_transform(
     c = spec.config
     t = spec.type
     if t == "remap":
+        if "source" in c:
+            from vector_ray.vrl import compile_vrl
+
+            prog = compile_vrl(c["source"])
+        else:
+            prog = _program(c["program"])
         res = remap(
             ds,
-            _program(c["program"]),
+            prog,
             drop_on_error=c.get("drop_on_error", False),
             reroute_dropped=c.get("reroute_dropped", False),
             component_id=spec.name,

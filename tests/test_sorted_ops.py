@@ -1,0 +1,101 @@
+"""Sorted-run scale paths must match the map_groups implementations."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+SF = "/root/testdata/sf0.01"
+
+
+def _norm(df, cols=None):
+    df = df.reindex(sorted(df.columns), axis=1)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def test_rank_basic():
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+    t = pa.table({"k": ["a", "a", "b", "a", "b"], "o": [2, 1, 1, 3, 2]})
+    out = add_group_rank(rd.from_arrow(t), ["k"], ["o"]).to_pandas()
+    out = out.sort_values(["k", "o"]).reset_index(drop=True)
+    assert out[RANK_COL].tolist() == [0, 1, 2, 0, 1]
+
+
+def test_rank_with_mask():
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+    t = pa.table({"k": ["a"] * 5, "o": [0, 1, 2, 3, 4],
+                  "m": [True, False, True, True, False]})
+    out = add_group_rank(rd.from_arrow(t), ["k"], ["o"],
+                         count_mask_col="m").to_pandas().sort_values("o")
+    assert out[RANK_COL].tolist() == [0, -1, 1, 2, -1]
+
+
+def test_rank_across_blocks():
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+    # one hot key spanning many blocks
+    n = 5000
+    t = pa.table({"k": ["hot"] * n + ["cold"] * 10,
+                  "o": list(range(n)) + list(range(10))})
+    ds = rd.from_arrow(t).repartition(13)
+    out = add_group_rank(ds, ["k"], ["o"]).to_pandas()
+    hot = out[out["k"] == "hot"].sort_values("o")
+    assert hot[RANK_COL].tolist() == list(range(n))
+
+
+def test_throttle_sorted_matches_map_groups():
+    from vector_ray.stages.sorted_ops import throttle_sorted
+    from vector_ray.stages.throttle import throttle_stage
+
+    ds1 = rd.read_parquet(f"{SF}/events.parquet")
+    ds2 = rd.read_parquet(f"{SF}/events.parquet")
+    a = throttle_stage(ds1, threshold=5, window_secs=3600.0,
+                       key_field="event_type", order_by=["event_id"]).to_pandas()
+    b = throttle_sorted(ds2, threshold=5, window_secs=3600.0,
+                        key_field="event_type", order_by=["event_id"]).to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
+def test_throttle_sorted_exclude():
+    from vector_ray.stages.sorted_ops import throttle_sorted
+
+    t = pa.table({"k": ["a"] * 4, "id": [0, 1, 2, 3], "lvl": ["x", "x", "imp", "x"],
+                  "ts": pa.array([0, 1, 2, 3], pa.timestamp("us"))})
+    out = throttle_sorted(rd.from_arrow(t), threshold=1, window_secs=10.0,
+                          key_field="k", order_by=["id"],
+                          exclude='.lvl == "imp"').to_pandas()
+    assert sorted(out["id"]) == [0, 2]
+
+
+def test_sample_sorted_matches_map_groups():
+    from vector_ray.stages.sample import sample_modulo
+    from vector_ray.stages.sorted_ops import sample_modulo_sorted
+    from vector_ray.pipelines.flagship import read_transcripts
+
+    a = sample_modulo(
+        read_transcripts(SF, columns=["conv_id", "turn_idx", "role"]),
+        rate=10, group_by=["role"], order_by=["conv_id", "turn_idx"],
+    ).to_pandas()
+    b = sample_modulo_sorted(
+        read_transcripts(SF, columns=["conv_id", "turn_idx", "role"]),
+        rate=10, group_by=["role"], order_by=["conv_id", "turn_idx"],
+    ).to_pandas()
+    pd.testing.assert_frame_equal(_norm(a), _norm(b))
+
+
+def test_sample_sorted_exclude():
+    from vector_ray.stages.sorted_ops import sample_modulo_sorted
+
+    t = pa.table({
+        "conv_id": ["a"] * 6,
+        "turn_idx": pa.array(range(6), pa.int32()),
+        "role": ["user", "system", "user", "user", "system", "user"],
+    })
+    out = sample_modulo_sorted(
+        rd.from_arrow(t), rate=2, group_by=None,
+        order_by=["conv_id", "turn_idx"], exclude='.role == "system"',
+    ).to_pandas()
+    assert sorted(out["turn_idx"]) == [0, 1, 3, 4]
+    assert out.set_index("turn_idx")["sample_rate"].to_dict() == {0: 2, 1: 1, 3: 2, 4: 1}

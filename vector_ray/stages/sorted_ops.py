@@ -235,3 +235,184 @@ def sample_modulo_sorted(
         )
 
     return ranked.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# reduce scale path: per-block run partials + driver boundary chain merge
+# ---------------------------------------------------------------------------
+
+_MERGEABLE = {"discard", "retain", "sum", "max", "min", "concat",
+              "concat_newline", "concat_raw", "array", "flat_unique"}
+
+_SEPS = {"concat": " ", "concat_newline": "\n", "concat_raw": ""}
+
+
+def _merge_partials(left, right, strategy):
+    """Combine two in-order partial values of one run."""
+    if left is None and strategy not in ("discard",):
+        return right
+    if right is None and strategy not in ("retain",):
+        return left
+    if strategy == "discard":
+        return left
+    if strategy == "retain":
+        return right if right is not None else left
+    if strategy == "sum":
+        return left + right
+    if strategy == "max":
+        return max(left, right)
+    if strategy == "min":
+        return min(left, right)
+    if strategy in _SEPS:
+        return f"{left}{_SEPS[strategy]}{right}"
+    if strategy == "array":
+        return list(left) + list(right)
+    if strategy == "flat_unique":
+        seen, out = set(), []
+        for v in list(left) + list(right):
+            if v not in seen:
+                seen.add(v)
+                out.append(v)
+        return out
+    raise ValueError(strategy)
+
+
+def reduce_sorted(
+    ds: Dataset,
+    *,
+    group_by: Sequence[str],
+    merge_strategies: dict | None = None,
+    order_by: Sequence[str],
+    timestamp_fields: Sequence[str] = ("ts",),
+    count_field: str = "events",
+) -> Dataset:
+    """Scale path for ``reduce_stage`` limited to MERGEABLE strategies
+    (discard/retain/sum/max/min/concat*/array/flat_unique + the
+    timestamp first/last window).  Same output as reduce_stage.
+
+    Per sorted block, each key RUN collapses to one partial row (pandas
+    groupby — C-speed within the block); runs that span blocks are
+    chain-merged on the driver from each block's first/last partial
+    rows only (≤2 small rows per block), so no per-group Python call
+    ever sees more than one block's data.
+    """
+    import pandas as pd
+
+    strategies = {k: v.lower() for k, v in (merge_strategies or {}).items()}
+    for k, v in strategies.items():
+        if v not in _MERGEABLE:
+            raise ValueError(
+                f"reduce_sorted supports only mergeable strategies; {k}={v!r}"
+            )
+    group_cols = list(group_by)
+    ts_fields = list(timestamp_fields)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(_KEY_COL, _combined_key(t, group_cols))
+
+    sorted_ds = (
+        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+        .sort([_KEY_COL] + list(order_by))
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    def collapse(df: pd.DataFrame) -> pd.DataFrame:
+        """one partial row per run, preserving run order."""
+        aggs = {}
+        for c in df.columns:
+            if c in group_cols:
+                aggs[c] = (c, "first")
+        for c in df.columns:
+            if c in group_cols or c == _KEY_COL:
+                continue
+            st = strategies.get(c)
+            if st == "sum":
+                aggs[c] = (c, "sum")
+            elif st == "max":
+                aggs[c] = (c, "max")
+            elif st == "min":
+                aggs[c] = (c, "min")
+            elif st in _SEPS:
+                sep = _SEPS[st]
+                aggs[c] = (c, lambda s, _sep=sep: _sep.join(
+                    str(v) for v in s.dropna()))
+            elif st == "array":
+                aggs[c] = (c, lambda s: list(s))
+            elif st == "flat_unique":
+                aggs[c] = (c, lambda s: list(dict.fromkeys(s.dropna())))
+            elif st == "retain":
+                aggs[c] = (c, lambda s: s.dropna().iloc[-1] if s.notna().any() else None)
+            elif c in ts_fields:
+                aggs[c] = (c, "first")
+                aggs[c + "_end"] = (c, "last")
+            else:  # discard / unconfigured
+                aggs[c] = (c, "first")
+        out = df.groupby(_KEY_COL, sort=False).agg(**aggs)
+        out[count_field] = df.groupby(_KEY_COL, sort=False).size().astype("int64")
+        return out.reset_index(drop=True).assign(
+            __runkey=df.groupby(_KEY_COL, sort=False).size().index
+        )
+
+    @ray.remote
+    def partials(t: pa.Table):
+        if t.num_rows == 0:
+            return None, None, None
+        df = t.to_pandas()
+        out = collapse(df)
+        first = out.iloc[[0]]
+        last = out.iloc[[-1]]
+        interior = out.iloc[1:-1] if len(out) > 2 else out.iloc[0:0]
+        return interior, first, last
+
+    got = ray.get([partials.remote(r) for r in refs])
+
+    # chain merge boundary rows on the driver
+    value_cols = None
+    chains: list[pd.DataFrame] = []       # merged boundary outputs
+    interiors = []
+    open_piece = None                      # pd.Series of the open run
+
+    def merge_rows(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = a.copy()
+        for c in a.index:
+            if c in group_cols or c in ("__runkey",):
+                continue
+            if c == count_field:
+                out[c] = a[c] + b[c]
+            elif c.endswith("_end") and c[:-4] in ts_fields:
+                out[c] = b[c]
+            elif c in ts_fields:
+                out[c] = a[c]
+            else:
+                st = strategies.get(c, "discard")
+                out[c] = _merge_partials(a[c], b[c], st)
+        return out
+
+    for interior, first, last in got:
+        if interior is None:
+            continue
+        interiors.append(interior)
+        # a block contributes its first partial row and, when the block
+        # holds more than one run, its last partial row
+        pieces = [first.iloc[0]]
+        if not first.equals(last):
+            pieces.append(last.iloc[0])
+        for piece in pieces:
+            if open_piece is not None and open_piece["__runkey"] == piece["__runkey"]:
+                open_piece = merge_rows(open_piece, piece)
+            else:
+                if open_piece is not None:
+                    chains.append(open_piece)
+                open_piece = piece
+    if open_piece is not None:
+        chains.append(open_piece)
+
+    boundary_df = pd.DataFrame(chains) if chains else pd.DataFrame()
+    frames = [df for df in interiors if len(df)]
+    if len(boundary_df):
+        frames.append(boundary_df)
+    out_df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
+    if len(out_df):
+        out_df = out_df.drop(columns=["__runkey"])
+    return rd.from_pandas(out_df)

@@ -185,6 +185,14 @@ def _build_transform(
         if c.get("key_field"):
             return {"": sample_hash(ds, rate=c["rate"], key_field=c["key_field"],
                                     exclude=c.get("exclude"))}
+        if c.get("impl") == "sorted":
+            from vector_ray.stages.sorted_ops import sample_modulo_sorted
+
+            return {"": sample_modulo_sorted(
+                ds, rate=c["rate"], group_by=c.get("group_by"),
+                order_by=c.get("order_by", ("conv_id", "turn_idx")),
+                exclude=c.get("exclude"),
+            )}
         return {"": sample_modulo(
             ds, rate=c["rate"], group_by=c.get("group_by"),
             order_by=c.get("order_by", ("conv_id", "turn_idx")),
@@ -194,6 +202,15 @@ def _build_transform(
         return {"": dedupe_exact(ds, c["fields"],
                                  order_by=c.get("order_by", ("conv_id", "turn_idx")))}
     if t == "reduce":
+        if c.get("impl") == "sorted":
+            from vector_ray.stages.sorted_ops import reduce_sorted
+
+            return {"": reduce_sorted(
+                ds, group_by=c["group_by"],
+                merge_strategies=c.get("merge_strategies"),
+                order_by=c.get("order_by", ("conv_id", "turn_idx")),
+                timestamp_fields=c.get("timestamp_fields", ("ts",)),
+            )}
         return {"": reduce_stage(
             ds, group_by=c["group_by"],
             merge_strategies=c.get("merge_strategies"),
@@ -210,6 +227,14 @@ def _build_transform(
             mode=c.get("mode", "sum"), kind_col=c.get("kind_col"),
         )}
     if t == "throttle":
+        if c.get("impl") == "sorted":
+            from vector_ray.stages.sorted_ops import throttle_sorted
+
+            return {"": throttle_sorted(
+                ds, threshold=c["threshold"], window_secs=c.get("window_secs", 1.0),
+                key_field=c.get("key_field"), ts_col=c.get("ts_col", "ts"),
+                order_by=c.get("order_by", ()), exclude=c.get("exclude"),
+            )}
         return {"": throttle_stage(
             ds, threshold=c["threshold"], window_secs=c.get("window_secs", 1.0),
             key_field=c.get("key_field"), ts_col=c.get("ts_col", "ts"),

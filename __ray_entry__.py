@@ -316,6 +316,15 @@ def _q_props_extract_events(sf_dir: str):
     )
 
 
+def _q_quantile_sketch_events(sf_dir: str):
+    from vector_ray.stages.sketch import aggregate_quantile_sketch
+
+    return aggregate_quantile_sketch(
+        _events(sf_dir), series_keys=["event_type"], value_col="value",
+        quantiles=(0.5, 0.9, 0.99), alpha=0.005,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "parse_extract": _q_parse_extract,
@@ -347,6 +356,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_reduce_transcripts": _q_salted_reduce_transcripts,
         "distinct_users_events": _q_distinct_users_events,
         "props_extract_events": _q_props_extract_events,
+        # rows-only: approximate quantiles cannot hash-match exact SQL
+        "quantile_sketch_events": _q_quantile_sketch_events,
     }
 
 

@@ -316,6 +316,15 @@ def _q_props_extract_events(sf_dir: str):
     )
 
 
+def _q_filter_events(sf_dir: str):
+    from vector_ray.stages.filter import filter_stage
+
+    return filter_stage(
+        _events(sf_dir, columns=["event_id", "event_type", "value"]),
+        '.event_type == "error" && .value > 100',
+    )
+
+
 def _q_quantile_sketch_events(sf_dir: str):
     from vector_ray.stages.sketch import aggregate_quantile_sketch
 
@@ -356,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_reduce_transcripts": _q_salted_reduce_transcripts,
         "distinct_users_events": _q_distinct_users_events,
         "props_extract_events": _q_props_extract_events,
+        "filter_events": _q_filter_events,
         # rows-only: approximate quantiles cannot hash-match exact SQL
         "quantile_sketch_events": _q_quantile_sketch_events,
     }
@@ -392,4 +402,5 @@ def oracle_sql() -> dict[str, str]:
         "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
         "distinct_users_events": oracle.SQL_DISTINCT_USERS_EVENTS,
         "props_extract_events": oracle.SQL_PROPS_EXTRACT_EVENTS,
+        "filter_events": oracle.SQL_FILTER_EVENTS,
     }

@@ -317,3 +317,9 @@ SELECT event_id,
        try_cast(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """
+
+
+SQL_FILTER_EVENTS = """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'error' AND value > 100
+"""

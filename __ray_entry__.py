@@ -316,6 +316,66 @@ def _q_props_extract_events(sf_dir: str):
     )
 
 
+def _q_route_rows_errors(sf_dir: str):
+    from vector_ray.pipelines.flagship import routed_transcripts
+
+    return routed_transcripts(sf_dir).port("errors").select_columns(
+        ["conv_id", "turn_idx", "role", "tool", "level", "category"]
+    )
+
+
+def _q_exclusive_route_rows(sf_dir: str):
+    from vector_ray.pipelines.flagship import FLAGSHIP_ROUTES, enriched_transcripts
+    from vector_ray.stages.route import exclusive_route
+
+    res = exclusive_route(enriched_transcripts(sf_dir), list(FLAGSHIP_ROUTES.items()))
+    return res.port("tool_calls").select_columns(
+        ["conv_id", "turn_idx", "role", "tool"]
+    )
+
+
+def _q_sample_hash_events(sf_dir: str):
+    from vector_ray.stages.sample import sample_hash
+
+    return sample_hash(
+        _events(sf_dir, columns=["event_id", "user_id"]),
+        rate=7, key_field="user_id",
+    )
+
+
+def _q_histogram_events(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.aggregate import aggregate_histogram
+
+    out = aggregate_histogram(
+        _cents(_events(sf_dir, columns=["event_type", "value", "ts"])),
+        series_keys=["event_type"], value_col="value_cents",
+        buckets=[5000, 15000, 25000], interval_ms=10_000_000_000,
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["window_start"])
+        i = t.schema.get_field_index("sum")
+        t = t.set_column(i, "sum", pc.cast(pc.round(t["sum"]), pa.int64()))
+        return t.rename_columns(
+            ["sum_cents" if c == "sum" else c for c in t.column_names]
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow", batch_size=None)
+
+
+def _q_metric_to_log_events(sf_dir: str):
+    from vector_ray.stages.log_metric import MetricSpec, log_to_metric, metric_to_log
+
+    metrics = log_to_metric(
+        _events(sf_dir, columns=["event_type", "ts"]),
+        [MetricSpec("counter", "events_total", tags={"etype": "event_type"})],
+    )
+    return metric_to_log(metrics)
+
+
 def _q_filter_events(sf_dir: str):
     from vector_ray.stages.filter import filter_stage
 
@@ -366,6 +426,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_events": _q_distinct_users_events,
         "props_extract_events": _q_props_extract_events,
         "filter_events": _q_filter_events,
+        "route_rows_errors": _q_route_rows_errors,
+        "exclusive_route_rows": _q_exclusive_route_rows,
+        "sample_hash_events": _q_sample_hash_events,
+        "histogram_events": _q_histogram_events,
+        "metric_to_log_events": _q_metric_to_log_events,
         # rows-only: approximate quantiles cannot hash-match exact SQL
         "quantile_sketch_events": _q_quantile_sketch_events,
     }
@@ -403,4 +468,9 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_events": oracle.SQL_DISTINCT_USERS_EVENTS,
         "props_extract_events": oracle.SQL_PROPS_EXTRACT_EVENTS,
         "filter_events": oracle.SQL_FILTER_EVENTS,
+        "route_rows_errors": oracle.sql_route_rows_errors(tpath, csv),
+        "exclusive_route_rows": oracle.sql_exclusive_route_rows(tpath),
+        "sample_hash_events": oracle.SQL_SAMPLE_HASH_EVENTS,
+        "histogram_events": oracle.SQL_HISTOGRAM_EVENTS,
+        "metric_to_log_events": oracle.SQL_METRIC_TO_LOG_EVENTS,
     }

@@ -323,3 +323,56 @@ SQL_FILTER_EVENTS = """
 SELECT event_id, event_type, value FROM events
 WHERE event_type = 'error' AND value > 100
 """
+
+
+# ---------------------------------------------------------------------------
+# Routed-row-set equality (per-port ROWS, not just counts) + extras.
+# ---------------------------------------------------------------------------
+
+def sql_route_rows_errors(transcripts_path: str, tool_csv: str) -> str:
+    """Rows landing in the `errors` port of the flagship route (multi-
+    match clone semantics: membership in this port is independent of
+    other ports)."""
+    return (
+        enriched_cte(transcripts_path, tool_csv)
+        + """
+SELECT conv_id, turn_idx, role, tool, level, category FROM pe
+WHERE level = 'error'
+"""
+    )
+
+
+def sql_exclusive_route_rows(transcripts_path: str) -> str:
+    """Rows landing in `tool_calls` under FIRST-match-wins: not errors,
+    and tool non-empty."""
+    return (
+        parsed_cte(transcripts_path)
+        + """
+SELECT conv_id, turn_idx, role, tool FROM p
+WHERE NOT coalesce(level = 'error', false) AND tool <> ''
+"""
+    )
+
+
+SQL_SAMPLE_HASH_EVENTS = """
+SELECT event_id, user_id, 7::BIGINT AS sample_rate FROM events
+WHERE ('0x' || substr(md5(user_id::VARCHAR), 1, 8))::BIGINT % 7 = 0
+"""
+
+SQL_HISTOGRAM_EVENTS = """
+SELECT event_type,
+       sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END)::BIGINT AS b0,
+       sum(CASE WHEN value > 50 AND value <= 150 THEN 1 ELSE 0 END)::BIGINT AS b1,
+       sum(CASE WHEN value > 150 AND value <= 250 THEN 1 ELSE 0 END)::BIGINT AS b2,
+       sum(CASE WHEN value > 250 THEN 1 ELSE 0 END)::BIGINT AS b3,
+       count(*)::BIGINT AS count,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1
+"""
+
+SQL_METRIC_TO_LOG_EVENTS = """
+SELECT 'events_total' AS metric_name, '' AS metric_namespace,
+       'incremental' AS metric_kind, 'counter' AS metric_mtype,
+       1.0 AS metric_value, ts, event_type AS etype
+FROM events
+"""

@@ -28,6 +28,8 @@ def _oracle_sqls():
             "remap_dropped": oracle.sql_remap_dropped(tpath),
             "sample_transcripts": oracle.sql_sample_transcripts(tpath),
             "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
+            "route_rows_errors": oracle.sql_route_rows_errors(tpath, csv),
+            "exclusive_route_rows": oracle.sql_exclusive_route_rows(tpath),
         }
     )
     return sqls

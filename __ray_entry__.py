@@ -376,6 +376,23 @@ def _q_metric_to_log_events(sf_dir: str):
     return metric_to_log(metrics)
 
 
+def _q_role_enrich(sf_dir: str):
+    from vector_ray.data.enrich_tables import ROLE_SCHEMA, ensure_enrichment_csvs
+    from vector_ray.enrichment.stage import enrich
+    from vector_ray.enrichment.table import FileTable, TableRegistry
+    from vector_ray.pipelines.flagship import read_transcripts
+
+    paths = ensure_enrichment_csvs()
+    registry = TableRegistry({
+        "roles": FileTable(paths["role_enrichment"], ROLE_SCHEMA),
+    })
+    return enrich(
+        read_transcripts(sf_dir, columns=["conv_id", "turn_idx", "role"]),
+        registry["roles"], key_field="role", batch_key="role",
+        select=["channel", "weight"], case_sensitive=True,
+    )
+
+
 def _q_filter_events(sf_dir: str):
     from vector_ray.stages.filter import filter_stage
 
@@ -431,6 +448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash_events": _q_sample_hash_events,
         "histogram_events": _q_histogram_events,
         "metric_to_log_events": _q_metric_to_log_events,
+        "role_enrich": _q_role_enrich,
         # rows-only: approximate quantiles cannot hash-match exact SQL
         "quantile_sketch_events": _q_quantile_sketch_events,
     }
@@ -473,4 +491,6 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_events": oracle.SQL_SAMPLE_HASH_EVENTS,
         "histogram_events": oracle.SQL_HISTOGRAM_EVENTS,
         "metric_to_log_events": oracle.SQL_METRIC_TO_LOG_EVENTS,
+        "role_enrich": oracle.sql_role_enrich(
+            tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),
     }

@@ -30,6 +30,8 @@ def _oracle_sqls():
             "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
             "route_rows_errors": oracle.sql_route_rows_errors(tpath, csv),
             "exclusive_route_rows": oracle.sql_exclusive_route_rows(tpath),
+            "role_enrich": oracle.sql_role_enrich(
+                tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),
         }
     )
     return sqls

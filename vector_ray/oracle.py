@@ -376,3 +376,13 @@ SELECT 'events_total' AS metric_name, '' AS metric_namespace,
        1.0 AS metric_value, ts, event_type AS etype
 FROM events
 """
+
+
+def sql_role_enrich(transcripts_path: str, role_csv: str) -> str:
+    """Second registry table (role_enrichment) — multi-table lookup."""
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{transcripts_path}/*.parquet')),
+r AS (SELECT * FROM read_csv('{role_csv}', header=true))
+SELECT t.conv_id, t.turn_idx, t.role, r.channel, r.weight
+FROM t LEFT JOIN r ON t.role = r.role
+"""

@@ -269,10 +269,29 @@ def _build_transform(
 def _run_sink(spec: ComponentSpec, ds: Dataset, variables: dict) -> int:
     c = spec.config
     if spec.type == "parquet":
+        # template partitioning: strftime-rendered ts columns become
+        # partition cols (KeyPartitioner/Template analogue,
+        # src/sinks/util/partitioner.rs:5-46, src/template.rs:149-168)
+        part_cols = list(c.get("partition_cols", ()))
+        for t in c.get("strftime_partitions", []):
+            from vector_ray.sinks.parquet import add_strftime_column
+
+            ds = add_strftime_column(ds, t.get("col", "ts"), t["fmt"], t["as"])
+            part_cols.append(t["as"])
         sink = ParquetSink(c["path"].format(**variables),
-                           partition_cols=c.get("partition_cols", ()),
+                           partition_cols=part_cols,
                            name=spec.name)
         return sink.write(ds, inputs=spec.inputs)
+    if spec.type == "csv":
+        path = c["path"].format(**variables)
+        n = ds.materialize().count()
+        ds.write_csv(path)
+        return n
+    if spec.type == "json":
+        path = c["path"].format(**variables)
+        n = ds.materialize().count()
+        ds.write_json(path)
+        return n
     if spec.type == "blackhole":
         return ds.count()
     if spec.type == "console":

@@ -116,3 +116,35 @@ def test_sliding_window_count():
     got = dict(zip(out["window_start"], out["events"]))
     # windows: [-30,30):1 ... compute: ev0 in ws {0,-30}; ev30 in {30,0}; ev90 in {90,60}
     assert got == {-30_000_000: 1, 0: 2, 30_000_000: 1, 60_000_000: 1, 90_000_000: 1}
+
+
+def test_sessionize_starts_when():
+    from vector_ray.stages.windows import sessionize_by_condition
+    import ray.data as rd
+
+    t = pa.table({
+        "k": ["c"] * 5,
+        "i": [0, 1, 2, 3, 4],
+        "evt": ["handoff", "x", "handoff", "x", "x"],
+    })
+    out = sessionize_by_condition(
+        rd.from_arrow(t), key="k", condition='.evt == "handoff"',
+        mode="starts_when", order_by=["i"],
+    ).to_pandas().sort_values("i")
+    assert out["session_id"].tolist() == [0, 0, 1, 1, 1]
+
+
+def test_sessionize_ends_when():
+    from vector_ray.stages.windows import sessionize_by_condition
+    import ray.data as rd
+
+    t = pa.table({
+        "k": ["c"] * 5,
+        "i": [0, 1, 2, 3, 4],
+        "evt": ["x", "done", "x", "done", "x"],
+    })
+    out = sessionize_by_condition(
+        rd.from_arrow(t), key="k", condition='.evt == "done"',
+        mode="ends_when", order_by=["i"],
+    ).to_pandas().sort_values("i")
+    assert out["session_id"].tolist() == [0, 0, 1, 1, 2]

@@ -113,3 +113,48 @@ def sliding_window_count(
         .groupby([key, "window_start"])
         .aggregate(Sum("n", alias_name="events"))
     )
+
+
+def sessionize_by_condition(
+    ds: Dataset,
+    *,
+    key: str,
+    condition,
+    mode: str = "starts_when",
+    order_by: list[str] | None = None,
+    out_col: str = "session_id",
+) -> Dataset:
+    """Condition-based session split — reduce's ``starts_when`` /
+    ``ends_when`` analogue (src/transforms/reduce/config.rs:31-121):
+    ``starts_when`` opens a NEW session at each matching row;
+    ``ends_when`` closes the current session AFTER a matching row.
+    """
+    from vector_ray.conditions import compile_condition
+
+    if mode not in ("starts_when", "ends_when"):
+        raise ValueError(mode)
+    cond = compile_condition(condition)
+    order_cols = list(order_by or [])
+
+    def mark(t: pa.Table) -> pa.Table:
+        return t.append_column("__match", cond(t))
+
+    def assign(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort") if order_cols else g
+        m = g["__match"].to_numpy()
+        if mode == "starts_when":
+            new = m.copy()
+            new[0] = True  # first row always opens a session
+            sess = np.cumsum(new) - 1
+        else:  # ends_when: boundary AFTER the matching row
+            new = np.zeros(len(g), dtype=bool)
+            new[1:] = m[:-1]
+            sess = np.cumsum(new)
+        g[out_col] = sess.astype(np.int64)
+        return g.drop(columns=["__match"])
+
+    return (
+        ds.map_batches(mark, batch_format="pyarrow", batch_size=None)
+        .groupby(key)
+        .map_groups(assign, batch_format="pandas")
+    )

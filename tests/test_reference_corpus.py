@@ -1,0 +1,183 @@
+"""Mirrors of the reference's behavior corpus cases
+(tests/behavior/transforms/{route,filter,dedupe,reduce}.toml) run
+against the rebuild's operators — the closest thing to executing the
+reference's own test suite."""
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from vector_ray.topology import Topology
+from vector_ray.topology.unit_test import run_unit_tests
+
+
+# ---- route.toml:1-80: swimlane routing + downstream remap ----
+
+ROUTE_TOPO = Topology.from_yaml("""
+sources:
+  ignored: {type: parquet, path: /dev/null}
+transforms:
+  foo:
+    type: route
+    inputs: [ignored]
+    route:
+      first: '.message == "test swimlane 1"'
+      second: '.message == "test swimlane 2"'
+      third: 'exists(.message)'        # is_log analogue: every log row
+  bar:
+    type: remap
+    inputs: [foo.first]
+    source: |
+      .new_field = "new field added"
+sinks:
+  out: {type: blackhole, inputs: [bar]}
+""")
+
+
+def test_route_toml_test1():
+    """'route test 1': value routed to first+third, NOT second; bar adds
+    the field downstream."""
+    tests = [{
+        "name": "route test 1",
+        "insert_at": "foo",
+        "input_rows": [{"message": "test swimlane 1"}],
+        "outputs": [
+            {"extract_from": "foo.first",
+             "conditions": ['.message == "test swimlane 1"'], "count": 1},
+            {"extract_from": "bar",
+             "conditions": ['.message == "test swimlane 1"',
+                            '.new_field == "new field added"'], "count": 1},
+            {"extract_from": "foo.third",
+             "conditions": ['.message == "test swimlane 1"'], "count": 1},
+        ],
+        "no_outputs_from": ["foo.second"],
+    }]
+    res = run_unit_tests(ROUTE_TOPO, tests)[0]
+    assert res.passed, res.failures
+
+
+def test_route_toml_test2():
+    tests = [{
+        "name": "route test 2",
+        "insert_at": "foo",
+        "input_rows": [{"message": "test swimlane 2"}],
+        "outputs": [
+            {"extract_from": "foo.second",
+             "conditions": ['.message == "test swimlane 2"'], "count": 1},
+            {"extract_from": "foo.third", "count": 1},
+        ],
+        "no_outputs_from": ["foo.first", "bar"],
+    }]
+    res = run_unit_tests(ROUTE_TOPO, tests)[0]
+    assert res.passed, res.failures
+
+
+# ---- filter.toml: condition filtering ----
+
+FILTER_TOPO = Topology.from_yaml("""
+sources:
+  ignored: {type: parquet, path: /dev/null}
+transforms:
+  filter_a:
+    type: filter
+    inputs: [ignored]
+    condition: '.message == "test filter 1"'
+  filter_b:
+    type: filter
+    inputs: [ignored]
+    condition: 'contains(.message, "test filter") && contains(.message, "2")'
+sinks:
+  out: {type: blackhole, inputs: [filter_a]}
+""")
+
+
+def test_filter_toml_cases():
+    tests = [
+        {"name": "filter test 1a", "insert_at": "filter_a",
+         "input_rows": [{"message": "test filter 1"}],
+         "outputs": [{"extract_from": "filter_a",
+                      "conditions": ['.message == "test filter 1"'], "count": 1}]},
+        {"name": "filter test 1b", "insert_at": "filter_b",
+         "input_rows": [{"message": "test filter 1"}],
+         "no_outputs_from": ["filter_b"]},
+        {"name": "filter test 2a", "insert_at": "filter_a",
+         "input_rows": [{"message": "test filter 2"}],
+         "no_outputs_from": ["filter_a"]},
+        {"name": "filter test 2b", "insert_at": "filter_b",
+         "input_rows": [{"message": "test filter 2"}],
+         "outputs": [{"extract_from": "filter_b",
+                      "conditions": ['.message == "test filter 2"'], "count": 1}]},
+    ]
+    for res in run_unit_tests(FILTER_TOPO, tests):
+        assert res.passed, (res.name, res.failures)
+
+
+# ---- dedupe.toml: match-field dedup, keep first ----
+
+def test_dedupe_toml_simple():
+    """dedupe_simple: match=["a"]; (a=1,b=2),(a=1,b=3),(a=2,b=4) →
+    keep (1,2) and (2,4)."""
+    from vector_ray.stages.dedupe import dedupe_exact
+
+    t = pa.table({"a": [1, 1, 2], "b": [2, 3, 4], "__ord": [0, 1, 2]})
+    out = (
+        dedupe_exact(rd.from_arrow(t), ["a"], order_by=["__ord"])
+        .to_pandas().sort_values("a").reset_index(drop=True)
+    )
+    assert list(zip(out["a"], out["b"])) == [(1, 2), (2, 4)]
+
+
+def test_dedupe_toml_field_order():
+    """dedupe_field_order: match=["a","b"] — field ORDER in the config
+    defines the fingerprint; same values in either insertion order are
+    duplicates."""
+    from vector_ray.stages.dedupe import fingerprint
+
+    t1 = pa.table({"a": [1], "b": [2]})
+    t2 = pa.table({"b": [2], "a": [1]})  # different column order, same values
+    fp1 = fingerprint(t1, ["a", "b"])[0].as_py()
+    fp2 = fingerprint(t2, ["a", "b"])[0].as_py()
+    assert fp1 == fp2
+
+
+# ---- reduce.toml: ends_when grouping + merge ----
+
+def test_reduce_toml_ends_when():
+    """reduce_basic: group_by request_id, sessions end when
+    test_end_message exists; counters sum within each reduced event."""
+    from vector_ray.stages.reduce import reduce_stage
+    from vector_ray.stages.windows import sessionize_by_condition
+
+    rows = [
+        {"message": "first message value", "request_id": "1", "host": "host1",
+         "counter": 5, "end": None, "ord": 0},
+        {"message": "second message value", "request_id": "1", "host": "host2",
+         "counter": 7, "end": None, "ord": 1},
+        {"message": "other reduce one", "request_id": "2", "host": "host3",
+         "counter": 11, "end": None, "ord": 2},
+        {"message": "third message value", "request_id": "1", "host": "host4",
+         "counter": 9, "end": True, "ord": 3},
+        {"message": "other reduce two", "request_id": "2", "host": "host5",
+         "counter": 7, "end": None, "ord": 4},
+        {"message": "other reduce three", "request_id": "2", "host": "host6",
+         "counter": 2, "end": True, "ord": 5},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    sess = sessionize_by_condition(
+        ds, key="request_id", condition="exists(.end)",
+        mode="ends_when", order_by=["ord"],
+    )
+    out = (
+        reduce_stage(
+            sess, group_by=["request_id", "session_id"],
+            merge_strategies={"counter": "sum"},
+            order_by=["ord"], timestamp_fields=(),
+        )
+        .to_pandas().sort_values(["request_id", "session_id"]).reset_index(drop=True)
+    )
+    r1 = out[out["request_id"] == "1"].iloc[0]
+    assert r1["counter"] == 5 + 7 + 9            # one reduced event for request 1
+    assert r1["message"] == "first message value"  # Discard default: first value
+    assert r1["events"] == 3
+    r2 = out[out["request_id"] == "2"].iloc[0]
+    assert r2["counter"] == 11 + 7 + 2

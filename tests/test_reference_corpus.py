@@ -181,3 +181,34 @@ def test_reduce_toml_ends_when():
     assert r1["events"] == 3
     r2 = out[out["request_id"] == "2"].iloc[0]
     assert r2["counter"] == 11 + 7 + 2
+
+
+# ---- remap_with_drop.toml: abort routes everything to .dropped ----
+
+def test_remap_with_drop_toml():
+    topo = Topology.from_yaml("""
+sources:
+  ignored: {type: parquet, path: /dev/null}
+transforms:
+  droptest:
+    type: remap
+    inputs: [ignored]
+    drop_on_error: true
+    reroute_dropped: true
+    source: abort
+sinks:
+  out: {type: blackhole, inputs: [droptest.dropped]}
+""")
+    tests = [{
+        "name": "remap_dropped_branch",
+        "insert_at": "droptest",
+        "input_rows": [{"message": "this is a dropped event"}],
+        "outputs": [
+            {"extract_from": "droptest.dropped",
+             "conditions": ['.message == "this is a dropped event"'],
+             "count": 1},
+        ],
+        "no_outputs_from": ["droptest"],
+    }]
+    res = run_unit_tests(topo, tests)[0]
+    assert res.passed, res.failures

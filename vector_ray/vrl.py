@@ -118,7 +118,7 @@ FUNCTIONS: dict[str, Callable] = {
 _STMT_RE = re.compile(
     r"""^\s*(?:
         (?P<del>del\(\s*\.(?P<delpath>[\w.]+)\s*\))
-      | (?P<abort>abort_if\((?P<abortcond>.*)\))
+      | (?P<abort>abort_if\((?P<abortcond>.*)\)|abort)
       | (?P<target>\.|\.[\w.]+)\s*=\s*(?P<expr>.+)
     )\s*$""",
     re.X,
@@ -199,10 +199,13 @@ class VrlProgram:
                 if m.group("del"):
                     self.statements.append(("del", m.group("delpath")))
                 elif m.group("abort"):
-                    from vector_ray.conditions import compile_condition
+                    from vector_ray.conditions import ALWAYS_PASS, compile_condition
 
+                    cond_src = m.group("abortcond")
                     self.statements.append(
-                        ("abort", compile_condition(m.group("abortcond")))
+                        ("abort",
+                         ALWAYS_PASS if cond_src is None
+                         else compile_condition(cond_src))
                     )
                 else:
                     expr = m.group("expr").strip()

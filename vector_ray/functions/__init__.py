@@ -5,6 +5,17 @@ from vector_ray.functions.parse import (
     parse_json_fields,
     parse_key_value,
     parse_timestamp,
+    parse_int,
+    parse_float,
+    extract_regex_masked,
+)
+from vector_ray.functions import (  # noqa: F401 — function families
+    codecs,
+    collections,
+    datetime_fns,
+    ip,
+    parse_logs,
+    strings,
 )
 
 __all__ = [
@@ -15,4 +26,13 @@ __all__ = [
     "parse_json_fields",
     "parse_key_value",
     "parse_timestamp",
+    "parse_int",
+    "parse_float",
+    "extract_regex_masked",
+    "codecs",
+    "collections",
+    "datetime_fns",
+    "ip",
+    "parse_logs",
+    "strings",
 ]

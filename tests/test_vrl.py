@@ -101,3 +101,18 @@ def test_vrl_with_remap_stage_error_policy():
     res = remap(ds, prog, drop_on_error=True, reroute_dropped=True)
     assert res.primary.count() == 2
     assert res.dropped.count() == 2
+
+
+def test_coalescing_operator():
+    t = pa.table({"v": ["5", "x", None]})
+    out, err, _ = compile_vrl(".n = to_int(.v) ?? 0")(t)
+    assert out["n"].to_pylist() == [5, 0, 0]
+    assert err.to_pylist() == [False, False, False]
+    out2, _, _ = compile_vrl('.w = .missing ?? "dflt"')(t)
+    assert out2["w"].to_pylist() == ["dflt"] * 3
+
+
+def test_bare_abort():
+    t = pa.table({"x": [1, 2]})
+    _, err, _ = compile_vrl("abort")(t)
+    assert err.to_pylist() == [True, True]

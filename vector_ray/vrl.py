@@ -15,6 +15,8 @@ Statements (newline/;-separated, ``#`` comments)::
     .combined = upcase(.role)                  # function of a path
     del(.tmp)                                  # drop a column
     abort_if(.level == null)                   # explicit per-row error
+    abort                                      # unconditional (drop all)
+    .lat = to_int(.latency_ms) ?? 0            # error-coalescing default
 
 Error semantics match remap: a row where any ``!``-marked (fallible)
 call fails carries the error mask; remap's policy then keeps the
@@ -226,6 +228,10 @@ class VrlProgram:
                 err = pc.or_(err, stmt[1](batch))
                 continue
             _, target, expr = stmt
+            fallback_src = None
+            if "??" in expr:
+                expr, _, fb = expr.partition("??")
+                expr, fallback_src = expr.strip(), fb.strip()
             call = _CALL_RE.match(expr)
             if call:
                 name = call.group("name")
@@ -241,6 +247,14 @@ class VrlProgram:
                 vals = _eval_arg(expr, batch)
                 if not isinstance(vals, (pa.Array, pa.ChunkedArray)):
                     vals = pa.array([vals] * n)
+            if fallback_src is not None and not pa.types.is_struct(
+                vals.type if isinstance(vals, (pa.Array, pa.ChunkedArray)) else pa.string()
+            ):
+                fb = _eval_arg(fallback_src, batch)
+                if isinstance(fb, (pa.Array, pa.ChunkedArray)):
+                    vals = pc.if_else(pc.is_valid(vals), vals, fb)
+                else:
+                    vals = pc.fill_null(vals, fb)
             batch = _assign(batch, target, vals)
         msg = pc.if_else(err, pa.scalar("vrl program error", pa.string()),
                          pa.scalar(None, pa.string()))

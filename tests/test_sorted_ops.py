@@ -99,3 +99,40 @@ def test_sample_sorted_exclude():
     ).to_pandas()
     assert sorted(out["turn_idx"]) == [0, 1, 3, 4]
     assert out.set_index("turn_idx")["sample_rate"].to_dict() == {0: 2, 1: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_sorted_matches_map_groups():
+    from vector_ray.stages.windows import sessionize
+    from vector_ray.stages.sorted_ops import sessionize_sorted
+
+    ds1 = rd.read_parquet(f"{SF}/events.parquet")
+    ds2 = rd.read_parquet(f"{SF}/events.parquet").repartition(11)
+    a = sessionize(ds1, key="user_id", gap_secs=3600.0,
+                   order_by=["event_id"]).to_pandas()
+    b = sessionize_sorted(ds2, key="user_id", gap_secs=3600.0,
+                          order_by=["event_id"]).to_pandas()
+    a = a.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    b = b.sort_values(["user_id", "ts", "event_id"]).reset_index(drop=True)
+    assert a["session_id"].tolist() == b["session_id"].tolist()
+
+
+def test_sessionize_sorted_cross_block_sessions():
+    from vector_ray.stages.sorted_ops import sessionize_sorted
+
+    # one key whose sessions straddle many small blocks
+    n = 3000
+    ts = []
+    cur = 0
+    for i in range(n):
+        cur += 10_000_000_000 if i % 500 == 499 else 1_000_000  # gap every 500
+        ts.append(cur)
+    t = pa.table({"k": ["u"] * n, "i": list(range(n)),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    out = sessionize_sorted(rd.from_arrow(t).repartition(17), key="k",
+                            gap_secs=3600.0, order_by=["i"]).to_pandas()
+    out = out.sort_values("i").reset_index(drop=True)
+    import numpy as np
+
+    # row i opens a new session when ITS ts added the big gap (i%500==499)
+    want = np.cumsum([1 if i % 500 == 499 else 0 for i in range(n)])
+    assert out["session_id"].tolist() == want.tolist()

@@ -416,3 +416,111 @@ def reduce_sorted(
     if len(out_df):
         out_df = out_df.drop(columns=["__runkey"])
     return rd.from_pandas(out_df)
+
+
+def sessionize_sorted(
+    ds: Dataset,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    gap_secs: float = 3600.0,
+    order_by: Sequence[str] = (),
+    out_col: str = "session_id",
+) -> Dataset:
+    """Scale path for ``windows.sessionize``: sort by (key, ts, order),
+    per-block vectorized gap detection, driver chain scan carrying
+    (last key, last ts, sessions-so-far-in-key) across blocks — same
+    output as the map_groups implementation, no per-key Python call."""
+    import pandas as pd
+
+    gap_us = int(gap_secs * 1_000_000)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(_KEY_COL, _combined_key(t, [key]))
+
+    sorted_ds = (
+        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+        .sort([_KEY_COL, ts_col] + list(order_by))
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def summary(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return None
+        kn = t[_KEY_COL].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(t[_KEY_COL], pa.ChunkedArray) else t[_KEY_COL].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = kn[1:] != kn[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        # session starts in the FIRST run (excluding row 0's deferred
+        # decision) and in the LAST run
+        first_k, last_k = kn[0], kn[-1]
+        first_run_end = n if first_k == last_k else int(np.argmax(kn != first_k))
+        last_run_start = 0 if first_k == last_k else n - int(np.argmax(kn[::-1] != last_k))
+        return {
+            "first_key": first_k, "last_key": last_k,
+            "first_ts": int(ts[0]), "last_ts": int(ts[-1]),
+            "single_run": first_k == last_k,
+            "first_run_starts_after_row0": int(new_sess[1:first_run_end].sum()),
+            "last_run_starts": int(new_sess[last_run_start:].sum()),
+            "last_run_start_idx": int(last_run_start),
+        }
+
+    sums = ray.get([summary.remote(r) for r in refs])
+
+    # driver chain: per block -> (first_row_new: bool, session_offset)
+    plans = []
+    carry_key, carry_ts, carry_sessions = None, None, 0
+    for s in sums:
+        if s is None:
+            plans.append((True, 0))
+            continue
+        cont = s["first_key"] == carry_key and (s["first_ts"] - carry_ts) <= gap_us \
+            if carry_key is not None else False
+        same_key = s["first_key"] == carry_key
+        first_new = not cont
+        offset = carry_sessions if same_key else 0
+        plans.append((first_new, offset))
+        starts_in_first = s["first_run_starts_after_row0"] + (1 if first_new else 0)
+        if s["single_run"]:
+            if same_key:
+                carry_sessions = carry_sessions + starts_in_first
+            else:
+                carry_sessions = starts_in_first
+        else:
+            carry_sessions = s["last_run_starts"]
+        carry_key, carry_ts = s["last_key"], s["last_ts"]
+
+    @ray.remote
+    def apply(t: pa.Table, first_new: bool, offset: int):
+        n = t.num_rows
+        if n == 0:
+            return t.drop_columns([_KEY_COL]).append_column(
+                out_col, pa.array([], pa.int64()))
+        kn = t[_KEY_COL].combine_chunks().to_numpy(zero_copy_only=False) \
+            if isinstance(t[_KEY_COL], pa.ChunkedArray) else t[_KEY_COL].to_numpy(zero_copy_only=False)
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = kn[1:] != kn[:-1]
+        new_sess = new_key.copy()
+        new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        new_sess[0] = first_new
+        run_id = np.cumsum(new_key) - 1
+        c = np.cumsum(new_sess)
+        run_start_idx = np.nonzero(new_key)[0]
+        base = np.where(run_start_idx > 0, c[run_start_idx - 1], 0)
+        sess = c - base[run_id]
+        # per-key 0-based ids: start-count - 1, plus the carry offset on
+        # the first run (works for both continuing and fresh first rows:
+        # continuing row0 has start-count 0 -> offset - 1 = open session)
+        sess = sess - 1 + np.where(run_id == 0, offset, 0)
+        return t.drop_columns([_KEY_COL]).append_column(
+            out_col, pa.array(sess.astype(np.int64)))
+
+    out_refs = [apply.remote(r, *plans[i]) for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out_refs)

@@ -171,3 +171,19 @@ def test_multimodal_stub_raises():
     with pytest.raises(NotImplementedError):
         stage(pa.table({"media_id": [0], "kind": ["image"],
                         "payload": pa.array([b"x"], pa.large_binary())}))
+
+
+def test_ann_ivf_recall(embeddings):
+    from vector_ray.ml.ann import ann_brute_force, ann_ivf, _normalize
+
+    emb = embeddings.to_pandas()
+    m = _normalize(np.stack(emb["embedding"].to_numpy()).astype(np.float32))
+    q = m[:3]
+    exact = ann_brute_force(embeddings, q, k=5, concurrency=1)
+    approx = ann_ivf(embeddings, q, k=5, nlist=8, nprobe=4)
+    rec = []
+    for qi in range(3):
+        e = set(exact[exact["query_idx"] == qi]["vec_id"])
+        a = set(approx[approx["query_idx"] == qi]["vec_id"])
+        rec.append(len(e & a) / len(e))
+    assert np.mean(rec) >= 0.6, rec

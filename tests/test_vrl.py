@@ -116,3 +116,18 @@ def test_bare_abort():
     t = pa.table({"x": [1, 2]})
     _, err, _ = compile_vrl("abort")(t)
     assert err.to_pylist() == [True, True]
+
+
+def test_if_guarded_assignment():
+    t = pa.table({"lvl": ["error", "info", None], "n": [1, 2, 3]})
+    out, err, _ = compile_vrl('if (.lvl == "error") { .alert = "page" }')(t)
+    assert out["alert"].to_pylist() == ["page", None, None]
+    assert err.to_pylist() == [False, False, False]
+    # overwrite-under-guard keeps the prior value elsewhere
+    out2, _, _ = compile_vrl('.sev = "low"\nif (.lvl == "error") { .sev = "high" }')(t)
+    assert out2["sev"].to_pylist() == ["high", "low", "low"]
+
+
+def test_if_guard_rejects_del_and_struct():
+    with pytest.raises(VrlError):
+        compile_vrl("if (.x == 1) { del(.y) }")

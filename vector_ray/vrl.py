@@ -195,10 +195,19 @@ class VrlProgram:
                 stmt = stmt.strip()
                 if not stmt:
                     continue
+                guard = None
+                gm = re.match(r"^if\s*\((?P<cond>.*)\)\s*\{(?P<body>.*)\}\s*$", stmt)
+                if gm:
+                    from vector_ray.conditions import compile_condition
+
+                    guard = compile_condition(gm.group("cond"))
+                    stmt = gm.group("body").strip()
                 m = _STMT_RE.match(stmt)
                 if not m:
                     raise VrlError(f"cannot parse statement {stmt!r}")
                 if m.group("del"):
+                    if guard is not None:
+                        raise VrlError("if-guard supports assignments only")
                     self.statements.append(("del", m.group("delpath")))
                 elif m.group("abort"):
                     from vector_ray.conditions import ALWAYS_PASS, compile_condition
@@ -214,7 +223,8 @@ class VrlProgram:
                     call = _CALL_RE.match(expr)
                     if call and call.group("name") not in FUNCTIONS:
                         raise VrlError(f"unknown function {call.group('name')!r}")
-                    self.statements.append(("assign", m.group("target"), expr))
+                    self.statements.append(
+                        ("assign", m.group("target"), expr, guard))
 
     def __call__(self, batch: pa.Table):
         n = batch.num_rows
@@ -227,7 +237,7 @@ class VrlProgram:
             if stmt[0] == "abort":
                 err = pc.or_(err, stmt[1](batch))
                 continue
-            _, target, expr = stmt
+            _, target, expr, guard = stmt
             fallback_src = None
             if "??" in expr:
                 expr, _, fb = expr.partition("??")
@@ -255,6 +265,24 @@ class VrlProgram:
                     vals = pc.if_else(pc.is_valid(vals), vals, fb)
                 else:
                     vals = pc.fill_null(vals, fb)
+            if guard is not None:
+                gmask = guard(batch)
+                if target != "." and target[1:] in batch.column_names:
+                    existing = batch[target[1:]]
+                    if isinstance(existing, pa.ChunkedArray):
+                        existing = existing.combine_chunks()
+                else:
+                    existing = pa.nulls(
+                        n,
+                        vals.type if isinstance(vals, (pa.Array, pa.ChunkedArray))
+                        else pa.string(),
+                    )
+                if not isinstance(vals, (pa.Array, pa.ChunkedArray)):
+                    vals = pa.array([vals] * n)
+                if pa.types.is_struct(vals.type):
+                    raise VrlError("if-guard does not support `. =` struct merge")
+                vals = pc.if_else(gmask, pc.cast(vals, existing.type)
+                                  if existing.type != vals.type else vals, existing)
             batch = _assign(batch, target, vals)
         msg = pc.if_else(err, pa.scalar("vrl program error", pa.string()),
                          pa.scalar(None, pa.string()))

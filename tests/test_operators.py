@@ -289,3 +289,35 @@ def test_hash_replace():
     assert out["tool_hash"].iloc[0] == out["tool_hash"].iloc[1]
     assert out["tool_hash"].iloc[2] != out["tool_hash"].iloc[0]
     assert out["tool_hash"].iloc[3] is None or pd.isna(out["tool_hash"].iloc[3])
+
+
+def test_cardinality_probabilistic_matches_exact():
+    from vector_ray.stages.cardinality import (
+        tag_cardinality_limit,
+        tag_cardinality_limit_probabilistic,
+    )
+
+    t = pa.table({
+        "tag": [f"v{i % 20}" for i in range(200)],
+        "ts": ts_us(*range(200)),
+    })
+    exact = tag_cardinality_limit(
+        rd.from_arrow(t), ["tag"], value_limit=5, order_col="ts"
+    ).to_pandas().sort_values("ts").reset_index(drop=True)
+    prob = tag_cardinality_limit_probabilistic(
+        rd.from_arrow(t), ["tag"], value_limit=5, order_col="ts"
+    ).to_pandas().sort_values("ts").reset_index(drop=True)
+    # at this size the Bloom has ~no false positives -> identical
+    assert exact["tag"].where(pd.notna(exact["tag"]), None).tolist() == \
+        prob["tag"].where(pd.notna(prob["tag"]), None).tolist()
+
+
+def test_bloom_filter_one_sided():
+    from vector_ray.stages.cardinality import BloomFilter
+
+    bf = BloomFilter(size_bits=1 << 16)
+    for v in ("a", "b", "c"):
+        bf.add(v)
+    assert all(v in bf for v in ("a", "b", "c"))  # no false negatives
+    misses = sum(1 for i in range(1000) if f"zz{i}" in bf)
+    assert misses < 5  # tiny false-positive rate at this load

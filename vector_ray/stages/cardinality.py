@@ -87,3 +87,83 @@ def tag_cardinality_limit(
         return t
 
     return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)
+
+
+class BloomFilter:
+    """Deterministic double-hashing Bloom filter (numpy bit array).
+
+    The reference's probabilistic mode keeps one Bloom per tag key
+    sized by ``cache_size_per_key`` (tag_cardinality_limit/config.rs:
+    38-70).  blake2b-seeded double hashing keeps membership decisions
+    identical across processes and reruns.
+    """
+
+    def __init__(self, size_bits: int = 1 << 20, num_hashes: int = 4):
+        import numpy as np
+
+        self.m = size_bits
+        self.k = num_hashes
+        self.bits = np.zeros(size_bits // 8 + 1, dtype=np.uint8)
+
+    def _indexes(self, value: str):
+        import hashlib
+
+        d = hashlib.blake2b(str(value).encode(), digest_size=16).digest()
+        h1 = int.from_bytes(d[:8], "big")
+        h2 = int.from_bytes(d[8:], "big") | 1
+        return [((h1 + i * h2) % self.m) for i in range(self.k)]
+
+    def add(self, value: str) -> None:
+        for ix in self._indexes(value):
+            self.bits[ix >> 3] |= 1 << (ix & 7)
+
+    def __contains__(self, value: str) -> bool:
+        return all(self.bits[ix >> 3] & (1 << (ix & 7)) for ix in self._indexes(value))
+
+
+def tag_cardinality_limit_probabilistic(
+    ds: Dataset,
+    tag_cols: list[str],
+    *,
+    value_limit: int = 500,
+    order_col: str = "ts",
+    action: str = "drop_tag",
+    size_bits: int = 1 << 20,
+) -> Dataset:
+    """``mode: probabilistic``: the allowed set is carried as a Bloom
+    filter instead of the exact value array — constant broadcast size
+    regardless of value_limit, at the cost of (one-sided) false
+    positives: an over-budget value may be ACCEPTED, never the reverse,
+    matching the Bloom semantics of the reference.  Membership tests run
+    per-batch-unique value, then expand via ``index_in``.
+    """
+    if action not in ("drop_tag", "drop_event"):
+        raise ValueError(action)
+    blooms = {}
+    for c in tag_cols:
+        bf = BloomFilter(size_bits=size_bits)
+        for v in allowed_values(ds, c, value_limit=value_limit, order_col=order_col):
+            bf.add(v)
+        blooms[c] = ray.put(bf)
+
+    def apply(t: pa.Table) -> pa.Table:
+        keep = None
+        for c, ref in blooms.items():
+            bf = ray.get(ref)
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            uniq = pc.unique(pc.cast(col, pa.string()))
+            ok_u = pa.array([v is None or v in bf for v in uniq.to_pylist()])
+            ok = ok_u.take(pc.index_in(pc.cast(col, pa.string()), value_set=uniq))
+            ok = pc.fill_null(ok, True)  # null tag never limited
+            if action == "drop_tag":
+                newc = pc.if_else(ok, col, pa.scalar(None, t.schema.field(c).type))
+                t = t.set_column(t.schema.get_field_index(c), c, newc)
+            else:
+                keep = ok if keep is None else pc.and_(keep, ok)
+        if action == "drop_event" and keep is not None:
+            t = t.filter(keep)
+        return t
+
+    return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)

@@ -167,19 +167,26 @@ def _build_transform(
             reroute_dropped=c.get("reroute_dropped", False),
             component_id=spec.name,
         )
-        out = {"": res.primary}
         if c.get("reroute_dropped"):
-            out["dropped"] = res.dropped
-        return out
+            # two ports consume the same labeled dataset: materialize it
+            # ONCE so primary and dropped don't each re-execute upstream
+            # (the fanout clone, lib/vector-core/src/fanout.rs:303)
+            res._labeled = res.labeled.materialize()
+            return {"": res.primary, "dropped": res.dropped}
+        return {"": res.primary}
     if t == "filter":
         return {"": filter_stage(ds, c["condition"])}
     if t == "route":
         res = route(ds, c["route"], reroute_unmatched=c.get("reroute_unmatched", True))
+        if len(res.ports) > 1:
+            res._labeled = res.labeled.materialize()  # fanout: execute upstream once
         return {p: res.port(p) for p in res.ports}
     if t == "exclusive_route":
         routes = [(r["name"], r["condition"]) for r in c["routes"]]
         res = exclusive_route(ds, routes,
                               reroute_unmatched=c.get("reroute_unmatched", True))
+        if len(res.ports) > 1:
+            res._labeled = res.labeled.materialize()
         return {p: res.port(p) for p in res.ports}
     if t == "sample":
         if c.get("key_field"):

@@ -95,6 +95,24 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
             res.count()
             queries[name] = round(time.perf_counter() - t0, 3)
 
+        # sorted-run scale paths at conversation cardinality (~31k keys)
+        from vector_ray.stages.sorted_ops import reduce_sorted, sample_modulo_sorted
+        from vector_ray.pipelines.flagship import read_transcripts
+
+        t0 = time.perf_counter()
+        reduce_sorted(
+            read_transcripts(headline_src, columns=["conv_id", "turn_idx", "role", "ts"]),
+            group_by=["conv_id"], merge_strategies={"role": "flat_unique"},
+            order_by=["turn_idx"],
+        ).count()
+        queries["reduce_sorted_by_conv"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        sample_modulo_sorted(
+            read_transcripts(headline_src, columns=["conv_id", "turn_idx"]),
+            rate=4, group_by=["conv_id"], order_by=["conv_id", "turn_idx"],
+        ).count()
+        queries["sample_sorted_by_conv"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     out = {
         "metric": "parse→enrich→route→aggregate wall time (transcripts)",

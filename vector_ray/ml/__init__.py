@@ -4,7 +4,8 @@ from vector_ray.ml.dedup import (
     minhash_lsh_dedup,
     simhash_dedup,
 )
-from vector_ray.ml.ann import ann_brute_force, ann_lsh
+from vector_ray.ml.ann import ann_brute_force, ann_lsh, ann_ivf
+from vector_ray.ml.multimodal import decode_media, synthesize_media, MEDIA_SCHEMA
 
 __all__ = [
     "lang_id",
@@ -16,4 +17,8 @@ __all__ = [
     "simhash_dedup",
     "ann_brute_force",
     "ann_lsh",
+    "ann_ivf",
+    "decode_media",
+    "synthesize_media",
+    "MEDIA_SCHEMA",
 ]

@@ -14,6 +14,7 @@ transforms:
     type: remap
     inputs: [ingest]
     program: transcript_parse
+    drop_on_error: true
     reroute_dropped: true
   split:
     type: route

@@ -26,6 +26,7 @@ transforms:
     type: remap
     inputs: [transcripts_in]
     program: transcript_parse
+    drop_on_error: true
     reroute_dropped: true
   enrich_tools:
     type: enrich

@@ -40,9 +40,10 @@ def compact_list(col) -> pa.Array:
     flat = col.values
     keep = pc.is_valid(flat).to_numpy(zero_copy_only=False)
     off = col.offsets.to_numpy(zero_copy_only=False)
-    counts = np.add.reduceat(keep.astype(np.int64), off[:-1]) if len(off) > 1 else np.array([], np.int64)
-    counts = np.where(np.diff(off) == 0, 0, counts)  # empty lists
-    new_off = np.concatenate([[0], np.cumsum(counts)])
+    # prefix-sum form avoids reduceat's out-of-bounds on trailing empty
+    # lists (offset == len(values))
+    cum = np.concatenate([[0], np.cumsum(keep.astype(np.int64))])
+    new_off = cum[off]
     return pa.ListArray.from_arrays(
         pa.array(new_off, pa.int32()), flat.filter(pa.array(keep))
     )

@@ -178,11 +178,22 @@ def minhash_lsh_dedup(
 
     # bucket groupby: ids sharing (band, band_hash) are candidates
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g[id_col])
+        ids = sorted(set(g[id_col]))
         if len(ids) < 2:
             return pd.DataFrame({"a": [], "b": []})
-        base = ids[0]
-        return pd.DataFrame({"a": [base] * (len(ids) - 1), "b": ids[1:]})
+        if len(ids) <= 32:
+            # all within-bucket pairs: pairs not involving the min id
+            # (e.g. 2~3 dupes sharing a bucket with an unrelated 1) are
+            # candidates too
+            pairs = [(ids[i], ids[j]) for i in range(len(ids))
+                     for j in range(i + 1, len(ids))]
+        else:
+            # big bucket: star + consecutive chain bounds the blowup while
+            # keeping every member connected through candidate edges
+            base = ids[0]
+            pairs = [(base, x) for x in ids[1:]]
+            pairs += list(zip(ids[1:], ids[2:]))
+        return pd.DataFrame(pairs, columns=["a", "b"])
 
     pairs_df = (
         band_rows.groupby(["band", "band_hash"])

@@ -58,6 +58,12 @@ def write_partitioned(
     if manifest.is_complete(partition_id):
         return manifest.row_count(partition_id)
     os.makedirs(out_dir, exist_ok=True)
+    # a prior CRASHED attempt may have left partial files (manifest entry
+    # absent = not durable yet): remove them so the rewrite is clean and
+    # the durability claim ("rerun re-writes unfinished partitions
+    # idempotently") actually holds
+    for stale in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
+        os.remove(stale)
     kwargs = {}
     if partition_cols:
         kwargs["partition_cols"] = list(partition_cols)

@@ -217,8 +217,10 @@ def aggregate_histogram(
     interval_ms: int = 10_000,
 ) -> Dataset:
     """``MetricValue::AggregatedHistogram{buckets, count, sum}``: per
-    (series, window) bucket counts (upper-bound inclusive, cumulative
-    like Prometheus) plus total count and sum.
+    (series, window) NON-cumulative bucket counts (bucket i covers
+    values in (edge[i-1], edge[i]], plus a +Inf bucket) with total
+    count and sum — Vector's bucket representation, not Prometheus's
+    cumulative ``le`` form.
 
     Partials are per-batch bucket-count vectors — mergeable by
     elementwise sum, so the shuffle moves fixed-size rows.

@@ -91,9 +91,11 @@ def log_to_metric(
                     else pa.nulls(n, pa.string())
                 )
             out = pa.table(cols)
-            # drop rows whose source field was null (no metric emitted)
+            # drop rows whose SOURCE field was null (no metric emitted) —
+            # tested on the input column, not the derived value, so set
+            # metrics and plain counters honor it too
             if s.field is not None:
-                out = out.filter(pc.is_valid(value))
+                out = out.filter(pc.is_valid(t[s.field]))
             outs.append(out)
         return pa.concat_tables(outs)
 

@@ -53,8 +53,11 @@ class RemapResult:
 
     @property
     def primary(self) -> Dataset:
-        if not self._drop and not self._reroute:
-            # keep-original: every row flows on (parsed cols null on error)
+        if not self._drop:
+            # keep-original: with drop_on_error=false NOTHING is dropped —
+            # error rows forward unmodified (remap.rs:556-575) and the
+            # dropped port, if any, stays empty. reroute_dropped only
+            # reroutes events that would otherwise be DROPPED.
             return self._labeled.map_batches(_strip_labels, batch_format="pyarrow", batch_size=None)
         return self._labeled.map_batches(_keep_ok, batch_format="pyarrow", batch_size=None)
 
@@ -63,6 +66,12 @@ class RemapResult:
         if not self._reroute:
             raise ValueError("dropped port requires reroute_dropped=True")
         cid = self._component_id
+        if not self._drop:
+            # nothing is dropped when drop_on_error=false -> empty port
+            return self._labeled.map_batches(
+                lambda t: _keep_dropped(t.slice(0, 0), cid),
+                batch_format="pyarrow", batch_size=None,
+            )
         return self._labeled.map_batches(
             lambda t: _keep_dropped(t, cid), batch_format="pyarrow", batch_size=None
         )
@@ -86,12 +95,13 @@ def _keep_dropped(t: pa.Table, component_id: str) -> pa.Table:
     n = d.num_rows
     msg = d[ERROR_MSG_COL] if ERROR_MSG_COL in d.column_names else pa.nulls(n, pa.string())
     d = _strip_labels(d)
-    # annotation columns per remap.rs:484-499
-    d = d.append_column(DROPPED_REASON, pa.array(["error"] * n))
-    d = d.append_column(DROPPED_MESSAGE, msg)
-    d = d.append_column(DROPPED_COMPONENT_ID, pa.array([component_id] * n))
-    d = d.append_column(DROPPED_COMPONENT_TYPE, pa.array(["remap"] * n))
-    d = d.append_column(DROPPED_COMPONENT_KIND, pa.array(["transform"] * n))
+    # annotation columns per remap.rs:484-499 (explicit string type so
+    # zero-error batches don't produce null-typed columns)
+    d = d.append_column(DROPPED_REASON, pa.array(["error"] * n, pa.string()))
+    d = d.append_column(DROPPED_MESSAGE, pc.cast(msg, pa.string()))
+    d = d.append_column(DROPPED_COMPONENT_ID, pa.array([component_id] * n, pa.string()))
+    d = d.append_column(DROPPED_COMPONENT_TYPE, pa.array(["remap"] * n, pa.string()))
+    d = d.append_column(DROPPED_COMPONENT_KIND, pa.array(["transform"] * n, pa.string()))
     return d
 
 

@@ -73,7 +73,15 @@ def sample_hash(
         keep_set = pa.array([u for u, m in mods.items() if m == 0], pa.string())
         keep = pc.fill_null(pc.is_in(col_s, value_set=keep_set), False)
         if excl is not None:
-            keep = pc.or_(keep, excl(t))
+            emask = excl(t)
+            combined = pc.or_(keep, emask)
+            out = t.filter(combined)
+            # excluded rows pass through UNsampled -> rate 1, matching
+            # the modulo paths' annotation semantics
+            kept_excl = emask.filter(combined)
+            rates = pc.if_else(kept_excl, pa.scalar(1, pa.int64()),
+                               pa.scalar(rate, pa.int64()))
+            return out.append_column(sample_rate_key, rates)
         out = t.filter(keep)
         return out.append_column(
             sample_rate_key, pa.array([rate] * out.num_rows, pa.int64())

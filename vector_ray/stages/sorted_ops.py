@@ -319,10 +319,27 @@ def reduce_sorted(
 
     def collapse(df: pd.DataFrame) -> pd.DataFrame:
         """one partial row per run, preserving run order."""
+        def _lit_first(s):
+            return s.iloc[0]  # literal first (pandas "first" skips nulls)
+
+        def _lit_last(s):
+            return s.iloc[-1]
+
+        def _flat_unique(s):
+            # list values flatten, matching reduce_stage._merge_series
+            seen, out = set(), []
+            for v in s.dropna():
+                items = v if isinstance(v, (list, np.ndarray)) else [v]
+                for x in items:
+                    if x not in seen:
+                        seen.add(x)
+                        out.append(x)
+            return out
+
         aggs = {}
         for c in df.columns:
             if c in group_cols:
-                aggs[c] = (c, "first")
+                aggs[c] = (c, _lit_first)
         for c in df.columns:
             if c in group_cols or c == _KEY_COL:
                 continue
@@ -340,14 +357,14 @@ def reduce_sorted(
             elif st == "array":
                 aggs[c] = (c, lambda s: list(s))
             elif st == "flat_unique":
-                aggs[c] = (c, lambda s: list(dict.fromkeys(s.dropna())))
+                aggs[c] = (c, _flat_unique)
             elif st == "retain":
                 aggs[c] = (c, lambda s: s.dropna().iloc[-1] if s.notna().any() else None)
             elif c in ts_fields:
-                aggs[c] = (c, "first")
-                aggs[c + "_end"] = (c, "last")
+                aggs[c] = (c, _lit_first)
+                aggs[c + "_end"] = (c, _lit_last)
             else:  # discard / unconfigured
-                aggs[c] = (c, "first")
+                aggs[c] = (c, _lit_first)
         out = df.groupby(_KEY_COL, sort=False).agg(**aggs)
         out[count_field] = df.groupby(_KEY_COL, sort=False).size().astype("int64")
         return out.reset_index(drop=True).assign(

@@ -43,7 +43,9 @@ def sessionize(
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_cols, kind="mergesort")
-        ts = g[ts_col].astype("int64").to_numpy()
+        # force microsecond resolution before the int view — pandas may
+        # hold ns-resolution datetimes, which would make gap_us 1000x off
+        ts = g[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
         new = np.zeros(len(g), dtype=bool)
         if len(ts) > 1:
             new[1:] = (ts[1:] - ts[:-1]) > gap_us

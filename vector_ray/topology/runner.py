@@ -291,14 +291,14 @@ def _run_sink(spec: ComponentSpec, ds: Dataset, variables: dict) -> int:
         return sink.write(ds, inputs=spec.inputs)
     if spec.type == "csv":
         path = c["path"].format(**variables)
-        n = ds.materialize().count()
-        ds.write_csv(path)
-        return n
+        mat = ds.materialize()
+        mat.write_csv(path)
+        return mat.count()
     if spec.type == "json":
         path = c["path"].format(**variables)
-        n = ds.materialize().count()
-        ds.write_json(path)
-        return n
+        mat = ds.materialize()
+        mat.write_json(path)
+        return mat.count()
     if spec.type == "blackhole":
         return ds.count()
     if spec.type == "console":
@@ -362,14 +362,24 @@ def run_topology_sharded(
     parquet_sinks = {
         c.name: c for c in topo.sinks() if c.type == "parquet"
     }
+    all_resumable = parquet_sinks and all(
+        c.type == "parquet" for c in topo.sinks()
+    )
+    consumers: dict[str, int] = {}
+    for comp in topo.components.values():
+        for ref in comp.inputs:
+            up = ref.split(".", 1)[0]
+            consumers[up] = consumers.get(up, 0) + 1
 
     for i, shard_files in enumerate(shards):
         pid = f"shard-{i:05d}"
-        # skip if every parquet sink already has this shard recorded
-        done = all(
+        # skip only when EVERY sink can be restored from a manifest —
+        # blackhole counts are not durable, so their presence forces a
+        # recompute of incomplete shards
+        done = all_resumable and all(
             RunManifest(c.config["path"].format(**variables)).is_complete(pid)
             for c in parquet_sinks.values()
-        ) and parquet_sinks
+        )
         if done:
             for c in parquet_sinks.values():
                 m = RunManifest(c.config["path"].format(**variables))
@@ -380,12 +390,18 @@ def run_topology_sharded(
         for name in topo.order:
             spec = topo.components[name]
             if spec.kind == "source":
-                ports[name] = {"": rd.read_parquet(shard_files)}
+                ports[name] = {"": rd.read_parquet(
+                    shard_files, columns=spec.config.get("columns"))}
             elif spec.kind == "transform":
                 refs = [r for r in spec.inputs]
                 ins = _union([ports[r.partition(".")[0]][r.partition(".")[2]]
                               for r in refs])
                 ports[name] = _build_transform(spec, ins, tables)
+                if consumers.get(name, 0) > 1:
+                    # fanout: execute this node once per shard, not once
+                    # per consumer (mirrors run_topology's materialize)
+                    ports[name] = {p: d.materialize()
+                                   for p, d in ports[name].items()}
             else:
                 ins = _union([ports[r.partition(".")[0]][r.partition(".")[2]]
                               for r in spec.inputs])

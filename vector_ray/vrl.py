@@ -252,7 +252,11 @@ class VrlProgram:
                 if call.group("bang") and ok is not None:
                     if isinstance(ok, pa.ChunkedArray):
                         ok = ok.combine_chunks()
-                    err = pc.or_(err, pc.fill_null(pc.invert(ok), False))
+                    stmt_err = pc.fill_null(pc.invert(ok), False)
+                    if guard is not None:
+                        # rows the guard excludes never ran the statement
+                        stmt_err = pc.and_(stmt_err, guard(batch))
+                    err = pc.or_(err, stmt_err)
             else:
                 vals = _eval_arg(expr, batch)
                 if not isinstance(vals, (pa.Array, pa.ChunkedArray)):

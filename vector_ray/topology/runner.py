@@ -139,6 +139,8 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
         from vector_ray.data.transcripts import ensure_transcripts
 
         sf_dir = spec.config.get("sf_dir", variables.get("sf_dir", "/root/testdata/sf0.001"))
+        if isinstance(sf_dir, str):
+            sf_dir = sf_dir.format(**variables)  # honor --var substitution
         return rd.read_parquet(ensure_transcripts(sf_dir),
                                columns=spec.config.get("columns"))
     if spec.type == "csv":
@@ -338,8 +340,10 @@ def run_topology_sharded(
     if src.type == "transcripts":
         from vector_ray.data.transcripts import ensure_transcripts
 
-        base = ensure_transcripts(src.config.get("sf_dir",
-                                                 variables.get("sf_dir", "/root/testdata/sf0.001")))
+        sf_dir = src.config.get("sf_dir", variables.get("sf_dir", "/root/testdata/sf0.001"))
+        if isinstance(sf_dir, str):
+            sf_dir = sf_dir.format(**variables)
+        base = ensure_transcripts(sf_dir)
     elif src.type == "parquet":
         base = src.config["path"].format(**variables)
     else:

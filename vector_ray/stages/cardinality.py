@@ -52,6 +52,38 @@ def allowed_values(
     return df[tag_col].head(value_limit).tolist()
 
 
+def _allowed_values_multi(
+    ds: Dataset, tag_cols: list[str], *, value_limit: int, order_col: str
+) -> dict[str, list]:
+    """First ``value_limit`` distinct values per tag column, computed in
+    ONE pass over the data: each batch emits (tag_key, value, min-order)
+    partials for every column, a single groupby(tag_key, value) reduces
+    them, and the driver ranks per key."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        frames = []
+        for c in tag_cols:
+            df = t.select([c, order_col]).to_pandas()
+            g = df.groupby(c, sort=False)[order_col].min().reset_index()
+            g.columns = ["value", "first_seen"]
+            g["tag_key"] = c
+            frames.append(g)
+        return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
+
+    firsts = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(["tag_key", "value"])
+        .aggregate(Min("first_seen", alias_name="first_seen"))
+        .to_pandas()
+    )
+    out = {}
+    for c, sub in firsts.groupby("tag_key"):
+        sub = sub.sort_values(["first_seen", "value"], kind="mergesort")
+        out[c] = sub["value"].head(value_limit).tolist()
+    return out
+
+
 def tag_cardinality_limit(
     ds: Dataset,
     tag_cols: list[str],
@@ -67,10 +99,9 @@ def tag_cardinality_limit(
     """
     if action not in ("drop_tag", "drop_event"):
         raise ValueError(action)
-    allowed = {
-        c: ray.put(pa.array(allowed_values(ds, c, value_limit=value_limit, order_col=order_col)))
-        for c in tag_cols
-    }
+    multi = _allowed_values_multi(ds, tag_cols, value_limit=value_limit,
+                                  order_col=order_col)
+    allowed = {c: ray.put(pa.array(vals)) for c, vals in multi.items()}
 
     def apply(t: pa.Table) -> pa.Table:
         keep = None

@@ -321,3 +321,24 @@ def test_bloom_filter_one_sided():
     assert all(v in bf for v in ("a", "b", "c"))  # no false negatives
     misses = sum(1 for i in range(1000) if f"zz{i}" in bf)
     assert misses < 5  # tiny false-positive rate at this load
+
+
+def test_log_to_metric_histogram_observations():
+    from vector_ray.stages.aggregate import aggregate_histogram
+    from vector_ray.stages.log_metric import MetricSpec, log_to_metric
+
+    t = pa.table({"latency": [0.5, 2.0, 80.0, None],
+                  "ts": ts_us(0, 1, 2, 3)})
+    m = log_to_metric(
+        rd.from_arrow(t),
+        [MetricSpec("histogram", "latency_hist", field="latency")],
+    )
+    rows = m.to_pandas()
+    assert len(rows) == 3  # null observation dropped
+    assert rows["kind"].unique().tolist() == ["incremental"]
+    hist = aggregate_histogram(
+        m, series_keys=["name"], value_col="value",
+        buckets=[1.0, 10.0], interval_ms=10_000,
+    ).to_pandas().iloc[0]
+    assert [hist["b0"], hist["b1"], hist["b2"]] == [1, 1, 1]
+    assert hist["sum"] == pytest.approx(82.5)

@@ -131,3 +131,10 @@ def test_if_guarded_assignment():
 def test_if_guard_rejects_del_and_struct():
     with pytest.raises(VrlError):
         compile_vrl("if (.x == 1) { del(.y) }")
+
+
+def test_nested_path_argument():
+    t = pa.table({"o": pa.array([{"x": "5"}, {"x": "nope"}, None],
+                  pa.struct([("x", pa.string())]))})
+    out, err, _ = compile_vrl(".v = to_int(.o.x)")(t)
+    assert out["v"].to_pylist() == [5, None, None]

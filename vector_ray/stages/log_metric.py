@@ -74,6 +74,13 @@ def log_to_metric(
             elif s.mtype == "set":
                 kind = "incremental"
                 value = pa.array([1.0] * n, pa.float64())
+            elif s.mtype in ("histogram", "summary"):
+                # observation samples (log_to_metric.rs:143-158): the
+                # field value becomes one sample; downstream
+                # aggregate_histogram / aggregate_quantile_sketch folds
+                # them into AggregatedHistogram / AggregatedSummary
+                kind = "incremental"
+                value = pc.cast(t[s.field], pa.float64())
             else:
                 raise ValueError(f"unsupported metric type {s.mtype!r}")
             cols = {

@@ -159,11 +159,19 @@ def _split_args(s: str) -> list[str]:
 def _eval_arg(src: str, batch: pa.Table):
     src = src.strip()
     if src.startswith("."):
-        name = src[1:]
-        if name in batch.column_names:
-            col = batch[name]
-            return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-        return pa.nulls(batch.num_rows, pa.string())
+        parts = src[1:].split(".")
+        name = parts[0]
+        if name not in batch.column_names:
+            return pa.nulls(batch.num_rows, pa.string())
+        col = batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for part in parts[1:]:  # struct descent, matching conditions._Field
+            try:
+                col = pc.struct_field(col, part)
+            except (pa.ArrowInvalid, KeyError):
+                return pa.nulls(batch.num_rows, pa.string())
+        return col
     if (src.startswith('"') and src.endswith('"')) or (
         src.startswith("'") and src.endswith("'")
     ):

@@ -1,0 +1,79 @@
+"""Single-pass multi-sink write — streaming fan-out without
+materialization.
+
+The default fan-out (topology runner) materializes the route-labeled
+dataset once and filters per port; at 100 TB that pins the whole labeled
+dataset in the object store.  This sink instead consumes the labeled
+dataset in ONE streaming pass: each batch filters itself per port and
+appends a parquet part file per non-empty port (tmp-file + rename, so
+readers never see partial files), emitting only tiny per-port count
+rows downstream.  Nothing is retained in the object store beyond the
+in-flight blocks.
+
+Trade-off vs materialize-then-filter: files per sink = #batches with
+rows for that port (more, smaller files — at scale that is the normal
+resumable layout), and the counts come back from the same pass.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+from ray.data import Dataset
+
+from vector_ray.stages.route import EXCLUSIVE_COL, LABEL_PREFIX, RouteResult
+from vector_ray.model import UNMATCHED_ROUTE
+
+
+def multi_sink_write(
+    route_result: RouteResult,
+    sink_dirs: dict[str, str],
+    *,
+    partition_id: str = "all",
+) -> dict[str, int]:
+    """Write every routed port to its directory in one streaming pass.
+
+    ``sink_dirs`` maps port name → output directory.  Returns
+    {port: rows_written}.  Ports not present in ``sink_dirs`` are
+    counted but not written (blackhole).
+    """
+    ports = route_result.ports
+    exclusive = route_result._exclusive
+    for d in sink_dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    def write_batch(t: pa.Table) -> pa.Table:
+        out_ports, out_counts = [], []
+        drop_cols = [c for c in t.column_names
+                     if c.startswith(LABEL_PREFIX) or c == EXCLUSIVE_COL]
+        for port in ports:
+            if exclusive:
+                mask = pc.fill_null(pc.equal(t[EXCLUSIVE_COL], port), False)
+            else:
+                mask = t[LABEL_PREFIX + port]
+            sub = t.filter(mask)
+            n = sub.num_rows
+            out_ports.append(port)
+            out_counts.append(n)
+            if n and port in sink_dirs:
+                sub = sub.drop_columns(drop_cols)
+                name = f"part-{uuid.uuid4().hex}.parquet"
+                tmp = os.path.join(sink_dirs[port], "." + name + ".tmp")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(sink_dirs[port], name))
+        return pa.table({"sink": pa.array(out_ports, pa.string()),
+                         "events": pa.array(out_counts, pa.int64())})
+
+    partials = route_result.labeled.map_batches(
+        write_batch, batch_format="pyarrow", batch_size=None
+    )
+    combined = (
+        partials.to_pandas()
+        .groupby("sink", as_index=False, sort=True)["events"]
+        .sum()
+    )
+    return dict(combined.itertuples(index=False))

@@ -41,10 +41,24 @@ def multi_sink_write(
     {port: rows_written}.  Ports not present in ``sink_dirs`` are
     counted but not written (blackhole).
     """
+    import glob
+
+    from vector_ray.state.manifest import RunManifest
+
     ports = route_result.ports
     exclusive = route_result._exclusive
-    for d in sink_dirs.values():
+
+    # manifest discipline matching ParquetSink: if EVERY sink dir already
+    # recorded this partition, return the recorded counts (no rewrite);
+    # otherwise clean incomplete dirs so a rerun never appends duplicates
+    manifests = {p: RunManifest(d, p) for p, d in sink_dirs.items()}
+    if manifests and all(m.is_complete(partition_id) for m in manifests.values()):
+        return {p: m.row_count(partition_id) for p, m in manifests.items()}
+    for p, d in sink_dirs.items():
         os.makedirs(d, exist_ok=True)
+        if not manifests[p].is_complete(partition_id):
+            for stale in glob.glob(os.path.join(d, "*.parquet")):
+                os.remove(stale)
 
     def write_batch(t: pa.Table) -> pa.Table:
         out_ports, out_counts = [], []
@@ -76,4 +90,11 @@ def multi_sink_write(
         .groupby("sink", as_index=False, sort=True)["events"]
         .sum()
     )
-    return dict(combined.itertuples(index=False))
+    counts = dict(combined.itertuples(index=False))
+    for p, m in manifests.items():
+        if not m.is_complete(partition_id):
+            files = sorted(os.path.basename(f) for f in
+                           glob.glob(os.path.join(sink_dirs[p], "*.parquet")))
+            m.mark_complete(partition_id, inputs=[], row_count=int(counts.get(p, 0)),
+                            output_files=files)
+    return counts

@@ -402,6 +402,73 @@ def _q_filter_events(sf_dir: str):
     )
 
 
+def _q_lineitem_pricing(sf_dir: str):
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], pa.scalar(
+            pd.Timestamp("1998-09-02"), pa.timestamp("us"))))
+        qty = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)), pa.int64())
+        base = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)), pa.int64())
+        # all-integer discounted price: cents * (100 - pct) — exact, so
+        # summation order cannot flip the value hash
+        discp = pc.multiply(base, pc.subtract(pa.scalar(100), disc))
+        df = pd.DataFrame({
+            "l_returnflag": t["l_returnflag"].to_pandas(),
+            "l_linestatus": t["l_linestatus"].to_pandas(),
+            "q": qty.to_pandas(), "b": base.to_pandas(), "d": discp.to_pandas(),
+        })
+        g = df.groupby(["l_returnflag", "l_linestatus"], sort=False).agg(
+            sum_qty_cents=("q", "sum"), sum_base_cents=("b", "sum"),
+            sum_disc_c4=("d", "sum"), count_order=("q", "size"),
+        ).reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # partials are ≤ #groups rows per block (Q1 has ~4 groups): combine
+    # on the driver per the tiny-result rule
+    import ray.data as rd2
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", batch_size=None).to_pandas()
+    out = parts.groupby(["l_returnflag", "l_linestatus"], as_index=False).sum()
+    out["count_order"] = out["count_order"].astype("int64")
+    return out
+
+
+def _q_events_semi_join(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    # broadcast semi-join: the small side's key set ships once, the big
+    # side filters per batch (no shuffle — SURVEY §2.3 / join guide)
+    keys = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+        .map_batches(lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                     .select(["c_custkey"]),
+                     batch_format="pyarrow", batch_size=None)
+        .to_pandas()["c_custkey"].tolist()
+    )
+    key_set = pa.array(sorted(keys), pa.int64())
+
+    def semi(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["user_id"], value_set=key_set))
+
+    return _events(sf_dir, columns=["event_id", "user_id", "event_type"]).map_batches(
+        semi, batch_format="pyarrow", batch_size=None
+    )
+
+
 def _q_quantile_sketch_events(sf_dir: str):
     from vector_ray.stages.sketch import aggregate_quantile_sketch
 
@@ -443,6 +510,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_events": _q_distinct_users_events,
         "props_extract_events": _q_props_extract_events,
         "filter_events": _q_filter_events,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "events_semi_join": _q_events_semi_join,
         "route_rows_errors": _q_route_rows_errors,
         "exclusive_route_rows": _q_exclusive_route_rows,
         "sample_hash_events": _q_sample_hash_events,
@@ -486,6 +555,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_events": oracle.SQL_DISTINCT_USERS_EVENTS,
         "props_extract_events": oracle.SQL_PROPS_EXTRACT_EVENTS,
         "filter_events": oracle.SQL_FILTER_EVENTS,
+        "lineitem_pricing": oracle.SQL_LINEITEM_PRICING,
+        "events_semi_join": oracle.SQL_EVENTS_SEMI_JOIN,
         "route_rows_errors": oracle.sql_route_rows_errors(tpath, csv),
         "exclusive_route_rows": oracle.sql_exclusive_route_rows(tpath),
         "sample_hash_events": oracle.SQL_SAMPLE_HASH_EVENTS,

@@ -386,3 +386,27 @@ r AS (SELECT * FROM read_csv('{role_csv}', header=true))
 SELECT t.conv_id, t.turn_idx, t.role, r.channel, r.weight
 FROM t LEFT JOIN r ON t.role = r.role
 """
+
+
+# ---------------------------------------------------------------------------
+# Relational breadth: Q1-style pricing summary + broadcast semi-join.
+# All-integer math so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+SQL_LINEITEM_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_c4,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+"""
+
+SQL_EVENTS_SEMI_JOIN = """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""

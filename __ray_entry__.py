@@ -469,6 +469,81 @@ def _q_events_semi_join(sf_dir: str):
     )
 
 
+def _q_events_anti_join(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    keys = (
+        rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_mktsegment"])
+        .map_batches(lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+                     .select(["c_custkey"]),
+                     batch_format="pyarrow", batch_size=None)
+        .to_pandas()["c_custkey"].tolist()
+    )
+    key_set = pa.array(sorted(keys), pa.int64())
+
+    def anti(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t["user_id"], value_set=key_set)))
+
+    return _events(sf_dir, columns=["event_id", "user_id", "event_type"]).map_batches(
+        anti, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _q_top2_per_type(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+    # top-N per group via the sorted-rank scale path: rank orders by
+    # (value DESC, event_id) — encode as order key (-value_cents, id)
+    ds = _cents(_events(sf_dir, columns=["event_type", "event_id", "value"]))
+
+    def neg(t: pa.Table) -> pa.Table:
+        return t.append_column("__negv", pc.negate(t["value_cents"]))
+
+    ranked = add_group_rank(
+        ds.map_batches(neg, batch_format="pyarrow", batch_size=None),
+        ["event_type"], ["__negv", "event_id"],
+    )
+
+    def top(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t[RANK_COL], 2))
+        v = pc.divide(pc.cast(t["value_cents"], pa.float64()), 100.0)
+        return pa.table({"event_type": t["event_type"],
+                         "event_id": t["event_id"], "value": v})
+
+    return ranked.map_batches(top, batch_format="pyarrow", batch_size=None)
+
+
+def _q_session_stats_sorted_events(sf_dir: str):
+    import numpy as np
+    import pandas as pd
+
+    from vector_ray.stages.sorted_ops import sessionize_sorted
+
+    sess = sessionize_sorted(
+        _events(sf_dir, columns=["user_id", "ts", "event_id"]),
+        key="user_id", gap_secs=3600.0, order_by=["event_id"],
+    )
+
+    def stats(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame([{
+            "user_id": g["user_id"].iloc[0],
+            "session_id": g["session_id"].iloc[0],
+            "events": np.int64(len(g)),
+            "session_start": g["ts"].min(),
+            "session_end": g["ts"].max(),
+        }])
+
+    return sess.groupby(["user_id", "session_id"]).map_groups(
+        stats, batch_format="pandas"
+    )
+
+
 def _q_quantile_sketch_events(sf_dir: str):
     from vector_ray.stages.sketch import aggregate_quantile_sketch
 
@@ -512,6 +587,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_events": _q_filter_events,
         "lineitem_pricing": _q_lineitem_pricing,
         "events_semi_join": _q_events_semi_join,
+        "events_anti_join": _q_events_anti_join,
+        "top2_per_type": _q_top2_per_type,
+        "session_stats_sorted_events": _q_session_stats_sorted_events,
         "route_rows_errors": _q_route_rows_errors,
         "exclusive_route_rows": _q_exclusive_route_rows,
         "sample_hash_events": _q_sample_hash_events,
@@ -557,6 +635,9 @@ def oracle_sql() -> dict[str, str]:
         "filter_events": oracle.SQL_FILTER_EVENTS,
         "lineitem_pricing": oracle.SQL_LINEITEM_PRICING,
         "events_semi_join": oracle.SQL_EVENTS_SEMI_JOIN,
+        "events_anti_join": oracle.SQL_EVENTS_ANTI_JOIN,
+        "top2_per_type": oracle.SQL_TOP2_PER_TYPE,
+        "session_stats_sorted_events": oracle.SQL_SESSION_STATS_EVENTS,
         "route_rows_errors": oracle.sql_route_rows_errors(tpath, csv),
         "exclusive_route_rows": oracle.sql_exclusive_route_rows(tpath),
         "sample_hash_events": oracle.SQL_SAMPLE_HASH_EVENTS,

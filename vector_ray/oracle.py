@@ -410,3 +410,17 @@ SELECT event_id, user_id, event_type FROM events
 WHERE user_id IN (
   SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
 """
+
+
+SQL_EVENTS_ANTI_JOIN = """
+SELECT event_id, user_id, event_type FROM events
+WHERE user_id NOT IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+SQL_TOP2_PER_TYPE = """
+SELECT event_type, event_id, value FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 2
+"""

@@ -544,6 +544,27 @@ def _q_session_stats_sorted_events(sf_dir: str):
     )
 
 
+def _q_latest_events(sf_dir: str):
+    from vector_ray.stages.aggregate import aggregate_stage
+
+    # ties on ts broken by event_id to match the SQL arg_max tuple order
+    return aggregate_stage(
+        _events(sf_dir), series_keys=["event_type"], value_col="value",
+        interval_ms=86_400_000, mode="latest", ts_col="ts",
+        tie_breakers=["event_id"],
+    )
+
+
+def _q_diff_events(sf_dir: str):
+    from vector_ray.stages.aggregate import aggregate_stage
+
+    return aggregate_stage(
+        _events(sf_dir), series_keys=["event_type"], value_col="value",
+        interval_ms=86_400_000, mode="diff", ts_col="ts",
+        tie_breakers=["event_id"],
+    )
+
+
 def _q_quantile_sketch_events(sf_dir: str):
     from vector_ray.stages.sketch import aggregate_quantile_sketch
 
@@ -590,6 +611,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anti_join": _q_events_anti_join,
         "top2_per_type": _q_top2_per_type,
         "session_stats_sorted_events": _q_session_stats_sorted_events,
+        "latest_events": _q_latest_events,
+        "diff_events": _q_diff_events,
         "route_rows_errors": _q_route_rows_errors,
         "exclusive_route_rows": _q_exclusive_route_rows,
         "sample_hash_events": _q_sample_hash_events,
@@ -638,6 +661,8 @@ def oracle_sql() -> dict[str, str]:
         "events_anti_join": oracle.SQL_EVENTS_ANTI_JOIN,
         "top2_per_type": oracle.SQL_TOP2_PER_TYPE,
         "session_stats_sorted_events": oracle.SQL_SESSION_STATS_EVENTS,
+        "latest_events": oracle.SQL_LATEST_EVENTS,
+        "diff_events": oracle.SQL_DIFF_EVENTS,
         "route_rows_errors": oracle.sql_route_rows_errors(tpath, csv),
         "exclusive_route_rows": oracle.sql_exclusive_route_rows(tpath),
         "sample_hash_events": oracle.SQL_SAMPLE_HASH_EVENTS,

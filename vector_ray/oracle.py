@@ -424,3 +424,29 @@ SELECT event_type, event_id, value FROM (
       PARTITION BY event_type ORDER BY value DESC, event_id) AS rn
   FROM events) WHERE rn <= 2
 """
+
+
+SQL_LATEST_EVENTS = f"""
+SELECT event_type, window_start, value FROM (
+  SELECT event_type,
+         (epoch_us(ts) // {DAY_US}) * {DAY_US} AS window_start, value,
+         row_number() OVER (
+           PARTITION BY event_type, epoch_us(ts) // {DAY_US}
+           ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events) WHERE rn = 1
+"""
+
+SQL_DIFF_EVENTS = f"""
+WITH lat AS (
+  SELECT event_type, window_start, value AS latest FROM (
+    SELECT event_type,
+           (epoch_us(ts) // {DAY_US}) * {DAY_US} AS window_start, value,
+           row_number() OVER (
+             PARTITION BY event_type, epoch_us(ts) // {DAY_US}
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1)
+SELECT event_type, window_start,
+       latest - lag(latest) OVER (
+         PARTITION BY event_type ORDER BY window_start) AS value
+FROM lat QUALIFY value IS NOT NULL
+"""

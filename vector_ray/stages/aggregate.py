@@ -56,6 +56,7 @@ def aggregate_stage(
     interval_ms: int = 10_000,
     mode: str = "sum",
     kind_col: str | None = None,
+    tie_breakers: Sequence[str] = (),
 ) -> Dataset:
     """Aggregate metric rows into one row per (series, window).
 
@@ -139,8 +140,10 @@ def aggregate_stage(
         # last value by ts per (series, window); 'auto' on absolute-only
         # input equals latest, on incremental-only equals sum — callers
         # split by kind_col and union if they carry both kinds.
+        order_cols = [ts_col] + list(tie_breakers)
+
         def latest(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(ts_col, kind="mergesort")
+            g = g.sort_values(order_cols, kind="mergesort")
             row = g.iloc[-1]
             out = {k: row[k] for k in gkeys}
             out["value"] = row[value_col]
@@ -150,8 +153,10 @@ def aggregate_stage(
 
     if mode == "diff":
         # latest per window, then difference vs previous window per series
+        order_cols = [ts_col] + list(tie_breakers)
+
         def latest_per_window(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(ts_col, kind="mergesort")
+            g = g.sort_values(order_cols, kind="mergesort")
             row = g.iloc[-1]
             out = {k: row[k] for k in gkeys}
             out["latest"] = row[value_col]

@@ -565,6 +565,24 @@ def _q_diff_events(sf_dir: str):
     )
 
 
+def _q_stdev_events(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.aggregate import aggregate_stage
+
+    out = aggregate_stage(
+        _events(sf_dir), series_keys=["event_type"], value_col="value",
+        interval_ms=86_400_000, mode="stdev",
+    )
+
+    def q(t: pa.Table) -> pa.Table:
+        v = pc.cast(pc.round(pc.multiply(t["value"], 10_000.0)), pa.int64())
+        return t.drop_columns(["value"]).append_column("stdev_x1e4", v)
+
+    return out.map_batches(q, batch_format="pyarrow", batch_size=None)
+
+
 def _q_quantile_sketch_events(sf_dir: str):
     from vector_ray.stages.sketch import aggregate_quantile_sketch
 
@@ -613,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_stats_sorted_events": _q_session_stats_sorted_events,
         "latest_events": _q_latest_events,
         "diff_events": _q_diff_events,
+        "stdev_events": _q_stdev_events,
         "route_rows_errors": _q_route_rows_errors,
         "exclusive_route_rows": _q_exclusive_route_rows,
         "sample_hash_events": _q_sample_hash_events,
@@ -663,6 +682,7 @@ def oracle_sql() -> dict[str, str]:
         "session_stats_sorted_events": oracle.SQL_SESSION_STATS_EVENTS,
         "latest_events": oracle.SQL_LATEST_EVENTS,
         "diff_events": oracle.SQL_DIFF_EVENTS,
+        "stdev_events": oracle.SQL_STDEV_EVENTS,
         "route_rows_errors": oracle.sql_route_rows_errors(tpath, csv),
         "exclusive_route_rows": oracle.sql_exclusive_route_rows(tpath),
         "sample_hash_events": oracle.SQL_SAMPLE_HASH_EVENTS,

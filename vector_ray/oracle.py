@@ -450,3 +450,12 @@ SELECT event_type, window_start,
          PARTITION BY event_type ORDER BY window_start) AS value
 FROM lat QUALIFY value IS NOT NULL
 """
+
+
+SQL_STDEV_EVENTS = f"""
+SELECT event_type,
+       (epoch_us(ts) // {DAY_US}) * {DAY_US} AS window_start,
+       CAST(round(coalesce(stddev_pop(value), 0) * 10000) AS BIGINT)
+         AS stdev_x1e4
+FROM events GROUP BY 1, 2
+"""

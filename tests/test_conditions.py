@@ -80,3 +80,12 @@ def test_callable_condition():
 
 def test_type_mismatch_is_false():
     assert m('.n == "2"') == [False, False, False, False]
+
+
+def test_is_log_is_metric():
+    logs = pa.table({"x": [1, 2]})
+    metrics = pa.table({"mtype": ["counter"], "value": [1.0]})
+    assert Condition("is_log()")(logs).to_pylist() == [True, True]
+    assert Condition("is_log()")(metrics).to_pylist() == [False]
+    assert Condition("is_metric()")(metrics).to_pylist() == [True]
+    assert Condition("is_metric()")(logs).to_pylist() == [False, False]

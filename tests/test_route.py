@@ -71,3 +71,8 @@ def test_label_columns_stripped():
     res = route(rd.from_arrow(_tbl()), ROUTES)
     cols = set(res.port("errors").to_pandas().columns)
     assert cols == {"id", "level", "role"}
+
+
+def test_exclusive_route_reserved_names():
+    with pytest.raises(ValueError, match="reserved"):
+        exclusive_route(rd.from_arrow(_tbl()), [("_default", "exists(.id)")])

@@ -54,7 +54,8 @@ _TOKEN = re.compile(
 )
 
 _FUNCS = {"exists", "is_null", "contains", "starts_with", "ends_with", "match",
-          "match_any", "length", "strlen", "includes", "to_string"}
+          "match_any", "length", "strlen", "includes", "to_string",
+          "is_log", "is_metric"}
 
 
 class ConditionError(ValueError):
@@ -163,10 +164,12 @@ class _Parser:
                 return _Lit(None)
             if v in _FUNCS:
                 self.eat("op", "(")
-                args = [self.or_expr()]
-                while self.peek() == ("op", ","):
-                    self.eat()
+                args = []
+                if self.peek() != ("op", ")"):
                     args.append(self.or_expr())
+                    while self.peek() == ("op", ","):
+                        self.eat()
+                        args.append(self.or_expr())
                 self.eat("op", ")")
                 return _Func(v, args)
             raise ConditionError(f"unknown identifier {v!r} in {self.src!r}")
@@ -258,11 +261,18 @@ class _Func(_Node):
     def __init__(self, name, args):
         self.name, self.args = name, args
         self.boolean = name in ("exists", "is_null", "contains", "starts_with",
-                                "ends_with", "match", "match_any", "includes")
+                                "ends_with", "match", "match_any", "includes",
+                                "is_log", "is_metric")
 
     def eval(self, batch):
         a = self.args
         n = batch.num_rows
+        if self.name in ("is_log", "is_metric"):
+            # Condition enum IsLog/IsMetric (src/conditions/mod.rs:23-48):
+            # in the columnar model metric rows carry an `mtype` column
+            is_metric_row = "mtype" in batch.column_names
+            want = (self.name == "is_metric") == is_metric_row
+            return pa.array([want] * n, pa.bool_())
         if self.name == "exists":
             v = a[0].eval(batch)
             return pc.is_valid(v) if not isinstance(v, pa.Scalar) else pa.array([v.is_valid] * n)

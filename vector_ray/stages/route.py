@@ -159,6 +159,10 @@ def exclusive_route(
 ) -> RouteResult:
     """First-match-wins route: a single string label column."""
     names = [n for n, _ in routes]
+    for reserved in (UNMATCHED_ROUTE, "_default"):
+        if reserved in names:
+            raise ValueError(
+                f"route name {reserved!r} is reserved (exclusive_route config)")
     conds = [(n, compile_condition(c)) for n, c in routes]
 
     def label(t: pa.Table) -> pa.Table:

@@ -212,3 +212,36 @@ sinks:
     }]
     res = run_unit_tests(topo, tests)[0]
     assert res.passed, res.failures
+
+
+# ---- remap.toml: source-string and file-based programs ----
+
+def test_remap_toml_source_and_file(tmp_path):
+    prog_file = tmp_path / "program.vrl"
+    prog_file.write_text('.message = "foo"\n')
+    topo = Topology.from_yaml(f"""
+sources:
+  ignored: {{type: parquet, path: /dev/null}}
+transforms:
+  remap_source:
+    type: remap
+    inputs: [ignored]
+    source: |
+      .message = "foo"
+  remap_file:
+    type: remap
+    inputs: [ignored]
+    file: "{prog_file}"
+sinks:
+  out: {{type: blackhole, inputs: [remap_source]}}
+""")
+    for comp in ("remap_source", "remap_file"):
+        tests = [{
+            "name": comp,
+            "insert_at": comp,
+            "input_rows": [{"foo": True}],
+            "outputs": [{"extract_from": comp,
+                         "conditions": ['.message == "foo"'], "count": 1}],
+        }]
+        res = run_unit_tests(topo, tests)[0]
+        assert res.passed, (comp, res.failures)

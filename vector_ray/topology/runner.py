@@ -160,6 +160,12 @@ def _build_transform(
             from vector_ray.vrl import compile_vrl
 
             prog = compile_vrl(c["source"])
+        elif "file" in c:
+            # VRL program from a file (remap.rs `file` config option)
+            from vector_ray.vrl import compile_vrl
+
+            with open(c["file"]) as f:
+                prog = compile_vrl(f.read())
         else:
             prog = _program(c["program"])
         res = remap(

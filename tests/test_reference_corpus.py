@@ -245,3 +245,38 @@ sinks:
         }]
         res = run_unit_tests(topo, tests)[0]
         assert res.passed, (comp, res.failures)
+
+
+# ---- lua_v2.toml analogue: user-scripted transform = registered
+# Python callable (SURVEY §2.10 — the Ray-native lua replacement) ----
+
+def test_user_registered_program():
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.topology.runner import register_program
+
+    def my_udf(batch: pa.Table):
+        # lua-style per-event hook, vectorized: counter = counter + 1
+        out = batch.append_column(
+            "counter_plus", pc.add(batch["counter"], 1))
+        n = batch.num_rows
+        return out, pa.array([False] * n), pa.array([None] * n, pa.string())
+
+    register_program("my_udf", my_udf)
+    topo = Topology.from_yaml("""
+sources:
+  ignored: {type: parquet, path: /dev/null}
+transforms:
+  scripted: {type: remap, inputs: [ignored], program: my_udf}
+sinks:
+  out: {type: blackhole, inputs: [scripted]}
+""")
+    res = run_unit_tests(topo, [{
+        "name": "udf hook",
+        "insert_at": "scripted",
+        "input_rows": [{"counter": 41}],
+        "outputs": [{"extract_from": "scripted",
+                     "conditions": [".counter_plus == 42"], "count": 1}],
+    }])[0]
+    assert res.passed, res.failures

@@ -1,6 +1,7 @@
 """VRL function-library subset: strings, codecs, datetime, ip (SURVEY §2.7)."""
 
 import base64
+import json
 
 import pyarrow as pa
 import pytest
@@ -117,3 +118,14 @@ sinks:
     assert main(["graph", str(cfg)]) == 0
     out = capsys.readouterr().out
     assert 'digraph topology' in out and '"a" -> "s"' in out
+
+
+def test_cli_vrl_oneshot(capsys):
+    from vector_ray.cli import main
+
+    assert main(["vrl", "--program", '.x = upcase(.name)',
+                 "--event", '{"name": "ada"}']) == 0
+    assert json.loads(capsys.readouterr().out) == {"name": "ada", "x": "ADA"}
+    assert main(["vrl", "--program", ".n = to_int!(.num)",
+                 "--event", '{"num": "nope"}']) == 1
+    assert "error" in json.loads(capsys.readouterr().out)

@@ -84,6 +84,25 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_vrl(args) -> int:
+    """One-shot VRL program evaluation over a JSON event — the
+    ``vector vrl`` runner's batch analogue (lib/vector-vrl/cli)."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_vrl
+
+    event = json.loads(args.event)
+    prog = compile_vrl(args.program)
+    batch = pa.Table.from_pylist([event])
+    out, err, msg = prog(batch)
+    row = out.to_pylist()[0]
+    if err[0].as_py():
+        print(json.dumps({"error": msg[0].as_py(), "event": row}))
+        return 1
+    print(json.dumps(row, default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -97,6 +116,11 @@ def main(argv: list[str] | None = None) -> int:
                             help="substitution var, e.g. --var sf_dir=/data")
             sp.add_argument("--num-cpus", type=int, default=None)
             sp.add_argument("--no-shutdown", dest="shutdown", action="store_false")
+
+    sp = sub.add_parser("vrl", help="evaluate a VRL program over one JSON event")
+    sp.add_argument("--program", required=True)
+    sp.add_argument("--event", required=True, help="JSON object")
+    sp.set_defaults(fn=cmd_vrl)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -280,3 +280,48 @@ sinks:
                      "conditions": [".counter_plus == 42"], "count": 1}],
     }])[0]
     assert res.passed, res.failures
+
+
+# ---- task_transform.toml: multi-input dedupe/reduce injection ----
+
+def test_task_transform_toml_multi_inputs():
+    topo = Topology.from_yaml("""
+sources:
+  ignored: {type: parquet, path: /dev/null}
+transforms:
+  field1: {type: remap, inputs: [ignored], source: '.field1 = "value1"'}
+  field3: {type: remap, inputs: [ignored], source: '.field3 = "value3"'}
+  multi_input_dedupe:
+    type: dedupe
+    inputs: [field1]
+    fields: [id]
+    order_by: [ord]
+  multi_input_reduce:
+    type: reduce
+    inputs: [field3, multi_input_dedupe]
+    group_by: [g]
+    merge_strategies: {message: concat}
+    order_by: [ord]
+    timestamp_fields: []
+sinks:
+  out: {type: blackhole, inputs: [multi_input_reduce]}
+""")
+    tests = [{
+        "name": "reduce_with_multiple_inputs",
+        "inputs": [
+            {"insert_at": "field3",
+             "rows": [{"g": "x", "id": 0, "message": "some message", "ord": 0}]},
+            {"insert_at": "multi_input_dedupe",
+             "rows": [{"g": "x", "id": 1, "message": "dedupe me", "ord": 1},
+                      {"g": "x", "id": 1, "message": "dedupe me too", "ord": 2}]},
+        ],
+        "outputs": [
+            # dedupe collapses the id=1 pair; reduce merges the survivors
+            {"extract_from": "multi_input_reduce", "count": 1,
+             "conditions": ['.message == "some message dedupe me"',
+                            ".events == 2",
+                            '.field3 == "value3"']},
+        ],
+    }]
+    res = run_unit_tests(topo, tests)[0]
+    assert res.passed, res.failures

@@ -66,12 +66,22 @@ def run_unit_tests(topo: Topology, tests: list[dict],
     for spec in tests:
         name = spec.get("name", "<unnamed>")
         failures: list[str] = []
-        insert_at = spec["insert_at"]
-        if insert_at not in topo.components:
-            raise ConfigError(f"insert_at {insert_at!r} not in topology")
-        input_ds = rd.from_arrow(_rows_to_table(spec["input_rows"]))
+        # injection points: either the single insert_at/input_rows shape
+        # or a list of {insert_at, rows} (task_transform.toml's
+        # multi-input tests inject at several components)
+        if "inputs" in spec:
+            injections: dict[str, list[dict]] = {}
+            for inp in spec["inputs"]:
+                injections.setdefault(inp["insert_at"], []).extend(inp["rows"])
+        else:
+            injections = {spec["insert_at"]: spec["input_rows"]}
+        for point in injections:
+            if point not in topo.components:
+                raise ConfigError(f"insert_at {point!r} not in topology")
+        injected = {k: rd.from_arrow(_rows_to_table(v))
+                    for k, v in injections.items()}
 
-        # build the graph downstream of the injection point
+        # build the graph downstream of the injection points
         ports: dict[str, dict[str, rd.Dataset]] = {}
         for comp_name in topo.order:
             comp = topo.components[comp_name]
@@ -79,17 +89,16 @@ def run_unit_tests(topo: Topology, tests: list[dict],
                 continue
             if comp.kind == "sink":
                 continue
-            if comp_name == insert_at:
-                ins = input_ds
-            else:
-                resolved = []
-                for ref in comp.inputs:
-                    up, _, port = ref.partition(".")
-                    if up in ports and port in ports[up]:
-                        resolved.append(ports[up][port])
-                if not resolved:
-                    continue  # upstream not part of this test's slice
-                ins = _union(resolved)
+            resolved = []
+            if comp_name in injected:
+                resolved.append(injected[comp_name])
+            for ref in comp.inputs:
+                up, _, port = ref.partition(".")
+                if up in ports and port in ports[up]:
+                    resolved.append(ports[up][port])
+            if not resolved:
+                continue  # upstream not part of this test's slice
+            ins = _union(resolved)
             ports[comp_name] = _build_transform(comp, ins, tables)
 
         def extract(ref: str) -> pa.Table:

@@ -92,7 +92,7 @@ def _cents(ds, src="value", dst="value_cents"):
         cents = pc.cast(pc.round(pc.multiply(t[src], 100.0)), pa.int64())
         return t.drop_columns([src]).append_column(dst, cents)
 
-    return ds.map_batches(c, batch_format="pyarrow")
+    return ds.map_batches(c, batch_format="pyarrow", batch_size=None)
 
 
 def _q_agg_sum_events(sf_dir: str):
@@ -119,7 +119,7 @@ def _q_agg_mean_events(sf_dir: str):
         v = pc.cast(pc.round(pc.multiply(t["value"], 10_000.0)), pa.int64())
         return t.drop_columns(["value"]).append_column("mean_microcents", v)
 
-    return mean.map_batches(micro, batch_format="pyarrow")
+    return mean.map_batches(micro, batch_format="pyarrow", batch_size=None)
 
 
 def _q_agg_count_events(sf_dir: str):

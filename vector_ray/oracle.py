@@ -142,7 +142,7 @@ DAY_US = 86_400_000_000
 SQL_AGG_SUM_EVENTS = f"""
 SELECT event_type,
        (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
 FROM events GROUP BY 1, 2
 """
 
@@ -177,7 +177,7 @@ SELECT event_id, ts, user_id, event_type, value, props FROM (
 
 SQL_REDUCE_EVENTS = """
 SELECT user_id,
-       sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
        string_agg(event_type, ' ' ORDER BY ts, event_id) AS event_type,
        min(event_id) AS event_id,
        min(ts) AS ts,
@@ -366,7 +366,7 @@ SELECT event_type,
        sum(CASE WHEN value > 150 AND value <= 250 THEN 1 ELSE 0 END)::BIGINT AS b2,
        sum(CASE WHEN value > 250 THEN 1 ELSE 0 END)::BIGINT AS b3,
        count(*)::BIGINT AS count,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1
 """
 
@@ -395,10 +395,10 @@ FROM t LEFT JOIN r ON t.role = r.role
 
 SQL_LINEITEM_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
-           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS sum_disc_c4,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_c4,
        count(*)::BIGINT AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -520,27 +520,13 @@ def _q_top2_per_type(sf_dir: str):
 
 
 def _q_session_stats_sorted_events(sf_dir: str):
-    import numpy as np
-    import pandas as pd
+    # column-pruned variant of session_stats (same vectorized
+    # partial + native-aggregate path; no per-session Python call)
+    from vector_ray.stages.windows import session_stats
 
-    from vector_ray.stages.sorted_ops import sessionize_sorted
-
-    sess = sessionize_sorted(
+    return session_stats(
         _events(sf_dir, columns=["user_id", "ts", "event_id"]),
         key="user_id", gap_secs=3600.0, order_by=["event_id"],
-    )
-
-    def stats(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{
-            "user_id": g["user_id"].iloc[0],
-            "session_id": g["session_id"].iloc[0],
-            "events": np.int64(len(g)),
-            "session_start": g["ts"].min(),
-            "session_end": g["ts"].max(),
-        }])
-
-    return sess.groupby(["user_id", "session_id"]).map_groups(
-        stats, batch_format="pandas"
     )
 
 

@@ -91,6 +91,7 @@ def reduce_stage(
     timestamp_fields: Sequence[str] = ("ts",),
     window_ms: int | None = None,
     count_field: str = "events",
+    impl: str = "auto",
 ) -> Dataset:
     """Collapse each group to one row.
 
@@ -99,11 +100,33 @@ def reduce_stage(
     - other fields Discard (keep first);
     - ``count_field`` receives the group size (Vector exposes this via
       log_to_metric-style counters; useful for asserting merge counts).
+
+    ``impl="auto"`` (default) delegates to the sorted-run scale path
+    (``sorted_ops.reduce_sorted`` — one Python call per block) whenever
+    the configuration allows it: every strategy mergeable, explicit
+    ``order_by``, no ``window_ms``.  ``impl="grouped"`` forces the
+    per-group fallback (needed for shortest/longest_array, squash
+    strategies, windowed reduce, or unordered groups).
     """
     strategies = {k: v.lower() for k, v in (merge_strategies or {}).items()}
     for k, v in strategies.items():
         if v not in STRATEGIES:
             raise ValueError(f"unknown merge strategy {v!r} for field {k!r}")
+    if impl == "auto":
+        from vector_ray.stages.sorted_ops import _MERGEABLE
+
+        if (
+            order_by
+            and window_ms is None
+            and all(v in _MERGEABLE for v in strategies.values())
+        ):
+            from vector_ray.stages.sorted_ops import reduce_sorted
+
+            return reduce_sorted(
+                ds, group_by=group_by, merge_strategies=strategies,
+                order_by=order_by, timestamp_fields=timestamp_fields,
+                count_field=count_field,
+            )
     group_cols = list(group_by)
     order_cols = list(order_by) if order_by else None
     ts_fields = [f for f in timestamp_fields]

@@ -98,13 +98,25 @@ def sample_modulo(
     order_by: Sequence[str] = tuple(ORDER_KEYS),
     exclude: AnyCondition | None = None,
     sample_rate_key: str = "sample_rate",
+    impl: str = "sorted",
 ) -> Dataset:
     """Deterministic modulo sampling: per group (or globally), keep the
     1st, (rate+1)th, … event in stable ``order_by`` order.
 
+    Default ``impl="sorted"`` delegates to
+    ``sorted_ops.sample_modulo_sorted`` (segmented rank, no per-group
+    Python call); ``impl="grouped"`` keeps the map_groups fallback.
+
     Excluded rows pass through unsampled and do NOT advance the counter
     (sample/transform.rs exclude handling).
     """
+    if impl == "sorted":
+        from vector_ray.stages.sorted_ops import sample_modulo_sorted
+
+        return sample_modulo_sorted(
+            ds, rate=rate, group_by=group_by, order_by=order_by,
+            exclude=exclude, sample_rate_key=sample_rate_key,
+        )
     excl = compile_condition(exclude) if exclude is not None else None
     group_cols = list(group_by) if group_by else [_GROUP_CONST]
     order_cols = list(order_by)

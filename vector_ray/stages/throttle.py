@@ -7,8 +7,10 @@ template bucket; ``exclude``-matching events bypass the limiter.
 Rebuild: real-time token buckets have no faithful batch analogue
 (SURVEY §2.1 mapping); the batch semantics are "first ``threshold``
 events per key per event-time window", deterministic under the stable
-order.  Implemented as ``groupby(key, window).map_groups(head N)`` —
-the shuffle key includes the window so hot keys spread across windows.
+order.  The DEFAULT path is ``sorted_ops.throttle_sorted`` (global
+sort + vectorized segmented rank — one Python call per BLOCK, not per
+group, so group-count cardinality is free); ``impl="grouped"`` keeps
+the original ``groupby(key, window).map_groups(head N)`` fallback.
 """
 
 from __future__ import annotations
@@ -35,7 +37,16 @@ def throttle_stage(
     ts_col: str = "ts",
     order_by: Sequence[str] = (),
     exclude: AnyCondition | None = None,
+    impl: str = "sorted",
 ) -> Dataset:
+    if impl == "sorted":
+        from vector_ray.stages.sorted_ops import throttle_sorted
+
+        return throttle_sorted(
+            ds, threshold=threshold, window_secs=window_secs,
+            key_field=key_field, ts_col=ts_col, order_by=order_by,
+            exclude=exclude,
+        )
     excl = compile_condition(exclude) if exclude is not None else None
     window_us = int(window_secs * 1_000_000)
     order_cols = [ts_col] + list(order_by)

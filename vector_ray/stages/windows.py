@@ -35,9 +35,22 @@ def sessionize(
     gap_secs: float = 3600.0,
     order_by: list[str] | None = None,
     out_col: str = "session_id",
+    impl: str = "sorted",
 ) -> Dataset:
     """Assign 0-based session ids per key (new session when the gap from
-    the previous event exceeds ``gap_secs``)."""
+    the previous event exceeds ``gap_secs``).
+
+    Default ``impl="sorted"`` delegates to
+    ``sorted_ops.sessionize_sorted`` (global sort + per-block vectorized
+    gap detection + driver chain scan — no per-key Python call);
+    ``impl="grouped"`` keeps the map_groups fallback."""
+    if impl == "sorted":
+        from vector_ray.stages.sorted_ops import sessionize_sorted
+
+        return sessionize_sorted(
+            ds, key=key, ts_col=ts_col, gap_secs=gap_secs,
+            order_by=tuple(order_by or ()), out_col=out_col,
+        )
     gap_us = int(gap_secs * 1_000_000)
     order_cols = [ts_col] + list(order_by or [])
 
@@ -63,20 +76,33 @@ def session_stats(
     gap_secs: float = 3600.0,
     order_by: list[str] | None = None,
 ) -> Dataset:
-    """Per-(key, session) row counts and time bounds."""
+    """Per-(key, session) row counts and time bounds.
+
+    Scale path: sessionize (sorted), collapse each block to one partial
+    row per (key, session) via a C-speed pandas groupby, then a native
+    ``groupby().aggregate(Sum/Min/Max)`` over the tiny partials — no
+    per-session Python call anywhere (sessions that span blocks merge
+    in the native aggregate)."""
+    from ray.data.aggregate import Max, Min
+
     sess = sessionize(ds, key=key, ts_col=ts_col, gap_secs=gap_secs,
                       order_by=order_by)
 
-    def stats(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame([{
-            key: g[key].iloc[0],
-            "session_id": g["session_id"].iloc[0],
-            "events": np.int64(len(g)),
-            "session_start": g[ts_col].min(),
-            "session_end": g[ts_col].max(),
-        }])
+    def partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby([key, "session_id"], sort=False)[ts_col]
+        out = g.agg(events="size", session_start="min", session_end="max")
+        out["events"] = out["events"].astype("int64")
+        return out.reset_index()
 
-    return sess.groupby([key, "session_id"]).map_groups(stats, batch_format="pandas")
+    return (
+        sess.map_batches(partials, batch_format="pandas", batch_size=None)
+        .groupby([key, "session_id"])
+        .aggregate(
+            Sum("events", alias_name="events"),
+            Min("session_start", alias_name="session_start"),
+            Max("session_end", alias_name="session_end"),
+        )
+    )
 
 
 def sliding_window_count(

@@ -201,7 +201,12 @@ def ann_ivf(
     keys).  Cost: scan fraction ≈ nprobe/nlist of the corpus.
     """
     queries = np.asarray(queries, dtype=np.float32)
-    sample_tbl = ds.limit(train_sample).to_pandas()
+    # uniform seeded sample (NOT the first N rows — a sorted corpus
+    # would bias the centroids); fraction slightly padded, then capped.
+    n_total = ds.count()
+    frac = min(1.0, (train_sample * 1.25) / max(n_total, 1))
+    sampled = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+    sample_tbl = sampled.limit(train_sample).to_pandas()
     sample = _normalize(np.stack(sample_tbl[vec_col].to_numpy()).astype(np.float32))
     centroids = _kmeans_lite(sample, nlist, kmeans_iters, seed)
     cref = ray.put(centroids)

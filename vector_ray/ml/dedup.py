@@ -21,7 +21,6 @@ set only.
 from __future__ import annotations
 
 import hashlib
-import re
 
 import numpy as np
 import pandas as pd
@@ -29,8 +28,17 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from vector_ray.ml.hashing import (
+    band_keys,
+    hash_strings,
+    minhash_signatures,
+    shingle_hashes,
+    simhash_signatures,
+    tokenize_batch,
+)
+
 _MERSENNE = np.uint64((1 << 61) - 1)
-_TOKEN = re.compile(r"\w+", re.UNICODE)
+_TOKEN_SEED = 0x5EED
 
 
 def content_hash(ds: Dataset, *, text_col: str = "text",
@@ -52,26 +60,26 @@ def exact_dedup_docs(ds: Dataset, *, text_col: str = "text",
     Hash-partition on the md5 (the groupby shuffle key is the 32-char
     digest, not the full document — only the hash + id move in the
     shuffle reduce)."""
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
     hashed = content_hash(ds, text_col=text_col)
+    ranked = add_group_rank(hashed, ["text_md5"], [id_col])
 
-    def first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(id_col, kind="mergesort").head(1).drop(columns=["text_md5"])
+    def keep_first(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t[RANK_COL], 0)).drop_columns(
+            ["text_md5", RANK_COL]
+        )
 
-    return hashed.groupby("text_md5").map_groups(first, batch_format="pandas")
+    return ranked.map_batches(keep_first, batch_format="pyarrow", batch_size=None)
 
 
 def _shingles(text: str, n: int) -> np.ndarray:
-    """word n-gram shingle hashes (uint64)."""
-    toks = _TOKEN.findall(text.lower())
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-    return np.array(
-        [int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big")
-         for g in grams],
-        dtype=np.uint64,
-    )
+    """word n-gram shingle hashes (uint64) for ONE document — the
+    single-doc view of the batch kernels (used by the Jaccard verify)."""
+    toks, lens = tokenize_batch([text])
+    th = hash_strings(toks, seed=_TOKEN_SEED)
+    flat, _ = shingle_hashes(th, lens, n, seed=_TOKEN_SEED)
+    return flat
 
 
 def _minhash_params(num_hashes: int, seed: int):
@@ -85,41 +93,43 @@ class MinHasher:
     """Actor stage: shingle → minhash signature → (band, band_hash) rows.
 
     The (a, b) permutation parameters are built once per actor from the
-    seed, so every actor computes identical signatures."""
+    seed, so every actor computes identical signatures.  The whole batch
+    is hashed with the vectorized kernels in ``ml.hashing`` — tokenize,
+    one polynomial pass over all tokens, one sliding-window pass over
+    all shingles, ``minimum.reduceat`` per permutation — no per-row or
+    per-shingle Python call."""
 
     def __init__(self, *, text_col: str, id_col: str, num_hashes: int,
                  bands: int, shingle_n: int, seed: int):
         assert num_hashes % bands == 0
         self.text_col, self.id_col = text_col, id_col
         self.num_hashes, self.bands = num_hashes, bands
-        self.rows_per_band = num_hashes // bands
         self.shingle_n = shingle_n
+        self.seed = seed
         self.a, self.b = _minhash_params(num_hashes, seed)
 
     def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text or "", self.shingle_n)
-        if len(sh) == 0:
-            return np.zeros(self.num_hashes, dtype=np.uint64)
-        # (k, s) permuted hashes -> min over shingles, vectorized
-        vals = (np.multiply.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
-        return vals.min(axis=1)
+        return self._signatures([text])[0]
+
+    def _signatures(self, texts: list) -> np.ndarray:
+        toks, lens = tokenize_batch(texts)
+        th = hash_strings(toks, seed=_TOKEN_SEED)
+        flat_sh, counts = shingle_hashes(th, lens, self.shingle_n,
+                                         seed=_TOKEN_SEED)
+        return minhash_signatures(flat_sh, counts, self.a, self.b, _MERSENNE)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        ids = t[self.id_col].to_pylist()
-        out_ids, out_band, out_hash = [], [], []
-        for i, text in zip(ids, texts):
-            sig = self.signature(text)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                out_ids.append(i)
-                out_band.append(b)
-                out_hash.append(h)
+        ids = t[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        sig = self._signatures(t[self.text_col].to_pylist())
+        keys = band_keys(sig, self.bands, seed=self.seed)  # (D, bands)
+        d = keys.shape[0]
+        idx = np.repeat(np.arange(d), self.bands)
         return pa.table({
-            self.id_col: pa.array(out_ids),
-            "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_hash, pa.string()),
+            self.id_col: ids.take(pa.array(idx, pa.int64())),
+            "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), d)),
+            "band_hash": pa.array(keys.reshape(-1), pa.uint64()),
         })
 
 
@@ -205,12 +215,16 @@ def minhash_lsh_dedup(
     if len(pairs_df) == 0:
         return ds, pd.DataFrame({id_col: [], "cluster": []})
 
-    # verify candidates with exact Jaccard over ONLY their texts
+    # verify candidates with exact Jaccard over ONLY their texts.
+    # BOUND: the candidate set is O(near-dup pairs), not O(corpus) — it
+    # fits the driver only while dup density is moderate.  For dup-dense
+    # corpora (boilerplate crawls) raise `bands`' selectivity or shard
+    # the verify by band-hash range before this step.
     cand_ids = sorted(set(pairs_df["a"]) | set(pairs_df["b"]))
-    id_set = set(cand_ids)
+    cand_arr = pa.array(cand_ids)
 
     def keep_cands(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=pa.array(cand_ids))
+        mask = pc.is_in(t[id_col], value_set=cand_arr)
         return t.filter(mask).select([id_col, text_col])
 
     texts = {
@@ -227,41 +241,41 @@ def minhash_lsh_dedup(
         {id_col: list(roots), "cluster": [roots[k] for k in roots]}
     ).sort_values(id_col).reset_index(drop=True)
 
-    drop = {k for k, v in roots.items() if k != v}
+    drop_arr = pa.array(sorted(k for k, v in roots.items() if k != v))
 
     def remove_dups(t: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(t[id_col], value_set=pa.array(sorted(drop))))
+        mask = pc.invert(pc.is_in(t[id_col], value_set=drop_arr))
         return t.filter(mask)
 
     return ds.map_batches(remove_dups, batch_format="pyarrow", batch_size=None), clusters
 
 
 class SimHasher:
-    """64-bit SimHash signature + 4×16-bit band keys for Hamming LSH."""
+    """64-bit SimHash signature + 4×16-bit band keys for Hamming LSH.
+
+    Batch-vectorized: one token-hash pass over the whole batch, then 64
+    bit-vote ``add.reduceat`` passes (``ml.hashing.simhash_signatures``)
+    — no per-token Python call."""
 
     def __init__(self, *, text_col: str, id_col: str):
         self.text_col, self.id_col = text_col, id_col
 
     @staticmethod
     def simhash(text: str) -> int:
-        toks = _TOKEN.findall((text or "").lower())
-        if not toks:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        ones = np.uint64(1)
-        for tok in toks:
-            h = np.uint64(int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"))
-            bits = (h >> np.arange(64, dtype=np.uint64)) & ones
-            acc += np.where(bits.astype(bool), 1, -1)
-        return int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        toks, lens = tokenize_batch([text])
+        th = hash_strings(toks, seed=_TOKEN_SEED)
+        return int(simhash_signatures(th, lens)[0])
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = t[self.id_col].to_pylist()
-        sigs = [self.simhash(s) for s in t[self.text_col].to_pylist()]
+        ids = t[self.id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        toks, lens = tokenize_batch(t[self.text_col].to_pylist())
+        th = hash_strings(toks, seed=_TOKEN_SEED)
+        sigs = simhash_signatures(th, lens)
         return pa.table({
-            self.id_col: pa.array(ids),
-            "simhash": pa.array(np.array(sigs, dtype=np.uint64), pa.uint64()),
+            self.id_col: ids,
+            "simhash": pa.array(sigs, pa.uint64()),
         })
 
 

@@ -175,17 +175,13 @@ def flagship_counts(sf_dir: str, *, concurrency: int | tuple = (1, 8)) -> Datase
 
 def flagship_write(sf_dir: str, out_dir: str, *, concurrency: int | tuple = (1, 8)) -> dict:
     """Fan the routed ports out to per-sink Parquet directories and
-    return {sink: row_count}.  Materializes the labeled dataset once so
-    the per-port filters do not recompute parse+enrich per sink
-    (fan-out duplication semantics, route.rs:42-49)."""
+    return {sink: row_count}.  Routed through ``multi_sink_write``: ONE
+    streaming pass over the labeled dataset (fan-out duplication
+    semantics, route.rs:42-49), rows counted during the write (no
+    re-read), manifest skip-if-complete / clean-if-incomplete so a
+    rerun into the same ``out_dir`` never appends duplicates."""
+    from vector_ray.sinks.multi import multi_sink_write
+
     res = routed_transcripts(sf_dir, concurrency=concurrency)
-    labeled = res.labeled.materialize()
-    res._labeled = labeled
-    counts = {}
-    for port in res.ports:
-        port_ds = res.port(port)
-        path = os.path.join(out_dir, f"sink={port}")
-        os.makedirs(path, exist_ok=True)
-        port_ds.write_parquet(path)
-        counts[port] = rd.read_parquet(path).count()
-    return counts
+    sink_dirs = {p: os.path.join(out_dir, f"sink={p}") for p in res.ports}
+    return multi_sink_write(res, sink_dirs)

@@ -18,7 +18,6 @@ resumable layout), and the counts come back from the same pass.
 from __future__ import annotations
 
 import os
-import uuid
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -75,9 +74,19 @@ def multi_sink_write(
             out_counts.append(n)
             if n and port in sink_dirs:
                 sub = sub.drop_columns(drop_cols)
-                name = f"part-{uuid.uuid4().hex}.parquet"
+                # deterministic name = hash of the serialized bytes: a Ray
+                # task retry re-produces the same batch -> same file name ->
+                # os.replace overwrites instead of appending a duplicate.
+                import hashlib
+                import io
+
+                buf = io.BytesIO()
+                pq.write_table(sub, buf)
+                payload = buf.getvalue()
+                name = f"part-{hashlib.blake2b(payload, digest_size=16).hexdigest()}.parquet"
                 tmp = os.path.join(sink_dirs[port], "." + name + ".tmp")
-                pq.write_table(sub, tmp)
+                with open(tmp, "wb") as f:
+                    f.write(payload)
                 os.replace(tmp, os.path.join(sink_dirs[port], name))
         return pa.table({"sink": pa.array(out_ports, pa.string()),
                          "events": pa.array(out_counts, pa.int64())})
@@ -95,6 +104,19 @@ def multi_sink_write(
         if not m.is_complete(partition_id):
             files = sorted(os.path.basename(f) for f in
                            glob.glob(os.path.join(sink_dirs[p], "*.parquet")))
-            m.mark_complete(partition_id, inputs=[], row_count=int(counts.get(p, 0)),
+            # reconcile: footer row counts must equal the streamed count
+            # (catches both retry-appended extras and the pathological
+            # byte-identical-batch name collision) before marking complete
+            on_disk = sum(
+                pq.ParquetFile(os.path.join(sink_dirs[p], f)).metadata.num_rows
+                for f in files
+            )
+            expected = int(counts.get(p, 0))
+            if on_disk != expected:
+                raise RuntimeError(
+                    f"sink {p!r}: {on_disk} rows on disk != {expected} routed "
+                    f"(partition {partition_id!r} left incomplete)"
+                )
+            m.mark_complete(partition_id, inputs=[], row_count=expected,
                             output_files=files)
     return counts

@@ -61,9 +61,13 @@ def write_partitioned(
     # a prior CRASHED attempt may have left partial files (manifest entry
     # absent = not durable yet): remove them so the rewrite is clean and
     # the durability claim ("rerun re-writes unfinished partitions
-    # idempotently") actually holds
+    # idempotently") actually holds.  Cleanup is SCOPED to files not
+    # owned by a completed partition — several partition_ids may share
+    # one sink dir, and their durable data must survive this pass.
+    owned = manifest.completed_output_files()
     for stale in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True):
-        os.remove(stale)
+        if os.path.relpath(stale, out_dir) not in owned:
+            os.remove(stale)
     kwargs = {}
     if partition_cols:
         kwargs["partition_cols"] = list(partition_cols)
@@ -71,8 +75,9 @@ def write_partitioned(
     n = ds.count()
     ds.write_parquet(out_dir, **kwargs)
     files = sorted(
-        os.path.relpath(p, out_dir)
+        rel
         for p in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
+        if (rel := os.path.relpath(p, out_dir)) not in owned
     )
     manifest.mark_complete(
         partition_id, inputs=list(inputs), row_count=n, output_files=files

@@ -52,6 +52,14 @@ class RunManifest:
             return parts[partition_id]["row_count"]
         return sum(p["row_count"] for p in parts.values())
 
+    def completed_output_files(self) -> set[str]:
+        """Relative paths recorded by EVERY completed partition — files a
+        crash-cleanup must never delete."""
+        out: set[str] = set()
+        for p in self._data["partitions"].values():
+            out.update(p.get("output_files", ()))
+        return out
+
     def mark_complete(
         self,
         partition_id: str,

@@ -136,34 +136,47 @@ def aggregate_stage(
             out = merged.map_batches(finish, batch_format="pyarrow", batch_size=None)
         return out
 
-    if mode in ("latest", "auto"):
-        # last value by ts per (series, window); 'auto' on absolute-only
-        # input equals latest, on incremental-only equals sum — callers
-        # split by kind_col and union if they carry both kinds.
+    if mode in ("latest", "auto", "diff"):
+        # last value by ts per (series, window) — two-phase like the sum
+        # family: per-batch partial = the latest row per (series, window)
+        # IN THIS BATCH (C-speed pandas tail(1), carrying the order
+        # columns), then a sorted-run rank over the partials (rank 0 in
+        # descending order = global latest).  No raw-row shuffle, no
+        # per-group Python call at (series x window) cardinality.
+        from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
         order_cols = [ts_col] + list(tie_breakers)
 
-        def latest(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(order_cols, kind="mergesort")
-            row = g.iloc[-1]
-            out = {k: row[k] for k in gkeys}
-            out["value"] = row[value_col]
-            return pd.DataFrame([out])
+        def latest_partial(t: pa.Table) -> pa.Table:
+            df = t.select(gkeys + order_cols + [value_col]).to_pandas()
+            out = df.sort_values(order_cols, kind="mergesort").groupby(
+                gkeys, sort=False).tail(1)
+            return pa.Table.from_pandas(out, preserve_index=False)
 
-        return ds.groupby(gkeys).map_groups(latest, batch_format="pandas")
+        partials = ds.map_batches(latest_partial, batch_format="pyarrow",
+                                  batch_size=None)
+        ranked = add_group_rank(
+            partials, gkeys, order_cols,
+            descending=[True] * len(order_cols),
+        )
 
-    if mode == "diff":
-        # latest per window, then difference vs previous window per series
-        order_cols = [ts_col] + list(tie_breakers)
+        def pick(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t[RANK_COL], 0))
+            drop = [RANK_COL] + [c for c in order_cols if c not in gkeys]
+            t = t.drop_columns(drop)
+            name = "latest" if mode == "diff" else "value"
+            return t.rename_columns(
+                [name if c == value_col else c for c in t.column_names]
+            )
 
-        def latest_per_window(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(order_cols, kind="mergesort")
-            row = g.iloc[-1]
-            out = {k: row[k] for k in gkeys}
-            out["latest"] = row[value_col]
-            return pd.DataFrame([out])
+        lat = ranked.map_batches(pick, batch_format="pyarrow", batch_size=None)
+        if mode != "diff":
+            return lat
 
-        lat = ds.groupby(gkeys).map_groups(latest_per_window, batch_format="pandas")
-
+        # diff vs previous window per series: after the collapse there is
+        # ONE row per (series, window), so grouping by series alone is
+        # #series Python calls over window-count-sized frames (bounded by
+        # time-range/interval) with a vectorized diff inside.
         def diff(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(WINDOW_COL, kind="mergesort")
             g["value"] = g["latest"].diff()

@@ -50,16 +50,23 @@ def add_group_rank(
     order_by: Sequence[str],
     *,
     count_mask_col: str | None = None,
+    descending: Sequence[bool] | None = None,
 ) -> Dataset:
-    """Sort by (keys, order_by) and attach ``__rank`` per key group."""
+    """Sort by (keys, order_by) and attach ``__rank`` per key group.
+
+    ``descending`` flips individual ``order_by`` columns (keys always
+    sort ascending — run contiguity is all the rank scan needs), so
+    rank 0 can mean "latest" instead of "earliest"."""
     keys = list(keys)
 
     def add_key(t: pa.Table) -> pa.Table:
         return t.append_column(_KEY_COL, _combined_key(t, keys))
 
+    desc = [False] + list(descending if descending is not None
+                          else [False] * len(order_by))
     sorted_ds = (
         ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
-        .sort([_KEY_COL] + list(order_by))
+        .sort([_KEY_COL] + list(order_by), descending=desc)
         .materialize()
     )
     refs = sorted_ds.to_arrow_refs()

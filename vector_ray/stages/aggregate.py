@@ -211,17 +211,21 @@ def aggregate_distinct(
         out = df.drop_duplicates()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    import pandas as pd
+    def ones(t: pa.Table) -> pa.Table:
+        return t.append_column("__one", pa.array(np.ones(t.num_rows, np.int64)))
 
-    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
-        row = {k: g[k].iloc[0] for k in gkeys}
-        row["value"] = np.int64(g[value_col].nunique())
-        return pd.DataFrame([row])
-
-    return (
+    # two native shuffles, zero per-group Python: (1) collapse to one row
+    # per distinct (series, window, value) triple, (2) count triples per
+    # (series, window)
+    distinct_triples = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+        .groupby(gkeys + [value_col])
+        .aggregate(Count(alias_name="__n"))
+    )
+    return (
+        distinct_triples.map_batches(ones, batch_format="pyarrow", batch_size=None)
         .groupby(gkeys)
-        .map_groups(count_distinct, batch_format="pandas")
+        .aggregate(Sum("__one", alias_name="value"))
     )
 
 

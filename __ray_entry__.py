@@ -159,6 +159,26 @@ def _q_reduce_events(sf_dir: str):
     )
 
 
+def _q_vrl_conditional_events(sf_dir: str):
+    """Branching VRL program (if / else if / else + string concat)
+    through the remap stage — the round-2 control-flow surface."""
+    from vector_ray.stages.remap import remap
+    from vector_ray.vrl import compile_vrl
+
+    prog = compile_vrl("""
+if .value > 250 {
+    .tier = "high"
+} else if .value > 50 {
+    .tier = "mid"
+} else {
+    .tier = "low"
+}
+.tag = upcase(.event_type) + "-" + .tier
+""")
+    res = remap(_events(sf_dir, columns=["event_id", "event_type", "value"]), prog)
+    return res.primary.select_columns(["event_id", "tier", "tag"])
+
+
 def _q_log_to_metric_events(sf_dir: str):
     from vector_ray.stages.aggregate import aggregate_stage
     from vector_ray.stages.log_metric import MetricSpec, log_to_metric
@@ -609,6 +629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "salted_reduce_transcripts": _q_salted_reduce_transcripts,
         "distinct_users_events": _q_distinct_users_events,
         "props_extract_events": _q_props_extract_events,
+        "vrl_conditional_events": _q_vrl_conditional_events,
         "filter_events": _q_filter_events,
         "lineitem_pricing": _q_lineitem_pricing,
         "events_semi_join": _q_events_semi_join,
@@ -660,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
         "distinct_users_events": oracle.SQL_DISTINCT_USERS_EVENTS,
         "props_extract_events": oracle.SQL_PROPS_EXTRACT_EVENTS,
+        "vrl_conditional_events": oracle.SQL_VRL_CONDITIONAL_EVENTS,
         "filter_events": oracle.SQL_FILTER_EVENTS,
         "lineitem_pricing": oracle.SQL_LINEITEM_PRICING,
         "events_semi_join": oracle.SQL_EVENTS_SEMI_JOIN,

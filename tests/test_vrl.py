@@ -128,9 +128,65 @@ def test_if_guarded_assignment():
     assert out2["sev"].to_pylist() == ["high", "low", "low"]
 
 
-def test_if_guard_rejects_del_and_struct():
-    with pytest.raises(VrlError):
-        compile_vrl("if (.x == 1) { del(.y) }")
+def test_if_guarded_del_nulls_matching_rows():
+    # per-row delete has no columnar analogue: the guarded rows are
+    # nulled, others keep their value (round-2 semantics)
+    t = pa.table({"x": [1, 2, 1], "y": ["a", "b", "c"]})
+    out, _, _ = compile_vrl("if (.x == 1) { del(.y) }")(t)
+    assert out["y"].to_pylist() == [None, "b", None]
+
+
+def test_if_else_chain():
+    t = pa.table({"lvl": ["error", "warning", "info", None]})
+    out, _, _ = compile_vrl("""
+if .lvl == "error" {
+    .sev = "high"
+} else if starts_with(.lvl, "warn") {
+    .sev = "med"
+} else {
+    .sev = "low"
+}
+""")(t)
+    assert out["sev"].to_pylist() == ["high", "med", "low", "low"]
+
+
+def test_nested_assignment_target():
+    t = pa.table({"a": [1, 2]})
+    out, _, _ = compile_vrl('.attrs.env = "prod"\n.attrs.ver = .a')(t)
+    assert out["attrs"].to_pylist() == [
+        {"env": "prod", "ver": 1}, {"env": "prod", "ver": 2}]
+
+
+def test_local_variables():
+    t = pa.table({"role": ["user", "tool"]})
+    out, _, _ = compile_vrl("tmp = upcase(.role)\n.role = tmp")(t)
+    assert out["role"].to_pylist() == ["USER", "TOOL"]
+
+
+def test_arithmetic_and_string_concat():
+    t = pa.table({"n": [2, 3], "s": ["a", "b"]})
+    out, _, _ = compile_vrl('.m = .n * 2 + 1\n.t = .s + "!"')(t)
+    assert out["m"].to_pylist() == [5, 7]
+    assert out["t"].to_pylist() == ["a!", "b!"]
+
+
+def test_coalesce_inside_expression():
+    t = pa.table({"v": ["5", "x"]})
+    out, _, _ = compile_vrl(".n = (to_int(.v) ?? 0) + 1")(t)
+    assert out["n"].to_pylist() == [6, 1]
+
+
+def test_abort_inside_if_marks_only_branch_rows():
+    t = pa.table({"lvl": ["debug", "info"]})
+    _, err, _ = compile_vrl('if .lvl == "debug" { abort }')(t)
+    assert err.to_pylist() == [True, False]
+
+
+def test_guarded_fallible_error_scoped_to_branch():
+    t = pa.table({"kind": ["num", "junk"], "v": ["nope", "nope"]})
+    # the fallible to_int! only runs (and only errors) on kind=="num" rows
+    _, err, _ = compile_vrl('if .kind == "num" { .n = to_int!(.v) }')(t)
+    assert err.to_pylist() == [True, False]
 
 
 def test_nested_path_argument():

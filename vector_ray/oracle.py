@@ -370,6 +370,18 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+SQL_VRL_CONDITIONAL_EVENTS = """
+SELECT event_id,
+       CASE WHEN value > 250 THEN 'high'
+            WHEN value > 50 THEN 'mid'
+            ELSE 'low' END AS tier,
+       upper(event_type) || '-' ||
+       (CASE WHEN value > 250 THEN 'high'
+             WHEN value > 50 THEN 'mid'
+             ELSE 'low' END) AS tag
+FROM events
+"""
+
 SQL_METRIC_TO_LOG_EVENTS = """
 SELECT 'events_total' AS metric_name, '' AS metric_namespace,
        'incremental' AS metric_kind, 'counter' AS metric_mtype,

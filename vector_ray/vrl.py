@@ -1,33 +1,39 @@
 """VRL-subset program compiler — config-borne remap programs.
 
-Vector's remap transform takes a VRL program string (``source``,
-src/transforms/remap.rs:53-158) executed per event.  This compiles the
-practically-used subset into a VECTORIZED batch program compatible with
-``stages.remap`` (``fn(table) -> (table, err_mask, err_msg)``):
+Vector's remap transform executes a VRL program per event
+(src/transforms/remap.rs:53-158; exec semantics :556-633).  This
+compiles the practically-used subset into a VECTORIZED batch program
+compatible with ``stages.remap`` (``fn(table) -> (table, err_mask,
+err_msg)``) — statements run over whole Arrow batches under an
+active-row MASK, so control flow costs one boolean kernel, not a
+Python branch per row.
 
-Statements (newline/;-separated, ``#`` comments)::
+Supported language (round 2 — full recursive-descent parser)::
 
     . = parse_grok!(.text, "<grok pattern>")   # merge struct into columns
-    . = parse_key_value!(.text, "k1", "k2")    # ditto
     .lvl = downcase(.level)                    # assignment from expr
-    .latency = to_int!(.latency_ms)            # fallible: error -> row error
-    .tag = "static"                            # literal assignment
-    .combined = upcase(.role)                  # function of a path
-    del(.tmp)                                  # drop a column
+    .lat = to_int!(.latency_ms)                # fallible: error -> row error
+    .lat = to_int(.latency_ms) ?? 0            # ?? is an expression
+    .attrs.env = "prod"                        # nested-path targets
+    .score = .a * 2 + 1                        # arithmetic, string +
+    tmp = upcase(.role); .role = tmp           # local variables
+    if .lvl == "error" {                       # if / else if / else
+        .sev = "high"
+    } else if starts_with(.lvl, "warn") {
+        .sev = "med"
+    } else {
+        .sev = "low"
+    }
+    del(.tmp)                                  # drop column (under if: null)
     abort_if(.level == null)                   # explicit per-row error
-    abort                                      # unconditional (drop all)
-    .lat = to_int(.latency_ms) ?? 0            # error-coalescing default
+    abort                                      # error every active row
 
 Error semantics match remap: a row where any ``!``-marked (fallible)
 call fails carries the error mask; remap's policy then keeps the
 original / drops / reroutes (remap.rs:556-633).  Non-fallible calls
-null out failures silently (VRL's error-coalescing ``??`` analogue).
-
-Functions exposed: parse_grok, parse_regex, parse_key_value,
-parse_json (scalar keys), parse_timestamp, parse_int/to_int,
-parse_float/to_float, to_string, upcase, downcase, strip_whitespace,
-replace, truncate, md5, sha2, encode_base64, decode_base64,
-format_timestamp, ip_aton, parse_duration, parse_bytes.
+null out failures silently; ``expr ?? fallback`` replaces errored/null
+rows with the fallback and clears their error.  Conditions evaluate
+null -> false (src/conditions/vrl.rs:115-127).
 """
 
 from __future__ import annotations
@@ -35,6 +41,7 @@ from __future__ import annotations
 import re
 from typing import Callable
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -48,7 +55,10 @@ class VrlError(ValueError):
     pass
 
 
-# name -> (fn(col, *args) -> (values, ok_mask|None))
+# ---------------------------------------------------------------------------
+# function registry: name -> fn(col, *args) -> (values, ok_mask|None)
+# ---------------------------------------------------------------------------
+
 def _wrap_simple(fn):
     def run(col, *args):
         return fn(col, *args), None
@@ -117,76 +127,523 @@ FUNCTIONS: dict[str, Callable] = {
     "ip_aton": _wrap_fallible(ip.ip_aton),
 }
 
-_STMT_RE = re.compile(
-    r"""^\s*(?:
-        (?P<del>del\(\s*\.(?P<delpath>[\w.]+)\s*\))
-      | (?P<abort>abort_if\((?P<abortcond>.*)\)|abort)
-      | (?P<target>\.|\.[\w.]+)\s*=\s*(?P<expr>.+)
-    )\s*$""",
+# boolean/value helpers usable inside expressions (condition parity,
+# src/conditions/vrl.rs + website/cue/reference/remap/functions)
+_PRED_FUNCS = {"exists", "is_null", "is_string", "contains", "starts_with",
+               "ends_with", "match", "includes", "length", "strlen",
+               "is_log", "is_metric"}
+
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(
+    r"""(?:
+        (?P<ws>[ \t\r]+)
+      | (?P<comment>\#[^\n]*)
+      | (?P<nl>\n)
+      | (?P<op>\?\?|\|\||&&|==|!=|<=|>=|[<>!=(){},;+\-*/])
+      | (?P<regex>r"(?:[^"\\]|\\.)*")
+      | (?P<dstr>"(?:[^"\\]|\\.)*")
+      | (?P<sstr>'(?:[^'\\]|\\.)*')
+      | (?P<num>\d+\.\d+|\d+)
+      | (?P<path>\.(?:[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)*)?)
+      | (?P<word>[A-Za-z_][A-Za-z0-9_]*)
+    )""",
     re.X,
 )
 
-_CALL_RE = re.compile(r"^(?P<name>[A-Za-z_][\w]*)(?P<bang>!?)\((?P<args>.*)\)$")
 
-
-def _split_args(s: str) -> list[str]:
-    out, depth, cur, in_str, q = [], 0, "", False, ""
-    for ch in s:
-        if in_str:
-            cur += ch
-            if ch == q:
-                in_str = False
-            continue
-        if ch in "\"'":
-            in_str, q = True, ch
-            cur += ch
-        elif ch == "(":
-            depth += 1
-            cur += ch
-        elif ch == ")":
-            depth -= 1
-            cur += ch
-        elif ch == "," and depth == 0:
-            out.append(cur.strip())
-            cur = ""
-        else:
-            cur += ch
-    if cur.strip():
-        out.append(cur.strip())
+def _tokenize(src: str) -> list[tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(src):
+        m = _TOKEN.match(src, pos)
+        if not m:
+            raise VrlError(f"bad token at offset {pos} in VRL source: "
+                           f"{src[pos:pos+20]!r}")
+        pos = m.end()
+        for kind in ("nl", "op", "regex", "dstr", "sstr", "num", "path", "word"):
+            v = m.group(kind)
+            if v is not None:
+                out.append(("sep", v) if kind == "nl" else (kind, v))
+                break
+    out.append(("eof", ""))
     return out
 
 
-def _eval_arg(src: str, batch: pa.Table):
-    src = src.strip()
-    if src.startswith("."):
-        parts = src[1:].split(".")
-        name = parts[0]
-        if name not in batch.column_names:
-            return pa.nulls(batch.num_rows, pa.string())
-        col = batch[name]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        for part in parts[1:]:  # struct descent, matching conditions._Field
-            try:
-                col = pc.struct_field(col, part)
-            except (pa.ArrowInvalid, KeyError):
-                return pa.nulls(batch.num_rows, pa.string())
-        return col
-    if (src.startswith('"') and src.endswith('"')) or (
-        src.startswith("'") and src.endswith("'")
-    ):
-        return src[1:-1]
-    if re.fullmatch(r"-?\d+", src):
-        return int(src)
-    if re.fullmatch(r"-?\d+\.\d+", src):
-        return float(src)
-    if src == "true":
-        return True
-    if src == "false":
-        return False
-    if src == "null":
-        return None
-    raise VrlError(f"unsupported argument {src!r}")
+def _unquote(s: str) -> str:
+    return s[1:-1].encode().decode("unicode_escape")
+
+
+# ---------------------------------------------------------------------------
+# AST: tuples ("kind", ...)
+#   expr: ("lit", v) ("path", [parts]) ("var", name)
+#         ("call", name, bang, [args]) ("bin", op, l, r) ("not", x)
+#         ("neg", x) ("coalesce", l, r)
+#   stmt: ("assign", target, expr)   target = ("path", parts) | ("var", name)
+#         ("merge", expr)            # . = <struct expr>
+#         ("del", parts) ("abort", cond_expr|None) ("if", [(cond, stmts)...], else_stmts)
+# ---------------------------------------------------------------------------
+
+_CMP_OPS = {"==", "!=", "<", "<=", ">", ">="}
+
+
+class _Parser:
+    def __init__(self, src: str):
+        self.toks = _tokenize(src)
+        self.i = 0
+
+    def peek(self, k: int = 0):
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self):
+        t = self.toks[self.i]
+        if self.i < len(self.toks) - 1:
+            self.i += 1
+        return t
+
+    def skip_seps(self):
+        while self.peek()[0] == "sep" or self.peek() == ("op", ";"):
+            self.next()
+
+    def expect(self, kind: str, val: str | None = None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise VrlError(f"expected {val or kind}, got {t[1]!r}")
+        return t
+
+    # ---- statements ----
+
+    def parse_program(self) -> list:
+        stmts = []
+        self.skip_seps()
+        while self.peek()[0] != "eof":
+            stmts.append(self.parse_stmt())
+            self.skip_seps()
+        return stmts
+
+    def parse_block(self) -> list:
+        self.expect("op", "{")
+        stmts = []
+        self.skip_seps()
+        while self.peek() != ("op", "}"):
+            if self.peek()[0] == "eof":
+                raise VrlError("unterminated block")
+            stmts.append(self.parse_stmt())
+            self.skip_seps()
+        self.next()  # }
+        return stmts
+
+    def parse_stmt(self):
+        kind, val = self.peek()
+        if kind == "word" and val == "if":
+            return self.parse_if()
+        if kind == "word" and val == "del":
+            self.next()
+            self.expect("op", "(")
+            p = self.expect("path")
+            self.expect("op", ")")
+            return ("del", [x for x in p[1][1:].split(".") if x])
+        if kind == "word" and val == "abort_if":
+            self.next()
+            self.expect("op", "(")
+            cond = self.parse_expr()
+            self.expect("op", ")")
+            return ("abort", cond)
+        if kind == "word" and val == "abort":
+            self.next()
+            return ("abort", None)
+        if kind == "path":
+            nxt = self.peek(1)
+            if nxt == ("op", "="):
+                target = self.next()[1]
+                self.next()  # =
+                expr = self.parse_expr()
+                parts = [x for x in target[1:].split(".") if x]
+                if not parts:
+                    return ("merge", expr)
+                return ("assign", ("path", parts), expr)
+        if kind == "word" and self.peek(1) == ("op", "=") and val not in (
+            "if", "else", "del", "abort", "abort_if", "true", "false", "null"
+        ):
+            name = self.next()[1]
+            self.next()  # =
+            return ("assign", ("var", name), self.parse_expr())
+        raise VrlError(f"cannot parse statement near {val!r}")
+
+    def parse_if(self):
+        self.expect("word", "if")
+        # optional parens around the condition (both VRL styles appear)
+        cond = self.parse_expr()
+        self.skip_seps_inline()
+        then = self.parse_block()
+        arms = [(cond, then)]
+        else_stmts: list = []
+        self.skip_seps_inline()
+        while self.peek() == ("word", "else"):
+            self.next()
+            self.skip_seps_inline()
+            if self.peek() == ("word", "if"):
+                self.next()
+                c2 = self.parse_expr()
+                self.skip_seps_inline()
+                arms.append((c2, self.parse_block()))
+                self.skip_seps_inline()
+            else:
+                else_stmts = self.parse_block()
+                break
+        return ("if", arms, else_stmts)
+
+    def skip_seps_inline(self):
+        while self.peek()[0] == "sep":
+            self.next()
+
+    # ---- expressions (precedence low -> high) ----
+
+    def parse_expr(self):
+        return self.parse_coalesce()
+
+    def parse_coalesce(self):
+        left = self.parse_or()
+        while self.peek() == ("op", "??"):
+            self.next()
+            left = ("coalesce", left, self.parse_or())
+        return left
+
+    def parse_or(self):
+        left = self.parse_and()
+        while self.peek() == ("op", "||"):
+            self.next()
+            left = ("bin", "||", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_cmp()
+        while self.peek() == ("op", "&&"):
+            self.next()
+            left = ("bin", "&&", left, self.parse_cmp())
+        return left
+
+    def parse_cmp(self):
+        left = self.parse_add()
+        if self.peek()[0] == "op" and self.peek()[1] in _CMP_OPS:
+            op = self.next()[1]
+            return ("bin", op, left, self.parse_add())
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while self.peek()[0] == "op" and self.peek()[1] in ("+", "-"):
+            op = self.next()[1]
+            left = ("bin", op, left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while self.peek()[0] == "op" and self.peek()[1] in ("*", "/"):
+            op = self.next()[1]
+            left = ("bin", op, left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        if self.peek() == ("op", "!"):
+            self.next()
+            return ("not", self.parse_unary())
+        if self.peek() == ("op", "-"):
+            self.next()
+            return ("neg", self.parse_unary())
+        return self.parse_primary()
+
+    def parse_primary(self):
+        kind, val = self.peek()
+        if kind == "op" and val == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return e
+        if kind == "path":
+            self.next()
+            return ("path", [x for x in val[1:].split(".") if x])
+        if kind == "dstr" or kind == "sstr":
+            self.next()
+            return ("lit", _unquote(val))
+        if kind == "regex":
+            self.next()
+            return ("lit", ("__regex__", _unquote(val[1:])))
+        if kind == "num":
+            self.next()
+            return ("lit", float(val) if "." in val else int(val))
+        if kind == "word":
+            if val in ("true", "false"):
+                self.next()
+                return ("lit", val == "true")
+            if val == "null":
+                self.next()
+                return ("lit", None)
+            # call or variable reference
+            if self.peek(1) == ("op", "!") or self.peek(1) == ("op", "("):
+                name = self.next()[1]
+                bang = False
+                if self.peek() == ("op", "!"):
+                    self.next()
+                    bang = True
+                self.expect("op", "(")
+                args = []
+                self.skip_seps_inline()
+                while self.peek() != ("op", ")"):
+                    args.append(self.parse_expr())
+                    self.skip_seps_inline()
+                    if self.peek() == ("op", ","):
+                        self.next()
+                        self.skip_seps_inline()
+                self.next()  # )
+                if name not in FUNCTIONS and name not in _PRED_FUNCS:
+                    raise VrlError(f"unknown function {name!r}")
+                return ("call", name, bang, args)
+            self.next()
+            return ("var", val)
+        raise VrlError(f"unexpected token {val!r}")
+
+
+# ---------------------------------------------------------------------------
+# evaluator — vectorized under an active-row mask
+# ---------------------------------------------------------------------------
+
+def _as_array(v, n: int, like_type=None) -> pa.Array:
+    if isinstance(v, pa.ChunkedArray):
+        return v.combine_chunks()
+    if isinstance(v, pa.Array):
+        return v
+    if v is None:
+        return pa.nulls(n, like_type or pa.string())
+    return pa.array([v] * n)
+
+
+def _false(n: int) -> pa.Array:
+    return pa.array(np.zeros(n, dtype=bool))
+
+
+def _bool_mask(vals, n: int) -> pa.Array:
+    """condition semantics: null / non-boolean error -> False."""
+    arr = _as_array(vals, n, pa.bool_())
+    if not pa.types.is_boolean(arr.type):
+        raise VrlError("condition must be boolean")
+    return pc.fill_null(arr, False)
+
+
+def _descend(batch: pa.Table, parts: list[str], n: int):
+    if not parts or parts[0] not in batch.column_names:
+        return pa.nulls(n, pa.string())
+    col = batch[parts[0]]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    for part in parts[1:]:
+        try:
+            col = pc.struct_field(col, part)
+        except (pa.ArrowInvalid, KeyError):
+            return pa.nulls(n, pa.string())
+    return col
+
+
+def _unify(a: pa.Array, b):
+    """cast b (array or scalar) toward a's type for if_else."""
+    n = len(a)
+    barr = _as_array(b, n, a.type)
+    if barr.type != a.type:
+        try:
+            barr = pc.cast(barr, a.type)
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError, pa.ArrowTypeError):
+            a = pc.cast(a, pa.string())
+            barr = pc.cast(barr, pa.string())
+    return a, barr
+
+
+class _Ctx:
+    def __init__(self, batch: pa.Table):
+        self.batch = batch
+        self.n = batch.num_rows
+        self.err = _false(batch.num_rows)
+        self.vars: dict = {}
+
+
+def _eval(node, ctx: _Ctx):
+    """returns (values, err_mask) — err_mask is rows whose evaluation
+    FAILED (only fallible calls produce one; None = no errors)."""
+    kind = node[0]
+    n = ctx.n
+    if kind == "lit":
+        return node[1], None
+    if kind == "path":
+        return _descend(ctx.batch, node[1], n), None
+    if kind == "var":
+        if node[1] not in ctx.vars:
+            raise VrlError(f"undefined variable {node[1]!r}")
+        return ctx.vars[node[1]], None
+    if kind == "not":
+        v, e = _eval(node[1], ctx)
+        return pc.invert(_bool_mask(v, n)), e
+    if kind == "neg":
+        v, e = _eval(node[1], ctx)
+        if isinstance(v, (int, float)):
+            return -v, e
+        return pc.negate(_as_array(v, n, pa.float64())), e
+    if kind == "coalesce":
+        lv, lerr = _eval(node[1], ctx)
+        rv, rerr = _eval(node[2], ctx)
+        la = _as_array(lv, n)
+        good = pc.is_valid(la)
+        if lerr is not None:
+            good = pc.and_(good, pc.invert(pc.fill_null(lerr, False)))
+        la, ra = _unify(la, rv)
+        return pc.if_else(good, la, ra), rerr
+    if kind == "bin":
+        return _eval_bin(node, ctx)
+    if kind == "call":
+        return _eval_call(node, ctx)
+    raise AssertionError(kind)
+
+
+def _eval_bin(node, ctx: _Ctx):
+    _, op, lnode, rnode = node
+    n = ctx.n
+    lv, lerr = _eval(lnode, ctx)
+    rv, rerr = _eval(rnode, ctx)
+    err = None
+    if lerr is not None or rerr is not None:
+        err = pc.or_(lerr if lerr is not None else _false(n),
+                     rerr if rerr is not None else _false(n))
+    if op in ("&&", "||"):
+        lm, rm = _bool_mask(lv, n), _bool_mask(rv, n)
+        return (pc.and_(lm, rm) if op == "&&" else pc.or_(lm, rm)), err
+    if op in _CMP_OPS:
+        la = _as_array(lv, n) if not isinstance(lv, (pa.Array, pa.ChunkedArray)) or True else lv
+        la = _as_array(lv, n)
+        if rv is None:
+            m = pc.is_null(la)
+            return (m if op == "==" else pc.invert(m)), err
+        la, ra = _unify(la, rv)
+        fn = {"==": pc.equal, "!=": pc.not_equal, "<": pc.less,
+              "<=": pc.less_equal, ">": pc.greater, ">=": pc.greater_equal}[op]
+        try:
+            return fn(la, ra), err
+        except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+            raise VrlError(f"cannot compare: {e}")
+    # arithmetic / string +
+    la = _as_array(lv, n, None if lv is not None else pa.float64())
+    la, ra = _unify(la, rv)
+    if op == "+" and (pa.types.is_string(la.type) or pa.types.is_large_string(la.type)):
+        return pc.binary_join_element_wise(
+            pc.cast(la, pa.string()), pc.cast(ra, pa.string()), ""), err
+    fn = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+          "/": pc.divide}[op]
+    try:
+        return fn(la, ra), err
+    except (pa.ArrowInvalid, pa.ArrowNotImplementedError) as e:
+        raise VrlError(f"arithmetic error: {e}")
+
+
+def _eval_call(node, ctx: _Ctx):
+    _, name, bang, argnodes = node
+    n = ctx.n
+    args = []
+    for a in argnodes:
+        v, _e = _eval(a, ctx)
+        args.append(v)
+    if name in _PRED_FUNCS:
+        return _eval_pred(name, argnodes, args, ctx), None
+    vals, ok = FUNCTIONS[name](*args)
+    if ok is None:
+        return vals, None
+    if isinstance(ok, pa.ChunkedArray):
+        ok = ok.combine_chunks()
+    err = pc.fill_null(pc.invert(ok), False)
+    return vals, err
+
+
+def _eval_pred(name, argnodes, args, ctx: _Ctx):
+    n = ctx.n
+    a0 = _as_array(args[0], n) if args else None
+    if name == "exists":
+        return pc.is_valid(a0)
+    if name == "is_null":
+        return pc.is_null(a0)
+    if name == "is_string":
+        return pa.array([pa.types.is_string(a0.type)] * n)
+    if name in ("length", "strlen"):
+        return pc.utf8_length(pc.cast(a0, pa.string()))
+    if name == "contains":
+        return pc.fill_null(pc.match_substring(
+            pc.cast(a0, pa.string()), str(_lit_of(argnodes[1], args[1]))), False)
+    if name == "starts_with":
+        return pc.fill_null(pc.starts_with(
+            pc.cast(a0, pa.string()), pattern=str(_lit_of(argnodes[1], args[1]))), False)
+    if name == "ends_with":
+        return pc.fill_null(pc.ends_with(
+            pc.cast(a0, pa.string()), pattern=str(_lit_of(argnodes[1], args[1]))), False)
+    if name == "match":
+        pat = _lit_of(argnodes[1], args[1])
+        if isinstance(pat, tuple) and pat[0] == "__regex__":
+            pat = pat[1]
+        return pc.fill_null(pc.match_substring_regex(
+            pc.cast(a0, pa.string()), str(pat)), False)
+    if name == "includes":
+        want = _lit_of(argnodes[1], args[1])
+        return pc.fill_null(pc.is_in(a0, value_set=pa.array([want])), False)
+    if name == "is_log":
+        return pa.array([True] * n)
+    if name == "is_metric":
+        # parity with conditions.is_metric: metric-shaped batches carry
+        # a metric kind column
+        return pa.array(["metric_kind" in ctx.batch.column_names] * n)
+    raise VrlError(f"unknown predicate {name!r}")
+
+
+def _lit_of(node, evaluated):
+    if node[0] == "lit":
+        return node[1]
+    return evaluated
+
+
+# ---------------------------------------------------------------------------
+# masked assignment machinery
+# ---------------------------------------------------------------------------
+
+def _set(batch: pa.Table, name: str, col) -> pa.Table:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if name in batch.column_names:
+        return batch.set_column(batch.schema.get_field_index(name), name, col)
+    return batch.append_column(name, col)
+
+
+def _struct_set(col: pa.Array | None, parts: list[str], vals: pa.Array,
+                n: int) -> pa.Array:
+    """Rebuild a struct column with ``parts`` (depth>=1) replaced."""
+    name = parts[0]
+    if col is not None and isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    existing_fields: dict[str, pa.Array] = {}
+    if col is not None and pa.types.is_struct(col.type):
+        for f in col.type:
+            existing_fields[f.name] = pc.struct_field(col, f.name)
+    if len(parts) == 1:
+        existing_fields[name] = vals
+    else:
+        child = existing_fields.get(name)
+        existing_fields[name] = _struct_set(child, parts[1:], vals, n)
+    names = list(existing_fields)
+    return pa.StructArray.from_arrays(
+        [_as_array(existing_fields[k], n) for k in names], names=names)
+
+
+def _masked(new: pa.Array, existing: pa.Array | None, mask, n: int) -> pa.Array:
+    if mask is None:
+        return new
+    if existing is None:
+        existing = pa.nulls(n, new.type)
+    new2, ex2 = _unify(new, existing)
+    return pc.if_else(mask, new2, ex2)
 
 
 class VrlProgram:
@@ -194,133 +651,141 @@ class VrlProgram:
 
     def __init__(self, source: str):
         self.source = source
-        self.statements = []
-        for raw_line in source.splitlines():
-            line = raw_line.split("#", 1)[0].strip()
-            if not line:
-                continue
-            for stmt in line.split(";"):
-                stmt = stmt.strip()
-                if not stmt:
-                    continue
-                guard = None
-                gm = re.match(r"^if\s*\((?P<cond>.*)\)\s*\{(?P<body>.*)\}\s*$", stmt)
-                if gm:
-                    from vector_ray.conditions import compile_condition
-
-                    guard = compile_condition(gm.group("cond"))
-                    stmt = gm.group("body").strip()
-                m = _STMT_RE.match(stmt)
-                if not m:
-                    raise VrlError(f"cannot parse statement {stmt!r}")
-                if m.group("del"):
-                    if guard is not None:
-                        raise VrlError("if-guard supports assignments only")
-                    self.statements.append(("del", m.group("delpath")))
-                elif m.group("abort"):
-                    from vector_ray.conditions import ALWAYS_PASS, compile_condition
-
-                    cond_src = m.group("abortcond")
-                    self.statements.append(
-                        ("abort",
-                         ALWAYS_PASS if cond_src is None
-                         else compile_condition(cond_src))
-                    )
-                else:
-                    expr = m.group("expr").strip()
-                    call = _CALL_RE.match(expr)
-                    if call and call.group("name") not in FUNCTIONS:
-                        raise VrlError(f"unknown function {call.group('name')!r}")
-                    self.statements.append(
-                        ("assign", m.group("target"), expr, guard))
+        self.statements = _Parser(source).parse_program()
 
     def __call__(self, batch: pa.Table):
-        n = batch.num_rows
-        err = pa.array([False] * n)
-        for stmt in self.statements:
-            if stmt[0] == "del":
-                if stmt[1] in batch.column_names:
-                    batch = batch.drop_columns([stmt[1]])
-                continue
-            if stmt[0] == "abort":
-                err = pc.or_(err, stmt[1](batch))
-                continue
-            _, target, expr, guard = stmt
-            fallback_src = None
-            if "??" in expr:
-                expr, _, fb = expr.partition("??")
-                expr, fallback_src = expr.strip(), fb.strip()
-            call = _CALL_RE.match(expr)
-            if call:
-                name = call.group("name")
-                if name not in FUNCTIONS:
-                    raise VrlError(f"unknown function {name!r}")
-                args = [_eval_arg(a, batch) for a in _split_args(call.group("args"))]
-                vals, ok = FUNCTIONS[name](*args)
-                if call.group("bang") and ok is not None:
-                    if isinstance(ok, pa.ChunkedArray):
-                        ok = ok.combine_chunks()
-                    stmt_err = pc.fill_null(pc.invert(ok), False)
-                    if guard is not None:
-                        # rows the guard excludes never ran the statement
-                        stmt_err = pc.and_(stmt_err, guard(batch))
-                    err = pc.or_(err, stmt_err)
-            else:
-                vals = _eval_arg(expr, batch)
-                if not isinstance(vals, (pa.Array, pa.ChunkedArray)):
-                    vals = pa.array([vals] * n)
-            if fallback_src is not None and not pa.types.is_struct(
-                vals.type if isinstance(vals, (pa.Array, pa.ChunkedArray)) else pa.string()
-            ):
-                fb = _eval_arg(fallback_src, batch)
-                if isinstance(fb, (pa.Array, pa.ChunkedArray)):
-                    vals = pc.if_else(pc.is_valid(vals), vals, fb)
-                else:
-                    vals = pc.fill_null(vals, fb)
-            if guard is not None:
-                gmask = guard(batch)
-                if target != "." and target[1:] in batch.column_names:
-                    existing = batch[target[1:]]
-                    if isinstance(existing, pa.ChunkedArray):
-                        existing = existing.combine_chunks()
-                else:
-                    existing = pa.nulls(
-                        n,
-                        vals.type if isinstance(vals, (pa.Array, pa.ChunkedArray))
-                        else pa.string(),
-                    )
-                if not isinstance(vals, (pa.Array, pa.ChunkedArray)):
-                    vals = pa.array([vals] * n)
-                if pa.types.is_struct(vals.type):
-                    raise VrlError("if-guard does not support `. =` struct merge")
-                vals = pc.if_else(gmask, pc.cast(vals, existing.type)
-                                  if existing.type != vals.type else vals, existing)
-            batch = _assign(batch, target, vals)
-        msg = pc.if_else(err, pa.scalar("vrl program error", pa.string()),
+        ctx = _Ctx(batch)
+        self._run(self.statements, ctx, None)
+        msg = pc.if_else(ctx.err, pa.scalar("vrl program error", pa.string()),
                          pa.scalar(None, pa.string()))
-        return batch, err, msg
+        return ctx.batch, ctx.err, msg
 
+    # ---- statement execution under mask (None = all rows active) ----
 
-def _assign(batch: pa.Table, target: str, vals) -> pa.Table:
-    if isinstance(vals, pa.ChunkedArray):
-        vals = vals.combine_chunks()
-    if target == ".":
+    def _run(self, stmts, ctx: _Ctx, mask):
+        for s in stmts:
+            kind = s[0]
+            if kind == "del":
+                self._del(s[1], ctx, mask)
+            elif kind == "abort":
+                if s[1] is None:
+                    hit = mask if mask is not None else pa.array(
+                        np.ones(ctx.n, dtype=bool))
+                else:
+                    v, _e = _eval(s[1], ctx)
+                    hit = _bool_mask(v, ctx.n)
+                    if mask is not None:
+                        hit = pc.and_(hit, mask)
+                ctx.err = pc.or_(ctx.err, hit)
+            elif kind == "if":
+                self._if(s, ctx, mask)
+            elif kind == "merge":
+                self._merge(s[1], ctx, mask)
+            elif kind == "assign":
+                self._assign(s[1], s[2], ctx, mask)
+            else:
+                raise AssertionError(kind)
+
+    def _if(self, node, ctx: _Ctx, mask):
+        _, arms, else_stmts = node
+        remaining = mask  # rows not yet captured by an arm
+        for cond, stmts in arms:
+            v, _e = _eval(cond, ctx)
+            m = _bool_mask(v, ctx.n)
+            if remaining is not None:
+                m = pc.and_(m, remaining)
+            self._run(stmts, ctx, m)
+            not_m = pc.invert(m)
+            remaining = not_m if remaining is None else pc.and_(remaining, not_m)
+        if else_stmts:
+            self._run(else_stmts, ctx, remaining)
+
+    def _del(self, parts, ctx: _Ctx, mask):
+        name = parts[0]
+        if name not in ctx.batch.column_names:
+            return
+        if len(parts) == 1:
+            if mask is None:
+                ctx.batch = ctx.batch.drop_columns([name])
+            else:
+                # per-row delete has no columnar analogue; null the rows
+                col = ctx.batch[name]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                nulled = pc.if_else(mask, pa.nulls(ctx.n, col.type), col)
+                ctx.batch = _set(ctx.batch, name, nulled)
+            return
+        col = ctx.batch[name]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_struct(col.type):
+            return
+        kept = [(f.name, pc.struct_field(col, f.name)) for f in col.type
+                if f.name != parts[1]]
+        if len(parts) > 2:
+            raise VrlError("del supports at most 2 path levels")
+        if not kept:
+            if mask is None:
+                ctx.batch = ctx.batch.drop_columns([name])
+            return
+        rebuilt = pa.StructArray.from_arrays(
+            [_as_array(v, ctx.n) for _k, v in kept], names=[k for k, _v in kept])
+        if mask is not None:
+            rebuilt = pc.if_else(mask, rebuilt, col) if rebuilt.type == col.type \
+                else rebuilt  # field-set change: apply to all (documented)
+        ctx.batch = _set(ctx.batch, name, rebuilt)
+
+    def _merge(self, expr, ctx: _Ctx, mask):
+        vals, err = _eval(expr, ctx)
+        vals = _as_array(vals, ctx.n)
         if not pa.types.is_struct(vals.type):
             raise VrlError(". = <expr> requires a struct-returning expr")
+        bang = expr[0] == "call" and expr[2]
+        if bang and err is not None:
+            hit = err if mask is None else pc.and_(err, mask)
+            ctx.err = pc.or_(ctx.err, hit)
         for f in vals.type:
             col = pc.struct_field(vals, f.name)
-            batch = _set(batch, f.name, col)
-        return batch
-    name = target[1:]
-    if "." in name:
-        raise VrlError("nested assignment targets not supported; use flat columns")
-    return _set(batch, name, vals)
+            existing = None
+            if f.name in ctx.batch.column_names:
+                existing = ctx.batch[f.name]
+                if isinstance(existing, pa.ChunkedArray):
+                    existing = existing.combine_chunks()
+            ctx.batch = _set(ctx.batch, f.name,
+                             _masked(col, existing, mask, ctx.n))
 
-
-def _set(batch: pa.Table, name: str, col) -> pa.Table:
-    if name in batch.column_names:
-        return batch.set_column(batch.schema.get_field_index(name), name, col)
-    return batch.append_column(name, col)
+    def _assign(self, target, expr, ctx: _Ctx, mask):
+        vals, err = _eval(expr, ctx)
+        bang = expr[0] == "call" and expr[2]
+        if bang and err is not None:
+            hit = err if mask is None else pc.and_(err, mask)
+            ctx.err = pc.or_(ctx.err, hit)
+        vals = _as_array(vals, ctx.n)
+        if target[0] == "var":
+            ctx.vars[target[1]] = vals if mask is None else _masked(
+                vals, ctx.vars.get(target[1]), mask, ctx.n)
+            return
+        parts = target[1]
+        if len(parts) == 1:
+            existing = None
+            if parts[0] in ctx.batch.column_names:
+                existing = ctx.batch[parts[0]]
+                if isinstance(existing, pa.ChunkedArray):
+                    existing = existing.combine_chunks()
+            ctx.batch = _set(ctx.batch, parts[0],
+                             _masked(vals, existing, mask, ctx.n))
+            return
+        # nested target: rebuild the top-level struct column
+        top = parts[0]
+        col = ctx.batch[top].combine_chunks() if (
+            top in ctx.batch.column_names
+            and isinstance(ctx.batch[top], pa.ChunkedArray)
+        ) else (ctx.batch[top] if top in ctx.batch.column_names else None)
+        leaf_existing = _descend(ctx.batch, parts, ctx.n) \
+            if top in ctx.batch.column_names else None
+        leafed = _masked(vals, leaf_existing, mask, ctx.n)
+        rebuilt = _struct_set(col, parts[1:], leafed, ctx.n)
+        ctx.batch = _set(ctx.batch, top, rebuilt)
 
 
 def compile_vrl(source: str) -> VrlProgram:

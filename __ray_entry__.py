@@ -422,6 +422,18 @@ def _q_filter_events(sf_dir: str):
     )
 
 
+def _q_dd_filter_events(sf_dir: str):
+    """filter driven by a Datadog Search query string (typed condition
+    config {type: datadog_search} — src/conditions/datadog_search.rs)."""
+    from vector_ray.stages.filter import filter_stage
+
+    return filter_stage(
+        _events(sf_dir, columns=["event_id", "event_type", "value"]),
+        {"type": "datadog_search",
+         "source": "@event_type:error OR @value:>250"},
+    )
+
+
 def _q_lineitem_pricing(sf_dir: str):
     import pandas as pd
     import pyarrow as pa
@@ -631,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_extract_events": _q_props_extract_events,
         "vrl_conditional_events": _q_vrl_conditional_events,
         "filter_events": _q_filter_events,
+        "dd_filter_events": _q_dd_filter_events,
         "lineitem_pricing": _q_lineitem_pricing,
         "events_semi_join": _q_events_semi_join,
         "events_anti_join": _q_events_anti_join,
@@ -683,6 +696,7 @@ def oracle_sql() -> dict[str, str]:
         "props_extract_events": oracle.SQL_PROPS_EXTRACT_EVENTS,
         "vrl_conditional_events": oracle.SQL_VRL_CONDITIONAL_EVENTS,
         "filter_events": oracle.SQL_FILTER_EVENTS,
+        "dd_filter_events": oracle.SQL_DD_FILTER_EVENTS,
         "lineitem_pricing": oracle.SQL_LINEITEM_PRICING,
         "events_semi_join": oracle.SQL_EVENTS_SEMI_JOIN,
         "events_anti_join": oracle.SQL_EVENTS_ANTI_JOIN,

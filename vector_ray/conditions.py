@@ -325,6 +325,22 @@ class Condition:
     def __init__(self, source: AnyCondition):
         if isinstance(source, Condition):
             self.source, self._node, self._fn = source.source, source._node, source._fn
+        elif isinstance(source, dict):
+            # typed condition config (src/conditions/mod.rs:23-48):
+            # {type: vrl|datadog_search, source: "..."}
+            ctype = source.get("type", "vrl")
+            csrc = source.get("source", "")
+            if ctype == "datadog_search":
+                from vector_ray.datadog_search import compile_datadog_search
+
+                self.source = f"datadog_search:{csrc}"
+                self._node, self._fn = None, compile_datadog_search(csrc)
+            elif ctype in ("vrl", "is_log", "is_metric"):
+                self.source = csrc if ctype == "vrl" else ctype
+                self._node = _Parser(self.source).parse()
+                self._fn = None
+            else:
+                raise ConditionError(f"unknown condition type {ctype!r}")
         elif callable(source):
             self.source, self._node, self._fn = f"<callable {source!r}>", None, source
         else:

@@ -324,6 +324,11 @@ SELECT event_id, event_type, value FROM events
 WHERE event_type = 'error' AND value > 100
 """
 
+SQL_DD_FILTER_EVENTS = """
+SELECT event_id, event_type, value FROM events
+WHERE event_type = 'error' OR value > 250
+"""
+
 
 # ---------------------------------------------------------------------------
 # Routed-row-set equality (per-port ROWS, not just counts) + extras.

@@ -193,3 +193,115 @@ def dedupe_exact_sorted(
 
     # blocks stay in the object store — no driver materialization
     return _rd.from_arrow_refs(out_refs)
+
+
+def dedupe_lru(
+    ds: Dataset,
+    fields: Sequence[str],
+    *,
+    cache_size: int = 5000,
+    order_by: Sequence[str] = tuple(ORDER_KEYS),
+    num_partitions: int = 1,
+) -> Dataset:
+    """Opt-in windowed-LRU dedupe — the reference's ACTUAL semantics
+    (dedupe/transform.rs:77-88): an LRU of ``cache.num_events``
+    fingerprints; a hit drops the event AND refreshes its recency; an
+    evicted fingerprint is re-emitted on its next occurrence.
+
+    ``num_partitions=1`` reproduces the reference exactly over the
+    stable ``order_by`` stream (one global cache, one sequential scan).
+    ``num_partitions>1`` is the scale path: rows hash-partition by
+    fingerprint, each partition scans ITS stream in ``order_by`` order
+    with its own ``cache_size`` cache — a documented divergence
+    (eviction pressure is per-partition, so slightly FEWER drops than a
+    single global cache; exactness of "hit while cached → dropped" is
+    preserved because a fingerprint always lands in the same
+    partition).  The scan itself is per-row Python (an LRU is
+    inherently sequential); use ``dedupe_exact`` when arrival-window
+    semantics are not required.
+    """
+    import numpy as np
+    import ray as _ray
+    import ray.data as _rd
+
+    from vector_ray.ml.hashing import hash_strings
+
+    fields = list(fields)
+    order_cols = list(order_by)
+    nparts = max(1, int(num_partitions))
+    PART_COL = "__dedupe_part"
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        fp = fingerprint(t, fields)
+        t = t.append_column(FINGERPRINT_COL, fp)
+        if nparts > 1:
+            h = hash_strings(fp.to_pylist(), seed=7) % np.uint64(nparts)
+            part = pa.array(h.astype(np.int32), pa.int32())
+        else:
+            part = pa.array(np.zeros(t.num_rows, np.int32), pa.int32())
+        return t.append_column(PART_COL, part)
+
+    sorted_ds = (
+        ds.map_batches(add_cols, batch_format="pyarrow", batch_size=None)
+        .sort([PART_COL] + order_cols)
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @_ray.remote
+    def _part_runs(t: pa.Table):
+        """contiguous (partition, start, end) runs of one sorted block."""
+        if t.num_rows == 0:
+            return []
+        p = t[PART_COL]
+        if isinstance(p, pa.ChunkedArray):
+            p = p.combine_chunks()
+        pn = p.to_numpy(zero_copy_only=False)
+        starts = np.nonzero(np.concatenate(([True], pn[1:] != pn[:-1])))[0]
+        ends = np.concatenate((starts[1:], [len(pn)]))
+        return [(int(pn[s]), int(s), int(e)) for s, e in zip(starts, ends)]
+
+    runs = _ray.get([_part_runs.remote(r) for r in refs])
+
+    # per partition: ordered slice list (block refs stay in the store)
+    slices: dict[int, list] = {}
+    for i, block_runs in enumerate(runs):
+        for part, s, e in block_runs:
+            slices.setdefault(part, []).append((refs[i], s, e))
+
+    @_ray.remote
+    def _scan(cache_n: int, *slabs):
+        """sequential LRU scan over one partition's ordered slices.
+        slabs = (block0, s0, e0, block1, s1, e1, ...)."""
+        from collections import OrderedDict
+
+        lru: OrderedDict = OrderedDict()
+        out = []
+        for j in range(0, len(slabs), 3):
+            block, s, e = slabs[j], slabs[j + 1], slabs[j + 2]
+            t = block.slice(s, e - s)
+            fp = t[FINGERPRINT_COL]
+            if isinstance(fp, pa.ChunkedArray):
+                fp = fp.combine_chunks()
+            fps = fp.to_pylist()
+            keep = np.zeros(len(fps), dtype=bool)
+            for i, f in enumerate(fps):
+                if f in lru:
+                    lru.move_to_end(f)  # hit: drop + refresh recency
+                else:
+                    keep[i] = True
+                    lru[f] = True
+                    if len(lru) > cache_n:
+                        lru.popitem(last=False)
+            out.append(t.filter(pa.array(keep)).drop_columns(
+                [FINGERPRINT_COL, PART_COL]))
+        return pa.concat_tables(out)
+
+    # one output block per partition, left in the object store
+    out_refs = [
+        _scan.remote(cache_size, *[x for slab in part_slices for x in slab])
+        for part_slices in slices.values()
+    ]
+    if not out_refs:
+        return sorted_ds.limit(0).drop_columns([FINGERPRINT_COL, PART_COL])
+    return _rd.from_arrow_refs(out_refs)

@@ -214,8 +214,17 @@ def _build_transform(
             exclude=c.get("exclude"),
         )}
     if t == "dedupe":
-        return {"": dedupe_exact(ds, c["fields"],
-                                 order_by=c.get("order_by", ("conv_id", "turn_idx")))}
+        order = c.get("order_by", ("conv_id", "turn_idx"))
+        cache = c.get("cache", {})
+        if cache.get("num_events"):
+            # reference semantics (windowed LRU, dedupe/transform.rs:77-88)
+            from vector_ray.stages.dedupe import dedupe_lru
+
+            return {"": dedupe_lru(
+                ds, c["fields"], cache_size=int(cache["num_events"]),
+                order_by=order,
+                num_partitions=int(c.get("num_partitions", 1)))}
+        return {"": dedupe_exact(ds, c["fields"], order_by=order)}
     if t == "reduce":
         if c.get("impl") == "sorted":
             from vector_ray.stages.sorted_ops import reduce_sorted

@@ -422,6 +422,38 @@ def _q_filter_events(sf_dir: str):
     )
 
 
+def _q_nginx_parse_events(sf_dir: str):
+    """Roundtrip oracle for parse_nginx_log: build a combined-format
+    line from event columns, parse it back, compare extracted fields to
+    ground truth computed directly in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.functions.parse_logs import parse_nginx_log
+
+    def run(t: pa.Table) -> pa.Table:
+        uid = pc.cast(t["user_id"], pa.string())
+        size = pc.cast(
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            pa.string())
+        line = pc.binary_join_element_wise(
+            "10.0.0.1 - user", uid,
+            " [01/Apr/2021:12:02:31 +0000] \"GET /", t["event_type"],
+            " HTTP/1.1\" 200 ", size, " \"-\" \"curl/8.0\"", "")
+        parsed = parse_nginx_log(line, "combined")
+        return pa.table({
+            "event_id": t["event_id"],
+            "client": parsed["client"],
+            "user": parsed["user"],
+            "request": parsed["request"],
+            "status": parsed["status"],
+            "size": parsed["size"],
+        })
+
+    return _events(sf_dir, columns=["event_id", "user_id", "event_type", "value"]) \
+        .map_batches(run, batch_format="pyarrow", batch_size=None)
+
+
 def _q_dd_filter_events(sf_dir: str):
     """filter driven by a Datadog Search query string (typed condition
     config {type: datadog_search} — src/conditions/datadog_search.rs)."""
@@ -644,6 +676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vrl_conditional_events": _q_vrl_conditional_events,
         "filter_events": _q_filter_events,
         "dd_filter_events": _q_dd_filter_events,
+        "nginx_parse_events": _q_nginx_parse_events,
         "lineitem_pricing": _q_lineitem_pricing,
         "events_semi_join": _q_events_semi_join,
         "events_anti_join": _q_events_anti_join,
@@ -697,6 +730,7 @@ def oracle_sql() -> dict[str, str]:
         "vrl_conditional_events": oracle.SQL_VRL_CONDITIONAL_EVENTS,
         "filter_events": oracle.SQL_FILTER_EVENTS,
         "dd_filter_events": oracle.SQL_DD_FILTER_EVENTS,
+        "nginx_parse_events": oracle.SQL_NGINX_PARSE_EVENTS,
         "lineitem_pricing": oracle.SQL_LINEITEM_PRICING,
         "events_semi_join": oracle.SQL_EVENTS_SEMI_JOIN,
         "events_anti_join": oracle.SQL_EVENTS_ANTI_JOIN,

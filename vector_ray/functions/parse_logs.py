@@ -6,6 +6,8 @@ regex extractions over Arrow columns.  Null where a row doesn't match.
 
 from __future__ import annotations
 
+import re
+
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -155,3 +157,272 @@ def parse_bytes(col) -> pa.Array:
     unit_keys = pa.array(list(_BYTES_UNITS), pa.string())
     f = factor.take(pc.index_in(unit, value_set=unit_keys))
     return pc.cast(pc.round(pc.multiply(num, f)), pa.int64())
+
+
+# ---------------------------------------------------------------------------
+# round-2 parser breadth: nginx / cef / user_agent / xml / klog / glog
+# (reference behaviors: website/cue/reference/remap/functions/*.cue;
+#  native impls under vrl stdlib — re-expressed as Arrow regex kernels)
+# ---------------------------------------------------------------------------
+
+# nginx combined:
+# client - user [ts] "request" status size "referer" "agent" ["compression"]
+_NGINX_COMBINED = (
+    r'^(?P<client>\S+) - (?P<user>\S+) '
+    r'\[(?P<timestamp>[^\]]+)\] '
+    r'"(?P<request>[^"]*)" '
+    r'(?P<status>\d{3}) (?P<size>\d+)'
+    r' "(?P<referer>[^"]*)" "(?P<agent>[^"]*)"'
+    r'(?: "(?P<compression>[^"]*)")?$'
+)
+
+# nginx error:
+# YYYY/MM/DD HH:MM:SS [level] pid#tid: *cid message[, kv-tail]
+_NGINX_ERROR = (
+    r'^(?P<timestamp>\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}) '
+    r'\[(?P<severity>\w+)\] '
+    r'(?P<pid>\d+)#(?P<tid>\d+):'
+    r'(?: \*(?P<cid>\d+))? '
+    r'(?P<message>.*?)'
+    r'(?:, client: (?P<client>[^,]+))?'
+    r'(?:, server: (?P<server>[^,]+))?'
+    r'(?:, request: "(?P<request>[^"]*)")?'
+    r'(?:, host: "(?P<host>[^"]*)")?$'
+)
+
+
+def parse_nginx_log(col, fmt: str = "combined") -> dict[str, pa.Array]:
+    """Nginx access (combined) / error log lines
+    (parse_nginx_log.cue semantics; timestamps stay strings)."""
+    col = _arr(col)
+    if fmt == "combined":
+        g = pc.extract_regex(col, pattern=_NGINX_COMBINED)
+        out = {n: pc.struct_field(g, n) for n in
+               ("client", "user", "timestamp", "request", "status", "size",
+                "referer", "agent", "compression")}
+        out["status"] = _opt_int(out["status"])
+        out["size"] = _opt_int(out["size"])
+        out["compression"] = _nullif_empty(out["compression"])
+        out["ts"] = parse_timestamp(out.pop("timestamp"), "%d/%b/%Y:%H:%M:%S %z")
+        return out
+    if fmt == "error":
+        g = pc.extract_regex(col, pattern=_NGINX_ERROR)
+        out = {n: pc.struct_field(g, n) for n in
+               ("timestamp", "severity", "pid", "tid", "cid", "message",
+                "client", "server", "request", "host")}
+        out["pid"] = _opt_int(out["pid"])
+        out["tid"] = _opt_int(out["tid"])
+        out["cid"] = _opt_int(out["cid"])
+        return out
+    raise ValueError(f"unknown nginx format {fmt!r}")
+
+
+# CEF: CEF:version|vendor|product|device_version|event_class_id|name|severity|ext
+_CEF_HEADER = (
+    r'^(?:.*?)?CEF:(?P<cefVersion>\d+)\|'
+    r'(?P<deviceVendor>(?:\\.|[^|])*)\|'
+    r'(?P<deviceProduct>(?:\\.|[^|])*)\|'
+    r'(?P<deviceVersion>(?:\\.|[^|])*)\|'
+    r'(?P<deviceEventClassId>(?:\\.|[^|])*)\|'
+    r'(?P<name>(?:\\.|[^|])*)\|'
+    r'(?P<severity>(?:\\.|[^|])*)\|'
+    r'(?P<extension>.*)$'
+)
+
+_CEF_HEADER_FIELDS = ("cefVersion", "deviceVendor", "deviceProduct",
+                      "deviceVersion", "deviceEventClassId", "name",
+                      "severity")
+
+
+def parse_cef(col, keys: list[str] | None = None) -> dict[str, pa.Array]:
+    """ArcSight CEF lines (parse_cef.cue): the 7 header fields plus the
+    requested extension ``keys`` (extension values run until the next
+    ``key=``; ``\\``-escapes unescaped).  Pass ``keys=None`` to get the
+    raw ``extension`` string column instead of individual keys."""
+    col = _arr(col)
+    g = pc.extract_regex(col, pattern=_CEF_HEADER)
+    out = {n: pc.struct_field(g, n) for n in _CEF_HEADER_FIELDS}
+    for n in ("deviceVendor", "deviceProduct", "deviceVersion",
+              "deviceEventClassId", "name", "severity"):
+        out[n] = pc.replace_substring_regex(out[n], pattern=r"\\(.)",
+                                            replacement=r"\1")
+    ext = pc.struct_field(g, "extension")
+    if keys is None:
+        out["extension"] = ext
+        return out
+    for k in keys:
+        kg = pc.extract_regex(
+            ext, pattern=rf"(?:^|\s){re.escape(k)}=(?P<v>(?:\\.|[^=])*?)(?:\s+\w+=|$)")
+        v = pc.struct_field(kg, "v")
+        out[k] = pc.replace_substring_regex(v, pattern=r"\\(.)",
+                                            replacement=r"\1")
+    return out
+
+
+# user agent: heuristic "fast mode" family/version extraction
+_UA_BROWSERS = [
+    ("Edge", r"Edg(?:e|A|iOS)?/(?P<v>[\d.]+)"),
+    ("Chrome", r"Chrome/(?P<v>[\d.]+)"),
+    ("Firefox", r"Firefox/(?P<v>[\d.]+)"),
+    ("Safari", r"Version/(?P<v>[\d.]+).*Safari"),
+    ("Opera", r"(?:Opera[/ ]|OPR/)(?P<v>[\d.]+)"),
+    ("IE", r"MSIE (?P<v>[\d.]+)"),
+]
+
+_UA_OS = [
+    ("Windows", r"Windows NT (?P<v>[\d.]+)"),
+    ("iOS", r"(?:iPhone|iPad).*OS (?P<v>[\d_]+)"),
+    ("Mac OS X", r"Mac OS X (?P<v>[\d_.]+)"),
+    ("Android", r"Android (?P<v>[\d.]+)"),
+    ("Linux", r"(?P<v>)Linux"),
+]
+
+
+def parse_user_agent(col) -> dict[str, pa.Array]:
+    """Heuristic user-agent classification (parse_user_agent.cue "fast
+    mode" shape, flattened to columns): browser_family/browser_version,
+    os_family/os_version, device_category (pc/mobile/bot)."""
+    col = _arr(col)
+    n = len(col)
+
+    def pick(pairs):
+        fam = pa.nulls(n, pa.string())
+        ver = pa.nulls(n, pa.string())
+        for name, pat in pairs:
+            g = pc.extract_regex(col, pattern=pat)
+            hit = pc.and_(pc.is_valid(g), pc.is_null(fam))
+            fam = pc.if_else(hit, pa.scalar(name, pa.string()), fam)
+            v = _nullif_empty(pc.struct_field(g, "v"))
+            v = pc.replace_substring(v, "_", ".")
+            ver = pc.if_else(hit, v, ver)
+        return fam, ver
+
+    bf, bv = pick(_UA_BROWSERS)
+    of, ov = pick(_UA_OS)
+    is_bot = pc.fill_null(pc.match_substring_regex(
+        col, r"(?i)bot|crawler|spider|slurp|curl|wget"), False)
+    is_mobile = pc.fill_null(pc.match_substring_regex(
+        col, r"Mobile|Android|iPhone|iPad"), False)
+    cat = pc.if_else(is_bot, pa.scalar("bot", pa.string()),
+                     pc.if_else(is_mobile, pa.scalar("mobile", pa.string()),
+                                pa.scalar("pc", pa.string())))
+    return {"browser_family": bf, "browser_version": bv,
+            "os_family": of, "os_version": ov, "device_category": cat}
+
+
+def parse_xml(col, text_key: str = "value",
+              parse_number: bool = True) -> pa.Array:
+    """XML → JSON-string column (parse_xml.cue object shape:
+    attributes keyed ``@attr``, text under ``text_key``).  Arrow needs a
+    uniform schema, so the dynamic object is returned JSON-encoded —
+    feed it to ``parse_json`` to lift known fields (documented
+    divergence from VRL's dynamic object)."""
+    import json
+    import xml.etree.ElementTree as ET
+
+    def conv(el):
+        node: dict = {}
+        for k, v in el.attrib.items():
+            node["@" + k] = v
+        children = list(el)
+        text = (el.text or "").strip()
+        for c in children:
+            v = conv(c)
+            if c.tag in node:
+                prev = node[c.tag]
+                node[c.tag] = prev + [v] if isinstance(prev, list) else [prev, v]
+            else:
+                node[c.tag] = v
+        if text:
+            val = text
+            if parse_number:
+                try:
+                    val = int(text)
+                except ValueError:
+                    try:
+                        val = float(text)
+                    except ValueError:
+                        pass
+            if node:
+                node[text_key] = val
+            else:
+                return val
+        return node
+
+    col = _arr(col)
+    out = []
+    for s in col.to_pylist():
+        if s is None:
+            out.append(None)
+            continue
+        try:
+            root = ET.fromstring(s)
+            out.append(json.dumps({root.tag: conv(root)}, sort_keys=True))
+        except ET.ParseError:
+            out.append(None)
+    return pa.array(out, pa.string())
+
+
+# klog:  I0505 17:59:40.692994   28133 klog.go:70] message
+_KLOG = (
+    r'^(?P<level>[IWEF])(?P<mmdd>\d{4}) '
+    r'(?P<time>\d{2}:\d{2}:\d{2}\.\d+)\s+'
+    r'(?P<id>\d+) (?P<file>[^:]+):(?P<line>\d+)\] (?P<message>.*)$'
+)
+
+# glog:  I20210131 14:48:54.411655 15520 main.c++:9] message
+_GLOG = (
+    r'^(?P<level>[IWEF])(?P<date>\d{8}) '
+    r'(?P<time>\d{2}:\d{2}:\d{2}\.\d+) '
+    r'(?P<id>\d+) (?P<file>[^:]+):(?P<line>\d+)\] (?P<message>.*)$'
+)
+
+_KLOG_LEVELS = {"I": "info", "W": "warning", "E": "error", "F": "fatal"}
+
+
+def _klog_level(col) -> pa.Array:
+    out = pa.nulls(len(col), pa.string())
+    for k, v in _KLOG_LEVELS.items():
+        out = pc.if_else(pc.equal(col, k), pa.scalar(v, pa.string()), out)
+    return out
+
+
+def parse_klog(col, year: int | None = None) -> dict[str, pa.Array]:
+    """Kubernetes klog lines (parse_klog.cue).  klog omits the year, so
+    the reference stamps the CURRENT year; pass ``year`` explicitly for
+    deterministic pipelines."""
+    import datetime
+
+    col = _arr(col)
+    g = pc.extract_regex(col, pattern=_KLOG)
+    out = {n: pc.struct_field(g, n) for n in
+           ("level", "mmdd", "time", "id", "file", "line", "message")}
+    y = str(year if year is not None else datetime.date.today().year)
+    stamp = pc.binary_join_element_wise(
+        pa.scalar(y), pc.utf8_slice_codeunits(out["mmdd"], 0, 2),
+        pc.utf8_slice_codeunits(out["mmdd"], 2, 4), out.pop("time"), "-")
+    # "YYYY-MM-DD-HH:MM:SS.ffffff" -> ISO-ish timestamp string
+    out["timestamp"] = pc.replace_substring_regex(
+        stamp, pattern=r"^(\d{4})-(\d{2})-(\d{2})-", replacement=r"\1-\2-\3T")
+    out["level"] = _klog_level(out["level"])
+    out["id"] = _opt_int(out["id"])
+    out["line"] = _opt_int(out["line"])
+    out.pop("mmdd")
+    return out
+
+
+def parse_glog(col) -> dict[str, pa.Array]:
+    """Google glog lines (parse_glog.cue)."""
+    col = _arr(col)
+    g = pc.extract_regex(col, pattern=_GLOG)
+    out = {n: pc.struct_field(g, n) for n in
+           ("level", "date", "time", "id", "file", "line", "message")}
+    d = out.pop("date")
+    stamp = pc.binary_join_element_wise(
+        pc.utf8_slice_codeunits(d, 0, 4), pc.utf8_slice_codeunits(d, 4, 6),
+        pc.utf8_slice_codeunits(d, 6, 8), "-")
+    out["timestamp"] = pc.binary_join_element_wise(stamp, out.pop("time"), "T")
+    out["level"] = _klog_level(out["level"])
+    out["id"] = _opt_int(out["id"])
+    out["line"] = _opt_int(out["line"])
+    return out

@@ -375,6 +375,16 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+SQL_NGINX_PARSE_EVENTS = """
+SELECT event_id,
+       '10.0.0.1' AS client,
+       'user' || user_id AS user,
+       'GET /' || event_type || ' HTTP/1.1' AS request,
+       200::BIGINT AS status,
+       CAST(round(value * 100) AS BIGINT) AS size
+FROM events
+"""
+
 SQL_VRL_CONDITIONAL_EVENTS = """
 SELECT event_id,
        CASE WHEN value > 250 THEN 'high'

@@ -100,8 +100,37 @@ def _parse_json_struct(col, *keys):
     return st, full_ok
 
 
+def _dict_struct(fn, valid_field: str):
+    """wrap a parse_logs-style dict-returning parser into a
+    struct-returning VRL function; ok = the anchor field extracted."""
+    def run(col, *args):
+        fields = fn(col, *args)
+        names = list(fields)
+        arrs = []
+        for k in names:
+            v = fields[k]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            arrs.append(v)
+        st = pa.StructArray.from_arrays(arrs, names=names)
+        ok = pc.is_valid(fields[valid_field])
+        return st, ok
+    return run
+
+
 FUNCTIONS: dict[str, Callable] = {
     "parse_grok": _parse_grok_struct,
+    "parse_syslog": _dict_struct(parse_logs.parse_syslog, "host"),
+    "parse_common_log": _dict_struct(parse_logs.parse_common_log, "host"),
+    "parse_apache_log": _dict_struct(parse_logs.parse_apache_log, "host"),
+    "parse_nginx_log": _dict_struct(parse_logs.parse_nginx_log, "client"),
+    "parse_cef": _dict_struct(parse_logs.parse_cef, "deviceVendor"),
+    "parse_user_agent": _dict_struct(parse_logs.parse_user_agent,
+                                     "device_category"),
+    "parse_klog": _dict_struct(parse_logs.parse_klog, "file"),
+    "parse_glog": _dict_struct(parse_logs.parse_glog, "file"),
+    "parse_url": _dict_struct(parse_logs.parse_url, "host"),
+    "parse_xml": _wrap_fallible(parse_logs.parse_xml),
     "parse_regex": _parse_regex_struct,
     "parse_key_value": _parse_kv_struct,
     "parse_logfmt": _parse_kv_struct,

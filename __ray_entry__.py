@@ -281,6 +281,44 @@ def _q_simhash_pairs_docs(sf_dir: str):
     return simhash_dedup(_docs(sf_dir), max_hamming=3)
 
 
+def _docs_with_dups(sf_dir: str):
+    """documents UNION a doc_id-shifted copy of every 10th doc — the
+    testdata has no byte-identical texts, so exact-dup coverage is
+    synthesized identically on both sides (same SQL in the oracle)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir)
+
+    def shift(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(pc.cast(pc.bit_wise_and(t["doc_id"], 7), pa.int64()), 0))
+        ids = pc.add(t["doc_id"], 1_000_000)
+        return t.set_column(t.schema.get_field_index("doc_id"), "doc_id", ids)
+
+    return ds.union(ds.map_batches(shift, batch_format="pyarrow", batch_size=None))
+
+
+def _q_minhash_exact_dedup_docs(sf_dir: str):
+    """Oracle-checkable LSH invariant: verify="exact" keeps only
+    byte-identical candidate pairs, so survivors == exact dedup (min id
+    per distinct text) while still exercising signatures -> banding ->
+    bucket groupby -> union-find (the duplicated copies MUST be dropped)."""
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    deduped, _clusters = minhash_lsh_dedup(_docs_with_dups(sf_dir), verify="exact")
+    return deduped.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
+
+
+def _q_simhash_exact_pairs_docs(sf_dir: str):
+    """Oracle-checkable SimHash invariant: max_hamming=0 + exact text
+    verify == the duplicate-text pair set (a < b)."""
+    from vector_ray.ml.dedup import simhash_dedup
+
+    pairs = simhash_dedup(_docs_with_dups(sf_dir), max_hamming=0,
+                          verify_exact=True)
+    return pairs[["a", "b"]]
+
+
 def _q_doc_fingerprint(sf_dir: str):
     from vector_ray.ml.text import doc_fingerprint
 
@@ -634,12 +672,27 @@ def _q_stdev_events(sf_dir: str):
 
 
 def _q_quantile_sketch_events(sf_dir: str):
+    """DDSketch quantiles — oracle-checkable because the sketch is a
+    deterministic PUBLIC algorithm (Masson et al. 2019): the SQL oracle
+    replays the same log-gamma bucketing + rank walk in DuckDB, so the
+    bucket-midpoint outputs match bit-for-bit (micro-quantized)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from vector_ray.stages.sketch import aggregate_quantile_sketch
 
-    return aggregate_quantile_sketch(
+    out = aggregate_quantile_sketch(
         _events(sf_dir), series_keys=["event_type"], value_col="value",
         quantiles=(0.5, 0.9, 0.99), alpha=0.005,
     )
+
+    def micro(t: pa.Table) -> pa.Table:
+        for c in ("p50", "p90", "p99"):
+            v = pc.cast(pc.round(pc.multiply(t[c], 1e6)), pa.int64())
+            t = t.drop_columns([c]).append_column(c + "_micro", v)
+        return t
+
+    return out.map_batches(micro, batch_format="pyarrow", batch_size=None)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -667,6 +720,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _q_lang_id_docs,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
+        "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
+        "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
         "doc_fingerprint": _q_doc_fingerprint,
         "session_stats_events": _q_session_stats_events,
         "sliding_window_events": _q_sliding_window_events,
@@ -744,6 +799,9 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash_events": oracle.SQL_SAMPLE_HASH_EVENTS,
         "histogram_events": oracle.SQL_HISTOGRAM_EVENTS,
         "metric_to_log_events": oracle.SQL_METRIC_TO_LOG_EVENTS,
+        "quantile_sketch_events": oracle.SQL_QUANTILE_SKETCH_EVENTS,
+        "minhash_exact_dedup_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
+        "simhash_exact_pairs_docs": oracle.SQL_SIMHASH_EXACT_PAIRS_DOCS,
         "role_enrich": oracle.sql_role_enrich(
             tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),
     }

@@ -168,6 +168,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     seed: int = 42,
     concurrency: int | tuple = (1, 4),
+    verify: str = "jaccard",
 ) -> tuple[Dataset, pd.DataFrame]:
     """MinHash+LSH near-dup removal.
 
@@ -176,6 +177,12 @@ def minhash_lsh_dedup(
     verify step recomputes exact n-gram Jaccard on candidate pairs only
     (texts fetched via a broadcast id->text lookup of JUST the candidate
     ids — never the whole corpus).
+
+    ``verify="exact"`` keeps only candidate pairs with BYTE-IDENTICAL
+    texts — the result then equals exact dedup (min id per distinct
+    text), which makes the WHOLE LSH path (signatures → banding →
+    bucket groupby → union-find) SQL-oracle-checkable: exact dups have
+    identical signatures, so they always surface as candidates.
     """
     band_rows = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=None,
@@ -232,10 +239,16 @@ def minhash_lsh_dedup(
         for r in ds.map_batches(keep_cands, batch_format="pyarrow",
                                 batch_size=None).take_all()
     }
-    verified = [
-        (a, b) for a, b in pairs_df.itertuples(index=False)
-        if _jaccard(texts.get(a, ""), texts.get(b, ""), shingle_n) >= threshold
-    ]
+    if verify == "exact":
+        verified = [
+            (a, b) for a, b in pairs_df.itertuples(index=False)
+            if texts.get(a) is not None and texts.get(a) == texts.get(b)
+        ]
+    else:
+        verified = [
+            (a, b) for a, b in pairs_df.itertuples(index=False)
+            if _jaccard(texts.get(a, ""), texts.get(b, ""), shingle_n) >= threshold
+        ]
     roots = _connected_components(verified)
     clusters = pd.DataFrame(
         {id_col: list(roots), "cluster": [roots[k] for k in roots]}
@@ -286,11 +299,17 @@ def simhash_dedup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     concurrency: int | tuple = (1, 4),
+    verify_exact: bool = False,
 ) -> pd.DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit keys (any pair within Hamming<=3 shares at least one band),
     groupby band key, verify Hamming distance inside buckets.  Returns
-    the verified pair list."""
+    the verified pair list.
+
+    ``verify_exact=True`` additionally filters pairs to byte-identical
+    texts (broadcast lookup of candidate ids only) — with
+    ``max_hamming=0`` the result is then exactly the duplicate-text
+    pair set, making the signature+banding machinery oracle-checkable."""
     sigs = ds.map_batches(
         SimHasher, batch_format="pyarrow", batch_size=None,
         concurrency=concurrency,
@@ -337,4 +356,20 @@ def simhash_dedup(
         .sort_values(["a", "b"])
         .reset_index(drop=True)
     )
+    if verify_exact and len(pairs):
+        cand_ids = sorted(set(pairs["a"]) | set(pairs["b"]))
+        cand_arr = pa.array(cand_ids)
+
+        def keep_cands(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[id_col], value_set=cand_arr)
+            return t.filter(mask).select([id_col, text_col])
+
+        texts = {
+            r[id_col]: r[text_col]
+            for r in ds.map_batches(keep_cands, batch_format="pyarrow",
+                                    batch_size=None).take_all()
+        }
+        same = [texts.get(a) is not None and texts.get(a) == texts.get(b)
+                for a, b in zip(pairs["a"], pairs["b"])]
+        pairs = pairs[same].reset_index(drop=True)
     return pairs

@@ -375,6 +375,64 @@ SELECT event_type,
 FROM events GROUP BY 1
 """
 
+# both exact-verify ML oracles run over documents + a doc_id-shifted
+# copy of every 8th doc (doc_id % 8 == 0 -> doc_id + 1e6), mirroring
+# __ray_entry__._docs_with_dups exactly.
+_DOCS_WITH_DUPS = """
+docs2 AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 8 = 0)
+"""
+
+SQL_MINHASH_EXACT_DEDUP_DOCS = f"""
+WITH {_DOCS_WITH_DUPS}
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+  FROM docs2) WHERE rn = 1
+"""
+
+SQL_SIMHASH_EXACT_PAIRS_DOCS = f"""
+WITH {_DOCS_WITH_DUPS}
+SELECT d1.doc_id AS a, d2.doc_id AS b
+FROM docs2 d1 JOIN docs2 d2
+  ON d1.text = d2.text AND d1.doc_id < d2.doc_id
+"""
+
+# DDSketch replay (public algorithm — Masson et al., VLDB 2019): same
+# log-gamma bucketing, same rank walk, same bucket-midpoint outputs as
+# stages/sketch.py, so the approximate quantiles compare EXACTLY.
+SQL_QUANTILE_SKETCH_EVENTS = """
+WITH params AS (SELECT 1.005 / 0.995 AS gamma),
+b AS (
+  SELECT event_type,
+         CAST(ceil(ln(value) / ln((SELECT gamma FROM params))) AS BIGINT) AS i,
+         count(*)::BIGINT AS c
+  FROM events WHERE value > 0 GROUP BY 1, 2),
+n AS (SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1),
+cum AS (
+  SELECT event_type, i,
+         sum(c) OVER (PARTITION BY event_type ORDER BY i) AS cum
+  FROM b),
+sel AS (
+  SELECT c.event_type,
+         min(c.i) FILTER (WHERE c.cum > 0.50 * (n.n - 1)) AS i50,
+         min(c.i) FILTER (WHERE c.cum > 0.90 * (n.n - 1)) AS i90,
+         min(c.i) FILTER (WHERE c.cum > 0.99 * (n.n - 1)) AS i99
+  FROM cum c JOIN n ON c.event_type = n.event_type
+  GROUP BY 1)
+SELECT s.event_type,
+       n.n AS count,
+       CAST(round(2 * power((SELECT gamma FROM params), s.i50)
+                  / ((SELECT gamma FROM params) + 1) * 1e6) AS BIGINT) AS p50_micro,
+       CAST(round(2 * power((SELECT gamma FROM params), s.i90)
+                  / ((SELECT gamma FROM params) + 1) * 1e6) AS BIGINT) AS p90_micro,
+       CAST(round(2 * power((SELECT gamma FROM params), s.i99)
+                  / ((SELECT gamma FROM params) + 1) * 1e6) AS BIGINT) AS p99_micro
+FROM sel s JOIN n ON s.event_type = n.event_type
+"""
+
 SQL_NGINX_PARSE_EVENTS = """
 SELECT event_id,
        '10.0.0.1' AS client,

@@ -92,6 +92,9 @@ def reduce_stage(
     window_ms: int | None = None,
     count_field: str = "events",
     impl: str = "auto",
+    starts_when=None,
+    ends_when=None,
+    max_events: int | None = None,
 ) -> Dataset:
     """Collapse each group to one row.
 
@@ -107,11 +110,33 @@ def reduce_stage(
     ``order_by``, no ``window_ms``.  ``impl="grouped"`` forces the
     per-group fallback (needed for shortest/longest_array, squash
     strategies, windowed reduce, or unordered groups).
+
+    Flush knobs (reduce/config.rs:31-121):
+
+    - ``starts_when`` — a matching event OPENS a new reduction (the
+      previous one flushes before it merges);
+    - ``ends_when`` — a matching event CLOSES the current reduction
+      (it is merged in, the next event starts fresh);
+    - ``max_events`` — a reduction flushes after merging N events.
+
+    All three sub-group each ``group_by`` group in ``order_by`` order
+    (requires ``order_by``); the emitted rows drop the internal
+    session/chunk markers.
     """
     strategies = {k: v.lower() for k, v in (merge_strategies or {}).items()}
     for k, v in strategies.items():
         if v not in STRATEGIES:
             raise ValueError(f"unknown merge strategy {v!r} for field {k!r}")
+
+    if starts_when is not None or ends_when is not None or max_events:
+        if not order_by:
+            raise ValueError("starts_when/ends_when/max_events need order_by")
+        return _reduce_with_flush(
+            ds, group_by=group_by, strategies=strategies, order_by=order_by,
+            timestamp_fields=timestamp_fields, count_field=count_field,
+            starts_when=starts_when, ends_when=ends_when,
+            max_events=max_events, impl=impl,
+        )
     if impl == "auto":
         from vector_ray.stages.sorted_ops import _MERGEABLE
 
@@ -171,3 +196,88 @@ def reduce_stage(
             batch_size=None,
         )
     return out
+
+
+def _reduce_with_flush(
+    ds: Dataset,
+    *,
+    group_by,
+    strategies,
+    order_by,
+    timestamp_fields,
+    count_field,
+    starts_when,
+    ends_when,
+    max_events,
+    impl,
+):
+    """Sub-group each group by flush boundaries, then reduce per
+    (group, session[, chunk]).  Boundary detection composes:
+
+    1. condition sessions via ``windows.sessionize_by_condition``
+       (starts_when opens at a match; ends_when closes after one);
+    2. ``max_events`` chunks via a vectorized sorted-run rank inside
+       each (group, session): chunk = rank // max_events.
+    """
+    from vector_ray.stages.windows import sessionize_by_condition
+
+    SESS, CHUNK, KEYC = "__reduce_sess", "__reduce_chunk", "__reduce_key"
+    group_cols = list(group_by)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        from vector_ray.stages.sorted_ops import _combined_key
+
+        return t.append_column(KEYC, _combined_key(t, group_cols))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+
+    if starts_when is not None or ends_when is not None:
+        cond = starts_when if starts_when is not None else ends_when
+        mode = "starts_when" if starts_when is not None else "ends_when"
+        keyed = sessionize_by_condition(
+            keyed, key=KEYC, condition=cond, mode=mode,
+            order_by=list(order_by), out_col=SESS,
+        )
+    else:
+        def zero_sess(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                SESS, pa.array(np.zeros(t.num_rows, np.int64)))
+
+        keyed = keyed.map_batches(zero_sess, batch_format="pyarrow",
+                                  batch_size=None)
+
+    sub_groups = group_cols + [SESS]
+    if max_events:
+        from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+        ranked = add_group_rank(keyed, [KEYC, SESS], list(order_by))
+
+        def chunk(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            c = pc.cast(pc.floor(pc.divide(
+                pc.cast(t[RANK_COL], pa.float64()), float(max_events))),
+                pa.int64())
+            return t.drop_columns([RANK_COL]).append_column(CHUNK, c)
+
+        keyed = ranked.map_batches(chunk, batch_format="pyarrow",
+                                   batch_size=None)
+        sub_groups = sub_groups + [CHUNK]
+
+    def drop_key(t: pa.Table) -> pa.Table:
+        return t.drop_columns([KEYC])
+
+    keyed = keyed.map_batches(drop_key, batch_format="pyarrow", batch_size=None)
+
+    out = reduce_stage(
+        keyed, group_by=sub_groups, merge_strategies=strategies,
+        order_by=order_by, timestamp_fields=timestamp_fields,
+        count_field=count_field, impl=impl,
+    )
+    marker_cols = [c for c in (SESS, CHUNK) if max_events or c == SESS]
+
+    def drop_markers(t: pa.Table) -> pa.Table:
+        return t.drop_columns([c for c in marker_cols if c in t.column_names])
+
+    return out.map_batches(drop_markers, batch_format="pyarrow",
+                           batch_size=None)

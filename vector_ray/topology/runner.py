@@ -241,6 +241,9 @@ def _build_transform(
             order_by=c.get("order_by"),
             timestamp_fields=c.get("timestamp_fields", ("ts",)),
             window_ms=c.get("window_ms"),
+            starts_when=c.get("starts_when"),
+            ends_when=c.get("ends_when"),
+            max_events=c.get("max_events"),
         )}
     if t == "aggregate":
         from vector_ray.stages.aggregate import aggregate_stage

@@ -325,3 +325,46 @@ sinks:
     }]
     res = run_unit_tests(topo, tests)[0]
     assert res.passed, res.failures
+
+
+def test_remap_abort_toml_keeps_original():
+    """remap.toml `remap_abort`: abort with drop_on_abort=false forwards
+    the ORIGINAL event — assignments before the abort are reverted."""
+    import pyarrow as pa
+
+    from vector_ray.stages.remap import remap
+    from vector_ray.vrl import compile_vrl
+    import ray.data as rd
+
+    prog = compile_vrl(".foo = false\nabort\n.bar = false")
+    t = pa.table({"foo": [True], "bar": [True]})
+    out = remap(rd.from_arrow(t), prog).primary.to_pandas()
+    assert out["foo"].tolist() == [True]
+    assert out["bar"].tolist() == [True]
+
+
+def test_remap_abort_drop_on_abort_toml():
+    """remap.toml `remap_abort_drop_on_abort`: no outputs."""
+    import pyarrow as pa
+
+    from vector_ray.stages.remap import remap
+    from vector_ray.vrl import compile_vrl
+    import ray.data as rd
+
+    prog = compile_vrl(".foo = false\nabort\n.bar = false")
+    t = pa.table({"foo": [True], "bar": [True]})
+    res = remap(rd.from_arrow(t), prog, drop_on_error=True)
+    assert res.primary.count() == 0
+
+
+def test_remap_nested_toml():
+    """remap.toml `remap_nested`: nested-path assignment targets."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_vrl
+
+    prog = compile_vrl(".a.b = 123\n.x.y = 456\n.x.z = 789")
+    out, err, _ = prog(pa.table({"message": [""]}))
+    assert out["a"].to_pylist() == [{"b": 123}]
+    assert out["x"].to_pylist() == [{"y": 456, "z": 789}]
+    assert err.to_pylist() == [False]

@@ -125,6 +125,28 @@ def remap(
         err = pc.fill_null(pc.cast(err, pa.bool_()), False)
         if isinstance(err, pa.ChunkedArray):
             err = err.combine_chunks()
+        if pc.any(err).as_py():
+            # keep-original (remap.rs:556-575): error/abort rows forward
+            # the ORIGINAL event — revert modified columns, null columns
+            # the program added (best-effort when the program changed a
+            # column's type: cast the original, else null)
+            for i, name in enumerate(out.column_names):
+                cur = out[name]
+                if isinstance(cur, pa.ChunkedArray):
+                    cur = cur.combine_chunks()
+                if name in batch.column_names:
+                    orig = batch[name]
+                    if isinstance(orig, pa.ChunkedArray):
+                        orig = orig.combine_chunks()
+                    if orig.type != cur.type:
+                        try:
+                            orig = pc.cast(orig, cur.type)
+                        except (pa.ArrowInvalid, pa.ArrowNotImplementedError,
+                                pa.ArrowTypeError):
+                            orig = pa.nulls(out.num_rows, cur.type)
+                else:
+                    orig = pa.nulls(out.num_rows, cur.type)
+                out = out.set_column(i, name, pc.if_else(err, orig, cur))
         out = out.append_column(ERROR_COL, err)
         if msg is not None:
             if isinstance(msg, pa.ChunkedArray):

@@ -13,8 +13,9 @@ defines it as the FIRST ``value_limit`` distinct values in stable
   1. shuffle-light discovery — per-batch (value, min-order) partials →
      groupby(value) min → rank by first-seen → allowed set;
   2. broadcast the allowed set (ray.put) and apply per batch.
-The probabilistic mode is approximated by the same exact set here
-(documented; Bloom would only change behavior near the limit).
+``mode="probabilistic"`` broadcasts per-key Bloom filters instead of the
+exact value sets (``tag_cardinality_limit_probabilistic``), matching the
+reference's memory-bounded mode.
 """
 
 from __future__ import annotations
@@ -91,14 +92,28 @@ def tag_cardinality_limit(
     value_limit: int = 500,
     order_col: str = "ts",
     action: str = "drop_tag",
+    mode: str = "exact",
+    size_bits: int = 1 << 20,
 ) -> Dataset:
     """Apply the budget to each tag column.
 
     ``drop_tag``: disallowed values become null (tag removed);
     ``drop_event``: rows carrying any disallowed value are dropped.
+
+    ``mode`` mirrors config.rs:38-70: ``exact`` broadcasts the allowed
+    set per tag; ``probabilistic`` broadcasts a fixed-size Bloom filter
+    instead (``size_bits`` ~ the reference's ``cache_size_per_key``) —
+    memory stays O(size_bits) per key no matter how many distinct
+    values pass, at the cost of false-positive admits near the limit.
     """
     if action not in ("drop_tag", "drop_event"):
         raise ValueError(action)
+    if mode == "probabilistic":
+        return tag_cardinality_limit_probabilistic(
+            ds, tag_cols, value_limit=value_limit, order_col=order_col,
+            action=action, size_bits=size_bits)
+    if mode != "exact":
+        raise ValueError(f"unknown mode {mode!r}")
     multi = _allowed_values_multi(ds, tag_cols, value_limit=value_limit,
                                   order_col=order_col)
     allowed = {c: ray.put(pa.array(vals)) for c, vals in multi.items()}

@@ -272,6 +272,7 @@ def _build_transform(
             ds, c["tags"], value_limit=c.get("value_limit", 500),
             order_col=c.get("order_col", "ts"),
             action=c.get("action", "drop_tag"),
+            mode=c.get("mode", "exact"),
         )}
     if t == "log_to_metric":
         specs = [MetricSpec(**m) for m in c["metrics"]]

@@ -113,6 +113,23 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         ).count()
         queries["sample_sorted_by_conv"] = round(time.perf_counter() - t0, 3)
 
+        # ML signature stage (vectorized MinHash kernels, round 2):
+        # docs table -> banded signature rows, 128 perms x 32 bands
+        from vector_ray.ml.dedup import MinHasher
+
+        t0 = time.perf_counter()
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"],
+        ).map_batches(
+            MinHasher, batch_format="pyarrow", batch_size=None,
+            concurrency=(1, max(2, num_cpus // 2)),
+            fn_constructor_kwargs=dict(
+                text_col="text", id_col="doc_id", num_hashes=128,
+                bands=32, shingle_n=3, seed=42),
+        ).count()
+        queries["minhash_signatures_docs"] = round(time.perf_counter() - t0, 3)
+
     ray.shutdown()
     out = {
         "metric": "parse→enrich→route→aggregate wall time (transcripts)",

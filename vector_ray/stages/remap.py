@@ -129,9 +129,20 @@ def remap(
             # keep-original (remap.rs:556-575): error/abort rows forward
             # the ORIGINAL event — revert modified columns, null columns
             # the program added (best-effort when the program changed a
-            # column's type: cast the original, else null)
+            # column's type: cast the original, else null).  Untouched
+            # columns are detected by buffer identity (zero-copy pass-
+            # through) and skipped — the blend never copies them.
+            def _addrs(col):
+                return tuple(
+                    tuple(b.address if b is not None else 0
+                          for b in c.buffers())
+                    for c in col.chunks
+                )
+
             for i, name in enumerate(out.column_names):
                 cur = out[name]
+                if name in batch.column_names and _addrs(cur) == _addrs(batch[name]):
+                    continue
                 if isinstance(cur, pa.ChunkedArray):
                     cur = cur.combine_chunks()
                 if name in batch.column_names:

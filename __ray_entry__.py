@@ -492,6 +492,35 @@ def _q_nginx_parse_events(sf_dir: str):
         .map_batches(run, batch_format="pyarrow", batch_size=None)
 
 
+def _q_cidr_enrich_events(sf_dir: str):
+    """geoip-analogue enrichment: synthesize an IP per event from
+    user_id, enrich through nested CIDR blocks (longest prefix wins),
+    oracle recomputes the expected region from user_id ranges."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.enrichment.cidr import CidrTable, enrich_cidr
+
+    table = CidrTable([
+        {"cidr": "10.0.0.0/8", "region": "all"},
+        {"cidr": "10.0.0.0/17", "region": "low"},
+        {"cidr": "10.0.64.0/19", "region": "mid"},
+    ])
+
+    def add_ip(t: pa.Table) -> pa.Table:
+        third = pc.cast(
+            pc.subtract(t["user_id"],
+                        pc.multiply(pc.divide(t["user_id"], 256), 256)),
+            pa.string())
+        ip = pc.binary_join_element_wise("10.0.", third, ".9", "")
+        return t.append_column("client_ip", ip)
+
+    ds = _events(sf_dir, columns=["event_id", "user_id"]).map_batches(
+        add_ip, batch_format="pyarrow", batch_size=None)
+    out = enrich_cidr(ds, table, ip_field="client_ip", select=["region"])
+    return out.select_columns(["event_id", "region"])
+
+
 def _q_dd_filter_events(sf_dir: str):
     """filter driven by a Datadog Search query string (typed condition
     config {type: datadog_search} — src/conditions/datadog_search.rs)."""
@@ -732,6 +761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_events": _q_filter_events,
         "dd_filter_events": _q_dd_filter_events,
         "nginx_parse_events": _q_nginx_parse_events,
+        "cidr_enrich_events": _q_cidr_enrich_events,
         "lineitem_pricing": _q_lineitem_pricing,
         "events_semi_join": _q_events_semi_join,
         "events_anti_join": _q_events_anti_join,
@@ -786,6 +816,7 @@ def oracle_sql() -> dict[str, str]:
         "filter_events": oracle.SQL_FILTER_EVENTS,
         "dd_filter_events": oracle.SQL_DD_FILTER_EVENTS,
         "nginx_parse_events": oracle.SQL_NGINX_PARSE_EVENTS,
+        "cidr_enrich_events": oracle.SQL_CIDR_ENRICH_EVENTS,
         "lineitem_pricing": oracle.SQL_LINEITEM_PRICING,
         "events_semi_join": oracle.SQL_EVENTS_SEMI_JOIN,
         "events_anti_join": oracle.SQL_EVENTS_ANTI_JOIN,

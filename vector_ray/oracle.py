@@ -433,6 +433,14 @@ SELECT s.event_type,
 FROM sel s JOIN n ON s.event_type = n.event_type
 """
 
+SQL_CIDR_ENRICH_EVENTS = """
+SELECT event_id,
+       CASE WHEN (user_id % 256) BETWEEN 64 AND 95 THEN 'mid'
+            WHEN (user_id % 256) <= 127 THEN 'low'
+            ELSE 'all' END AS region
+FROM events
+"""
+
 SQL_NGINX_PARSE_EVENTS = """
 SELECT event_id,
        '10.0.0.1' AS client,

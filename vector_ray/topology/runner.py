@@ -89,7 +89,13 @@ def run_topology(
     tables: dict[str, FileTable] = {}
     for tname, tcfg in topo.enrichment_tables.items():
         path = tcfg["path"].format(**variables)
-        tables[tname] = FileTable(path, tcfg.get("schema"))
+        if tcfg.get("type") == "cidr":
+            from vector_ray.enrichment.cidr import CidrTable
+
+            tables[tname] = CidrTable.from_csv(
+                path, cidr_col=tcfg.get("cidr_col", "cidr"))
+        else:
+            tables[tname] = FileTable(path, tcfg.get("schema"))
 
     # component name -> {port: Dataset}; default port is ""
     ports: dict[str, dict[str, Dataset]] = {}

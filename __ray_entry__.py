@@ -298,6 +298,40 @@ def _docs_with_dups(sf_dir: str):
     return ds.union(ds.map_batches(shift, batch_format="pyarrow", batch_size=None))
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF with nprobe=nlist probes EVERY list — exhaustive scan, so the
+    result equals exact top-k and the brute-force SQL oracle checks the
+    whole IVF path (training, assignment, probe, rerank)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.ml.ann import ann_ivf
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    queries_m = np.stack(qtab["embedding"].to_pylist())
+    out = ann_ivf(emb, queries_m, k=5, nlist=8, nprobe=8, dtype=np.float64)
+    return out[["query_idx", "vec_id"]]
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    """LSH with nbits=2, probe_hamming=2 covers all 4 buckets —
+    exhaustive, so exact top-k; the oracle checks bucketing + rerank."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from vector_ray.ml.ann import ann_lsh
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
+    queries_m = np.stack(qtab["embedding"].to_pylist())
+    out = ann_lsh(emb, queries_m, k=5, nbits=2, probe_hamming=2,
+                  dtype=np.float64)
+    return out[["query_idx", "vec_id"]]
+
+
 def _q_minhash_exact_dedup_docs(sf_dir: str):
     """Oracle-checkable LSH invariant: verify="exact" keeps only
     byte-identical candidate pairs, so survivors == exact dedup (min id
@@ -745,6 +779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "hash_docs": _q_hash_docs,
         "ann_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         # rows-only checks (not SQL-expressible): heuristics + LSH family
         "lang_id_docs": _q_lang_id_docs,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
@@ -805,6 +841,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": oracle.SQL_EXACT_DEDUP_DOCS,
         "hash_docs": oracle.SQL_HASH_DOCS,
         "ann_topk": oracle.SQL_ANN_TOPK,
+        "ann_ivf_topk": oracle.SQL_ANN_TOPK,
+        "ann_lsh_topk": oracle.SQL_ANN_TOPK,
         # lang_id_docs / minhash_dedup_docs / simhash_pairs_docs /
         # doc_fingerprint intentionally omitted -> rows-only check
         "session_stats_events": oracle.SQL_SESSION_STATS_EVENTS,

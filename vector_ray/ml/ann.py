@@ -118,6 +118,7 @@ def ann_lsh(
     nbits: int = 8,
     probe_hamming: int = 1,
     seed: int = 42,
+    dtype=np.float32,
 ) -> pd.DataFrame:
     """LSH-bucketed ANN: scan only buckets within ``probe_hamming`` of
     each query's bucket, exact-rerank the survivors.  Trades recall for
@@ -152,7 +153,7 @@ def ann_lsh(
     candidates = ds.map_batches(filter_buckets, batch_format="pyarrow",
                                 batch_size=None)
     return ann_brute_force(candidates, queries, vec_col=vec_col,
-                           id_col=id_col, k=k)
+                           id_col=id_col, k=k, dtype=dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -190,6 +191,7 @@ def ann_ivf(
     train_sample: int = 2048,
     kmeans_iters: int = 5,
     seed: int = 42,
+    dtype=np.float32,
 ) -> pd.DataFrame:
     """IVF ANN: train ``nlist`` centroids on a sample, assign each vector
     to its nearest centroid (one matmul per batch), scan only the
@@ -225,4 +227,4 @@ def ann_ivf(
     candidates = ds.map_batches(filter_lists, batch_format="pyarrow",
                                 batch_size=None)
     return ann_brute_force(candidates, queries, vec_col=vec_col,
-                           id_col=id_col, k=k)
+                           id_col=id_col, k=k, dtype=dtype)

@@ -194,3 +194,40 @@ def test_nested_path_argument():
                   pa.struct([("x", pa.string())]))})
     out, err, _ = compile_vrl(".v = to_int(.o.x)")(t)
     assert out["v"].to_pylist() == [5, None, None]
+
+
+def test_stdlib_breadth_round2():
+    t = pa.table({
+        "s": ["Hello World", "foo_bar baz"],
+        "n": pa.array([-3.7, 2.2], pa.float64()),
+        "ip": ["10.1.2.3", "192.168.0.9"],
+        "csv": ["a,b,a", "x,y,z"],
+    })
+    prog = compile_vrl("""
+.cap = capitalize(.s)
+.snake = snakecase(.s)
+.kebab = kebabcase(.s)
+.h = sha1(.s)
+.b16 = encode_base16(.s)
+.rt = decode_base16(.b16)
+.absn = abs(.n)
+.rounded = round(.n)
+.in_net = ip_cidr_contains(.ip, "10.0.0.0/8")
+.net = ip_subnet!(.ip, 24)
+.parts = split(.csv, ",")
+.uniq = unique(.parts)
+.rejoined = join(.parts, "|")
+""")
+    out, err, _ = prog(t)
+    assert out["cap"].to_pylist() == ["Hello world", "Foo_bar baz"]
+    assert out["snake"].to_pylist() == ["hello_world", "foo_bar_baz"]
+    assert out["kebab"].to_pylist() == ["hello-world", "foo-bar-baz"]
+    assert out["rt"].to_pylist() == ["Hello World", "foo_bar baz"]
+    assert out["absn"].to_pylist() == [3.7, 2.2]
+    assert out["rounded"].to_pylist() == [-4.0, 2.0]
+    assert out["in_net"].to_pylist() == [True, False]
+    assert out["net"].to_pylist() == ["10.1.2.0", "192.168.0.0"]
+    assert out["parts"].to_pylist() == [["a", "b", "a"], ["x", "y", "z"]]
+    assert out["uniq"].to_pylist() == [["a", "b"], ["x", "y", "z"]]
+    assert out["rejoined"].to_pylist() == ["a|b|a", "x|y|z"]
+    assert not any(err.to_pylist())

@@ -154,7 +154,51 @@ FUNCTIONS: dict[str, Callable] = {
     "decode_base64": _wrap_fallible(codecs.decode_base64),
     "format_timestamp": _wrap_simple(datetime_fns.format_timestamp),
     "ip_aton": _wrap_fallible(ip.ip_aton),
+    # ---- round-2 stdlib breadth: the vectorized kernels already in
+    # functions/ registered for program use (website/cue/reference/
+    # remap/functions inventory names) ----
+    "capitalize": _wrap_simple(strings.capitalize),
+    "slice": _wrap_simple(strings.slice_),
+    "split": _wrap_simple(strings.split),
+    "join": _wrap_simple(strings.join),
+    "strip_ansi_escape_codes": _wrap_simple(strings.strip_ansi_escape_codes),
+    "snakecase": _wrap_simple(strings.snakecase),
+    "kebabcase": _wrap_simple(strings.kebabcase),
+    "camelcase": _wrap_simple(strings.camelcase),
+    "redact": _wrap_simple(strings.redact),
+    "sieve": _wrap_simple(strings.sieve),
+    "sha1": _wrap_simple(codecs.sha1),
+    "sha3": _wrap_simple(codecs.sha3),
+    "hmac": _wrap_simple(codecs.hmac_sha256),
+    "uuid_v5": _wrap_simple(codecs.uuid_v5),
+    "encode_base16": _wrap_simple(codecs.encode_base16),
+    "decode_base16": _wrap_fallible(codecs.decode_base16),
+    "encode_percent": _wrap_simple(codecs.encode_percent),
+    "decode_percent": _wrap_fallible(codecs.decode_percent),
+    "encode_gzip": _wrap_simple(codecs.encode_gzip),
+    "decode_gzip": _wrap_fallible(codecs.decode_gzip),
+    "encode_zlib": _wrap_simple(codecs.encode_zlib),
+    "decode_zlib": _wrap_fallible(codecs.decode_zlib),
+    "to_unix_timestamp": _wrap_simple(datetime_fns.to_unix_timestamp),
+    "from_unix_timestamp": _wrap_fallible(datetime_fns.from_unix_timestamp),
+    "round": _wrap_simple(datetime_fns.round_num),
+    "abs": _wrap_simple(datetime_fns.abs_num),
+    "mod": _wrap_simple(datetime_fns.mod_num),
+    "ip_ntoa": _wrap_fallible(ip.ip_ntoa),
+    "ip_cidr_contains": _wrap_simple(ip.ip_cidr_contains),
+    "ip_subnet": _wrap_fallible(ip.ip_subnet),
 }
+
+# collection kernels operate on list columns — same registry, usable
+# once a program holds a list value (e.g. from split())
+from vector_ray.functions import collections as _collections  # noqa: E402
+
+FUNCTIONS.update({
+    "flatten": _wrap_simple(_collections.flatten_list),
+    "compact": _wrap_simple(_collections.compact_list),
+    "unique": _wrap_simple(_collections.unique_list),
+    "chunks": _wrap_simple(_collections.chunks_list),
+})
 
 # boolean/value helpers usable inside expressions (condition parity,
 # src/conditions/vrl.rs + website/cue/reference/remap/functions)

@@ -368,3 +368,57 @@ def test_remap_nested_toml():
     assert out["a"].to_pylist() == [{"b": 123}]
     assert out["x"].to_pylist() == [{"y": 456, "z": 789}]
     assert err.to_pylist() == [False]
+
+
+# ---- lua_v2.toml: the user-scripted hook surface, re-expressed as
+# registered Python programs (the declared lua replacement, SURVEY §2.10)
+
+def test_lua_v2_log_toml_mirror():
+    """lua_v2_log: rename field a -> b (delete a)."""
+    import pyarrow as pa
+
+    from vector_ray.topology import Topology, run_topology
+    from vector_ray.topology.runner import register_program
+
+    def rename_a_to_b(t: pa.Table):
+        b = t["a"]
+        t = t.drop_columns(["a"]).append_column("b", b)
+        return t, None, None
+
+    register_program("lua_rename_a_b", rename_a_to_b)
+    # direct program check (the unit-test condition from the toml):
+    out, _, _ = rename_a_to_b(pa.table({"a": ["example value"]}))
+    assert "a" not in out.column_names
+    assert out["b"].to_pylist() == ["example value"]
+
+
+def test_lua_v2_source_toml_mirror():
+    """lua_v2_source: insert a constant field."""
+    import pyarrow as pa
+
+    from vector_ray.topology.runner import register_program
+
+    def insert_field(t: pa.Table):
+        return (t.append_column("inserted_field",
+                                pa.array(["inserted value"] * t.num_rows)),
+                None, None)
+
+    register_program("lua_insert", insert_field)
+    out, _, _ = insert_field(pa.table({"some_field": ["some value"]}))
+    assert out["some_field"].to_pylist() == ["some value"]
+    assert out["inserted_field"].to_pylist() == ["inserted value"]
+
+
+def test_lua_v2_metric_toml_mirror():
+    """lua_v2_metric: increment a counter metric's value."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def increment(t: pa.Table):
+        v = pc.add(t["metric_value"], 1.0)
+        return t.set_column(t.schema.get_field_index("metric_value"),
+                            "metric_value", v), None, None
+
+    out, _, _ = increment(pa.table({"metric_name": ["c"],
+                                    "metric_value": [1.0]}))
+    assert out["metric_value"].to_pylist() == [2.0]

@@ -231,3 +231,26 @@ def test_stdlib_breadth_round2():
     assert out["uniq"].to_pylist() == [["a", "b"], ["x", "y", "z"]]
     assert out["rejoined"].to_pylist() == ["a|b|a", "x|y|z"]
     assert not any(err.to_pylist())
+
+
+def test_array_and_object_literals():
+    t = pa.table({"n": pa.array([1, 2], pa.int64()), "s": ["a", "b"]})
+    out, err, _ = compile_vrl("""
+.consts = [10, 20, 30]
+.mixed = [.n, 99]
+.obj = {"env": "prod", "num": .n, "tag": .s}
+""")(t)
+    assert out["consts"].to_pylist() == [[10, 20, 30], [10, 20, 30]]
+    assert out["mixed"].to_pylist() == [[1, 99], [2, 99]]
+    assert out["obj"].to_pylist() == [
+        {"env": "prod", "num": 1, "tag": "a"},
+        {"env": "prod", "num": 2, "tag": "b"},
+    ]
+    assert not any(err.to_pylist())
+
+
+def test_object_literal_merge():
+    t = pa.table({"n": pa.array([5], pa.int64())})
+    out, _, _ = compile_vrl('. = {"a": .n, "b": "x"}')(t)
+    assert out["a"].to_pylist() == [5]
+    assert out["b"].to_pylist() == ["x"]

@@ -216,7 +216,7 @@ _TOKEN = re.compile(
         (?P<ws>[ \t\r]+)
       | (?P<comment>\#[^\n]*)
       | (?P<nl>\n)
-      | (?P<op>\?\?|\|\||&&|==|!=|<=|>=|[<>!=(){},;+\-*/])
+      | (?P<op>\?\?|\|\||&&|==|!=|<=|>=|[<>!=(){},;+\-*/\[\]:])
       | (?P<regex>r"(?:[^"\\]|\\.)*")
       | (?P<dstr>"(?:[^"\\]|\\.)*")
       | (?P<sstr>'(?:[^'\\]|\\.)*')
@@ -435,6 +435,38 @@ class _Parser:
             e = self.parse_expr()
             self.expect("op", ")")
             return e
+        if kind == "op" and val == "[":
+            self.next()
+            items = []
+            self.skip_seps_inline()
+            while self.peek() != ("op", "]"):
+                items.append(self.parse_expr())
+                self.skip_seps_inline()
+                if self.peek() == ("op", ","):
+                    self.next()
+                    self.skip_seps_inline()
+            self.next()  # ]
+            return ("array", items)
+        if kind == "op" and val == "{":
+            self.next()
+            pairs = []
+            self.skip_seps_inline()
+            while self.peek() != ("op", "}"):
+                kt = self.next()
+                if kt[0] in ("dstr", "sstr"):
+                    key = _unquote(kt[1])
+                elif kt[0] == "word":
+                    key = kt[1]
+                else:
+                    raise VrlError(f"bad object key {kt[1]!r}")
+                self.expect("op", ":")
+                pairs.append((key, self.parse_expr()))
+                self.skip_seps_inline()
+                if self.peek() == ("op", ","):
+                    self.next()
+                    self.skip_seps_inline()
+            self.next()  # }
+            return ("object", pairs)
         if kind == "path":
             self.next()
             return ("path", [x for x in val[1:].split(".") if x])
@@ -574,6 +606,33 @@ def _eval(node, ctx: _Ctx):
         return _eval_bin(node, ctx)
     if kind == "call":
         return _eval_call(node, ctx)
+    if kind == "array":
+        vals = [_eval(item, ctx)[0] for item in node[1]]
+        if all(not isinstance(v, (pa.Array, pa.ChunkedArray)) for v in vals):
+            return pa.array([vals] * n), None
+        # column-bearing array literal: interleave per row into a list
+        arrs = [_as_array(v, n) for v in vals]
+        common = arrs[0].type
+        for a in arrs[1:]:
+            if a.type != common:
+                common = pa.string()
+                break
+        arrs = [pc.cast(a, common) for a in arrs]
+        k = len(arrs)
+        concat = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in arrs])
+        # output position p = i*k + j holds arrs[j][i] = concat[j*n + i]
+        p = np.arange(n * k)
+        flat = concat.take(pa.array((p % k) * n + p // k))
+        offsets = pa.array(np.arange(0, n * k + 1, k, dtype=np.int32))
+        return pa.ListArray.from_arrays(offsets, flat), None
+    if kind == "object":
+        names = [k for k, _v in node[1]]
+        arrs = [_as_array(_eval(v, ctx)[0], n) for _k, v in node[1]]
+        arrs = [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for a in arrs]
+        return pa.StructArray.from_arrays(arrs, names=names), None
     raise AssertionError(kind)
 
 

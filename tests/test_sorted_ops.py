@@ -136,3 +136,31 @@ def test_sessionize_sorted_cross_block_sessions():
     # row i opens a new session when ITS ts added the big gap (i%500==499)
     want = np.cumsum([1 if i % 500 == 499 else 0 for i in range(n)])
     assert out["session_id"].tolist() == want.tolist()
+
+
+def test_sessionize_by_condition_sorted_matches_grouped():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.windows import sessionize_by_condition
+
+    rng = np.random.default_rng(3)
+    n = 20_000
+    t = pa.table({
+        "k": pa.array([f"u{v}" for v in rng.integers(0, 500, n)]),
+        "i": pa.array(np.arange(n), pa.int64()),
+        "msg": pa.array(np.where(rng.random(n) < 0.1, "START", "x")),
+    })
+    ds = rd.from_arrow(t)
+    for mode in ("starts_when", "ends_when"):
+        a = sessionize_by_condition(
+            ds, key="k", condition='.msg == "START"', mode=mode,
+            order_by=["i"], impl="sorted",
+        ).to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+        b = sessionize_by_condition(
+            ds, key="k", condition='.msg == "START"', mode=mode,
+            order_by=["i"], impl="grouped",
+        ).to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
+        b = b[a.columns]
+        assert a["session_id"].tolist() == b["session_id"].tolist(), mode

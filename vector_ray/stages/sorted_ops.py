@@ -548,3 +548,121 @@ def sessionize_sorted(
 
     out_refs = [apply.remote(r, *plans[i]) for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)
+
+
+def sessionize_by_condition_sorted(
+    ds: Dataset,
+    *,
+    key: str,
+    condition,
+    mode: str = "starts_when",
+    order_by: Sequence[str] = (),
+    out_col: str = "session_id",
+) -> Dataset:
+    """Scale path for ``windows.sessionize_by_condition``: sort by
+    (key, order), evaluate the condition ONCE per block (vectorized),
+    derive session-start marks (``starts_when``: the matching row opens
+    a session; ``ends_when``: the row AFTER a match opens one), then the
+    same per-block cumsum + driver chain scan as ``sessionize_sorted``
+    — no per-key Python call."""
+    from vector_ray.conditions import compile_condition
+
+    if mode not in ("starts_when", "ends_when"):
+        raise ValueError(mode)
+    cond = compile_condition(condition)
+    shift = mode == "ends_when"
+
+    def add_cols(t: pa.Table) -> pa.Table:
+        t = t.append_column(_KEY_COL, _combined_key(t, [key]))
+        return t.append_column("__sess_match", cond(t))
+
+    sorted_ds = (
+        ds.map_batches(add_cols, batch_format="pyarrow", batch_size=None)
+        .sort([_KEY_COL] + list(order_by))
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    def _marks(t: pa.Table):
+        n = t.num_rows
+        kn = t[_KEY_COL]
+        kn = (kn.combine_chunks() if isinstance(kn, pa.ChunkedArray) else kn) \
+            .to_numpy(zero_copy_only=False)
+        m = t["__sess_match"]
+        m = (m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = kn[1:] != kn[:-1]
+        raw = np.empty(n, dtype=bool)
+        if shift:
+            raw[0] = False  # deferred to the driver chain
+            raw[1:] = m[:-1]
+        else:
+            raw = m.copy()
+        start = new_key | raw
+        return kn, m, start
+
+    @ray.remote
+    def summary(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return None
+        kn, m, start = _marks(t)
+        first_k, last_k = kn[0], kn[-1]
+        first_run_end = n if first_k == last_k else int(np.argmax(kn != first_k))
+        last_run_start = 0 if first_k == last_k else n - int(np.argmax(kn[::-1] != last_k))
+        return {
+            "first_key": first_k, "last_key": last_k,
+            "single_run": first_k == last_k,
+            "first_match": bool(m[0]),
+            "last_match": bool(m[-1]),
+            "first_run_starts_after_row0": int(start[1:first_run_end].sum()),
+            "last_run_starts": int(start[last_run_start:].sum()),
+        }
+
+    sums = ray.get([summary.remote(r) for r in refs])
+
+    plans = []
+    carry_key, carry_sessions, carry_last_match = None, 0, False
+    for s in sums:
+        if s is None:
+            plans.append((True, 0))
+            continue
+        same_key = s["first_key"] == carry_key
+        if not same_key:
+            first_new = True
+        elif shift:
+            first_new = carry_last_match
+        else:
+            first_new = s["first_match"]
+        offset = carry_sessions if same_key else 0
+        plans.append((first_new, offset))
+        starts_in_first = s["first_run_starts_after_row0"] + (1 if first_new else 0)
+        if s["single_run"]:
+            carry_sessions = (carry_sessions + starts_in_first) if same_key \
+                else starts_in_first
+        else:
+            carry_sessions = s["last_run_starts"]
+        carry_key, carry_last_match = s["last_key"], s["last_match"]
+
+    @ray.remote
+    def apply(t: pa.Table, first_new: bool, offset: int):
+        n = t.num_rows
+        drop = [_KEY_COL, "__sess_match"]
+        if n == 0:
+            return t.drop_columns(drop).append_column(
+                out_col, pa.array([], pa.int64()))
+        kn, _m, start = _marks(t)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = kn[1:] != kn[:-1]
+        start[0] = first_new
+        run_id = np.cumsum(new_key) - 1
+        c = np.cumsum(start)
+        run_start_idx = np.nonzero(new_key)[0]
+        base = np.where(run_start_idx > 0, c[run_start_idx - 1], 0)
+        sess = c - base[run_id] - 1 + np.where(run_id == 0, offset, 0)
+        return t.drop_columns(drop).append_column(
+            out_col, pa.array(sess.astype(np.int64)))
+
+    out_refs = [apply.remote(r, *plans[i]) for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out_refs)

@@ -151,13 +151,26 @@ def sessionize_by_condition(
     mode: str = "starts_when",
     order_by: list[str] | None = None,
     out_col: str = "session_id",
+    impl: str = "sorted",
 ) -> Dataset:
     """Condition-based session split — reduce's ``starts_when`` /
     ``ends_when`` analogue (src/transforms/reduce/config.rs:31-121):
     ``starts_when`` opens a NEW session at each matching row;
     ``ends_when`` closes the current session AFTER a matching row.
+
+    Default ``impl="sorted"`` delegates to the sorted-run scale path
+    (one vectorized condition eval + cumsum per block, driver chain
+    scan); ``impl="grouped"`` keeps the map_groups fallback.
     """
     from vector_ray.conditions import compile_condition
+
+    if impl == "sorted":
+        from vector_ray.stages.sorted_ops import sessionize_by_condition_sorted
+
+        return sessionize_by_condition_sorted(
+            ds, key=key, condition=condition, mode=mode,
+            order_by=tuple(order_by or ()), out_col=out_col,
+        )
 
     if mode not in ("starts_when", "ends_when"):
         raise ValueError(mode)

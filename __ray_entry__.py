@@ -359,6 +359,18 @@ def _q_doc_fingerprint(sf_dir: str):
     return doc_fingerprint(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal plumbing (rows-only): deterministic synthesized media
+    table -> actor-pool decode stage (fake deterministic kernel; the
+    real codec boundary is a declared stub) -> fixed-dim features."""
+    import ray.data as rd
+
+    from vector_ray.ml.multimodal import decode_media, synthesize_media
+
+    media = rd.from_arrow(synthesize_media(512, seed=42))
+    return decode_media(media).select_columns(["media_id", "kind", "n_bytes"])
+
+
 def _q_session_stats_events(sf_dir: str):
     from vector_ray.stages.windows import session_stats
 
@@ -788,6 +800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
         "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
         "doc_fingerprint": _q_doc_fingerprint,
+        "media_features": _q_media_features,
         "session_stats_events": _q_session_stats_events,
         "sliding_window_events": _q_sliding_window_events,
         "salted_reduce_transcripts": _q_salted_reduce_transcripts,

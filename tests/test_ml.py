@@ -187,3 +187,27 @@ def test_ann_ivf_recall(embeddings):
         a = set(approx[approx["query_idx"] == qi]["vec_id"])
         rec.append(len(e & a) / len(e))
     assert np.mean(rec) >= 0.6, rec
+
+
+def test_lang_id_vectorized_matches_row_scorer(docs):
+    from vector_ray.ml.text import LangId
+
+    li = LangId()
+    t = docs.limit(300).to_arrow_refs()
+    import ray
+    tbl = ray.get(t[0])
+    out = li(tbl)["lang_pred"].to_pylist()
+    ref = [li.predict_row(x) for x in tbl["text"].to_pylist()]
+    assert out == ref
+
+
+def test_lang_id_edge_cases():
+    import pyarrow as pa
+
+    from vector_ray.ml.text import LangId
+
+    li = LangId()
+    t = pa.table({"text": [None, "", "你好世界你好世界你好",
+                           "the the the", "12345 !!!", "el la de que y"]})
+    assert li(t)["lang_pred"].to_pylist() == \
+        [None, None, "zh", "en", "unknown", "es"]

@@ -47,27 +47,67 @@ class LangId:
         self.cjk = re.compile(r"[一-鿿぀-ヿ가-힯]")
         self.tables = {k: frozenset(v) for k, v in _STOPWORDS.items()}
 
+    def predict_row(self, t: str | None):
+        """reference single-row scorer (the batch kernel must agree)."""
+        if not t:
+            return None
+        if len(self.cjk.findall(t)) / max(1, len(t)) > 0.1:
+            return "zh"
+        words = [w.lower() for w in self.word.findall(t)]
+        if not words:
+            return "unknown"
+        best, score = "unknown", 0.0
+        for lang, sw in self.tables.items():
+            s = sum(1 for w in words if w in sw) / len(words)
+            if s > score:
+                best, score = lang, s
+        return best if score > 0.05 else "unknown"
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        preds = []
-        for t in texts:
-            if not t:
-                preds.append(None)
-                continue
-            if len(self.cjk.findall(t)) / max(1, len(t)) > 0.1:
-                preds.append("zh")
-                continue
-            words = [w.lower() for w in self.word.findall(t)]
-            if not words:
-                preds.append("unknown")
-                continue
-            best, score = "unknown", 0.0
-            for lang, sw in self.tables.items():
-                s = sum(1 for w in words if w in sw) / len(words)
-                if s > score:
-                    best, score = lang, s
-            preds.append(best if score > 0.05 else "unknown")
-        return batch.append_column(self.out_col, pa.array(preds, pa.string()))
+        """Vectorized batch scorer: one split_pattern_regex pass over the
+        whole batch, per-language `is_in` membership over the flattened
+        word list, segment sums via np.add.at — no per-row Python."""
+        col = batch[self.text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = len(col)
+        s = pc.cast(col, pa.string())
+        empty = pc.or_kleene(pc.is_null(s), pc.equal(s, ""))
+        nchars = pc.fill_null(pc.utf8_length(s), 0).to_numpy(zero_copy_only=False)
+        cjk_n = pc.fill_null(pc.count_substring_regex(
+            s, pattern="[一-鿿぀-ヿ가-힯]"), 0).to_numpy(zero_copy_only=False)
+        is_zh = cjk_n / np.maximum(1, nchars) > 0.1
+
+        words_list = pc.split_pattern_regex(
+            pc.utf8_lower(pc.fill_null(s, "")), pattern="[^a-zà-ÿ]+")
+        flat = pc.list_flatten(words_list)
+        parents = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        word_counts = np.zeros(n, dtype=np.int64)
+        np.add.at(word_counts, parents[nonempty], 1)
+
+        best_score = np.zeros(n, dtype=np.float64)
+        best_lang = np.full(n, "unknown", dtype=object)
+        denom = np.maximum(1, word_counts).astype(np.float64)
+        # iteration order matches self.tables so ties keep first-wins
+        for lang, sw in self.tables.items():
+            hit = pc.is_in(flat, value_set=pa.array(sorted(sw))).to_numpy(
+                zero_copy_only=False)
+            hits = np.zeros(n, dtype=np.int64)
+            np.add.at(hits, parents[hit & nonempty], 1)
+            score = hits / denom
+            better = score > best_score
+            best_score = np.where(better, score, best_score)
+            best_lang[better] = lang
+
+        preds = np.where(best_score > 0.05, best_lang, "unknown")
+        preds = np.where(word_counts == 0, "unknown", preds)
+        preds = np.where(is_zh, "zh", preds)
+        out = pa.array(
+            [None if e else p for p, e in
+             zip(preds.tolist(), empty.to_numpy(zero_copy_only=False).tolist())],
+            pa.string())
+        return batch.append_column(self.out_col, out)
 
 
 def lang_id(ds: Dataset, *, text_col: str = "text",

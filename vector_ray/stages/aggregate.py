@@ -258,21 +258,22 @@ def aggregate_histogram(
         df = t.select(gkeys + [value_col]).to_pandas()
         v = df[value_col].to_numpy(dtype=np.float64)
         # bucket index = first edge >= value; len(edges) = +Inf bucket
-        idx = np.searchsorted(edges, v, side="left")
-        rows = []
-        for gvals, sub in df.assign(__b=idx).groupby(gkeys, sort=False):
-            if not isinstance(gvals, tuple):
-                gvals = (gvals,)
-            counts = np.bincount(sub["__b"], minlength=len(edges) + 1)
-            row = dict(zip(gkeys, gvals))
-            for i in range(len(edges) + 1):
-                row[f"b{i}"] = int(counts[i])
-            row["count"] = int(len(sub))
-            row["sum"] = float(sub[value_col].sum())
-            rows.append(row)
-        import pandas as pd
-
-        return pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+        df["__b"] = np.searchsorted(edges, v, side="left")
+        # all-C-speed partials: one groupby for (count, sum), one
+        # unstacked size-count per bucket — no Python loop over groups
+        agg = df.groupby(gkeys, sort=False).agg(
+            count=(value_col, "size"), sum=(value_col, "sum"))
+        bc = (
+            df.groupby(gkeys + ["__b"], sort=False).size()
+            .unstack("__b", fill_value=0)
+            .reindex(columns=range(len(edges) + 1), fill_value=0)
+        )
+        bc.columns = [f"b{i}" for i in bc.columns]
+        out = bc.join(agg).reset_index()
+        out["count"] = out["count"].astype("int64")
+        for i in range(len(edges) + 1):
+            out[f"b{i}"] = out[f"b{i}"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
     aggs = [Sum(f"b{i}", alias_name=f"b{i}") for i in range(len(edges) + 1)]

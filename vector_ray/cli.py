@@ -103,6 +103,48 @@ def cmd_vrl(args) -> int:
     return 0
 
 
+def cmd_test(args) -> int:
+    """``vector test`` analogue: run the config's ``tests:`` blocks
+    through the real component graph (src/unit_test.rs surface)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import yaml
+
+    from vector_ray.topology import Topology
+    from vector_ray.topology.unit_test import run_unit_tests
+
+    raw = args.config
+    try:
+        with open(raw) as f:
+            raw = f.read()
+    except OSError:
+        pass
+    cfg = yaml.safe_load(raw)
+    tests = cfg.pop("tests", [])
+    if not tests:
+        print("no tests: blocks in config", file=sys.stderr)
+        return 1
+    topo = Topology.from_yaml(yaml.safe_dump(cfg))
+    results = run_unit_tests(topo, tests)
+    failed = 0
+    for r in results:
+        status = "passed" if r.passed else "FAILED"
+        print(f"test {r.name} ... {status}")
+        for msg in r.failures:
+            print(f"  {msg}")
+        failed += 0 if r.passed else 1
+    print(f"{len(results) - failed} passed, {failed} failed")
+    return 1 if failed else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="vector_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -121,6 +163,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--program", required=True)
     sp.add_argument("--event", required=True, help="JSON object")
     sp.set_defaults(fn=cmd_vrl)
+
+    sp = sub.add_parser("test", help="run the config's tests: blocks (vector test)")
+    sp.add_argument("config", help="pipeline YAML (with tests:) path or inline")
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_test)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -150,3 +150,60 @@ def test_parse_nginx_no_match_is_null():
     out = parse_nginx_log(pa.array(["free text", NGINX_COMBINED]), "combined")
     assert out["client"][0].as_py() is None
     assert out["client"][1].as_py() == "172.17.0.1"
+
+
+def test_parse_gelf():
+    lines = pa.array([
+        '{"version":"1.1","host":"h1","short_message":"boom",'
+        '"timestamp":1700000000.0,"level":"6","_svc":"api"}',
+        '{"version":"1.1","host":"h2"}',   # missing short_message
+        "not json",
+    ])
+    from vector_ray.functions.parse_logs import parse_gelf
+
+    out = parse_gelf(lines, extra_keys=["svc"])
+    assert out["host"][0].as_py() == "h1"
+    assert out["short_message"][0].as_py() == "boom"
+    assert out["svc"][0].as_py() == "api"
+    assert out["__valid"].to_pylist() == [True, False, False]
+
+
+def test_parse_influxdb():
+    from vector_ray.functions.parse_logs import parse_influxdb
+
+    lines = pa.array([
+        'cpu,host=server01,region=us-west usage=0.64,count=2i 1556813561098000000',
+        'mem value=1.25',
+        'disk,host=db01 used="mostly full" 123',
+    ])
+    out = parse_influxdb(lines, tags=["host", "region"],
+                         fields=["usage", "count", "value", "used"])
+    assert out["measurement"].to_pylist() == ["cpu", "mem", "disk"]
+    assert out["host"].to_pylist() == ["server01", None, "db01"]
+    assert out["region"][0].as_py() == "us-west"
+    assert out["usage"][0].as_py() == "0.64"
+    assert out["count"][0].as_py() == "2"       # trailing i stripped
+    assert out["value"][1].as_py() == "1.25"
+    assert out["used"][2].as_py() == "mostly full"
+    assert out["timestamp"].to_pylist() == [1556813561098000000, None, 123]
+
+
+def test_demo_logs_source_roundtrip():
+    import ray
+
+    from vector_ray.functions.parse_logs import parse_common_log
+    from vector_ray.sources.demo_logs import demo_logs, generate_lines
+
+    # deterministic: same seed -> identical tables
+    a = generate_lines(50, "apache_common", seed=7)
+    b = generate_lines(50, "apache_common", seed=7)
+    assert a.equals(b)
+    # every generated line parses back through the matching parser
+    parsed = parse_common_log(a["message"])
+    assert parsed["status"].null_count == 0
+    # dataset form: sharded, reproducible total
+    ds = demo_logs(100, "json", num_shards=4)
+    assert ds.count() == 100
+    ds2 = demo_logs(100, "syslog", num_shards=4)
+    from vector_ray.functions.parse_logs import parse_influxdb  # noqa: F401
+    assert ds2.count() == 100

@@ -426,3 +426,64 @@ def parse_glog(col) -> dict[str, pa.Array]:
     out["id"] = _opt_int(out["id"])
     out["line"] = _opt_int(out["line"])
     return out
+
+
+# GELF decode (lib/codecs/src/decoding/format/gelf.rs): JSON payloads
+# with mandatory version/host/short_message; additional fields carry a
+# leading underscore which the decoder strips.
+def parse_gelf(col, extra_keys: list[str] | None = None) -> dict[str, pa.Array]:
+    from vector_ray.functions.parse import parse_json_fields
+
+    keys = ["version", "host", "short_message", "timestamp", "level"]
+    fields, attempted, ok = parse_json_fields(col, keys, with_masks=True)
+    out = dict(fields)
+    if extra_keys:
+        extras, _a, _o = parse_json_fields(
+            col, ["_" + k for k in extra_keys], with_masks=True)
+        for k in extra_keys:
+            out[k] = extras["_" + k]
+    # valid GELF = parseable JSON with the three mandatory fields
+    out["__valid"] = pc.and_(
+        ok, pc.and_(pc.is_valid(out["version"]),
+                    pc.and_(pc.is_valid(out["host"]),
+                            pc.is_valid(out["short_message"]))))
+    return out
+
+
+# InfluxDB line protocol (lib/codecs/src/decoding/format/influxdb.rs):
+#   measurement[,tag=v...] field=value[,field=value...] [timestamp_ns]
+_INFLUX = (
+    r"^(?P<measurement>[^,\s]+)"
+    r"(?:,(?P<tags>[^\s]+))?"
+    r' (?P<fields>(?:[^\s"]|"[^"]*")+)'
+    r"(?: (?P<timestamp>\d+))?$"
+)
+
+
+def parse_influxdb(col, *, tags: list[str] | None = None,
+                   fields: list[str] | None = None) -> dict[str, pa.Array]:
+    """Line-protocol decode: measurement + requested tag/field keys.
+
+    Field values: ``1.5`` float, ``2i`` integer (suffix stripped),
+    ``"str"`` quoted strings; all surfaced as strings here (callers
+    cast) except the trailing ``i`` which is removed."""
+    col = _arr(col)
+    g = pc.extract_regex(col, pattern=_INFLUX)
+    out = {
+        "measurement": pc.struct_field(g, "measurement"),
+        "timestamp": _opt_int(pc.struct_field(g, "timestamp")),
+    }
+    tag_str = pc.struct_field(g, "tags")
+    for k in tags or []:
+        kg = pc.extract_regex(
+            tag_str, pattern=rf"(?:^|,){re.escape(k)}=(?P<v>[^,]*)")
+        out[k] = pc.struct_field(kg, "v")
+    field_str = pc.struct_field(g, "fields")
+    for k in fields or []:
+        kg = pc.extract_regex(
+            field_str, pattern=rf'(?:^|,){re.escape(k)}=(?P<v>"[^"]*"|[^,]*)')
+        v = pc.struct_field(kg, "v")
+        v = pc.replace_substring_regex(v, pattern=r'^"(.*)"$', replacement=r"\1")
+        v = pc.replace_substring_regex(v, pattern=r"^(-?\d+)i$", replacement=r"\1")
+        out[k] = v
+    return out

@@ -153,6 +153,16 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
         return rd.read_csv(spec.config["path"].format(**variables))
     if spec.type == "json":
         return rd.read_json(spec.config["path"].format(**variables))
+    if spec.type == "demo_logs":
+        from vector_ray.sources.demo_logs import demo_logs
+
+        return demo_logs(
+            int(spec.config.get("count", 1000)),
+            spec.config.get("format", "json"),
+            seed=int(spec.config.get("seed", 42)),
+            lines=spec.config.get("lines"),
+            sequence=bool(spec.config.get("sequence", False)),
+        )
     raise ConfigError(f"unknown source type {spec.type!r}")
 
 

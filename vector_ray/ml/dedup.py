@@ -119,18 +119,94 @@ class MinHasher:
         return minhash_signatures(flat_sh, counts, self.a, self.b, _MERSENNE)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from vector_ray.ml.hashing import splitmix64
+
         ids = t[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
         sig = self._signatures(t[self.text_col].to_pylist())
         keys = band_keys(sig, self.bands, seed=self.seed)  # (D, bands)
+        # whole-signature hash: byte-identical texts share it, so a
+        # (band_hash, sig_hash) sort puts exact dups ADJACENT — the
+        # sorted-run candidate generator relies on this
+        coef = splitmix64(np.arange(self.bands, dtype=np.uint64) + np.uint64(99)) | np.uint64(1)
+        sig_hash = splitmix64((keys * coef).sum(axis=1, dtype=np.uint64))
         d = keys.shape[0]
         idx = np.repeat(np.arange(d), self.bands)
         return pa.table({
             self.id_col: ids.take(pa.array(idx, pa.int64())),
             "band": pa.array(np.tile(np.arange(self.bands, dtype=np.int32), d)),
             "band_hash": pa.array(keys.reshape(-1), pa.uint64()),
+            "sig_hash": pa.array(sig_hash[idx], pa.uint64()),
         })
+
+
+def _candidate_pairs_sorted(band_rows, *, id_col: str) -> pd.DataFrame:
+    """Scale path for LSH candidate generation: sort the (band,
+    band_hash, sig_hash, id) rows once, then per BLOCK emit star+chain
+    edges for every bucket run with pure numpy — one Python call per
+    block instead of one per bucket (the groupby.map_groups
+    anti-pattern this repo eliminates everywhere else).
+
+    Edges per bucket: star (first -> every member) + chain (adjacent in
+    (sig_hash, id) order).  Chain adjacency after the sig_hash sort
+    means byte-identical documents (identical signatures) are ALWAYS
+    directly connected, which the exact-verify oracle relies on; the
+    star edges give near-dups a path to the rest of the bucket.
+    Buckets that span blocks get one extra driver-added edge joining
+    the parts (last id of the previous block's run, first id of the
+    next), preserving connectivity without moving row data.
+    """
+    import ray as _ray
+
+    sorted_ds = band_rows.sort(["band", "band_hash", "sig_hash", id_col])         .materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @_ray.remote
+    def block_pairs(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return None, None, None
+        band = t["band"].to_numpy(zero_copy_only=False)
+        bh = t["band_hash"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_start = np.nonzero(new_run)[0]
+        first_of_run = ids[run_start][run_id]
+        # chain edges: adjacent rows in the same run
+        same = ~new_run[1:]
+        chain_a, chain_b = ids[:-1][same], ids[1:][same]
+        # star edges: run-first -> member (skip the first itself)
+        not_first = ~new_run
+        star_a, star_b = first_of_run[not_first], ids[not_first]
+        a = np.concatenate([chain_a, star_a])
+        b = np.concatenate([chain_b, star_b])
+        keep = a != b
+        df = pd.DataFrame({"a": a[keep], "b": b[keep]})
+        # normalize orientation then dedupe within the block
+        lo = np.minimum(df["a"], df["b"])
+        hi = np.maximum(df["a"], df["b"])
+        df = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        first_key = (int(band[0]), int(bh[0]), ids[0])
+        last_key = (int(band[-1]), int(bh[-1]), ids[-1])
+        return df, first_key, last_key
+
+    got = _ray.get([block_pairs.remote(r) for r in refs])
+    frames = []
+    prev_last = None  # (band, band_hash, last_id)
+    for df, first, last in got:
+        if df is None:
+            continue
+        frames.append(df)
+        if prev_last is not None and prev_last[:2] == first[:2]                 and prev_last[2] != first[2]:
+            lo, hi = sorted((prev_last[2], first[2]))
+            frames.append(pd.DataFrame({"a": [lo], "b": [hi]}))
+        prev_last = last
+    if not frames:
+        return pd.DataFrame({"a": [], "b": []})
+    return pd.concat(frames, ignore_index=True).drop_duplicates()
 
 
 def _jaccard(a: str, b: str, n: int) -> float:
@@ -193,31 +269,7 @@ def minhash_lsh_dedup(
         ),
     )
 
-    # bucket groupby: ids sharing (band, band_hash) are candidates
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        if len(ids) <= 32:
-            # all within-bucket pairs: pairs not involving the min id
-            # (e.g. 2~3 dupes sharing a bucket with an unrelated 1) are
-            # candidates too
-            pairs = [(ids[i], ids[j]) for i in range(len(ids))
-                     for j in range(i + 1, len(ids))]
-        else:
-            # big bucket: star + consecutive chain bounds the blowup while
-            # keeping every member connected through candidate edges
-            base = ids[0]
-            pairs = [(base, x) for x in ids[1:]]
-            pairs += list(zip(ids[1:], ids[2:]))
-        return pd.DataFrame(pairs, columns=["a", "b"])
-
-    pairs_df = (
-        band_rows.groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates()
-    )
+    pairs_df = _candidate_pairs_sorted(band_rows, id_col=id_col)
 
     if len(pairs_df) == 0:
         return ds, pd.DataFrame({id_col: [], "cluster": []})

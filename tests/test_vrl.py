@@ -254,3 +254,108 @@ def test_object_literal_merge():
     out, _, _ = compile_vrl('. = {"a": .n, "b": "x"}')(t)
     assert out["a"].to_pylist() == [5]
     assert out["b"].to_pylist() == ["x"]
+
+
+# ---------------------------------------------------------------------------
+# closures — map_values / map_keys / filter / for_each
+# (website/cue/reference/remap/functions/{map_values,filter,...}.cue)
+# ---------------------------------------------------------------------------
+
+def _tags_table():
+    return pa.table({
+        "tags": [["foo", "bar", "foo", "baz"], ["x", "foo"], None, []],
+        "attrs": pa.array([{"a": "p", "b": "q"}] * 4),
+        "n": pa.array([1, 2, 3, 4], pa.int64()),
+    })
+
+
+def test_closure_filter_array():
+    # filter.cue example: drop elements equal to "foo"
+    out, err, _ = compile_vrl(
+        '.tags = filter(.tags) -> |_index, value| { value != "foo" }'
+    )(_tags_table())
+    assert out["tags"].to_pylist() == [["bar", "baz"], ["x"], None, []]
+    assert not any(err.to_pylist())
+
+
+def test_closure_filter_array_by_index():
+    out, _, _ = compile_vrl(
+        '.first2 = filter(.tags) -> |i, v| { i < 2 }'
+    )(_tags_table())
+    assert out["first2"].to_pylist() == [["foo", "bar"], ["x", "foo"], None, []]
+
+
+def test_closure_map_values_array():
+    out, _, _ = compile_vrl(
+        '.tags = map_values(.tags) -> |v| { upcase(v) }'
+    )(_tags_table())
+    assert out["tags"].to_pylist() == [
+        ["FOO", "BAR", "FOO", "BAZ"], ["X", "FOO"], None, []]
+
+
+def test_closure_array_sees_parent_scope():
+    # paths and parent variables broadcast into flat space
+    out, _, _ = compile_vrl("""
+pref = "t-"
+.tags = map_values(.tags) -> |v| { pref + v + to_string(.n) }
+""")(_tags_table())
+    assert out["tags"].to_pylist()[0] == ["t-foo1", "t-bar1", "t-foo1", "t-baz1"]
+    assert out["tags"].to_pylist()[1] == ["t-x2", "t-foo2"]
+
+
+def test_closure_map_values_object():
+    # map_values.cue example: upcase all values
+    out, _, _ = compile_vrl(
+        '.attrs = map_values(.attrs) -> |v| { upcase(v) }'
+    )(_tags_table())
+    assert out["attrs"].to_pylist()[0] == {"a": "P", "b": "Q"}
+
+
+def test_closure_map_keys_object():
+    # map_keys.cue example: upcase all keys
+    out, _, _ = compile_vrl(
+        '.attrs = map_keys(.attrs) -> |k| { upcase(k) }'
+    )(_tags_table())
+    assert out["attrs"].to_pylist()[0] == {"A": "p", "B": "q"}
+
+
+def test_closure_filter_object_drops_unmatched_key():
+    out, _, _ = compile_vrl(
+        '.attrs = filter(.attrs) -> |k, v| { k == "a" }'
+    )(_tags_table())
+    assert out["attrs"].to_pylist()[0] == {"a": "p"}
+
+
+def test_closure_for_each_object_accumulates():
+    # for_each.cue: parent-scope mutations persist for object iteration
+    out, _, _ = compile_vrl("""
+acc = ""
+for_each(.attrs) -> |k, v| { acc = acc + k + "=" + v + ";" }
+.kv = acc
+""")(_tags_table())
+    assert out["kv"].to_pylist()[0] == "a=p;b=q;"
+
+
+def test_closure_bang_error_folds_to_row():
+    t = pa.table({"xs": [["1", "2"], ["3", "oops"], ["7"]]})
+    out, err, _ = compile_vrl(
+        '.ns = map_values!(.xs) -> |v| { to_int!(v) }'
+    )(t)
+    assert err.to_pylist() == [False, True, False]
+    assert out["ns"].to_pylist()[0] == [1, 2]
+
+
+def test_closure_local_vars_scoped():
+    with pytest.raises(VrlError):
+        compile_vrl("""
+.x = map_values(.tags) -> |v| { inner = v; v }
+.y = inner
+""")
+
+
+def test_closure_param_arity_checked():
+    t = _tags_table()
+    with pytest.raises(VrlError):
+        compile_vrl('.x = filter(.tags) -> |v| { v != "a" }')(t)
+    with pytest.raises(VrlError):
+        compile_vrl('.x = map_values(.tags)')

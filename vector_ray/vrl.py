@@ -27,6 +27,10 @@ Supported language (round 2 — full recursive-descent parser)::
     del(.tmp)                                  # drop column (under if: null)
     abort_if(.level == null)                   # explicit per-row error
     abort                                      # error every active row
+    .tags = filter(.tags) -> |i, v| { v != "x" }    # enumeration closures
+    .tags = map_values(.tags) -> |v| { upcase(v) }  # (arrays run vectorized
+    .obj  = map_keys(.obj) -> |k| { downcase(k) }   #  in flattened space;
+    for_each(.obj) -> |k, v| { acc = acc + k }      #  objects per field)
 
 Error semantics match remap: a row where any ``!``-marked (fallible)
 call fails carries the error mask; remap's policy then keeps the
@@ -206,6 +210,11 @@ _PRED_FUNCS = {"exists", "is_null", "is_string", "contains", "starts_with",
                "ends_with", "match", "includes", "length", "strlen",
                "is_log", "is_metric"}
 
+# enumeration functions taking a closure (`fn(x) -> |k, v| { ... }`);
+# VRL closure semantics per website/cue/reference/remap/functions/
+# {map_values,map_keys,filter,for_each}.cue
+_CLOSURE_FUNCS = {"map_values", "map_keys", "filter", "for_each"}
+
 
 # ---------------------------------------------------------------------------
 # lexer
@@ -216,7 +225,7 @@ _TOKEN = re.compile(
         (?P<ws>[ \t\r]+)
       | (?P<comment>\#[^\n]*)
       | (?P<nl>\n)
-      | (?P<op>\?\?|\|\||&&|==|!=|<=|>=|[<>!=(){},;+\-*/\[\]:])
+      | (?P<op>\?\?|\|\||&&|==|!=|<=|>=|->|[<>!=(){},;+\-*/\[\]:|])
       | (?P<regex>r"(?:[^"\\]|\\.)*")
       | (?P<dstr>"(?:[^"\\]|\\.)*")
       | (?P<sstr>'(?:[^'\\]|\\.)*')
@@ -343,7 +352,9 @@ class _Parser:
             name = self.next()[1]
             self.next()  # =
             return ("assign", ("var", name), self.parse_expr())
-        raise VrlError(f"cannot parse statement near {val!r}")
+        # bare expression statement (closure bodies' value position,
+        # side-effecting calls like for_each(...))
+        return ("expr", self.parse_expr())
 
     def parse_if(self):
         self.expect("word", "if")
@@ -503,9 +514,28 @@ class _Parser:
                         self.next()
                         self.skip_seps_inline()
                 self.next()  # )
-                if name not in FUNCTIONS and name not in _PRED_FUNCS:
+                closure = None
+                self.skip_seps_inline()
+                if self.peek() == ("op", "->"):
+                    self.next()
+                    self.skip_seps_inline()
+                    self.expect("op", "|")
+                    params = []
+                    while self.peek() != ("op", "|"):
+                        params.append(self.expect("word")[1])
+                        if self.peek() == ("op", ","):
+                            self.next()
+                    self.next()  # |
+                    self.skip_seps_inline()
+                    body = self.parse_block()
+                    closure = ("closure", params, body)
+                if name not in FUNCTIONS and name not in _PRED_FUNCS \
+                        and name not in _CLOSURE_FUNCS:
                     raise VrlError(f"unknown function {name!r}")
-                return ("call", name, bang, args)
+                if closure is None and name in _CLOSURE_FUNCS:
+                    raise VrlError(f"{name} requires a closure: "
+                                   f"{name}(x) -> |k, v| {{ ... }}")
+                return ("call", name, bang, args, closure)
             self.next()
             return ("var", val)
         raise VrlError(f"unexpected token {val!r}")
@@ -676,12 +706,14 @@ def _eval_bin(node, ctx: _Ctx):
 
 
 def _eval_call(node, ctx: _Ctx):
-    _, name, bang, argnodes = node
+    _, name, bang, argnodes, closure = node
     n = ctx.n
     args = []
     for a in argnodes:
         v, _e = _eval(a, ctx)
         args.append(v)
+    if closure is not None:
+        return _eval_closure(name, args, closure, ctx)
     if name in _PRED_FUNCS:
         return _eval_pred(name, argnodes, args, ctx), None
     vals, ok = FUNCTIONS[name](*args)
@@ -738,6 +770,201 @@ def _lit_of(node, evaluated):
 
 
 # ---------------------------------------------------------------------------
+# closures — vectorized enumeration (map_values / map_keys / filter /
+# for_each per website/cue/reference/remap/functions/*.cue).
+#
+# Arrays (list columns) iterate in FLAT space: the list values are
+# flattened once, the closure body runs vectorized over the flat
+# array, and the result is re-wrapped with the original offsets —
+# one kernel pass regardless of row count.  Paths and parent
+# variables referenced inside an array closure are broadcast to flat
+# space via take(parent_indices).  Objects (struct columns) iterate
+# per FIELD: the closure runs once per field with the key bound as a
+# constant and the value as the full column (mutations to parent-
+# scope variables persist, matching VRL scoping).
+#
+# Documented divergences from row-wise VRL (flat-space model):
+#  * `filter` over an object nulls non-matching rows of a field (and
+#    drops the field only when no row matches) — columnar schemas
+#    cannot drop a key per-row.
+#  * parent-scope variable MUTATIONS inside an ARRAY closure do not
+#    propagate back (cross-element accumulation has no columnar
+#    analogue; use length/unique/flatten for those cases).
+# ---------------------------------------------------------------------------
+
+_MISSING = object()
+
+
+def _null_rows(col: pa.Array) -> pa.Array | None:
+    if col.null_count == 0:
+        return None
+    return pc.is_null(col)
+
+
+def _shadow(ctx: _Ctx, bindings: dict):
+    saved = {k: ctx.vars.get(k, _MISSING) for k in bindings}
+    ctx.vars.update(bindings)
+    return saved
+
+
+def _unshadow(ctx: _Ctx, saved: dict, pre_keys: set):
+    for k, v in saved.items():
+        if v is _MISSING:
+            ctx.vars.pop(k, None)
+        else:
+            ctx.vars[k] = v
+    # closure-local variables are scoped to the block (map_values.cue)
+    for k in [k for k in ctx.vars if k not in pre_keys and k not in saved]:
+        del ctx.vars[k]
+
+
+def _exec_body_value(body, ctx: _Ctx):
+    """Run closure body statements; return the final expression's value
+    (None if the body ends in a non-expression statement)."""
+    last = None
+    for s in body:
+        if s[0] == "expr":
+            last, err = _eval(s[1], ctx)
+            if err is not None and s[1][0] == "call" and s[1][2]:  # bang
+                ctx.err = pc.or_(ctx.err, pc.fill_null(err, False))
+        else:
+            _exec_stmt(s, ctx, None)
+            last = None
+    return last
+
+
+def _eval_closure(name, args, closure, ctx: _Ctx):
+    _, params, body = closure
+    col = args[0]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if not isinstance(col, pa.Array):
+        raise VrlError(f"{name} requires an array or object value")
+    if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+        return _closure_list(name, col, params, body, ctx)
+    if pa.types.is_struct(col.type):
+        return _closure_struct(name, col, params, body, ctx)
+    raise VrlError(f"{name} requires an array or object value, "
+                   f"got {col.type}")
+
+
+def _closure_list(name, col: pa.Array, params, body, ctx: _Ctx):
+    n = ctx.n
+    flat = col.flatten()
+    parent = pc.list_parent_indices(col)
+    parent_np = np.asarray(parent)
+    counts_np = np.asarray(pc.fill_null(pc.list_value_length(col), 0),
+                           dtype=np.int64)
+    row_start = np.concatenate([[0], np.cumsum(counts_np)[:-1]])
+
+    sub = _Ctx.__new__(_Ctx)
+    sub.batch = ctx.batch.take(parent)
+    sub.n = len(flat)
+    sub.err = _false(sub.n)
+    sub.vars = {}
+    for k, v in ctx.vars.items():
+        if isinstance(v, (pa.Array, pa.ChunkedArray)) and len(v) == n:
+            sub.vars[k] = _as_array(v, n).take(parent)
+        else:
+            sub.vars[k] = v
+    if name == "map_values":
+        if len(params) != 1:
+            raise VrlError("map_values closure takes |value|")
+        sub.vars[params[0]] = flat
+    else:  # filter / for_each: |index, value|
+        if len(params) != 2:
+            raise VrlError(f"{name} closure over an array takes "
+                           "|index, value|")
+        idx = pa.array(np.arange(len(flat)) - row_start[parent_np],
+                       pa.int64())
+        sub.vars[params[0]] = idx
+        sub.vars[params[1]] = flat
+
+    result = _exec_body_value(body, sub)
+    # element errors fold to their row
+    err_rows = None
+    sub_err = np.asarray(sub.err)
+    if sub_err.any():
+        hit = np.zeros(n, dtype=bool)
+        np.logical_or.at(hit, parent_np[sub_err], True)
+        err_rows = pa.array(hit)
+
+    if name == "for_each":
+        return col, err_rows
+    if name == "filter":
+        mask = np.asarray(pc.fill_null(_bool_mask(result, sub.n), False))
+        new_counts = np.bincount(parent_np[mask], minlength=n)
+        offsets = pa.array(
+            np.concatenate([[0], np.cumsum(new_counts)]).astype(np.int32))
+        kept = flat.filter(pa.array(mask))
+        return pa.ListArray.from_arrays(
+            offsets, kept, mask=_null_rows(col)), err_rows
+    # map_values
+    new_flat = _as_array(result, sub.n)
+    offsets = pa.array(np.concatenate([[0], np.cumsum(counts_np)]),
+                       pa.int32())
+    return pa.ListArray.from_arrays(
+        offsets, new_flat, mask=_null_rows(col)), err_rows
+
+
+def _closure_struct(name, col: pa.Array, params, body, ctx: _Ctx):
+    n = ctx.n
+    fields = [(f.name, pc.struct_field(col, f.name)) for f in col.type]
+    pre_keys = set(ctx.vars)
+    err_acc = None
+
+    if name == "map_keys":
+        if len(params) != 1:
+            raise VrlError("map_keys closure takes |key|")
+        new_names = []
+        tiny = _Ctx(ctx.batch.slice(0, min(1, n)))
+        for fname, _v in fields:
+            saved = _shadow(tiny, {params[0]: pa.array([fname])})
+            out = _exec_body_value(body, tiny)
+            _unshadow(tiny, saved, pre_keys)
+            arr = _as_array(out, 1)
+            new_names.append(arr[0].as_py() if len(arr) else fname)
+        return pa.StructArray.from_arrays(
+            [_as_array(v, n) for _k, v in fields], names=new_names), None
+
+    out_fields: list[tuple[str, pa.Array]] = []
+    for fname, fcol in fields:
+        fcol = _as_array(fcol, n)
+        if name == "map_values":
+            bind = {params[0]: fcol}
+        else:  # filter / for_each: |key, value|
+            if len(params) != 2:
+                raise VrlError(f"{name} closure over an object takes "
+                               "|key, value|")
+            bind = {params[0]: pa.array([fname] * n), params[1]: fcol}
+        saved = _shadow(ctx, bind)
+        before_err = ctx.err
+        ctx.err = _false(n)
+        result = _exec_body_value(body, ctx)
+        err_acc = ctx.err if err_acc is None else pc.or_(err_acc, ctx.err)
+        ctx.err = before_err
+        _unshadow(ctx, saved, pre_keys)
+        if name == "map_values":
+            out_fields.append((fname, _as_array(result, n)))
+        elif name == "filter":
+            mask = pc.fill_null(_bool_mask(result, n), False)
+            if not pc.any(mask).as_py():
+                continue  # no row keeps this key: drop the field
+            out_fields.append(
+                (fname, pc.if_else(mask, fcol, pa.nulls(n, fcol.type))))
+    if pc.any(err_acc).as_py() if err_acc is not None else False:
+        err = err_acc
+    else:
+        err = None
+    if name == "for_each":
+        return col, err
+    if not out_fields:
+        return pa.nulls(n, pa.struct([])), err
+    return pa.StructArray.from_arrays(
+        [v for _k, v in out_fields], names=[k for k, _v in out_fields]), err
+
+
+# ---------------------------------------------------------------------------
 # masked assignment machinery
 # ---------------------------------------------------------------------------
 
@@ -784,55 +1011,120 @@ class VrlProgram:
     def __init__(self, source: str):
         self.source = source
         self.statements = _Parser(source).parse_program()
+        _check_vars(self.statements, set())
 
     def __call__(self, batch: pa.Table):
         ctx = _Ctx(batch)
-        self._run(self.statements, ctx, None)
+        _exec_stmts(self.statements, ctx, None)
         msg = pc.if_else(ctx.err, pa.scalar("vrl program error", pa.string()),
                          pa.scalar(None, pa.string()))
         return ctx.batch, ctx.err, msg
 
-    # ---- statement execution under mask (None = all rows active) ----
 
-    def _run(self, stmts, ctx: _Ctx, mask):
-        for s in stmts:
-            kind = s[0]
-            if kind == "del":
-                self._del(s[1], ctx, mask)
-            elif kind == "abort":
-                if s[1] is None:
-                    hit = mask if mask is not None else pa.array(
-                        np.ones(ctx.n, dtype=bool))
-                else:
-                    v, _e = _eval(s[1], ctx)
-                    hit = _bool_mask(v, ctx.n)
-                    if mask is not None:
-                        hit = pc.and_(hit, mask)
-                ctx.err = pc.or_(ctx.err, hit)
-            elif kind == "if":
-                self._if(s, ctx, mask)
-            elif kind == "merge":
-                self._merge(s[1], ctx, mask)
-            elif kind == "assign":
-                self._assign(s[1], s[2], ctx, mask)
-            else:
-                raise AssertionError(kind)
+def _check_vars(stmts, defined: set):
+    """Compile-time undefined-variable check (VRL compiles per-program;
+    an unresolved ident is a compile error, not a runtime one)."""
+    for s in stmts:
+        kind = s[0]
+        if kind == "assign":
+            _check_expr_vars(s[2], defined)
+            if s[1][0] == "var":
+                defined.add(s[1][1])
+        elif kind == "merge":
+            _check_expr_vars(s[1], defined)
+        elif kind == "abort":
+            if s[1] is not None:
+                _check_expr_vars(s[1], defined)
+        elif kind == "if":
+            for cond, arm in s[1]:
+                _check_expr_vars(cond, defined)
+                _check_vars(arm, defined)
+            _check_vars(s[2], defined)
+        elif kind == "expr":
+            _check_expr_vars(s[1], defined)
 
-    def _if(self, node, ctx: _Ctx, mask):
-        _, arms, else_stmts = node
-        remaining = mask  # rows not yet captured by an arm
-        for cond, stmts in arms:
-            v, _e = _eval(cond, ctx)
-            m = _bool_mask(v, ctx.n)
-            if remaining is not None:
-                m = pc.and_(m, remaining)
-            self._run(stmts, ctx, m)
-            not_m = pc.invert(m)
-            remaining = not_m if remaining is None else pc.and_(remaining, not_m)
-        if else_stmts:
-            self._run(else_stmts, ctx, remaining)
 
-    def _del(self, parts, ctx: _Ctx, mask):
+def _check_expr_vars(node, defined: set):
+    kind = node[0]
+    if kind == "var":
+        if node[1] not in defined:
+            raise VrlError(f"undefined variable {node[1]!r}")
+    elif kind == "call":
+        for a in node[3]:
+            _check_expr_vars(a, defined)
+        if node[4] is not None:
+            inner = set(defined) | set(node[4][1])
+            _check_vars(node[4][2], inner)
+    elif kind == "bin":
+        _check_expr_vars(node[2], defined)
+        _check_expr_vars(node[3], defined)
+    elif kind == "coalesce":
+        _check_expr_vars(node[1], defined)
+        _check_expr_vars(node[2], defined)
+    elif kind in ("not", "neg"):
+        _check_expr_vars(node[1], defined)
+    elif kind == "array":
+        for item in node[1]:
+            _check_expr_vars(item, defined)
+    elif kind == "object":
+        for _k, v in node[1]:
+            _check_expr_vars(v, defined)
+
+
+# ---- statement execution under mask (None = all rows active) ----
+
+def _exec_stmts(stmts, ctx: _Ctx, mask):
+    for s in stmts:
+        _exec_stmt(s, ctx, mask)
+
+
+def _exec_stmt(s, ctx: _Ctx, mask):
+    kind = s[0]
+    if kind == "del":
+        _exec_del(s[1], ctx, mask)
+    elif kind == "abort":
+        if s[1] is None:
+            hit = mask if mask is not None else pa.array(
+                np.ones(ctx.n, dtype=bool))
+        else:
+            v, _e = _eval(s[1], ctx)
+            hit = _bool_mask(v, ctx.n)
+            if mask is not None:
+                hit = pc.and_(hit, mask)
+        ctx.err = pc.or_(ctx.err, hit)
+    elif kind == "if":
+        _exec_if(s, ctx, mask)
+    elif kind == "merge":
+        _exec_merge(s[1], ctx, mask)
+    elif kind == "assign":
+        _exec_assign(s[1], s[2], ctx, mask)
+    elif kind == "expr":
+        # side-effecting expression statement (for_each, bare calls)
+        _v, err = _eval(s[1], ctx)
+        if err is not None and s[1][0] == "call" and s[1][2]:  # bang
+            hit = err if mask is None else pc.and_(
+                pc.fill_null(err, False), mask)
+            ctx.err = pc.or_(ctx.err, pc.fill_null(hit, False))
+    else:
+        raise AssertionError(kind)
+
+
+def _exec_if(node, ctx: _Ctx, mask):
+    _, arms, else_stmts = node
+    remaining = mask  # rows not yet captured by an arm
+    for cond, stmts in arms:
+        v, _e = _eval(cond, ctx)
+        m = _bool_mask(v, ctx.n)
+        if remaining is not None:
+            m = pc.and_(m, remaining)
+        _exec_stmts(stmts, ctx, m)
+        not_m = pc.invert(m)
+        remaining = not_m if remaining is None else pc.and_(remaining, not_m)
+    if else_stmts:
+        _exec_stmts(else_stmts, ctx, remaining)
+
+
+def _exec_del(parts, ctx: _Ctx, mask):
         name = parts[0]
         if name not in ctx.batch.column_names:
             return
@@ -867,7 +1159,8 @@ class VrlProgram:
                 else rebuilt  # field-set change: apply to all (documented)
         ctx.batch = _set(ctx.batch, name, rebuilt)
 
-    def _merge(self, expr, ctx: _Ctx, mask):
+
+def _exec_merge(expr, ctx: _Ctx, mask):
         vals, err = _eval(expr, ctx)
         vals = _as_array(vals, ctx.n)
         if not pa.types.is_struct(vals.type):
@@ -886,7 +1179,7 @@ class VrlProgram:
             ctx.batch = _set(ctx.batch, f.name,
                              _masked(col, existing, mask, ctx.n))
 
-    def _assign(self, target, expr, ctx: _Ctx, mask):
+def _exec_assign(target, expr, ctx: _Ctx, mask):
         vals, err = _eval(expr, ctx)
         bang = expr[0] == "call" and expr[2]
         if bang and err is not None:

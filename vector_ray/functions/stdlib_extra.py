@@ -1,0 +1,590 @@
+"""Round-2 VRL stdlib breadth: type predicates/assertions, collection
+kernels, syslog mappings, formatting, and misc value functions.
+
+Behavioral reference: website/cue/reference/remap/functions/*.cue
+(is_*.cue, bool.cue/int.cue/float.cue/string.cue/timestamp.cue,
+keys.cue/values.cue/merge.cue/push.cue/append.cue/get.cue,
+to_syslog_*.cue, format_int.cue/format_number.cue, find.cue,
+contains_all.cue, match_any.cue, uuid_v4.cue, now.cue, ...).
+
+All list/array kernels operate in FLAT space over Arrow list columns
+(one numpy pass, no per-row Python); per-row Python appears only in
+inherently formatting-bound functions and is commented as such.
+"""
+
+from __future__ import annotations
+
+import binascii
+import json
+import os
+import socket
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from vector_ray.functions.codecs import _map_unique
+
+
+def _arr(col):
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def _n_of(col):
+    return len(_arr(col))
+
+
+# ---------------------------------------------------------------------------
+# type predicates (is_*.cue) — column types are uniform, so most are
+# constant per column; is_nullish/is_empty/is_ipv4/is_ipv6/is_json are
+# value-dependent and vectorized
+# ---------------------------------------------------------------------------
+
+def _const(col, flag: bool) -> pa.Array:
+    return pa.array(np.full(_n_of(col), flag))
+
+
+def is_integer(col):
+    return _const(col, pa.types.is_integer(_arr(col).type))
+
+
+def is_float(col):
+    return _const(col, pa.types.is_floating(_arr(col).type))
+
+
+def is_boolean(col):
+    return _const(col, pa.types.is_boolean(_arr(col).type))
+
+
+def is_array(col):
+    t = _arr(col).type
+    return _const(col, pa.types.is_list(t) or pa.types.is_large_list(t))
+
+
+def is_object(col):
+    return _const(col, pa.types.is_struct(_arr(col).type))
+
+
+def is_timestamp(col):
+    return _const(col, pa.types.is_timestamp(_arr(col).type))
+
+
+def is_regex(col):
+    return _const(col, False)  # regexes are literals, never column values
+
+
+def is_empty(col):
+    """Empty string / array / object (is_empty.cue)."""
+    col = _arr(col)
+    t = col.type
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return pc.equal(pc.fill_null(pc.list_value_length(col), 0), 0)
+    if pa.types.is_struct(t):
+        return _const(col, col.type.num_fields == 0)
+    return pc.equal(pc.utf8_length(pc.fill_null(pc.cast(col, pa.string()),
+                                                "")), 0)
+
+
+def is_nullish(col):
+    """null, empty/whitespace-only string, or "-" (is_nullish.cue)."""
+    col = _arr(col)
+    if not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+        return pc.is_null(col)
+    stripped = pc.utf8_trim_whitespace(pc.cast(col, pa.string()))
+    blank = pc.or_(pc.equal(stripped, ""), pc.equal(stripped, "-"))
+    return pc.or_(pc.is_null(col), pc.fill_null(blank, False))
+
+
+_IPV4_RX = r"^(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}$"
+
+
+def is_ipv4(col):
+    return pc.fill_null(pc.match_substring_regex(
+        pc.cast(_arr(col), pa.string()), _IPV4_RX), False)
+
+
+def is_ipv6(col):
+    # colon-hex heuristic + parse confirmation on uniques
+    import ipaddress
+
+    def chk(v):
+        try:
+            ipaddress.IPv6Address(v)
+            return True
+        except ValueError:
+            return False
+    return pc.fill_null(_map_unique(_arr(col), chk, pa.bool_()), False)
+
+
+def is_json(col):
+    def chk(v):
+        try:
+            json.loads(v)
+            return True
+        except (ValueError, TypeError):
+            return False
+    return pc.fill_null(_map_unique(_arr(col), chk, pa.bool_()), False)
+
+
+# ---------------------------------------------------------------------------
+# type assertions (bool.cue/int.cue/float.cue/string.cue/timestamp.cue/
+# array.cue/object.cue): value passes through; wrong-typed columns error
+# every row (fallible — pair with `!` or `??` as in VRL)
+# ---------------------------------------------------------------------------
+
+def _assert_type(col, pred) -> tuple[pa.Array, pa.Array]:
+    col = _arr(col)
+    ok = pred(col.type)
+    n = len(col)
+    return col, pa.array(np.full(n, ok))
+
+
+def assert_bool(col):
+    return _assert_type(col, pa.types.is_boolean)
+
+
+def assert_int(col):
+    return _assert_type(col, pa.types.is_integer)
+
+
+def assert_float(col):
+    return _assert_type(col, pa.types.is_floating)
+
+
+def assert_string(col):
+    return _assert_type(
+        col, lambda t: pa.types.is_string(t) or pa.types.is_large_string(t))
+
+
+def assert_timestamp(col):
+    return _assert_type(col, pa.types.is_timestamp)
+
+
+def assert_array(col):
+    return _assert_type(
+        col, lambda t: pa.types.is_list(t) or pa.types.is_large_list(t))
+
+
+def assert_object(col):
+    return _assert_type(col, pa.types.is_struct)
+
+
+def to_bool(col):
+    """to_bool.cue: "true"/"t"/"yes"/"y"/"1" -> true, inverse -> false,
+    numbers by non-zero-ness; unparseable -> null (fallible)."""
+    col = _arr(col)
+    if pa.types.is_boolean(col.type):
+        return col
+    if pa.types.is_integer(col.type) or pa.types.is_floating(col.type):
+        return pc.not_equal(col, 0)
+    s = pc.utf8_lower(pc.cast(col, pa.string()))
+    true_m = pc.is_in(s, value_set=pa.array(["true", "t", "yes", "y", "1"]))
+    false_m = pc.is_in(s, value_set=pa.array(["false", "f", "no", "n", "0"]))
+    out = pc.if_else(true_m, True,
+                     pc.if_else(false_m, False, pa.nulls(len(col), pa.bool_())))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# collections (keys.cue / values.cue / merge.cue / push.cue / append.cue
+# / get.cue / remove.cue / unflatten.cue / zip.cue)
+# ---------------------------------------------------------------------------
+
+def keys_(col) -> pa.Array:
+    """Object keys as a per-row list (constant across rows)."""
+    col = _arr(col)
+    if not pa.types.is_struct(col.type):
+        raise ValueError("keys() requires an object")
+    names = [f.name for f in col.type]
+    n, k = len(col), len(names)
+    base = pa.array(names, pa.string())
+    vals = base.take(pa.array(np.tile(np.arange(k), n)))
+    offsets = pa.array(np.arange(0, n * k + 1, k, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, vals)
+
+
+def values_(col) -> pa.Array:
+    """Object values as a per-row list (common-type cast)."""
+    col = _arr(col)
+    if not pa.types.is_struct(col.type):
+        raise ValueError("values() requires an object")
+    n = len(col)
+    arrs = [pc.struct_field(col, f.name) for f in col.type]
+    if not arrs:
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(n + 1, dtype=np.int32)), pa.array([], pa.string()))
+    common = arrs[0].type
+    for a in arrs[1:]:
+        if a.type != common:
+            common = pa.string()
+            break
+    arrs = [pc.cast(a, common) for a in arrs]
+    k = len(arrs)
+    concat = pa.concat_arrays([_arr(a) for a in arrs])
+    p = np.arange(n * k)
+    flat = concat.take(pa.array((p % k) * n + p // k))
+    offsets = pa.array(np.arange(0, n * k + 1, k, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, flat)
+
+
+def merge_objects(a, b, *, deep: bool = False) -> pa.Array:
+    """merge.cue: fields of `b` override fields of `a` (shallow; `deep`
+    recurses into struct-typed fields present in both)."""
+    a, b = _arr(a), _arr(b)
+    if not (pa.types.is_struct(a.type) and pa.types.is_struct(b.type)):
+        raise ValueError("merge() requires two objects")
+    n = len(a)
+    fields: dict[str, pa.Array] = {
+        f.name: pc.struct_field(a, f.name) for f in a.type}
+    for f in b.type:
+        newv = pc.struct_field(b, f.name)
+        if (deep and f.name in fields
+                and pa.types.is_struct(fields[f.name].type)
+                and pa.types.is_struct(newv.type)):
+            fields[f.name] = merge_objects(fields[f.name], newv, deep=True)
+        else:
+            fields[f.name] = newv
+    names = list(fields)
+    return pa.StructArray.from_arrays([_arr(fields[k]) for k in names],
+                                      names=names)
+
+
+def _list_parts(col):
+    col = _arr(col)
+    flat = col.flatten()
+    counts = np.asarray(pc.fill_null(pc.list_value_length(col), 0),
+                        dtype=np.int64)
+    parent = np.asarray(pc.list_parent_indices(col))
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    return col, flat, counts, parent, starts
+
+
+def push_(col, item) -> pa.Array:
+    """push.cue: append one value to each row's array (flat-space
+    scatter — no per-row Python)."""
+    col, flat, counts, parent, starts = _list_parts(col)
+    n = len(col)
+    L = len(flat)
+    items = item if isinstance(item, pa.Array) else pa.array([item] * n)
+    items = pc.cast(_arr(items), flat.type) if len(flat) else _arr(items)
+    new_counts = counts + 1
+    new_starts = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
+    out_idx = np.empty(L + n, dtype=np.int64)
+    if L:
+        out_idx[new_starts[parent] + (np.arange(L) - starts[parent])] = \
+            np.arange(L)
+    out_idx[new_starts + counts] = L + np.arange(n)
+    merged = pa.concat_arrays([flat, pc.cast(items, flat.type)]) \
+        if L else items
+    vals = merged.take(pa.array(out_idx))
+    offsets = pa.array(np.concatenate([[0], np.cumsum(new_counts)])
+                       .astype(np.int32))
+    return pa.ListArray.from_arrays(offsets, vals)
+
+
+def append_(a, b) -> pa.Array:
+    """append.cue: element-wise array concatenation (flat-space scatter)."""
+    a, fa, ca, pa_, sa = _list_parts(a)
+    b, fb, cb, pb, sb = _list_parts(b)
+    n = len(a)
+    fb = pc.cast(fb, fa.type) if len(fa) else fb
+    La, Lb = len(fa), len(fb)
+    new_counts = ca + cb
+    new_starts = np.concatenate([[0], np.cumsum(new_counts)[:-1]])
+    out_idx = np.empty(La + Lb, dtype=np.int64)
+    if La:
+        out_idx[new_starts[pa_] + (np.arange(La) - sa[pa_])] = np.arange(La)
+    if Lb:
+        out_idx[new_starts[pb] + ca[pb] + (np.arange(Lb) - sb[pb])] = \
+            La + np.arange(Lb)
+    merged = pa.concat_arrays([fa, fb]) if La else fb
+    vals = merged.take(pa.array(out_idx))
+    offsets = pa.array(np.concatenate([[0], np.cumsum(new_counts)])
+                       .astype(np.int32))
+    return pa.ListArray.from_arrays(offsets, vals)
+
+
+def get_(col, path) -> pa.Array:
+    """get.cue with a constant path: struct fields by name, list
+    elements by integer index."""
+    col = _arr(col)
+    if isinstance(path, (pa.Array, pa.ChunkedArray)):
+        path = _arr(path)[0].as_py() if len(path) else []
+    if not isinstance(path, (list, tuple)):
+        path = [path]
+    for seg in path:
+        t = col.type
+        if pa.types.is_struct(t):
+            col = pc.struct_field(col, str(seg))
+        elif pa.types.is_list(t) or pa.types.is_large_list(t):
+            col = pc.list_element(col, int(seg))
+        else:
+            return pa.nulls(len(col), pa.string())
+    return col
+
+
+def remove_(col, path) -> pa.Array:
+    """remove.cue with a constant single-segment path over an object."""
+    col = _arr(col)
+    if isinstance(path, (pa.Array, pa.ChunkedArray)):
+        path = _arr(path)[0].as_py() if len(path) else []
+    seg = path[0] if isinstance(path, (list, tuple)) else path
+    if not pa.types.is_struct(col.type):
+        return col
+    kept = [(f.name, pc.struct_field(col, f.name)) for f in col.type
+            if f.name != seg]
+    if not kept:
+        return pa.nulls(len(col), pa.struct([]))
+    return pa.StructArray.from_arrays([_arr(v) for _k, v in kept],
+                                      names=[k for k, _v in kept])
+
+
+def unflatten_(col, separator: str = ".") -> pa.Array:
+    """unflatten.cue: dotted keys of an object into nested objects."""
+    col = _arr(col)
+    if not pa.types.is_struct(col.type):
+        raise ValueError("unflatten() requires an object")
+    n = len(col)
+
+    def build(items: list[tuple[list[str], pa.Array]]) -> pa.Array:
+        leaves: dict[str, pa.Array] = {}
+        groups: dict[str, list[tuple[list[str], pa.Array]]] = {}
+        for parts, arr in items:
+            if len(parts) == 1:
+                leaves[parts[0]] = arr
+            else:
+                groups.setdefault(parts[0], []).append((parts[1:], arr))
+        fields = dict(leaves)
+        for head, sub in groups.items():
+            fields[head] = build(sub)
+        names = list(fields)
+        return pa.StructArray.from_arrays([_arr(fields[k]) for k in names],
+                                          names=names)
+
+    items = [(f.name.split(separator), pc.struct_field(col, f.name))
+             for f in col.type]
+    return build(items)
+
+
+def zip_(a, b) -> pa.Array:
+    """zip.cue (two-array form): element-wise pairing into a list of
+    [x, y] string pairs, truncated to the shorter side per row."""
+    a, fa, ca, pa_, sa = _list_parts(a)
+    b, fb, cb, pb, sb = _list_parts(b)
+    n = len(a)
+    fa = pc.cast(fa, pa.string())
+    fb = pc.cast(fb, pa.string())
+    counts = np.minimum(ca, cb)
+    m = int(counts.sum())
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # flat index of pair j of row i: a at sa[i]+j, b at sb[i]+j
+    parent = np.repeat(np.arange(n), counts)
+    within = np.arange(m) - starts[parent]
+    ai = sa[parent] + within
+    bi = sb[parent] + within
+    # interleave a,b per pair -> inner lists of length 2
+    pair_vals = pa.concat_arrays([fa, fb]).take(
+        pa.array(np.column_stack([ai, len(fa) + bi]).ravel()))
+    inner = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, 2 * m + 1, 2, dtype=np.int32)), pair_vals)
+    outer = pa.ListArray.from_arrays(
+        pa.array(np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)),
+        inner)
+    return outer
+
+
+# ---------------------------------------------------------------------------
+# strings / matching
+# ---------------------------------------------------------------------------
+
+def find_(col, substring: str, *, from_: int = 0) -> pa.Array:
+    """find.cue: first byte index of substring, -1 when absent."""
+    return pc.find_substring(pc.cast(_arr(col), pa.string()),
+                             pattern=substring)
+
+
+def contains_all(col, substrings: list[str]) -> pa.Array:
+    s = pc.cast(_arr(col), pa.string())
+    out = None
+    for sub in substrings:
+        m = pc.fill_null(pc.match_substring(s, sub), False)
+        out = m if out is None else pc.and_(out, m)
+    if out is None:
+        out = pa.array(np.ones(len(s), dtype=bool))
+    return out
+
+
+def match_any(col, patterns: list) -> pa.Array:
+    s = pc.cast(_arr(col), pa.string())
+    out = None
+    for p in patterns:
+        if isinstance(p, tuple) and p and p[0] == "__regex__":
+            p = p[1]
+        m = pc.fill_null(pc.match_substring_regex(s, str(p)), False)
+        out = m if out is None else pc.or_(out, m)
+    if out is None:
+        out = pa.array(np.zeros(len(s), dtype=bool))
+    return out
+
+
+def match_array(col, pattern) -> pa.Array:
+    """match_array.cue: true when any element of the array matches."""
+    col, flat, counts, parent, _starts = _list_parts(col)
+    if isinstance(pattern, tuple) and pattern and pattern[0] == "__regex__":
+        pattern = pattern[1]
+    m = np.asarray(pc.fill_null(pc.match_substring_regex(
+        pc.cast(flat, pa.string()), str(pattern)), False))
+    hit = np.zeros(len(col), dtype=bool)
+    if m.any():
+        np.logical_or.at(hit, parent[m], True)
+    return pa.array(hit)
+
+
+def pascalcase(col):
+    from vector_ray.functions.strings import camelcase
+    cc = camelcase(col)
+    head = pc.utf8_upper(pc.utf8_slice_codeunits(cc, 0, 1))
+    return pc.binary_join_element_wise(head,
+                                       pc.utf8_slice_codeunits(cc, 1, 1 << 30),
+                                       "")
+
+
+def screamingsnakecase(col):
+    from vector_ray.functions.strings import snakecase
+    return pc.utf8_upper(snakecase(col))
+
+
+def format_int(col, base: int = 10) -> pa.Array:
+    col = _arr(col)
+    ints = pc.cast(col, pa.int64())
+    if base == 10:
+        return pc.cast(ints, pa.string())
+    # non-decimal bases are formatting-bound; map unique values only
+    fmt = {16: "{:x}", 8: "{:o}", 2: "{:b}"}.get(base)
+    if fmt is None:
+        raise ValueError(f"unsupported base {base}")
+    return _map_unique(ints, lambda v: fmt.format(v))
+
+
+def format_number(col, scale: int = 2, *, decimal_separator: str = ".",
+                  grouping_separator: str = ",") -> pa.Array:
+    col = pc.cast(_arr(col), pa.float64())
+
+    # locale-style formatting is inherently per-value; dedup first
+    def one(v):
+        s = f"{v:,.{scale}f}"
+        return (s.replace(",", "\x00").replace(".", decimal_separator)
+                 .replace("\x00", grouping_separator))
+    return _map_unique(col, one)
+
+
+# ---------------------------------------------------------------------------
+# syslog mappings (to_syslog_level.cue / to_syslog_severity.cue /
+# to_syslog_facility.cue) — RFC 5424 tables
+# ---------------------------------------------------------------------------
+
+_SYSLOG_LEVELS = ["emerg", "alert", "crit", "err", "warning", "notice",
+                  "info", "debug"]
+_SYSLOG_SEVERITIES = {
+    "emerg": 0, "panic": 0, "alert": 1, "crit": 2, "err": 3, "error": 3,
+    "warning": 4, "warn": 4, "notice": 5, "info": 6, "debug": 7,
+}
+_SYSLOG_FACILITIES = [
+    "kern", "user", "mail", "daemon", "auth", "syslog", "lpr", "news",
+    "uucp", "cron", "authpriv", "ftp", "ntp", "security", "console",
+    "solaris-cron", "local0", "local1", "local2", "local3", "local4",
+    "local5", "local6", "local7",
+]
+
+
+def _table_lookup(col, table: list[str]) -> pa.Array:
+    idx = np.asarray(pc.cast(_arr(col), pa.int64()).fill_null(-1))
+    ok = (idx >= 0) & (idx < len(table))
+    base = pa.array(table, pa.string())
+    out = base.take(pa.array(np.where(ok, idx, 0)))
+    return pc.if_else(pa.array(ok), out, pa.nulls(len(idx), pa.string()))
+
+
+def to_syslog_level(col) -> pa.Array:
+    return _table_lookup(col, _SYSLOG_LEVELS)
+
+
+def to_syslog_facility(col) -> pa.Array:
+    return _table_lookup(col, _SYSLOG_FACILITIES)
+
+
+def to_syslog_severity(col) -> pa.Array:
+    s = pc.utf8_lower(pc.cast(_arr(col), pa.string()))
+    keys = pa.array(list(_SYSLOG_SEVERITIES))
+    vals = pa.array(list(_SYSLOG_SEVERITIES.values()), pa.int64())
+    idx = pc.index_in(s, value_set=keys)
+    return vals.take(idx)
+
+
+# ---------------------------------------------------------------------------
+# misc value functions
+# ---------------------------------------------------------------------------
+
+def crc_(col, *, algorithm: str = "crc32") -> pa.Array:
+    if algorithm not in ("crc32", "crc-32"):
+        raise ValueError(f"unsupported crc algorithm {algorithm!r}")
+    return _map_unique(_arr(col),
+                       lambda v: str(zlib.crc32(v.encode()) & 0xFFFFFFFF))
+
+
+def now_(col=None):
+    import datetime as _dt
+    return _dt.datetime.utcnow()
+
+
+def uuid_v4(col) -> pa.Array:
+    """Random v4 UUIDs, vectorized: one RNG draw + one hexlify for the
+    whole batch, split with numpy fixed-width views."""
+    n = _n_of(col)
+    b = np.random.randint(0, 256, size=(n, 16), dtype=np.int64).astype(np.uint8)
+    b[:, 6] = (b[:, 6] & 0x0F) | 0x40
+    b[:, 8] = (b[:, 8] & 0x3F) | 0x80
+    hx = np.frombuffer(binascii.hexlify(b.tobytes()), dtype="S32").astype("U32")
+    chars = hx.view("U1").reshape(n, 32)
+    out = np.empty((n, 36), dtype="U1")
+    out[:, [8, 13, 18, 23]] = "-"
+    out[:, :8] = chars[:, :8]
+    out[:, 9:13] = chars[:, 8:12]
+    out[:, 14:18] = chars[:, 12:16]
+    out[:, 19:23] = chars[:, 16:20]
+    out[:, 24:] = chars[:, 20:]
+    return pa.array(out.view("U36").ravel())
+
+
+def get_hostname(col=None) -> str:
+    return socket.gethostname()
+
+
+def get_timezone_name(col=None) -> str:
+    return time.tzname[0] or "UTC"
+
+
+def get_env_var(name) -> str | None:
+    if isinstance(name, (pa.Array, pa.ChunkedArray)):
+        name = _arr(name)[0].as_py()
+    return os.environ.get(str(name))
+
+
+def log_(col, *args, **kwargs):
+    """log.cue: emit and pass through. Batch engines have no per-event
+    logger; this is a no-op passthrough by design."""
+    return col
+
+
+def random_int(col, lo: int = 0, hi: int = 1 << 31) -> pa.Array:
+    return pa.array(np.random.randint(lo, hi, size=_n_of(col)))
+
+
+def random_float(col, lo: float = 0.0, hi: float = 1.0) -> pa.Array:
+    return pa.array(np.random.uniform(lo, hi, size=_n_of(col)))
+
+
+def random_bool(col) -> pa.Array:
+    return pa.array(np.random.randint(0, 2, size=_n_of(col)).astype(bool))

@@ -204,11 +204,93 @@ FUNCTIONS.update({
     "chunks": _wrap_simple(_collections.chunks_list),
 })
 
+# ---- round-2 stdlib breadth, batch 2: type predicates/assertions,
+# collection kernels, syslog tables, formatting, misc (functions/
+# stdlib_extra.py; names per website/cue/reference/remap/functions) ----
+from vector_ray.functions import stdlib_extra as _extra  # noqa: E402
+
+
+def _const_list(x):
+    """A constant array-literal argument arrives as an n-length Arrow
+    list column; collapse it back to one Python list."""
+    if isinstance(x, pa.ChunkedArray):
+        x = x.combine_chunks()
+    if isinstance(x, pa.Array) and (
+            pa.types.is_list(x.type) or pa.types.is_large_list(x.type)):
+        return x[0].as_py() if len(x) else []
+    return x
+
+
+FUNCTIONS.update({
+    # type predicates
+    "is_integer": _wrap_simple(_extra.is_integer),
+    "is_float": _wrap_simple(_extra.is_float),
+    "is_boolean": _wrap_simple(_extra.is_boolean),
+    "is_array": _wrap_simple(_extra.is_array),
+    "is_object": _wrap_simple(_extra.is_object),
+    "is_timestamp": _wrap_simple(_extra.is_timestamp),
+    "is_regex": _wrap_simple(_extra.is_regex),
+    "is_empty": _wrap_simple(_extra.is_empty),
+    "is_nullish": _wrap_simple(_extra.is_nullish),
+    "is_ipv4": _wrap_simple(_extra.is_ipv4),
+    "is_ipv6": _wrap_simple(_extra.is_ipv6),
+    "is_json": _wrap_simple(_extra.is_json),
+    # type assertions (fallible: whole column errors on type mismatch)
+    "bool": _extra.assert_bool,
+    "int": _extra.assert_int,
+    "float": _extra.assert_float,
+    "string": _extra.assert_string,
+    "timestamp": _extra.assert_timestamp,
+    "array": _extra.assert_array,
+    "object": _extra.assert_object,
+    "to_bool": _wrap_fallible(_extra.to_bool),
+    # collections
+    "keys": _wrap_simple(_extra.keys_),
+    "values": _wrap_simple(_extra.values_),
+    "merge": _wrap_simple(_extra.merge_objects),
+    "push": _wrap_simple(lambda c, item: _extra.push_(c, item)),
+    "append": _wrap_simple(_extra.append_),
+    "get": _wrap_simple(lambda c, p: _extra.get_(c, _const_list(p))),
+    "remove": _wrap_simple(lambda c, p: _extra.remove_(c, _const_list(p))),
+    "unflatten": _wrap_simple(_extra.unflatten_),
+    "zip": _wrap_simple(_extra.zip_),
+    # strings / matching
+    "find": _wrap_simple(_extra.find_),
+    "contains_all": _wrap_simple(
+        lambda c, subs: _extra.contains_all(c, _const_list(subs))),
+    "match_any": _wrap_simple(
+        lambda c, pats: _extra.match_any(c, _const_list(pats))),
+    "match_array": _wrap_simple(_extra.match_array),
+    "pascalcase": _wrap_simple(_extra.pascalcase),
+    "screamingsnakecase": _wrap_simple(_extra.screamingsnakecase),
+    "format_int": _wrap_simple(_extra.format_int),
+    "format_number": _wrap_simple(_extra.format_number),
+    # syslog tables
+    "to_syslog_level": _wrap_fallible(_extra.to_syslog_level),
+    "to_syslog_severity": _wrap_fallible(_extra.to_syslog_severity),
+    "to_syslog_facility": _wrap_fallible(_extra.to_syslog_facility),
+    # misc
+    "crc": _wrap_simple(_extra.crc_),
+    "now": lambda *a: (_extra.now_(), None),
+    "uuid_v4": _wrap_simple(_extra.uuid_v4),
+    "get_hostname": lambda *a: (_extra.get_hostname(), None),
+    "get_timezone_name": lambda *a: (_extra.get_timezone_name(), None),
+    "get_env_var": lambda name: (_extra.get_env_var(name), None),
+    "log": _wrap_simple(_extra.log_),
+    "random_int": _wrap_simple(_extra.random_int),
+    "random_float": _wrap_simple(_extra.random_float),
+    "random_bool": _wrap_simple(_extra.random_bool),
+})
+
+# zero-arg VRL calls that still need the batch length: hand them a
+# null column of the right length at call time
+_NEEDS_N = {"uuid_v4", "random_int", "random_float", "random_bool"}
+
 # boolean/value helpers usable inside expressions (condition parity,
 # src/conditions/vrl.rs + website/cue/reference/remap/functions)
 _PRED_FUNCS = {"exists", "is_null", "is_string", "contains", "starts_with",
                "ends_with", "match", "includes", "length", "strlen",
-               "is_log", "is_metric"}
+               "is_log", "is_metric", "match_datadog_query"}
 
 # enumeration functions taking a closure (`fn(x) -> |k, v| { ... }`);
 # VRL closure semantics per website/cue/reference/remap/functions/
@@ -716,6 +798,8 @@ def _eval_call(node, ctx: _Ctx):
         return _eval_closure(name, args, closure, ctx)
     if name in _PRED_FUNCS:
         return _eval_pred(name, argnodes, args, ctx), None
+    if name in _NEEDS_N and not args:
+        args = [pa.nulls(n, pa.string())]
     vals, ok = FUNCTIONS[name](*args)
     if ok is None:
         return vals, None
@@ -754,6 +838,11 @@ def _eval_pred(name, argnodes, args, ctx: _Ctx):
     if name == "includes":
         want = _lit_of(argnodes[1], args[1])
         return pc.fill_null(pc.is_in(a0, value_set=pa.array([want])), False)
+    if name == "match_datadog_query":
+        # match_datadog_query.cue: the object argument is the event —
+        # columnar events ARE the batch, so the query runs over ctx.batch
+        q = _lit_of(argnodes[-1], args[-1])
+        return pc.fill_null(_dd_query(str(q))(ctx.batch), False)
     if name == "is_log":
         return pa.array([True] * n)
     if name == "is_metric":
@@ -767,6 +856,17 @@ def _lit_of(node, evaluated):
     if node[0] == "lit":
         return node[1]
     return evaluated
+
+
+_DD_CACHE: dict[str, Callable] = {}
+
+
+def _dd_query(q: str):
+    fn = _DD_CACHE.get(q)
+    if fn is None:
+        from vector_ray.datadog_search import compile_datadog_search
+        fn = _DD_CACHE[q] = compile_datadog_search(q)
+    return fn
 
 
 # ---------------------------------------------------------------------------

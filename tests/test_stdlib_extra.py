@@ -155,3 +155,149 @@ def test_match_datadog_query_function():
     out, _, _ = compile_vrl(
         '.hit = match_datadog_query(., "status:error AND service:web")')(t)
     assert out["hit"].to_pylist() == [True, False, False]
+
+
+def test_batch3_parsers_csv_tokens():
+    t = pa.table({"c": ['a,b,c', 'x,"y,z",w', ''],
+                  "tok": ['plain words here',
+                          'A "with \\"a\\" inside" [some brackets]',
+                          'one']})
+    out, _, _ = compile_vrl(".l = parse_csv(.c)\n.t = parse_tokens(.tok)")(t)
+    assert out["l"].to_pylist() == [["a", "b", "c"], ["x", "y,z", "w"], [""]]
+    assert out["t"].to_pylist() == [
+        ["plain", "words", "here"],
+        ["A", 'with "a" inside', "some brackets"],
+        ["one"]]
+
+
+def test_batch3_vpc_flow_log():
+    line = ("2 123456789010 eni-1235b8ca123456789 - - - - - - - "
+            "1431280876 1431280934 - NODATA")
+    out, err, _ = compile_vrl(". = parse_aws_vpc_flow_log!(.m)")(
+        pa.table({"m": [line]}))
+    row = {c: out[c].to_pylist()[0] for c in out.column_names}
+    assert row["version"] == 2
+    assert row["account_id"] == "123456789010"
+    assert row["interface_id"] == "eni-1235b8ca123456789"
+    assert row["srcaddr"] is None and row["srcport"] is None
+    assert row["start"] == 1431280876 and row["end"] == 1431280934
+    assert row["log_status"] == "NODATA"
+    assert not any(err.to_pylist())
+
+
+def test_batch3_alb_log():
+    line = ('http 2018-11-30T22:23:00.186641Z app/my-loadbalancer/50dc6c495c0c9188 '
+            '192.168.131.39:2817 - 0.000 0.001 0.000 200 200 34 366 '
+            '"GET http://www.example.com:80/ HTTP/1.1" "curl/7.46.0" - - '
+            'arn:aws:elasticloadbalancing:us-east-2:123456789012:targetgroup/my-targets/73e2d6bc24d8a067 '
+            '"Root=1-58337364-23a8c76965a2ef7629b185e3" "-" "-" 0 '
+            '2018-11-30T22:22:48.364000Z "forward" "-" "-" "-" "-" "-" "-"')
+    out, err, _ = compile_vrl(". = parse_aws_alb_log!(.m)")(
+        pa.table({"m": [line]}))
+    row = {c: out[c].to_pylist()[0] for c in out.column_names}
+    assert row["type"] == "http"
+    assert row["elb"] == "app/my-loadbalancer/50dc6c495c0c9188"
+    assert row["client_host"] == "192.168.131.39:2817"
+    assert row["target_host"] is None
+    assert row["target_processing_time"] == 0.001
+    assert row["received_bytes"] == 34 and row["sent_bytes"] == 366
+    assert row["request_method"] == "GET"
+    assert row["request_url"] == "http://www.example.com:80/"
+    assert row["user_agent"] == "curl/7.46.0"
+    assert row["ssl_cipher"] is None
+    assert row["trace_id"] == "Root=1-58337364-23a8c76965a2ef7629b185e3"
+    assert row["matched_rule_priority"] == "0"
+    assert row["actions_executed"] == "forward"
+    assert not any(err.to_pylist())
+
+
+def test_batch3_parse_groks_first_match_wins():
+    t = pa.table({"m": ["level=ERROR code=7", "GET /x 200", "junk here ok"]})
+    out, err, _ = compile_vrl(
+        '. = parse_groks!(.m, ["level=%{WORD:lvl} code=%{INT:code}",'
+        ' "%{WORD:method} %{NOTSPACE:path} %{INT:status}"])')(t)
+    assert out["lvl"].to_pylist() == ["ERROR", None, None]
+    assert out["method"].to_pylist() == [None, "GET", None]
+    assert err.to_pylist() == [False, False, True]
+
+
+def test_batch3_linux_authorization():
+    t = pa.table({"m": ["Mar 23 01:49:58 host sshd[1234]: Accepted publickey for user"]})
+    out, _, _ = compile_vrl(". = parse_linux_authorization!(.m)")(t)
+    assert out["appname"].to_pylist() == ["sshd"]
+    assert out["pid"].to_pylist() == [1234]
+    assert out["message"].to_pylist() == ["Accepted publickey for user"]
+
+
+def test_batch3_ip_v6_interop():
+    t = pa.table({"ip": ["10.1.2.3", "::ffff:192.0.2.1", "2001:db8::1", "bad"]})
+    out, err, _ = compile_vrl("""
+.v6 = ip_to_ipv6(.ip)
+.v4 = ipv6_to_ipv4(.ip)
+.packed = ip_pton(.ip)
+""")(t)
+    assert out["v6"].to_pylist() == [
+        "::ffff:10.1.2.3", "::ffff:192.0.2.1", "2001:db8::1", None]
+    assert out["v4"].to_pylist() == ["10.1.2.3", "192.0.2.1", None, None]
+    assert out["packed"].to_pylist()[0] == b"\x0a\x01\x02\x03"
+    rt, _, _ = compile_vrl(".back = ip_ntop!(.p)")(
+        pa.table({"p": pa.array([b"\x0a\x01\x02\x03"], pa.binary())}))
+    assert rt["back"].to_pylist() == ["10.1.2.3"]
+
+
+def test_batch3_codecs():
+    t = pa.table({"host": ["bücher.example"],
+                  "mime": ["=?utf-8?Q?hello_=C3=A9?="]})
+    out, _, _ = compile_vrl("""
+.puny = encode_punycode(.host)
+.back = decode_punycode(.puny)
+.dec = decode_mime_q(.mime)
+""")(t)
+    assert out["puny"].to_pylist() == ["xn--bcher-kva.example"]
+    assert out["back"].to_pylist() == ["bücher.example"]
+    assert out["dec"].to_pylist()[0].startswith("hello")
+
+
+def test_enrichment_lookup_functions(tmp_path):
+    csv = tmp_path / "geo.csv"
+    csv.write_text("code,name,region\nus,United States,AMER\nde,Germany,EMEA\n")
+    from vector_ray.enrichment.table import FileTable
+    tbl = FileTable(str(csv))
+    t = pa.table({"cc": ["us", "de", "xx"], "CC": ["US", "DE", "XX"]})
+    prog = compile_vrl("""
+. = get_enrichment_table_record!("geo", {"code": .cc})
+.hits = find_enrichment_table_records("geo", {"code": .cc})
+""", tables={"geo": tbl})
+    out, err, _ = prog(t)
+    assert out["name"].to_pylist() == ["United States", "Germany", None]
+    assert err.to_pylist() == [False, False, True]  # no-match errors on !
+    assert out["hits"].to_pylist()[2] == []
+    assert out["hits"].to_pylist()[0][0]["region"] == "AMER"
+    # unknown table is a compile-visible error at run
+    bad = compile_vrl('. = get_enrichment_table_record!("nope", {"code": .cc})')
+    with pytest.raises(VrlError):
+        bad(t)
+
+
+def test_enrichment_lookup_in_topology(tmp_path):
+    csv = tmp_path / "roles.csv"
+    csv.write_text("role,team\nuser,customers\ntool,infra\n")
+    from vector_ray.topology import Topology, run_topology
+    topo = Topology.from_yaml(f"""
+enrichment_tables:
+  roles: {{path: "{csv}"}}
+sources:
+  t: {{type: transcripts, sf_dir: /root/testdata/sf0.001}}
+transforms:
+  tag:
+    type: remap
+    inputs: [t]
+    source: |
+      .rec = get_enrichment_table_record("roles", {{"role": .role}})
+      .team = .rec.team
+      del(.rec)
+sinks:
+  out: {{type: blackhole, inputs: [tag]}}
+""")
+    res = run_topology(topo)
+    assert res.sink_counts["out"] == 6000

@@ -135,3 +135,61 @@ def uuid_v5(col, namespace: str = "vector_ray"):
     deterministic v5 so reruns are idempotent)."""
     ns = _uuid.uuid5(_uuid.NAMESPACE_DNS, namespace)
     return _map_unique(col, lambda v: str(_uuid.uuid5(ns, v)))
+
+
+# ---- round-2 batch 3 codecs (decode_punycode.cue / encode_punycode.cue
+# / decode_mime_q.cue / decode_charset.cue / encode_charset.cue) ----
+
+def encode_punycode(col):
+    """IDNA-encode a hostname (per-label punycode)."""
+    def enc(v):
+        try:
+            return v.encode("idna").decode("ascii")
+        except UnicodeError:
+            return None
+    return _map_unique(col, enc)
+
+
+def decode_punycode(col):
+    def dec(v):
+        try:
+            return v.encode("ascii").decode("idna")
+        except UnicodeError:
+            return None
+    return _map_unique(col, dec)
+
+
+def decode_mime_q(col):
+    """RFC2047 encoded-words (=?utf-8?Q?...?= / ?B?...)."""
+    from email.header import decode_header
+
+    def dec(v):
+        try:
+            parts = decode_header(v)
+            return "".join(
+                p.decode(enc or "ascii", errors="replace")
+                if isinstance(p, bytes) else p
+                for p, enc in parts)
+        except Exception:
+            return None
+    return _map_unique(col, dec)
+
+
+def encode_charset(col, charset: str):
+    def enc(v):
+        try:
+            return v.encode(charset)
+        except (UnicodeError, LookupError):
+            return None
+    return _map_unique(col, enc, pa.binary())
+
+
+def decode_charset(col, charset: str):
+    def dec(v):
+        if isinstance(v, str):
+            v = v.encode("latin-1")
+        try:
+            return v.decode(charset)
+        except (UnicodeError, LookupError):
+            return None
+    return _map_unique(col, dec)

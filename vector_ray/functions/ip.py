@@ -60,3 +60,69 @@ def ip_subnet(col, prefix: int) -> pa.Array:
     mask = (0xFFFFFFFF << (32 - prefix)) & 0xFFFFFFFF
     x = ip_aton(col)
     return ip_ntoa(pc.bit_wise_and(x, mask))
+
+
+# ---- round-2 batch 3: v6 interop (ip_to_ipv6.cue / ipv6_to_ipv4.cue /
+# ip_ntop.cue / ip_pton.cue).  General v6 textual forms are not
+# regular-expression friendly; parse per UNIQUE value (log streams
+# carry few distinct addresses relative to rows).
+
+def _map_unique_ip(col, fn, out_type=pa.string()):
+    col = _arr(col)
+    uniq = pc.unique(col)
+    mapped = pa.array(
+        [None if v is None else fn(v) for v in uniq.to_pylist()], out_type)
+    return mapped.take(pc.index_in(col, value_set=uniq))
+
+
+def ip_to_ipv6(col) -> pa.Array:
+    """v4 -> ::ffff:a.b.c.d mapped form; v6 passes through."""
+    def conv(v):
+        try:
+            ip = ipaddress.ip_address(v)
+        except ValueError:
+            return None
+        if isinstance(ip, ipaddress.IPv4Address):
+            return f"::ffff:{ip}"
+        if ip.ipv4_mapped is not None:
+            return f"::ffff:{ip.ipv4_mapped}"
+        return str(ip)
+    return _map_unique_ip(col, conv)
+
+
+def ipv6_to_ipv4(col) -> pa.Array:
+    """v4-mapped/compatible v6 -> dotted quad; v4 passes through;
+    non-mappable v6 -> null (fallible in VRL)."""
+    def conv(v):
+        try:
+            ip = ipaddress.ip_address(v)
+        except ValueError:
+            return None
+        if isinstance(ip, ipaddress.IPv4Address):
+            return str(ip)
+        mapped = ip.ipv4_mapped
+        if mapped is not None:
+            return str(mapped)
+        return None
+    return _map_unique_ip(col, conv)
+
+
+def ip_pton(col) -> pa.Array:
+    """presentation -> packed bytes (4 or 16), null on malformed."""
+    def conv(v):
+        try:
+            return ipaddress.ip_address(v).packed
+        except ValueError:
+            return None
+    return _map_unique_ip(col, conv, pa.binary())
+
+
+def ip_ntop(col) -> pa.Array:
+    """packed bytes (4 or 16) -> presentation string."""
+    def conv(v):
+        if len(v) == 4:
+            return str(ipaddress.IPv4Address(v))
+        if len(v) == 16:
+            return str(ipaddress.IPv6Address(v))
+        return None
+    return _map_unique_ip(col, conv)

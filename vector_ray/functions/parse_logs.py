@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -487,3 +488,196 @@ def parse_influxdb(col, *, tags: list[str] | None = None,
         v = pc.replace_substring_regex(v, pattern=r"^(-?\d+)i$", replacement=r"\1")
         out[k] = v
     return out
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch 3 parsers
+# ---------------------------------------------------------------------------
+
+def _dash_null(col):
+    """AWS log conventions: '-' (and '') mean absent."""
+    col = _nullif_empty(col)
+    return pc.if_else(pc.equal(pc.fill_null(col, ""), "-"),
+                      pa.scalar(None, pa.string()), col)
+
+
+def parse_csv(col, delimiter: str = ",") -> pa.Array:
+    """parse_csv.cue -> list<string>.  Unquoted rows (the overwhelming
+    majority in log streams) split with one Arrow kernel; only rows
+    containing a double-quote fall back to Python's csv reader."""
+    import csv as _csv
+    import io as _io
+
+    col = _arr(col)
+    s = pc.cast(col, pa.string())
+    quoted = pc.fill_null(pc.match_substring(s, '"'), False)
+    fast = pc.split_pattern(s, pattern=delimiter)
+    if not pc.any(quoted).as_py():
+        return fast
+    out = fast.to_pylist()
+    for i in np.flatnonzero(np.asarray(quoted)):
+        v = s[int(i)].as_py()
+        try:
+            out[int(i)] = next(_csv.reader(_io.StringIO(v),
+                                           delimiter=delimiter))
+        except StopIteration:
+            out[int(i)] = []
+    return pa.array(out, pa.list_(pa.string()))
+
+
+_TOKEN_RX = re.compile(r'"((?:[^"\\]|\\.)*)"|\[([^\]]*)\]|(\S+)')
+
+
+def parse_tokens(col) -> pa.Array:
+    """parse_tokens.cue -> list<string>: whitespace words, double-quoted
+    strings (escapes resolved), [bracketed] groups.  Rows without quote
+    or bracket characters split with one Arrow kernel; the rest walk
+    the (non-regular, RE2-inexpressible) quote grammar in Python."""
+    col = _arr(col)
+    s = pc.cast(col, pa.string())
+    special = pc.fill_null(pc.match_substring_regex(s, r'["\[]'), False)
+    fast = pc.utf8_split_whitespace(s)
+    if not pc.any(special).as_py():
+        return fast
+    out = fast.to_pylist()
+    for i in np.flatnonzero(np.asarray(special)):
+        v = s[int(i)].as_py()
+        toks = []
+        for m in _TOKEN_RX.finditer(v):
+            if m.group(1) is not None:
+                toks.append(m.group(1).replace('\\"', '"').replace("\\\\", "\\"))
+            elif m.group(2) is not None:
+                toks.append(m.group(2))
+            else:
+                toks.append(m.group(3))
+        out[int(i)] = toks
+    return pa.array(out, pa.list_(pa.string()))
+
+
+def parse_linux_authorization(col) -> dict[str, pa.Array]:
+    """parse_linux_authorization.cue: auth.log lines are RFC3164 syslog
+    without the <pri> prefix."""
+    col = _arr(col)
+    g = pc.extract_regex(col, pattern=(
+        r"^(?P<timestamp>[A-Z][a-z]{2}\s+\d{1,2} \d{2}:\d{2}:\d{2}) "
+        r"(?P<host>\S+) "
+        r"(?P<appname>[^\[:\s]+)(?:\[(?P<pid>\d+)\])?: ?"
+        r"(?P<message>.*)$"))
+    out = {n: pc.struct_field(g, n)
+           for n in ("timestamp", "host", "appname", "pid", "message")}
+    out["pid"] = _opt_int(out["pid"])
+    return out
+
+
+_VPC_FLOW_V2 = ["version", "account_id", "interface_id", "srcaddr",
+                "dstaddr", "srcport", "dstport", "protocol", "packets",
+                "bytes", "start", "end", "action", "log_status"]
+_VPC_INT_FIELDS = {"version", "srcport", "dstport", "protocol", "packets",
+                   "bytes", "start", "end"}
+
+
+def parse_aws_vpc_flow_log(col, format: str | None = None) -> dict[str, pa.Array]:
+    """parse_aws_vpc_flow_log.cue: space-separated v2 default format (or
+    a caller-supplied field list); '-' fields are null.  Fully
+    vectorized: one split + positional list_element per field."""
+    col = _arr(col)
+    names = format.split() if format else _VPC_FLOW_V2
+    parts = pc.split_pattern(pc.cast(col, pa.string()), pattern=" ")
+    out: dict[str, pa.Array] = {}
+    for i, name in enumerate(names):
+        v = _dash_null(pc.list_element(parts, i))
+        out[name] = pc.cast(v, pa.int64()) if name in _VPC_INT_FIELDS else v
+    return out
+
+
+# AWS ALB access log (parse_aws_alb_log.cue); single-pass RE2 with
+# named groups over the documented space/quote layout.
+_ALB_RX = (
+    r'^(?P<type>\S+) (?P<timestamp>\S+) (?P<elb>\S+) '
+    r'(?P<client_host>\S+) (?P<target_host>\S+) '
+    r'(?P<request_processing_time>[\d.-]+) '
+    r'(?P<target_processing_time>[\d.-]+) '
+    r'(?P<response_processing_time>[\d.-]+) '
+    r'(?P<elb_status_code>\S+) (?P<target_status_code>\S+) '
+    r'(?P<received_bytes>\d+) (?P<sent_bytes>\d+) '
+    r'"(?P<request_method>\S+) (?P<request_url>\S+) (?P<request_protocol>[^"]*)" '
+    r'"(?P<user_agent>[^"]*)" (?P<ssl_cipher>\S+) (?P<ssl_protocol>\S+) '
+    r'(?P<target_group_arn>\S+) "(?P<trace_id>[^"]*)" '
+    r'"(?P<domain_name>[^"]*)" "(?P<chosen_cert_arn>[^"]*)" '
+    r'(?P<matched_rule_priority>\S+) (?P<request_creation_time>\S+) '
+    r'"(?P<actions_executed>[^"]*)" "(?P<redirect_url>[^"]*)" '
+    r'"(?P<error_reason>[^"]*)"'
+    r'(?: "(?P<target_port_list>[^"]*)" "(?P<target_status_code_list>[^"]*)")?'
+    r'(?: "(?P<classification>[^"]*)" "(?P<classification_reason>[^"]*)")?'
+)
+
+_ALB_FLOAT = {"request_processing_time", "target_processing_time",
+              "response_processing_time"}
+_ALB_INT = {"received_bytes", "sent_bytes"}
+_ALB_LIST = {"target_port_list", "target_status_code_list"}
+
+
+def parse_aws_alb_log(col) -> dict[str, pa.Array]:
+    col = _arr(col)
+    g = pc.extract_regex(pc.cast(col, pa.string()), pattern=_ALB_RX)
+    out: dict[str, pa.Array] = {}
+    for f in g.type:
+        name = f.name
+        v = pc.struct_field(g, name)
+        if name in _ALB_FLOAT:
+            out[name] = pc.cast(
+                pc.if_else(pc.equal(pc.fill_null(v, ""), "-1"),
+                           pa.scalar(None, pa.string()), v), pa.float64())
+        elif name in _ALB_INT:
+            out[name] = _opt_int(v)
+        elif name in _ALB_LIST:
+            nonempty = np.asarray(pc.fill_null(pc.invert(pc.is_in(
+                pc.fill_null(v, "-"), value_set=pa.array(["-", ""]))), False))
+            lists = pc.split_pattern(pc.fill_null(v, ""), pattern=" ")
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            # zero out the '-'/empty rows in flat space
+            flat = lists.flatten()
+            parent = np.asarray(pc.list_parent_indices(lists))
+            keep = nonempty[parent]
+            counts = np.where(
+                nonempty, np.asarray(pc.list_value_length(lists)), 0)
+            offsets = pa.array(
+                np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+            out[name] = pa.ListArray.from_arrays(
+                offsets, flat.filter(pa.array(keep)))
+        else:
+            out[name] = _dash_null(v)
+    return out
+
+
+def parse_groks(col, patterns: list[str]) -> tuple[dict[str, pa.Array], pa.Array]:
+    """parse_groks.cue: try each grok pattern in order, first match
+    wins.  Vectorized: one extract_regex per pattern, per-field
+    first-match coalesce."""
+    from vector_ray.functions.grok import grok_to_regex
+
+    col = _arr(col)
+    s = pc.cast(col, pa.string())
+    n = len(s)
+    structs, matched = [], []
+    for p in patterns:
+        g = pc.extract_regex(s, pattern=grok_to_regex(p))
+        structs.append(g)
+        matched.append(pc.is_valid(g))
+    claimed = pa.array(np.zeros(n, dtype=bool))
+    out: dict[str, pa.Array] = {}
+    order: list[str] = []
+    for g, m in zip(structs, matched):
+        use = pc.and_(m, pc.invert(claimed))
+        for f in g.type:
+            v = pc.if_else(use, pc.struct_field(g, f.name),
+                           pa.nulls(n, pa.string()))
+            if f.name in out:
+                out[f.name] = pc.if_else(pc.is_valid(out[f.name]),
+                                         out[f.name], v)
+            else:
+                out[f.name] = v
+                order.append(f.name)
+        claimed = pc.or_(claimed, m)
+    return {k: out[k] for k in order}, claimed

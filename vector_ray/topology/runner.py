@@ -175,13 +175,13 @@ def _build_transform(
         if "source" in c:
             from vector_ray.vrl import compile_vrl
 
-            prog = compile_vrl(c["source"])
+            prog = compile_vrl(c["source"], tables=tables)
         elif "file" in c:
             # VRL program from a file (remap.rs `file` config option)
             from vector_ray.vrl import compile_vrl
 
             with open(c["file"]) as f:
-                prog = compile_vrl(f.read())
+                prog = compile_vrl(f.read(), tables=tables)
         else:
             prog = _program(c["program"])
         res = remap(

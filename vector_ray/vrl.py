@@ -122,8 +122,26 @@ def _dict_struct(fn, valid_field: str):
     return run
 
 
+def _parse_groks_struct(col, patterns, *more):
+    """parse_groks: list-of-patterns first-match-wins (VRL passes the
+    pattern array as one argument)."""
+    if isinstance(patterns, (pa.Array, pa.ChunkedArray)):
+        pats = _const_list(patterns)
+    elif isinstance(patterns, (list, tuple)):
+        pats = list(patterns)
+    else:
+        pats = [patterns, *more]
+    fields, ok = parse_logs.parse_groks(col, [str(p) for p in pats])
+    names = list(fields)
+    st = pa.StructArray.from_arrays(
+        [fields[k] if not isinstance(fields[k], pa.ChunkedArray)
+         else fields[k].combine_chunks() for k in names], names=names)
+    return st, ok
+
+
 FUNCTIONS: dict[str, Callable] = {
     "parse_grok": _parse_grok_struct,
+    "parse_groks": _parse_groks_struct,
     "parse_syslog": _dict_struct(parse_logs.parse_syslog, "host"),
     "parse_common_log": _dict_struct(parse_logs.parse_common_log, "host"),
     "parse_apache_log": _dict_struct(parse_logs.parse_apache_log, "host"),
@@ -133,6 +151,13 @@ FUNCTIONS: dict[str, Callable] = {
                                      "device_category"),
     "parse_klog": _dict_struct(parse_logs.parse_klog, "file"),
     "parse_glog": _dict_struct(parse_logs.parse_glog, "file"),
+    "parse_linux_authorization": _dict_struct(
+        parse_logs.parse_linux_authorization, "host"),
+    "parse_aws_vpc_flow_log": _dict_struct(
+        parse_logs.parse_aws_vpc_flow_log, "account_id"),
+    "parse_aws_alb_log": _dict_struct(parse_logs.parse_aws_alb_log, "elb"),
+    "parse_csv": _wrap_simple(parse_logs.parse_csv),
+    "parse_tokens": _wrap_simple(parse_logs.parse_tokens),
     "parse_url": _dict_struct(parse_logs.parse_url, "host"),
     "parse_xml": _wrap_fallible(parse_logs.parse_xml),
     "parse_regex": _parse_regex_struct,
@@ -191,6 +216,15 @@ FUNCTIONS: dict[str, Callable] = {
     "ip_ntoa": _wrap_fallible(ip.ip_ntoa),
     "ip_cidr_contains": _wrap_simple(ip.ip_cidr_contains),
     "ip_subnet": _wrap_fallible(ip.ip_subnet),
+    "ip_to_ipv6": _wrap_fallible(ip.ip_to_ipv6),
+    "ipv6_to_ipv4": _wrap_fallible(ip.ipv6_to_ipv4),
+    "ip_pton": _wrap_fallible(ip.ip_pton),
+    "ip_ntop": _wrap_fallible(ip.ip_ntop),
+    "encode_punycode": _wrap_fallible(codecs.encode_punycode),
+    "decode_punycode": _wrap_fallible(codecs.decode_punycode),
+    "decode_mime_q": _wrap_fallible(codecs.decode_mime_q),
+    "encode_charset": _wrap_fallible(codecs.encode_charset),
+    "decode_charset": _wrap_fallible(codecs.decode_charset),
 }
 
 # collection kernels operate on list columns — same registry, usable
@@ -296,6 +330,12 @@ _PRED_FUNCS = {"exists", "is_null", "is_string", "contains", "starts_with",
 # VRL closure semantics per website/cue/reference/remap/functions/
 # {map_values,map_keys,filter,for_each}.cue
 _CLOSURE_FUNCS = {"map_values", "map_keys", "filter", "for_each"}
+
+# functions needing the execution context (enrichment registry rides on
+# the compiled program: module state does not cross Ray worker
+# boundaries, so tables are captured at compile time and serialized
+# with the program — a broadcast-small side, like the enrich stage)
+_CTX_FUNCS = {"get_enrichment_table_record", "find_enrichment_table_records"}
 
 
 # ---------------------------------------------------------------------------
@@ -612,7 +652,8 @@ class _Parser:
                     body = self.parse_block()
                     closure = ("closure", params, body)
                 if name not in FUNCTIONS and name not in _PRED_FUNCS \
-                        and name not in _CLOSURE_FUNCS:
+                        and name not in _CLOSURE_FUNCS \
+                        and name not in _CTX_FUNCS:
                     raise VrlError(f"unknown function {name!r}")
                 if closure is None and name in _CLOSURE_FUNCS:
                     raise VrlError(f"{name} requires a closure: "
@@ -677,11 +718,12 @@ def _unify(a: pa.Array, b):
 
 
 class _Ctx:
-    def __init__(self, batch: pa.Table):
+    def __init__(self, batch: pa.Table, tables: dict | None = None):
         self.batch = batch
         self.n = batch.num_rows
         self.err = _false(batch.num_rows)
         self.vars: dict = {}
+        self.tables: dict = tables or {}
 
 
 def _eval(node, ctx: _Ctx):
@@ -796,6 +838,8 @@ def _eval_call(node, ctx: _Ctx):
         args.append(v)
     if closure is not None:
         return _eval_closure(name, args, closure, ctx)
+    if name in _CTX_FUNCS:
+        return _enrich_call(name, argnodes, args, ctx)
     if name in _PRED_FUNCS:
         return _eval_pred(name, argnodes, args, ctx), None
     if name in _NEEDS_N and not args:
@@ -856,6 +900,86 @@ def _lit_of(node, evaluated):
     if node[0] == "lit":
         return node[1]
     return evaluated
+
+
+# ---------------------------------------------------------------------------
+# enrichment lookups (get_enrichment_table_record.cue /
+# find_enrichment_table_records.cue; lib/enrichment/src/lib.rs:39-68).
+# Vectorized: the criteria object's fields concatenate into one key
+# string per row, matched against the table's key strings with a single
+# index_in; the table-side index builds once per (table, fields) and
+# caches on the FileTable instance.
+# ---------------------------------------------------------------------------
+
+_SEP = "\x00"
+
+
+def _enrich_index(table, fields: tuple[str, ...], case_sensitive: bool):
+    cache = getattr(table, "_vrl_cache", None)
+    if cache is None:
+        cache = table._vrl_cache = {}
+    key = (fields, case_sensitive)
+    if key in cache:
+        return cache[key]
+    seen: dict[str, int] = {}
+    for i, row in enumerate(table.rows):
+        parts = []
+        for f in fields:
+            v = row.get(f)
+            if v is None:
+                break
+            v = str(v)
+            parts.append(v.lower() if not case_sensitive else v)
+        else:
+            seen.setdefault(_SEP.join(parts), i)
+    keys = pa.array(list(seen), pa.string())
+    cols = {c: pa.array([table.rows[i].get(c) for i in seen.values()])
+            for c in table.columns}
+    cache[key] = (keys, cols)
+    return keys, cols
+
+
+def _enrich_call(name, argnodes, args, ctx: _Ctx):
+    tname = _lit_of(argnodes[0], args[0])
+    if not isinstance(tname, str):
+        raise VrlError("enrichment table name must be a string literal")
+    table = ctx.tables.get(tname)
+    if table is None:
+        raise VrlError(f"unknown enrichment table {tname!r} (compile the "
+                       f"program with tables={{...}})")
+    if len(argnodes) < 2 or argnodes[1][0] != "object":
+        raise VrlError(f"{name} takes an object of criteria")
+    crit_fields = [k for k, _v in argnodes[1][1]]
+    crit_cols = [pc.cast(_as_array(_eval(v, ctx)[0], ctx.n), pa.string())
+                 for _k, v in argnodes[1][1]]
+    case_sensitive = True
+    if len(args) > 3:
+        cs = _lit_of(argnodes[3], args[3])
+        case_sensitive = bool(cs) if cs is not None else True
+    keys, cols = _enrich_index(table, tuple(crit_fields), case_sensitive)
+    if not case_sensitive:
+        crit_cols = [pc.utf8_lower(c) for c in crit_cols]
+    batch_key = crit_cols[0] if len(crit_cols) == 1 else \
+        pc.binary_join_element_wise(*crit_cols, _SEP)
+    idx = pc.index_in(batch_key, value_set=keys)
+    found = pc.is_valid(idx)
+    select = None
+    if len(args) > 2:
+        sel = _const_list(args[2]) if not (
+            argnodes[2][0] == "lit" and args[2] is None) else None
+        if sel:
+            select = [str(s) for s in sel]
+    names = select or list(cols)
+    vals = [cols[c].take(idx) for c in names]
+    st = pa.StructArray.from_arrays(vals, names=names)
+    if name == "get_enrichment_table_record":
+        return st, pc.invert(found)  # no-match is the VRL failure
+    # find_*: array of matching records; first-match columnar model
+    counts = np.asarray(found, dtype=np.int64)
+    offsets = pa.array(np.concatenate([[0], np.cumsum(counts)])
+                       .astype(np.int32))
+    inner = st.filter(found)
+    return pa.ListArray.from_arrays(offsets, inner), None
 
 
 _DD_CACHE: dict[str, Callable] = {}
@@ -962,6 +1086,7 @@ def _closure_list(name, col: pa.Array, params, body, ctx: _Ctx):
     sub.n = len(flat)
     sub.err = _false(sub.n)
     sub.vars = {}
+    sub.tables = ctx.tables
     for k, v in ctx.vars.items():
         if isinstance(v, (pa.Array, pa.ChunkedArray)) and len(v) == n:
             sub.vars[k] = _as_array(v, n).take(parent)
@@ -1017,7 +1142,7 @@ def _closure_struct(name, col: pa.Array, params, body, ctx: _Ctx):
         if len(params) != 1:
             raise VrlError("map_keys closure takes |key|")
         new_names = []
-        tiny = _Ctx(ctx.batch.slice(0, min(1, n)))
+        tiny = _Ctx(ctx.batch.slice(0, min(1, n)), ctx.tables)
         for fname, _v in fields:
             saved = _shadow(tiny, {params[0]: pa.array([fname])})
             out = _exec_body_value(body, tiny)
@@ -1108,13 +1233,14 @@ def _masked(new: pa.Array, existing: pa.Array | None, mask, n: int) -> pa.Array:
 class VrlProgram:
     """Compiled program usable as stages.remap's ``program``."""
 
-    def __init__(self, source: str):
+    def __init__(self, source: str, tables: dict | None = None):
         self.source = source
+        self.tables = dict(tables or {})
         self.statements = _Parser(source).parse_program()
         _check_vars(self.statements, set())
 
     def __call__(self, batch: pa.Table):
-        ctx = _Ctx(batch)
+        ctx = _Ctx(batch, self.tables)
         _exec_stmts(self.statements, ctx, None)
         msg = pc.if_else(ctx.err, pa.scalar("vrl program error", pa.string()),
                          pa.scalar(None, pa.string()))
@@ -1313,5 +1439,5 @@ def _exec_assign(target, expr, ctx: _Ctx, mask):
         ctx.batch = _set(ctx.batch, top, rebuilt)
 
 
-def compile_vrl(source: str) -> VrlProgram:
-    return VrlProgram(source)
+def compile_vrl(source: str, tables: dict | None = None) -> VrlProgram:
+    return VrlProgram(source, tables)

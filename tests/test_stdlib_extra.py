@@ -301,3 +301,53 @@ sinks:
 """)
     res = run_topology(topo)
     assert res.sink_counts["out"] == 6000
+
+
+def test_batch4_encrypt_decrypt_roundtrip():
+    t = pa.table({"m": ["secret message", "another", None]})
+    out, err, _ = compile_vrl("""
+key = "sixteen byte key"
+iv = "initialization v"
+.enc = encrypt!(.m, "AES-128-CBC-PKCS7", key, iv: iv)
+.dec = decrypt!(.enc, "AES-128-CBC-PKCS7", key, iv: iv)
+.plain = to_string(.dec)
+""")(t)
+    assert out["plain"].to_pylist()[:2] == ["secret message", "another"]
+    enc = out["enc"].to_pylist()
+    assert isinstance(enc[0], bytes) and enc[0] != b"secret message"
+    # GCM mode roundtrip
+    out2, _, _ = compile_vrl("""
+key = "0123456789abcdef0123456789abcdef"
+.enc = encrypt!(.m, "AES-256-GCM", key, iv: "twelve bytes")
+.dec = to_string(decrypt!(.enc, "AES-256-GCM", key, iv: "twelve bytes"))
+""")(pa.table({"m": ["hello gcm"]}))
+    assert out2["dec"].to_pylist() == ["hello gcm"]
+
+
+def test_batch4_assertions():
+    t = pa.table({"n": pa.array([1, 2, 3], pa.int64())})
+    _, err, _ = compile_vrl("assert!(.n > 1)")(t)
+    assert err.to_pylist() == [True, False, False]
+    _, err2, _ = compile_vrl("assert_eq!(.n, 2)")(t)
+    assert err2.to_pylist() == [True, False, True]
+
+
+def test_batch4_uuid_v7_and_random_bytes():
+    t = pa.table({"x": [1, 2]})
+    out, _, _ = compile_vrl(".u = uuid_v7()\n.b = random_bytes(8)")(t)
+    us = out["u"].to_pylist()
+    assert all(len(u) == 36 and u[14] == "7" for u in us)
+    assert us[0][:13] == us[1][:13]  # shared ms timestamp prefix
+    assert all(len(b) == 8 for b in out["b"].to_pylist())
+
+
+def test_batch4_object_from_array():
+    t = pa.table({"pairs": [[["a", "1"], ["b", "2"]], [["a", "3"], ["b", "4"]]]})
+    out, _, _ = compile_vrl(".o = object_from_array(.pairs)")(t)
+    assert out["o"].to_pylist() == [{"a": "1", "b": "2"}, {"a": "3", "b": "4"}]
+
+
+def test_batch4_snappy_zstd_declared_unavailable():
+    t = pa.table({"m": ["x"]})
+    with pytest.raises(NotImplementedError):
+        compile_vrl(".z = encode_zstd(.m)")(t)

@@ -588,3 +588,195 @@ def random_float(col, lo: float = 0.0, hi: float = 1.0) -> pa.Array:
 
 def random_bool(col) -> pa.Array:
     return pa.array(np.random.randint(0, 2, size=_n_of(col)).astype(bool))
+
+
+# ---------------------------------------------------------------------------
+# round-2 batch 4: crypto (encrypt.cue / decrypt.cue — the AES modes in
+# wide use), assertions, regex/uuid/bytes misc
+# ---------------------------------------------------------------------------
+
+def _aes_parts(algorithm: str):
+    """'AES-256-CBC-PKCS7' -> (key_bytes, mode, padding)."""
+    parts = algorithm.upper().split("-")
+    if len(parts) < 3 or parts[0] != "AES":
+        raise ValueError(f"unsupported algorithm {algorithm!r}")
+    bits = int(parts[1])
+    if bits not in (128, 192, 256):
+        raise ValueError(f"unsupported key size {bits}")
+    mode = parts[2]
+    pad = parts[3] if len(parts) > 3 else None
+    return bits // 8, mode, pad
+
+
+def _as_bytes(v) -> bytes:
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        v = _arr(v)[0].as_py()
+    if isinstance(v, str):
+        return v.encode()
+    return bytes(v)
+
+
+def encrypt_(col, algorithm: str, key, *, iv=None) -> pa.Array:
+    """AES-{128,192,256}-{CBC-PKCS7,CTR,GCM}.  Crypto is per-value by
+    nature; values loop in Python over the (usually short) batch list —
+    key/IV/cipher objects build once per call."""
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+    from cryptography.hazmat.primitives import padding as _padding
+
+    klen, mode, pad = _aes_parts(algorithm)
+    kb, ivb = _as_bytes(key), (_as_bytes(iv) if iv is not None else b"")
+    if len(kb) != klen:
+        raise ValueError(f"key must be {klen} bytes for {algorithm}")
+    col = _arr(col)
+    out = []
+    for v in col.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        data = v.encode() if isinstance(v, str) else bytes(v)
+        if mode == "GCM":
+            c = Cipher(algorithms.AES(kb), modes.GCM(ivb)).encryptor()
+            ct = c.update(data) + c.finalize()
+            out.append(ct + c.tag)
+        elif mode == "CTR":
+            c = Cipher(algorithms.AES(kb), modes.CTR(ivb)).encryptor()
+            out.append(c.update(data) + c.finalize())
+        elif mode == "CBC":
+            if pad == "PKCS7" or pad is None:
+                p = _padding.PKCS7(128).padder()
+                data = p.update(data) + p.finalize()
+            c = Cipher(algorithms.AES(kb), modes.CBC(ivb)).encryptor()
+            out.append(c.update(data) + c.finalize())
+        else:
+            raise ValueError(f"unsupported mode {mode}")
+    return pa.array(out, pa.binary())
+
+
+def decrypt_(col, algorithm: str, key, *, iv=None) -> pa.Array:
+    from cryptography.hazmat.primitives.ciphers import (Cipher, algorithms,
+                                                        modes)
+    from cryptography.hazmat.primitives import padding as _padding
+
+    klen, mode, pad = _aes_parts(algorithm)
+    kb, ivb = _as_bytes(key), (_as_bytes(iv) if iv is not None else b"")
+    col = _arr(col)
+    out = []
+    for v in col.to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        data = bytes(v)
+        try:
+            if mode == "GCM":
+                ct, tag = data[:-16], data[-16:]
+                c = Cipher(algorithms.AES(kb), modes.GCM(ivb, tag)).decryptor()
+                out.append(c.update(ct) + c.finalize())
+            elif mode == "CTR":
+                c = Cipher(algorithms.AES(kb), modes.CTR(ivb)).decryptor()
+                out.append(c.update(data) + c.finalize())
+            elif mode == "CBC":
+                c = Cipher(algorithms.AES(kb), modes.CBC(ivb)).decryptor()
+                plain = c.update(data) + c.finalize()
+                if pad == "PKCS7" or pad is None:
+                    up = _padding.PKCS7(128).unpadder()
+                    plain = up.update(plain) + up.finalize()
+                out.append(plain)
+            else:
+                raise ValueError(f"unsupported mode {mode}")
+        except Exception:
+            out.append(None)
+    return pa.array(out, pa.binary())
+
+
+def assert_(cond, message: str = "assertion failed"):
+    """assert.cue: fallible — rows where the condition is false error."""
+    cond = _arr(cond) if isinstance(cond, (pa.Array, pa.ChunkedArray)) else cond
+    if isinstance(cond, pa.Array):
+        ok = pc.fill_null(pc.cast(cond, pa.bool_()), False)
+    else:
+        ok = pa.array([bool(cond)])
+    return pa.array(np.full(len(ok), True)), ok
+
+
+def assert_eq(a, b, message: str = "assertion failed"):
+    n = _n_of(a) if isinstance(a, (pa.Array, pa.ChunkedArray)) else \
+        (_n_of(b) if isinstance(b, (pa.Array, pa.ChunkedArray)) else 1)
+    aa = a if isinstance(a, (pa.Array, pa.ChunkedArray)) else pa.array([a] * n)
+    ok = pc.fill_null(pc.equal(_arr(aa), b), False)
+    return pa.array(np.full(n, True)), ok
+
+
+def to_regex(col):
+    """to_regex.cue: strings pass through tagged for `match`-style use;
+    regexes are compile-time literals in this engine."""
+    return _arr(col)
+
+
+def uuid_v7(col) -> pa.Array:
+    """Time-ordered UUIDs (uuid_v7.cue): millisecond timestamp prefix +
+    random tail, vectorized like uuid_v4."""
+    n = _n_of(col)
+    ms = int(time.time() * 1000)
+    b = np.random.randint(0, 256, size=(n, 16), dtype=np.int64).astype(np.uint8)
+    ts = np.full(n, ms, dtype=np.uint64)
+    for i in range(6):  # 48-bit big-endian timestamp in bytes 0..5
+        b[:, 5 - i] = (ts >> (8 * i)).astype(np.uint8)
+    b[:, 6] = (b[:, 6] & 0x0F) | 0x70
+    b[:, 8] = (b[:, 8] & 0x3F) | 0x80
+    hx = np.frombuffer(binascii.hexlify(b.tobytes()), dtype="S32").astype("U32")
+    chars = hx.view("U1").reshape(n, 32)
+    out = np.empty((n, 36), dtype="U1")
+    out[:, [8, 13, 18, 23]] = "-"
+    out[:, :8] = chars[:, :8]
+    out[:, 9:13] = chars[:, 8:12]
+    out[:, 14:18] = chars[:, 12:16]
+    out[:, 19:23] = chars[:, 16:20]
+    out[:, 24:] = chars[:, 20:]
+    return pa.array(out.view("U36").ravel())
+
+
+def random_bytes(col, length: int = 16) -> pa.Array:
+    n = _n_of(col)
+    b = np.random.randint(0, 256, size=(n, int(length)),
+                          dtype=np.int64).astype(np.uint8)
+    raw = b.tobytes()
+    L = int(length)
+    return pa.array([raw[i * L:(i + 1) * L] for i in range(n)], pa.binary())
+
+
+def object_from_array(col) -> pa.Array:
+    """object_from_array.cue over [[k, v], ...] lists: columnar schemas
+    need a uniform key set, so keys are taken from the FIRST row's pairs
+    and values positionally matched per row (documented divergence for
+    ragged inputs)."""
+    col = _arr(col)
+    if len(col) == 0:
+        return pa.nulls(0, pa.struct([]))
+    first = col[0].as_py() or []
+    names = [str(p[0]) for p in first]
+    k = len(names)
+    # flatten two levels: outer list of pairs, inner [k, v]
+    outer = col.flatten()
+    vals = outer.flatten()
+    n = len(col)
+    arrs = []
+    for j in range(k):
+        # value of pair j of row i sits at flat position (i*k + j)*2 + 1
+        pos = (np.arange(n) * k + j) * 2 + 1
+        arrs.append(pc.cast(vals, pa.string()).take(pa.array(pos)))
+    return pa.StructArray.from_arrays(arrs, names=names)
+
+
+def _codec_unavailable(name: str):
+    def fn(col, *a, **k):
+        raise NotImplementedError(
+            f"{name}: compression library not present in this build "
+            "(snappy/zstd are optional dependencies)")
+    return fn
+
+
+encode_snappy = _codec_unavailable("encode_snappy")
+decode_snappy = _codec_unavailable("decode_snappy")
+encode_zstd = _codec_unavailable("encode_zstd")
+decode_zstd = _codec_unavailable("decode_zstd")

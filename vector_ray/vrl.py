@@ -64,15 +64,15 @@ class VrlError(ValueError):
 # ---------------------------------------------------------------------------
 
 def _wrap_simple(fn):
-    def run(col, *args):
-        return fn(col, *args), None
+    def run(col, *args, **kwargs):
+        return fn(col, *args, **kwargs), None
     return run
 
 
 def _wrap_fallible(fn):
     """fn returns values with nulls on failure; ok = value valid OR input null."""
-    def run(col, *args):
-        vals = fn(col, *args)
+    def run(col, *args, **kwargs):
+        vals = fn(col, *args, **kwargs)
         ok = pc.or_(pc.is_valid(vals), pc.is_null(col))
         return vals, ok
     return run
@@ -314,11 +314,25 @@ FUNCTIONS.update({
     "random_int": _wrap_simple(_extra.random_int),
     "random_float": _wrap_simple(_extra.random_float),
     "random_bool": _wrap_simple(_extra.random_bool),
+    # batch 4: crypto / assertions / regex-uuid-bytes misc
+    "encrypt": _wrap_fallible(_extra.encrypt_),
+    "decrypt": _wrap_fallible(_extra.decrypt_),
+    "assert": _extra.assert_,
+    "assert_eq": _extra.assert_eq,
+    "to_regex": _wrap_simple(_extra.to_regex),
+    "uuid_v7": _wrap_simple(_extra.uuid_v7),
+    "random_bytes": _wrap_simple(_extra.random_bytes),
+    "object_from_array": _wrap_simple(_extra.object_from_array),
+    "encode_snappy": _wrap_simple(_extra.encode_snappy),
+    "decode_snappy": _wrap_simple(_extra.decode_snappy),
+    "encode_zstd": _wrap_simple(_extra.encode_zstd),
+    "decode_zstd": _wrap_simple(_extra.decode_zstd),
 })
 
-# zero-arg VRL calls that still need the batch length: hand them a
-# null column of the right length at call time
-_NEEDS_N = {"uuid_v4", "random_int", "random_float", "random_bool"}
+# VRL calls with no column argument that still need the batch length:
+# a null column of the right length is prepended at call time
+_NEEDS_N = {"uuid_v4", "uuid_v7", "random_int", "random_float",
+            "random_bool", "random_bytes"}
 
 # boolean/value helpers usable inside expressions (condition parity,
 # src/conditions/vrl.rs + website/cue/reference/remap/functions)
@@ -628,9 +642,16 @@ class _Parser:
                     bang = True
                 self.expect("op", "(")
                 args = []
+                kwargs = []
                 self.skip_seps_inline()
                 while self.peek() != ("op", ")"):
-                    args.append(self.parse_expr())
+                    # named argument: `iv: expr` (VRL keyword-arg style)
+                    if self.peek()[0] == "word" and self.peek(1) == ("op", ":"):
+                        kname = self.next()[1]
+                        self.next()  # :
+                        kwargs.append((kname, self.parse_expr()))
+                    else:
+                        args.append(self.parse_expr())
                     self.skip_seps_inline()
                     if self.peek() == ("op", ","):
                         self.next()
@@ -658,7 +679,7 @@ class _Parser:
                 if closure is None and name in _CLOSURE_FUNCS:
                     raise VrlError(f"{name} requires a closure: "
                                    f"{name}(x) -> |k, v| {{ ... }}")
-                return ("call", name, bang, args, closure)
+                return ("call", name, bang, args, closure, kwargs)
             self.next()
             return ("var", val)
         raise VrlError(f"unexpected token {val!r}")
@@ -830,21 +851,25 @@ def _eval_bin(node, ctx: _Ctx):
 
 
 def _eval_call(node, ctx: _Ctx):
-    _, name, bang, argnodes, closure = node
+    _, name, bang, argnodes, closure, kwargnodes = node
     n = ctx.n
     args = []
     for a in argnodes:
         v, _e = _eval(a, ctx)
         args.append(v)
+    kwargs = {}
+    for kname, knode in kwargnodes:
+        v, _e = _eval(knode, ctx)
+        kwargs[kname] = _lit_of(knode, v)
     if closure is not None:
         return _eval_closure(name, args, closure, ctx)
     if name in _CTX_FUNCS:
         return _enrich_call(name, argnodes, args, ctx)
     if name in _PRED_FUNCS:
         return _eval_pred(name, argnodes, args, ctx), None
-    if name in _NEEDS_N and not args:
-        args = [pa.nulls(n, pa.string())]
-    vals, ok = FUNCTIONS[name](*args)
+    if name in _NEEDS_N:
+        args = [pa.nulls(n, pa.string()), *args]
+    vals, ok = FUNCTIONS[name](*args, **kwargs)
     if ok is None:
         return vals, None
     if isinstance(ok, pa.ChunkedArray):
@@ -1281,6 +1306,8 @@ def _check_expr_vars(node, defined: set):
         if node[4] is not None:
             inner = set(defined) | set(node[4][1])
             _check_vars(node[4][2], inner)
+        for _k, v in node[5]:
+            _check_expr_vars(v, defined)
     elif kind == "bin":
         _check_expr_vars(node[2], defined)
         _check_expr_vars(node[3], defined)

@@ -343,6 +343,18 @@ def _q_minhash_exact_dedup_docs(sf_dir: str):
     return deduped.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _q_minhash_exact_dedup_join_docs(sf_dir: str):
+    """Same invariant as minhash_exact_dedup_docs but through the
+    DISTRIBUTED double hash-join verify (verify_in="join",
+    ml/dedup.py:_verify_pairs_join) — the 100-TB path where the driver
+    never holds candidate texts.  Shares the exact-dedup oracle SQL."""
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    deduped, _clusters = minhash_lsh_dedup(
+        _docs_with_dups(sf_dir), verify="exact", verify_in="join")
+    return deduped.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
+
+
 def _q_simhash_exact_pairs_docs(sf_dir: str):
     """Oracle-checkable SimHash invariant: max_hamming=0 + exact text
     verify == the duplicate-text pair set (a < b)."""
@@ -798,6 +810,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
+        "minhash_exact_dedup_join_docs": _q_minhash_exact_dedup_join_docs,
         "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_features": _q_media_features,
@@ -883,6 +896,7 @@ def oracle_sql() -> dict[str, str]:
         "metric_to_log_events": oracle.SQL_METRIC_TO_LOG_EVENTS,
         "quantile_sketch_events": oracle.SQL_QUANTILE_SKETCH_EVENTS,
         "minhash_exact_dedup_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
+        "minhash_exact_dedup_join_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
         "simhash_exact_pairs_docs": oracle.SQL_SIMHASH_EXACT_PAIRS_DOCS,
         "role_enrich": oracle.sql_role_enrich(
             tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),

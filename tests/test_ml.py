@@ -211,3 +211,46 @@ def test_lang_id_edge_cases():
                            "the the the", "12345 !!!", "el la de que y"]})
     assert li(t)["lang_pred"].to_pylist() == \
         [None, None, "zh", "en", "unknown", "es"]
+
+
+def test_minhash_join_verify_matches_driver_verify(docs):
+    """The distributed double-join verify (verify_in='join') must produce
+    the same clusters as the driver-broadcast verify on the same corpus
+    (synthesized near-dups from the documents fixture)."""
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    base = docs.to_pandas().head(40)
+    rows = {"doc_id": [], "text": []}
+    for i, txt in enumerate(base["text"]):
+        rows["doc_id"].append(i * 10)
+        rows["text"].append(txt)
+        if i % 4 == 0:  # synthesize a near-dup for every 4th doc
+            words = str(txt).split()
+            if len(words) > 5:
+                words[len(words) // 2] = "REPLACED"
+            rows["doc_id"].append(i * 10 + 1)
+            rows["text"].append(" ".join(words))
+    t = pa.table(rows)
+
+    kw = dict(threshold=0.5, num_hashes=64, bands=16, concurrency=1)
+    ded_d, cl_d = minhash_lsh_dedup(rd.from_arrow(t), verify_in="driver", **kw)
+    ded_j, cl_j = minhash_lsh_dedup(rd.from_arrow(t), verify_in="join", **kw)
+    kept_d = sorted(ded_d.to_pandas()["doc_id"])
+    kept_j = sorted(ded_j.to_pandas()["doc_id"])
+    assert kept_d == kept_j
+    assert cl_d.sort_values("doc_id").values.tolist() == \
+        cl_j.sort_values("doc_id").values.tolist()
+    assert len(kept_d) < len(t)  # some near-dups actually collapsed
+
+
+def test_minhash_join_verify_exact_mode():
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    t = pa.table({"doc_id": [1, 2, 3, 4],
+                  "text": ["same text here", "same text here",
+                           "same text here", "unique snowflake content"]})
+    ded, clusters = minhash_lsh_dedup(
+        rd.from_arrow(t), verify="exact", verify_in="join",
+        num_hashes=32, bands=8, concurrency=1)
+    assert sorted(ded.to_pandas()["doc_id"]) == [1, 4]
+    assert set(clusters["cluster"]) == {1}

@@ -209,6 +209,66 @@ def _candidate_pairs_sorted(band_rows, *, id_col: str) -> pd.DataFrame:
     return pd.concat(frames, ignore_index=True).drop_duplicates()
 
 
+def _verify_pairs_join(
+    ds: Dataset,
+    pairs_df: pd.DataFrame,
+    *,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    threshold: float,
+    verify: str,
+) -> list[tuple]:
+    """Distributed candidate verification: the (a, b) id pairs hash-join
+    against the corpus twice (Ray Data shuffle join) to attach both
+    texts, then each batch verifies its pairs locally — the driver only
+    ever receives VERIFIED ID PAIRS, never candidate texts.  This
+    removes the driver-memory bound of the broadcast-lookup verify and
+    is the path for dup-dense corpora (boilerplate web crawls) where
+    candidate pairs number in the millions.
+    """
+    import ray.data as rd
+
+    parts = max(2, min(64, len(pairs_df) // 250_000 + 2))
+    pairs = rd.from_pandas(pairs_df)
+    docs = ds.select_columns([id_col, text_col])
+
+    def _rename(col_from: str, col_to: str):
+        def f(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index(col_from)
+            return t.set_column(i, col_to, t[col_from])
+        return f
+
+    j1 = pairs.join(docs, "inner", parts, on=("a",), right_on=(id_col,),
+                    right_suffix="_r")
+    j1 = j1.map_batches(_rename(text_col, "_text_a"),
+                        batch_format="pyarrow", batch_size=None)
+    j2 = j1.join(docs, "inner", parts, on=("b",), right_on=(id_col,),
+                 right_suffix="_r")
+    j2 = j2.map_batches(_rename(text_col, "_text_b"),
+                        batch_format="pyarrow", batch_size=None)
+
+    if verify == "exact":
+        def check(t: pa.Table) -> pa.Table:
+            m = pc.equal(t["_text_a"], t["_text_b"])
+            kept = t.filter(pc.fill_null(m, False))
+            return kept.select(["a", "b"])
+    else:
+        def check(t: pa.Table) -> pa.Table:
+            ta = t["_text_a"].to_pylist()
+            tb = t["_text_b"].to_pylist()
+            # per-PAIR set math over pre-hashed shingles; the pair loop
+            # runs inside the task, distributed across join partitions
+            keep = np.fromiter(
+                (_jaccard(x or "", y or "", shingle_n) >= threshold
+                 for x, y in zip(ta, tb)), dtype=bool, count=len(ta))
+            return t.filter(pa.array(keep)).select(["a", "b"])
+
+    out = j2.map_batches(check, batch_format="pyarrow", batch_size=None)
+    res = out.to_pandas()
+    return list(res.itertuples(index=False, name=None))
+
+
 def _jaccard(a: str, b: str, n: int) -> float:
     sa, sb = set(_shingles(a, n).tolist()), set(_shingles(b, n).tolist())
     if not sa and not sb:
@@ -245,6 +305,7 @@ def minhash_lsh_dedup(
     seed: int = 42,
     concurrency: int | tuple = (1, 4),
     verify: str = "jaccard",
+    verify_in: str = "auto",
 ) -> tuple[Dataset, pd.DataFrame]:
     """MinHash+LSH near-dup removal.
 
@@ -259,6 +320,14 @@ def minhash_lsh_dedup(
     text), which makes the WHOLE LSH path (signatures → banding →
     bucket groupby → union-find) SQL-oracle-checkable: exact dups have
     identical signatures, so they always surface as candidates.
+
+    ``verify_in`` picks where candidate texts are compared:
+    ``"driver"`` broadcasts a candidate-id lookup and verifies on the
+    driver (cheapest for small candidate sets); ``"join"`` runs a
+    distributed double hash-join of the pair list against the corpus
+    (``_verify_pairs_join``) so the driver never holds candidate texts
+    — the dup-dense/100-TB path; ``"auto"`` (default) switches to the
+    join above 100k candidate pairs.
     """
     band_rows = ds.map_batches(
         MinHasher, batch_format="pyarrow", batch_size=None,
@@ -274,33 +343,37 @@ def minhash_lsh_dedup(
     if len(pairs_df) == 0:
         return ds, pd.DataFrame({id_col: [], "cluster": []})
 
-    # verify candidates with exact Jaccard over ONLY their texts.
-    # BOUND: the candidate set is O(near-dup pairs), not O(corpus) — it
-    # fits the driver only while dup density is moderate.  For dup-dense
-    # corpora (boilerplate crawls) raise `bands`' selectivity or shard
-    # the verify by band-hash range before this step.
-    cand_ids = sorted(set(pairs_df["a"]) | set(pairs_df["b"]))
-    cand_arr = pa.array(cand_ids)
-
-    def keep_cands(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=cand_arr)
-        return t.filter(mask).select([id_col, text_col])
-
-    texts = {
-        r[id_col]: r[text_col]
-        for r in ds.map_batches(keep_cands, batch_format="pyarrow",
-                                batch_size=None).take_all()
-    }
-    if verify == "exact":
-        verified = [
-            (a, b) for a, b in pairs_df.itertuples(index=False)
-            if texts.get(a) is not None and texts.get(a) == texts.get(b)
-        ]
+    if verify_in == "join" or (verify_in == "auto" and len(pairs_df) > 100_000):
+        verified = _verify_pairs_join(
+            ds, pairs_df, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n, threshold=threshold, verify=verify)
     else:
-        verified = [
-            (a, b) for a, b in pairs_df.itertuples(index=False)
-            if _jaccard(texts.get(a, ""), texts.get(b, ""), shingle_n) >= threshold
-        ]
+        # driver-broadcast verify: exact Jaccard over ONLY candidate
+        # texts.  BOUND: O(candidate docs) driver memory — fine while
+        # dup density is moderate; dup-dense corpora take the join path.
+        cand_ids = sorted(set(pairs_df["a"]) | set(pairs_df["b"]))
+        cand_arr = pa.array(cand_ids)
+
+        def keep_cands(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t[id_col], value_set=cand_arr)
+            return t.filter(mask).select([id_col, text_col])
+
+        texts = {
+            r[id_col]: r[text_col]
+            for r in ds.map_batches(keep_cands, batch_format="pyarrow",
+                                    batch_size=None).take_all()
+        }
+        if verify == "exact":
+            verified = [
+                (a, b) for a, b in pairs_df.itertuples(index=False)
+                if texts.get(a) is not None and texts.get(a) == texts.get(b)
+            ]
+        else:
+            verified = [
+                (a, b) for a, b in pairs_df.itertuples(index=False)
+                if _jaccard(texts.get(a, ""), texts.get(b, ""), shingle_n)
+                >= threshold
+            ]
     roots = _connected_components(verified)
     clusters = pd.DataFrame(
         {id_col: list(roots), "cluster": [roots[k] for k in roots]}

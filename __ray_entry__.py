@@ -371,6 +371,51 @@ def _q_doc_fingerprint(sf_dir: str):
     return doc_fingerprint(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
 
 
+def _consistency_counts(ds, value_col: str, n_col: str):
+    """text-group consistency invariant, oracle-checkable: for every
+    distinct text, the derived value (fingerprint / predicted lang) must
+    be IDENTICAL regardless of which actor or batch computed it — so
+    count(distinct value) per text group is exactly 1, and the group
+    sizes (SQL-derivable) pin the grouping itself."""
+    import pyarrow as pa
+
+    from vector_ray.functions.codecs import md5 as _md5
+
+    def key(t: pa.Table) -> pa.Table:
+        return pa.table({"th": _md5(t["text"]), value_col: t[value_col]})
+
+    from ray.data.aggregate import Count, Sum
+
+    kd = ds.map_batches(key, batch_format="pyarrow", batch_size=None)
+    per_value = kd.groupby(["th", value_col]).count()
+    out = per_value.groupby("th").aggregate(Count(), Sum("count()"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            "th": t["th"],
+            n_col: pc.cast(t["count()"], pa.int64()),
+            "n_docs": pc.cast(t["sum(count())"], pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
+def _q_fingerprint_consistency_docs(sf_dir: str):
+    from vector_ray.ml.text import doc_fingerprint
+
+    return _consistency_counts(
+        doc_fingerprint(_docs_with_dups(sf_dir)), "fingerprint", "n_fp")
+
+
+def _q_lang_id_consistency_docs(sf_dir: str):
+    from vector_ray.ml.text import lang_id
+
+    return _consistency_counts(
+        lang_id(_docs_with_dups(sf_dir)), "lang_pred", "n_lang")
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal plumbing (rows-only): deterministic synthesized media
     table -> actor-pool decode stage (fake deterministic kernel; the
@@ -811,6 +856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
         "minhash_exact_dedup_join_docs": _q_minhash_exact_dedup_join_docs,
+        "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
+        "lang_id_consistency_docs": _q_lang_id_consistency_docs,
         "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_features": _q_media_features,
@@ -897,6 +944,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_events": oracle.SQL_QUANTILE_SKETCH_EVENTS,
         "minhash_exact_dedup_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
         "minhash_exact_dedup_join_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
+        "fingerprint_consistency_docs": oracle.SQL_FINGERPRINT_CONSISTENCY_DOCS,
+        "lang_id_consistency_docs": oracle.SQL_LANG_ID_CONSISTENCY_DOCS,
         "simhash_exact_pairs_docs": oracle.SQL_SIMHASH_EXACT_PAIRS_DOCS,
         "role_enrich": oracle.sql_role_enrich(
             tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),

@@ -400,6 +400,24 @@ FROM docs2 d1 JOIN docs2 d2
   ON d1.text = d2.text AND d1.doc_id < d2.doc_id
 """
 
+# consistency invariants (__ray_entry__._consistency_counts): every
+# distinct text must map to exactly ONE derived value (fingerprint /
+# predicted lang) across all actors and batches; group sizes come from
+# SQL so the grouping itself is value-checked too.
+SQL_FINGERPRINT_CONSISTENCY_DOCS = f"""
+WITH {_DOCS_WITH_DUPS}
+SELECT md5(text) AS th, CAST(1 AS BIGINT) AS n_fp,
+       count(*)::BIGINT AS n_docs
+FROM docs2 GROUP BY md5(text)
+"""
+
+SQL_LANG_ID_CONSISTENCY_DOCS = f"""
+WITH {_DOCS_WITH_DUPS}
+SELECT md5(text) AS th, CAST(1 AS BIGINT) AS n_lang,
+       count(*)::BIGINT AS n_docs
+FROM docs2 GROUP BY md5(text)
+"""
+
 # DDSketch replay (public algorithm — Masson et al., VLDB 2019): same
 # log-gamma bucketing, same rank walk, same bucket-midpoint outputs as
 # stages/sketch.py, so the approximate quantiles compare EXACTLY.

@@ -355,6 +355,55 @@ def _q_minhash_exact_dedup_join_docs(sf_dir: str):
     return deduped.select_columns(["doc_id", "text", "lang", "source", "n_chars"])
 
 
+def _emb_with_dups(sf_dir: str):
+    """embeddings UNION a vec_id-shifted copy of every 8th vector — the
+    synthetic embeddings have no naturally similar pairs (max cosine
+    ~0.51), so exact-copy near-dups (cosine = 1.0, boundary-safe) are
+    synthesized identically on both sides."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def shift(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(
+            pc.cast(pc.bit_wise_and(t["vec_id"], 7), pa.int64()), 0))
+        ids = pc.add(t["vec_id"], 1_000_000)
+        return t.set_column(t.schema.get_field_index("vec_id"), "vec_id", ids)
+
+    return emb.union(emb.map_batches(shift, batch_format="pyarrow",
+                                     batch_size=None))
+
+
+def _q_embedding_dedup_pairs(sf_dir: str):
+    """Embedding-cosine near-dup pairs with nbits=0 (single bucket =
+    exhaustive all-pairs) — exactly the DuckDB list_cosine_similarity
+    self-join, so the whole bucket->matmul->threshold path is
+    oracle-checked.  The LSH-bucketed variant is the scale path
+    (embedding_dedup_lsh)."""
+    import pandas as pd
+
+    from vector_ray.ml.dedup import embedding_cosine_dedup
+
+    _deduped, pairs = embedding_cosine_dedup(
+        _emb_with_dups(sf_dir), threshold=0.9, nbits=0)
+    return pd.DataFrame({"a": pairs["a"].astype("int64"),
+                         "b": pairs["b"].astype("int64")})
+
+
+def _q_embedding_dedup_lsh(sf_dir: str):
+    """LSH-bucketed embedding dedup (2^6 buckets): the scale path.
+    Exact copies always share every hyperplane signature, so at
+    threshold 0.9 over the copy-synthesized corpus LSH recall is exact
+    and survivors match the oracle (min vec_id per duplicate group)."""
+    from vector_ray.ml.dedup import embedding_cosine_dedup
+
+    deduped, _pairs = embedding_cosine_dedup(
+        _emb_with_dups(sf_dir), threshold=0.9, nbits=6)
+    return deduped.select_columns(["vec_id", "label"])
+
+
 def _q_simhash_exact_pairs_docs(sf_dir: str):
     """Oracle-checkable SimHash invariant: max_hamming=0 + exact text
     verify == the duplicate-text pair set (a < b)."""
@@ -856,6 +905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
         "minhash_exact_dedup_join_docs": _q_minhash_exact_dedup_join_docs,
+        "embedding_dedup_pairs": _q_embedding_dedup_pairs,
+        "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
         "lang_id_consistency_docs": _q_lang_id_consistency_docs,
         "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
@@ -944,6 +995,8 @@ def oracle_sql() -> dict[str, str]:
         "quantile_sketch_events": oracle.SQL_QUANTILE_SKETCH_EVENTS,
         "minhash_exact_dedup_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
         "minhash_exact_dedup_join_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
+        "embedding_dedup_pairs": oracle.SQL_EMBEDDING_DEDUP_PAIRS,
+        "embedding_dedup_lsh": oracle.SQL_EMBEDDING_DEDUP_LSH,
         "fingerprint_consistency_docs": oracle.SQL_FINGERPRINT_CONSISTENCY_DOCS,
         "lang_id_consistency_docs": oracle.SQL_LANG_ID_CONSISTENCY_DOCS,
         "simhash_exact_pairs_docs": oracle.SQL_SIMHASH_EXACT_PAIRS_DOCS,

@@ -254,3 +254,44 @@ def test_minhash_join_verify_exact_mode():
         num_hashes=32, bands=8, concurrency=1)
     assert sorted(ded.to_pandas()["doc_id"]) == [1, 4]
     assert set(clusters["cluster"]) == {1}
+
+
+def test_embedding_cosine_dedup(embeddings):
+    from vector_ray.ml.dedup import embedding_cosine_dedup
+
+    base = embeddings.to_pandas().head(30)
+    import numpy as np
+    rows = {"vec_id": [], "embedding": []}
+    for i, v in zip(base["vec_id"], base["embedding"]):
+        rows["vec_id"].append(int(i))
+        rows["embedding"].append(np.asarray(v))
+        if int(i) % 5 == 0:  # exact copy -> cosine 1.0
+            rows["vec_id"].append(int(i) + 100000)
+            rows["embedding"].append(np.asarray(v))
+    t = pa.table({"vec_id": rows["vec_id"],
+                  "embedding": rows["embedding"]})
+    ds = rd.from_arrow(t)
+    # exhaustive path
+    ded0, pairs0 = embedding_cosine_dedup(ds, threshold=0.95, nbits=0,
+                                          concurrency=1)
+    # LSH path: exact copies always collide, so same result here
+    ded8, pairs8 = embedding_cosine_dedup(ds, threshold=0.95, nbits=8,
+                                          concurrency=1)
+    kept0 = sorted(ded0.to_pandas()["vec_id"])
+    kept8 = sorted(ded8.to_pandas()["vec_id"])
+    assert kept0 == kept8
+    assert all(v < 100000 for v in kept0)  # all copies dropped
+    assert len(kept0) == len(base)
+    assert set(map(tuple, pairs0[["a", "b"]].values.tolist())) >= \
+        set(map(tuple, pairs8[["a", "b"]].values.tolist()))
+
+
+def test_embedding_cosine_dedup_no_pairs(embeddings):
+    from vector_ray.ml.dedup import embedding_cosine_dedup
+
+    ds = rd.from_arrow(pa.Table.from_pandas(
+        embeddings.to_pandas().head(10)[["vec_id", "embedding"]]))
+    ded, pairs = embedding_cosine_dedup(ds, threshold=0.99, nbits=0,
+                                        concurrency=1)
+    assert list(pairs.columns) == ["a", "b"] and len(pairs) == 0
+    assert ded.count() == 10

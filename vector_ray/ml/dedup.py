@@ -498,3 +498,102 @@ def simhash_dedup(
                 for a, b in zip(pairs["a"], pairs["b"])]
         pairs = pairs[same].reset_index(drop=True)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (the third dedup family next to MinHash
+# n-gram Jaccard and SimHash Hamming): hyperplane-LSH bucketing +
+# exact within-bucket cosine verification.
+# ---------------------------------------------------------------------------
+
+class _EmbeddingBucketer:
+    """Actor stage: signed hyperplane signature -> bucket id per row.
+    Hyperplanes derive deterministically from (seed, dim) in __init__ —
+    every actor computes identical planes, nothing is shipped."""
+
+    def __init__(self, *, vec_col: str, id_col: str, nbits: int, seed: int):
+        self.vec_col, self.id_col = vec_col, id_col
+        self.nbits, self.seed = nbits, seed
+        self._planes = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        m = np.stack(t[self.vec_col].to_pylist()).astype(np.float64)
+        if self.nbits == 0:
+            bucket = np.zeros(len(m), dtype=np.int64)
+        else:
+            if self._planes is None:
+                rng = np.random.default_rng(self.seed)
+                self._planes = rng.standard_normal((m.shape[1], self.nbits))
+            bits = (m @ self._planes) > 0
+            bucket = bits @ (1 << np.arange(self.nbits, dtype=np.int64))
+        return pa.table({
+            self.id_col: t[self.id_col],
+            "bucket": pa.array(bucket, pa.int64()),
+            self.vec_col: t[self.vec_col],
+        })
+
+
+def embedding_cosine_dedup(
+    ds: Dataset,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    nbits: int = 8,
+    seed: int = 7,
+    concurrency: int | tuple = (1, 4),
+) -> tuple[Dataset, pd.DataFrame]:
+    """Embedding near-dup removal by cosine similarity.
+
+    Scale shape: hyperplane-LSH buckets the corpus into at most
+    2**nbits groups — a CONFIG-BOUNDED group count, so the per-bucket
+    ``map_groups`` here is safe (unlike per-KEY ops whose cardinality
+    grows with the data, which this repo routes through sorted-run).
+    Each bucket verifies its pairs with one L×L matmul; the driver only
+    receives id pairs for union-find.  ``nbits=0`` puts everything in
+    one bucket = exhaustive all-pairs — the SQL-oracle path (DuckDB
+    ``list_cosine_similarity`` self-join).
+
+    Standard LSH recall caveat: near-dup pairs split across buckets are
+    missed; raise recall with fewer bits or run twice with different
+    seeds and union the pair sets.
+    """
+    bucketed = ds.map_batches(
+        _EmbeddingBucketer, batch_format="pyarrow", batch_size=None,
+        concurrency=concurrency,
+        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col,
+                                   nbits=nbits, seed=seed),
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        g = g.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        m = m / norms
+        sim = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sim[iu, ju] >= threshold
+        return pd.DataFrame({"a": ids[iu[hit]], "b": ids[ju[hit]]})
+
+    pairs = (
+        bucketed.groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(pairs) == 0 or "a" not in pairs.columns:
+        return ds, pd.DataFrame({"a": [], "b": []})
+    pairs = (pairs.drop_duplicates().sort_values(["a", "b"])
+             .reset_index(drop=True))
+    roots = _connected_components(
+        list(pairs.itertuples(index=False, name=None)))
+    drop_arr = pa.array(sorted(k for k, v in roots.items() if k != v))
+
+    def remove_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.is_in(t[id_col], value_set=drop_arr)))
+
+    return (ds.map_batches(remove_dups, batch_format="pyarrow",
+                           batch_size=None), pairs)

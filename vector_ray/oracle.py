@@ -411,6 +411,34 @@ SELECT md5(text) AS th, CAST(1 AS BIGINT) AS n_fp,
 FROM docs2 GROUP BY md5(text)
 """
 
+# exhaustive embedding-cosine pair oracle (nbits=0 path of
+# ml/dedup.py:embedding_cosine_dedup)
+_EMB_WITH_DUPS = """
+emb2 AS (
+  SELECT * FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, embedding, label
+  FROM embeddings WHERE vec_id % 8 = 0)
+"""
+
+SQL_EMBEDDING_DEDUP_PAIRS = f"""
+WITH {_EMB_WITH_DUPS}
+SELECT e1.vec_id AS a, e2.vec_id AS b
+FROM emb2 e1 JOIN emb2 e2 ON e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
+"""
+
+# survivors = min vec_id per duplicate group; non-duplicated ids pass
+# through untouched (copies are exact, so groups are exact-equality
+# groups over the synthesized corpus)
+SQL_EMBEDDING_DEDUP_LSH = f"""
+WITH {_EMB_WITH_DUPS}
+SELECT vec_id, label FROM emb2
+WHERE vec_id NOT IN (
+  SELECT e2.vec_id FROM emb2 e1 JOIN emb2 e2 ON e1.vec_id < e2.vec_id
+  WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9)
+"""
+
 SQL_LANG_ID_CONSISTENCY_DOCS = f"""
 WITH {_DOCS_WITH_DUPS}
 SELECT md5(text) AS th, CAST(1 AS BIGINT) AS n_lang,

@@ -295,3 +295,27 @@ def test_embedding_cosine_dedup_no_pairs(embeddings):
                                         concurrency=1)
     assert list(pairs.columns) == ["a", "b"] and len(pairs) == 0
     assert ded.count() == 10
+
+
+def test_simhash_sorted_matches_grouped(docs):
+    """Sorted-run simhash pair generation (default) must equal the
+    groupby.map_groups fallback on the same corpus."""
+    from vector_ray.ml.dedup import simhash_dedup
+
+    base = docs.to_pandas().head(60)
+    rows = {"doc_id": [], "text": []}
+    for i, txt in enumerate(base["text"]):
+        rows["doc_id"].append(i)
+        rows["text"].append(str(txt))
+        if i % 3 == 0:
+            words = str(txt).split()
+            if len(words) > 4:
+                words[-1] = "CHANGED"
+            rows["doc_id"].append(i + 10000)
+            rows["text"].append(" ".join(words))
+    ds = rd.from_arrow(pa.table(rows))
+    p_sorted = simhash_dedup(ds, max_hamming=6, impl="sorted", concurrency=1)
+    p_grouped = simhash_dedup(ds, max_hamming=6, impl="grouped", concurrency=1)
+    assert p_sorted[["a", "b"]].values.tolist() == \
+        p_grouped[["a", "b"]].values.tolist()
+    assert len(p_sorted) > 0

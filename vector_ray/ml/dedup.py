@@ -425,6 +425,7 @@ def simhash_dedup(
     max_hamming: int = 3,
     concurrency: int | tuple = (1, 4),
     verify_exact: bool = False,
+    impl: str = "sorted",
 ) -> pd.DataFrame:
     """Near-dup pairs by SimHash: band the 64-bit signature into 4
     16-bit keys (any pair within Hamming<=3 shares at least one band),
@@ -472,15 +473,23 @@ def simhash_dedup(
                 rows.append((ids[i], ids[i + 1 + j], int(ham[j])))
         return pd.DataFrame(rows, columns=["a", "b", "hamming"])
 
-    pairs = (
-        sigs.map_batches(explode, batch_format="pyarrow", batch_size=None)
-        .groupby(["band", "key"])
-        .map_groups(bucket_pairs, batch_format="pandas")
-        .to_pandas()
-        .drop_duplicates(subset=["a", "b"])
-        .sort_values(["a", "b"])
-        .reset_index(drop=True)
-    )
+    exploded = sigs.map_batches(explode, batch_format="pyarrow",
+                                batch_size=None)
+    if impl == "sorted":
+        # DEFAULT scale path: one sort + per-block vectorized all-pairs
+        # Hamming (no per-bucket Python call) — _simhash_pairs_sorted
+        pairs = _simhash_pairs_sorted(exploded, id_col=id_col,
+                                      max_hamming=max_hamming)
+    else:
+        pairs = (
+            exploded
+            .groupby(["band", "key"])
+            .map_groups(bucket_pairs, batch_format="pandas")
+            .to_pandas()
+            .drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"])
+            .reset_index(drop=True)
+        )
     if verify_exact and len(pairs):
         cand_ids = sorted(set(pairs["a"]) | set(pairs["b"]))
         cand_arr = pa.array(cand_ids)
@@ -498,6 +507,98 @@ def simhash_dedup(
                 for a, b in zip(pairs["a"], pairs["b"])]
         pairs = pairs[same].reset_index(drop=True)
     return pairs
+
+
+_POPCNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                         axis=1).sum(axis=1).astype(np.uint8)
+
+
+def _hamming_matrix(sig: np.ndarray) -> np.ndarray:
+    """Pairwise 64-bit Hamming distances, vectorized: XOR matrix viewed
+    as bytes -> byte-popcount lookup -> sum (no per-pair Python)."""
+    x = sig[:, None] ^ sig[None, :]
+    return _POPCNT8[x.view(np.uint8)].reshape(len(sig), len(sig), 8) \
+        .sum(axis=2).astype(np.int64)
+
+
+def _simhash_pairs_sorted(sig_rows, *, id_col: str,
+                          max_hamming: int) -> pd.DataFrame:
+    """Sorted-run pair generation for SimHash buckets (same shape as
+    ``_candidate_pairs_sorted``): sort the (band, key, id) rows once,
+    then per BLOCK compute within-run ALL-PAIRS Hamming with one
+    vectorized popcount matrix per run — no ``map_groups`` (one Python
+    call per block, not per bucket).  Runs that span block boundaries
+    get their cross-part pairs computed on the driver from the
+    boundary runs' members (bounded by block size)."""
+    import ray as _ray
+
+    sorted_ds = sig_rows.sort(["band", "key", id_col]).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @_ray.remote
+    def block_pairs(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return None, None, None
+        band = t["band"].to_numpy(zero_copy_only=False)
+        key = t["key"].to_numpy(zero_copy_only=False)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sig = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        new_run = np.ones(n, dtype=bool)
+        new_run[1:] = (band[1:] != band[:-1]) | (key[1:] != key[:-1])
+        starts = np.flatnonzero(new_run)
+        ends = np.append(starts[1:], n)
+        rows = []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            ham = _hamming_matrix(sig[s:e])
+            iu, ju = np.triu_indices(e - s, k=1)
+            hit = ham[iu, ju] <= max_hamming
+            if hit.any():
+                rows.append(pd.DataFrame({
+                    "a": ids[s + iu[hit]], "b": ids[s + ju[hit]],
+                    "hamming": ham[iu[hit], ju[hit]]}))
+        df = pd.concat(rows, ignore_index=True) if rows else \
+            pd.DataFrame({"a": [], "b": [], "hamming": []})
+        first = ((int(band[0]), int(key[0])), ids[:ends[0]], sig[:ends[0]])
+        last = ((int(band[-1]), int(key[-1])), ids[starts[-1]:],
+                sig[starts[-1]:])
+        return df, first, last
+
+    got = _ray.get([block_pairs.remote(r) for r in refs])
+    frames = []
+    # stitch runs spanning consecutive blocks: accumulate the tail of
+    # the open run and pair it against each continuation part
+    open_key, open_ids, open_sig = None, None, None
+    for df, first, last in got:
+        if df is None:
+            continue
+        frames.append(df)
+        fkey, fids, fsig = first
+        if open_key is not None and open_key == fkey and len(fids):
+            ham = _POPCNT8[(open_sig[:, None] ^ fsig[None, :])
+                           .view(np.uint8)].reshape(
+                len(open_sig), len(fsig), 8).sum(axis=2)
+            ii, jj = np.nonzero(ham <= max_hamming)
+            if len(ii):
+                frames.append(pd.DataFrame({
+                    "a": open_ids[ii], "b": fids[jj],
+                    "hamming": ham[ii, jj].astype(np.int64)}))
+        lkey, lids, lsig = last
+        if open_key == lkey:  # run continues past this whole block
+            open_ids = np.concatenate([open_ids, lids])
+            open_sig = np.concatenate([open_sig, lsig])
+        else:
+            open_key, open_ids, open_sig = lkey, lids, lsig
+    if not frames:
+        return pd.DataFrame({"a": [], "b": [], "hamming": []})
+    out = pd.concat(frames, ignore_index=True)
+    lo = np.minimum(out["a"], out["b"])
+    hi = np.maximum(out["a"], out["b"])
+    out = pd.DataFrame({"a": lo, "b": hi, "hamming": out["hamming"]})
+    return (out.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
 
 
 # ---------------------------------------------------------------------------

@@ -359,3 +359,37 @@ def test_closure_param_arity_checked():
         compile_vrl('.x = filter(.tags) -> |v| { v != "a" }')(t)
     with pytest.raises(VrlError):
         compile_vrl('.x = map_values(.tags)')
+
+
+def test_replace_with_closure():
+    # replace_with.cue: closure receives {string, captures}; all
+    # matches replaced, replacements never re-matched
+    t = pa.table({"msg": ["card=1234 and card=9876 ok", "no cards here",
+                          "card=5555", None]})
+    out, err, _ = compile_vrl(
+        '.msg = replace_with(.msg, r"card=(\\d+)") -> |m| '
+        '{ "card=[" + m.captures[0] + "]" }')(t)
+    assert out["msg"].to_pylist() == [
+        "card=[1234] and card=[9876] ok", "no cards here",
+        "card=[5555]", None]
+    assert not any(err.to_pylist())
+
+
+def test_replace_with_whole_match_and_postfix():
+    out, _, _ = compile_vrl(
+        '.m = replace_with(.m, r"[a-z]+") -> |mm| { upcase(mm.string) + "!" }'
+    )(pa.table({"m": ["a1 bb22"]}))
+    assert out["m"].to_pylist() == ["A!1 BB!22"]
+
+
+def test_member_and_index_postfix():
+    t = pa.table({"tags": [["x", "y"], ["z"]],
+                  "o": pa.array([{"a": {"b": "v1"}}, {"a": {"b": "v2"}}])})
+    out, _, _ = compile_vrl("""
+tmp = .o
+.deep = tmp.a.b
+arr = .tags
+.first = arr[0]
+""")(t)
+    assert out["deep"].to_pylist() == ["v1", "v2"]
+    assert out["first"].to_pylist() == ["x", "z"]

@@ -343,7 +343,8 @@ _PRED_FUNCS = {"exists", "is_null", "is_string", "contains", "starts_with",
 # enumeration functions taking a closure (`fn(x) -> |k, v| { ... }`);
 # VRL closure semantics per website/cue/reference/remap/functions/
 # {map_values,map_keys,filter,for_each}.cue
-_CLOSURE_FUNCS = {"map_values", "map_keys", "filter", "for_each"}
+_CLOSURE_FUNCS = {"map_values", "map_keys", "filter", "for_each",
+                  "replace_with"}
 
 # functions needing the execution context (enrichment registry rides on
 # the compiled program: module state does not cross Ray worker
@@ -573,7 +574,31 @@ class _Parser:
         if self.peek() == ("op", "-"):
             self.next()
             return ("neg", self.parse_unary())
-        return self.parse_primary()
+        return self.parse_postfix()
+
+    def parse_postfix(self):
+        """member access (`var.field.sub`) and integer indexing
+        (`expr[0]`) on any primary."""
+        e = self.parse_primary()
+        while True:
+            kind, val = self.peek()
+            # member access binds only to var/member/index bases: call
+            # parsing consumes trailing newlines while probing for a
+            # closure arrow, so a path here after a call is the NEXT
+            # statement, not a projection
+            if kind == "path" and e[0] in ("var", "member", "index"):
+                self.next()
+                parts = [x for x in val[1:].split(".") if x]
+                e = ("member", e, parts)
+            elif (kind, val) == ("op", "[") and self.peek(1)[0] == "num" \
+                    and self.peek(2) == ("op", "]"):
+                self.next()
+                idx = int(self.next()[1])
+                self.next()  # ]
+                e = ("index", e, idx)
+            else:
+                break
+        return e
 
     def parse_primary(self):
         kind, val = self.peek()
@@ -781,6 +806,21 @@ def _eval(node, ctx: _Ctx):
         return _eval_bin(node, ctx)
     if kind == "call":
         return _eval_call(node, ctx)
+    if kind == "member":
+        base, err = _eval(node[1], ctx)
+        col = _as_array(base, n)
+        for part in node[2]:
+            try:
+                col = pc.struct_field(col, part)
+            except (pa.ArrowInvalid, KeyError):
+                return pa.nulls(n, pa.string()), err
+        return col, err
+    if kind == "index":
+        base, err = _eval(node[1], ctx)
+        col = _as_array(base, n)
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            return pc.list_element(col, node[2]), err
+        raise VrlError("indexing requires an array value")
     if kind == "array":
         vals = [_eval(item, ctx)[0] for item in node[1]]
         if all(not isinstance(v, (pa.Array, pa.ChunkedArray)) for v in vals):
@@ -1084,6 +1124,8 @@ def _exec_body_value(body, ctx: _Ctx):
 
 def _eval_closure(name, args, closure, ctx: _Ctx):
     _, params, body = closure
+    if name == "replace_with":
+        return _closure_replace_with(args, params, body, ctx)
     col = args[0]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -1095,6 +1137,89 @@ def _eval_closure(name, args, closure, ctx: _Ctx):
         return _closure_struct(name, col, params, body, ctx)
     raise VrlError(f"{name} requires an array or object value, "
                    f"got {col.type}")
+
+
+def _closure_replace_with(args, params, body, ctx: _Ctx):
+    """replace_with.cue: replace every regex match with the closure's
+    value; the closure receives an object
+    ``{string: <whole match>, captures: [<group>, ...]}``.
+
+    Execution model: one ROUND per match ordinal.  Each round, the next
+    match per row is found with the compiled regex (string scan only —
+    no user code in the loop), then the closure body evaluates ONCE,
+    vectorized over all rows that matched this round.  Scan offsets
+    advance past each replacement exactly like ``re.sub``, so
+    replacements never re-match."""
+    if len(params) != 1:
+        raise VrlError("replace_with closure takes |match|")
+    col = _as_array(args[0], ctx.n)
+    pat = args[1]
+    if isinstance(pat, tuple) and pat and pat[0] == "__regex__":
+        pat = pat[1]
+    if not isinstance(pat, str):
+        raise VrlError("replace_with pattern must be a regex or string "
+                       "literal")
+    creg = re.compile(pat)
+    n = ctx.n
+    cur: list = pc.cast(col, pa.string()).to_pylist()
+    offsets = [0] * n
+    active = [i for i, s in enumerate(cur) if s is not None]
+    pre_keys = set(ctx.vars)
+    rounds = 0
+    while active and rounds < 1000:
+        rounds += 1
+        hit_rows, wholes, caps_per_row = [], [], []
+        spans = {}
+        for i in active:
+            m = creg.search(cur[i], offsets[i])
+            if m is None:
+                continue
+            hit_rows.append(i)
+            wholes.append(m.group(0))
+            caps_per_row.append([g if g is not None else None
+                                 for g in m.groups()])
+            spans[i] = m.span()
+        if not hit_rows:
+            break
+        k = len(hit_rows)
+        ncaps = creg.groups
+        cap_arrays = [pa.array([c[j] for c in caps_per_row], pa.string())
+                      for j in range(ncaps)]
+        if ncaps:
+            flat = pa.concat_arrays(cap_arrays)
+            # row-interleave: captures of row r are flat[j*k + r]
+            p = np.arange(k * ncaps)
+            cap_list = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, k * ncaps + 1, ncaps, dtype=np.int32)),
+                flat.take(pa.array((p % ncaps) * k + p // ncaps)))
+        else:
+            cap_list = pa.ListArray.from_arrays(
+                pa.array(np.zeros(k + 1, dtype=np.int32)),
+                pa.array([], pa.string()))
+        match_obj = pa.StructArray.from_arrays(
+            [pa.array(wholes, pa.string()), cap_list],
+            names=["string", "captures"])
+        sub = _Ctx(ctx.batch.take(pa.array(hit_rows, pa.int64())),
+                   ctx.tables)
+        for kk, v in ctx.vars.items():
+            if isinstance(v, (pa.Array, pa.ChunkedArray)) and len(v) == n:
+                sub.vars[kk] = _as_array(v, n).take(
+                    pa.array(hit_rows, pa.int64()))
+            else:
+                sub.vars[kk] = v
+        sub.vars[params[0]] = match_obj
+        result = _exec_body_value(body, sub)
+        repl = pc.cast(_as_array(result, k), pa.string()).to_pylist()
+        nxt = []
+        for idx, i in enumerate(hit_rows):
+            st, en = spans[i]
+            r = repl[idx] if repl[idx] is not None else ""
+            cur[i] = cur[i][:st] + r + cur[i][en:]
+            offsets[i] = st + len(r) + (1 if en == st else 0)
+            if offsets[i] <= len(cur[i]):
+                nxt.append(i)
+        active = nxt
+    return pa.array(cur, pa.string()), None
 
 
 def _closure_list(name, col: pa.Array, params, body, ctx: _Ctx):
@@ -1322,6 +1447,8 @@ def _check_expr_vars(node, defined: set):
     elif kind == "object":
         for _k, v in node[1]:
             _check_expr_vars(v, defined)
+    elif kind in ("member", "index"):
+        _check_expr_vars(node[1], defined)
 
 
 # ---- statement execution under mask (None = all rows active) ----

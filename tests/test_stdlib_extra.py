@@ -351,3 +351,87 @@ def test_batch4_snappy_zstd_declared_unavailable():
     t = pa.table({"m": ["x"]})
     with pytest.raises(NotImplementedError):
         compile_vrl(".z = encode_zstd(.m)")(t)
+
+
+def test_batch5_inventory_tail():
+    t = pa.table({"a": ["x=1&y=2", "y=9"], "n": [1.24, 2.75],
+                  "obj": pa.array([{"u": "1"}, {"u": "2"}]),
+                  "host": ["www.example.co.uk", "a.b.example.com"],
+                  "rb": ['{"x" => "y", "z" => nil}', "notahash"],
+                  "ms": ["a1b2 c3", "zzz"]})
+    out, err, _ = compile_vrl("""
+.qs = parse_query_string(.a, ["x", "y"])
+.c = ceil(.n)
+.f = floor(.n)
+.obj2 = set(.obj, ["v"], "9")
+.etld = parse_etld(.host)
+.rbj = parse_ruby_hash(.rb)
+.all = parse_regex_all(.ms, r"([a-z])(\\d)")
+.j = encode_json(.obj)
+.kv = encode_logfmt(.obj)
+""")(t)
+    assert out["qs"].to_pylist() == [{"x": "1", "y": "2"},
+                                     {"x": None, "y": "9"}]
+    assert out["c"].to_pylist() == [2.0, 3.0]
+    assert out["f"].to_pylist() == [1.0, 2.0]
+    assert out["obj2"].to_pylist()[0] == {"u": "1", "v": "9"}
+    assert out["etld"].to_pylist() == ["example.co.uk", "example.com"]
+    assert out["rbj"].to_pylist() == ['{"x" : "y", "z" : null}', None]
+    assert out["all"].to_pylist() == [[["a", "1"], ["b", "2"], ["c", "3"]], []]
+    assert out["j"].to_pylist() == ['{"u":"1"}', '{"u":"2"}']
+    assert out["kv"].to_pylist() == ["u=1", "u=2"]
+
+
+def test_batch5_community_id_spec_vector():
+    # corelight/community-id-spec published test vector
+    from vector_ray.functions.stdlib_extra import community_id
+    out = community_id(pa.array(["128.232.110.120"]),
+                       pa.array(["66.35.250.204"]),
+                       pa.array([34855]), pa.array([80]), protocol=6)
+    assert out.to_pylist() == ["1:LQU9qZlK+B5F3KDmev6m5PMibrg="]
+    # direction-invariant
+    rev = community_id(pa.array(["66.35.250.204"]),
+                       pa.array(["128.232.110.120"]),
+                       pa.array([80]), pa.array([34855]), protocol=6)
+    assert rev.to_pylist() == out.to_pylist()
+
+
+def test_batch5_secrets():
+    t = pa.table({"x": [1, 2]})
+    out, err, _ = compile_vrl("""
+.tok = get_secret("token")
+set_secret("other", "v2")
+.o = get_secret("other")
+remove_secret("other")
+.gone = get_secret("other") ?? "none"
+""", secrets={"token": "s3cr3t"})(t)
+    assert out["tok"].to_pylist() == ["s3cr3t"] * 2
+    assert out["o"].to_pylist() == ["v2"] * 2
+    assert out["gone"].to_pylist() == ["none"] * 2
+
+
+def test_batch5_cloudwatch_subscription():
+    import json
+    msg = json.dumps({
+        "messageType": "DATA_MESSAGE", "owner": "111111111111",
+        "logGroup": "test", "logStream": "stream",
+        "subscriptionFilters": ["Destination"],
+        "logEvents": [
+            {"id": "35683643798", "timestamp": 1600110569039,
+             "message": "{\"bytes\":26780}"}]})
+    out, err, _ = compile_vrl(
+        ". = parse_aws_cloudwatch_log_subscription_message!(.m)")(
+        pa.table({"m": [msg]}))
+    assert out["owner"].to_pylist() == ["111111111111"]
+    assert out["log_group"].to_pylist() == ["test"]
+    ev = out["log_events"].to_pylist()[0]
+    assert ev[0]["timestamp"] == 1600110569039
+    assert not any(err.to_pylist())
+
+
+def test_batch5_seahash_deterministic():
+    t = pa.table({"s": ["to be or not to be", "to be or not to be", "x"]})
+    out, _, _ = compile_vrl(".h = seahash(.s)")(t)
+    hs = out["h"].to_pylist()
+    assert hs[0] == hs[1] != hs[2]
+    assert all(h.isdigit() for h in hs)

@@ -327,7 +327,57 @@ FUNCTIONS.update({
     "decode_snappy": _wrap_simple(_extra.decode_snappy),
     "encode_zstd": _wrap_simple(_extra.encode_zstd),
     "decode_zstd": _wrap_simple(_extra.decode_zstd),
+    # batch 5: inventory tail
+    "ceil": _wrap_simple(_extra.ceil_),
+    "floor": _wrap_simple(_extra.floor_),
+    "set": _wrap_simple(lambda c, p, v: _extra.set_path(c, _const_list(p), v)),
+    "seahash": _wrap_simple(_extra.seahash_),
+    "community_id": _wrap_fallible(_extra.community_id),
+    "parse_etld": _wrap_simple(_extra.parse_etld),
+    "uuid_from_friendly_id": _wrap_fallible(_extra.uuid_from_friendly_id),
+    "set_semantic_meaning": _wrap_simple(_extra.set_semantic_meaning),
+    "encode_proto": _wrap_simple(_extra.encode_proto),
+    "parse_proto": _wrap_simple(_extra.parse_proto),
+    "parse_dnstap": _wrap_simple(_extra.parse_dnstap),
+    "parse_ruby_hash": _wrap_fallible(_extra.parse_ruby_hash),
+    "parse_regex_all": _wrap_simple(
+        lambda c, p: _parse_regex_all(c, p)),
+    "parse_aws_cloudwatch_log_subscription_message": _dict_struct(
+        _extra.parse_aws_cloudwatch_log_subscription_message, "owner"),
+    "parse_influxdb": _dict_struct(
+        lambda c, **kw: parse_logs.parse_influxdb(c, **kw), "measurement"),
+    "parse_query_string": None,  # replaced below (struct builder)
 })
+
+
+def _parse_regex_all(col, pattern) -> pa.Array:
+    """parse_regex_all.cue: every match's capture groups as a list of
+    strings per match (list<list<string>>); quote-grammar-free, but
+    multi-match extraction is per-row by nature."""
+    if isinstance(pattern, tuple) and pattern and pattern[0] == "__regex__":
+        pattern = pattern[1]
+    creg = re.compile(str(pattern))
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = []
+    for v in pc.cast(col, pa.string()).to_pylist():
+        if v is None:
+            out.append(None)
+            continue
+        out.append([list(m.groups()) if creg.groups else [m.group(0)]
+                    for m in creg.finditer(v)])
+    return pa.array(out, pa.list_(pa.list_(pa.string())))
+
+
+def _parse_query_string_struct(col, keys):
+    ks = [str(k) for k in _const_list(keys)]
+    fields = parse_logs.parse_query_string(col, ks)
+    return pa.StructArray.from_arrays(
+        [fields[k] if not isinstance(fields[k], pa.ChunkedArray)
+         else fields[k].combine_chunks() for k in ks], names=ks), None
+
+
+FUNCTIONS["parse_query_string"] = _parse_query_string_struct
 
 # VRL calls with no column argument that still need the batch length:
 # a null column of the right length is prepended at call time
@@ -351,6 +401,15 @@ _CLOSURE_FUNCS = {"map_values", "map_keys", "filter", "for_each",
 # boundaries, so tables are captured at compile time and serialized
 # with the program — a broadcast-small side, like the enrich stage)
 _CTX_FUNCS = {"get_enrichment_table_record", "find_enrichment_table_records"}
+
+# whole-event encoders: `encode_json(.)` serializes the event — in the
+# columnar model "." IS the batch, so these receive ctx.batch (or a
+# struct column when called on one)
+_ENCODE_FUNCS = {"encode_json", "encode_key_value", "encode_logfmt"}
+
+# program-scoped secret store (get_secret.cue / set_secret.cue /
+# remove_secret.cue); secrets ride on the compiled program like tables
+_SECRET_FUNCS = {"get_secret", "set_secret", "remove_secret"}
 
 
 # ---------------------------------------------------------------------------
@@ -699,7 +758,9 @@ class _Parser:
                     closure = ("closure", params, body)
                 if name not in FUNCTIONS and name not in _PRED_FUNCS \
                         and name not in _CLOSURE_FUNCS \
-                        and name not in _CTX_FUNCS:
+                        and name not in _CTX_FUNCS \
+                        and name not in _ENCODE_FUNCS \
+                        and name not in _SECRET_FUNCS:
                     raise VrlError(f"unknown function {name!r}")
                 if closure is None and name in _CLOSURE_FUNCS:
                     raise VrlError(f"{name} requires a closure: "
@@ -764,12 +825,14 @@ def _unify(a: pa.Array, b):
 
 
 class _Ctx:
-    def __init__(self, batch: pa.Table, tables: dict | None = None):
+    def __init__(self, batch: pa.Table, tables: dict | None = None,
+                 secrets: dict | None = None):
         self.batch = batch
         self.n = batch.num_rows
         self.err = _false(batch.num_rows)
         self.vars: dict = {}
         self.tables: dict = tables or {}
+        self.secrets: dict = secrets if secrets is not None else {}
 
 
 def _eval(node, ctx: _Ctx):
@@ -905,6 +968,10 @@ def _eval_call(node, ctx: _Ctx):
         return _eval_closure(name, args, closure, ctx)
     if name in _CTX_FUNCS:
         return _enrich_call(name, argnodes, args, ctx)
+    if name in _ENCODE_FUNCS:
+        return _encode_call(name, argnodes, args, ctx)
+    if name in _SECRET_FUNCS:
+        return _secret_call(name, argnodes, args, ctx)
     if name in _PRED_FUNCS:
         return _eval_pred(name, argnodes, args, ctx), None
     if name in _NEEDS_N:
@@ -1045,6 +1112,39 @@ def _enrich_call(name, argnodes, args, ctx: _Ctx):
                        .astype(np.int32))
     inner = st.filter(found)
     return pa.ListArray.from_arrays(offsets, inner), None
+
+
+def _encode_call(name, argnodes, args, ctx: _Ctx):
+    from vector_ray.functions import encode as _encode
+
+    if argnodes and argnodes[0] == ("path", []):
+        t = ctx.batch  # encode the whole event
+    else:
+        col = _as_array(args[0], ctx.n)
+        if not pa.types.is_struct(col.type):
+            raise VrlError(f"{name} requires an object (or `.`)")
+        t = pa.table({f.name: _as_array(pc.struct_field(col, f.name), ctx.n)
+                      for f in col.type})
+    if name == "encode_json":
+        return _encode.encode_json(t), None
+    return _encode.encode_logfmt(t), None  # key_value == logfmt format
+
+
+def _secret_call(name, argnodes, args, ctx: _Ctx):
+    key = str(_lit_of(argnodes[0], args[0])) if argnodes else ""
+    if name == "get_secret":
+        v = ctx.secrets.get(key)
+        ok = pa.array(np.full(ctx.n, v is not None))
+        return (pa.nulls(ctx.n, pa.string()) if v is None
+                else pa.array([v] * ctx.n)), pc.invert(ok)
+    if name == "set_secret":
+        val = _lit_of(argnodes[1], args[1]) if len(argnodes) > 1 else None
+        if isinstance(val, (pa.Array, pa.ChunkedArray)):
+            val = _as_array(val, ctx.n)[0].as_py() if len(val) else None
+        ctx.secrets[key] = val
+        return pa.nulls(ctx.n, pa.string()), None
+    ctx.secrets.pop(key, None)  # remove_secret
+    return pa.nulls(ctx.n, pa.string()), None
 
 
 _DD_CACHE: dict[str, Callable] = {}
@@ -1200,7 +1300,7 @@ def _closure_replace_with(args, params, body, ctx: _Ctx):
             [pa.array(wholes, pa.string()), cap_list],
             names=["string", "captures"])
         sub = _Ctx(ctx.batch.take(pa.array(hit_rows, pa.int64())),
-                   ctx.tables)
+                   ctx.tables, ctx.secrets)
         for kk, v in ctx.vars.items():
             if isinstance(v, (pa.Array, pa.ChunkedArray)) and len(v) == n:
                 sub.vars[kk] = _as_array(v, n).take(
@@ -1237,6 +1337,7 @@ def _closure_list(name, col: pa.Array, params, body, ctx: _Ctx):
     sub.err = _false(sub.n)
     sub.vars = {}
     sub.tables = ctx.tables
+    sub.secrets = ctx.secrets
     for k, v in ctx.vars.items():
         if isinstance(v, (pa.Array, pa.ChunkedArray)) and len(v) == n:
             sub.vars[k] = _as_array(v, n).take(parent)
@@ -1292,7 +1393,7 @@ def _closure_struct(name, col: pa.Array, params, body, ctx: _Ctx):
         if len(params) != 1:
             raise VrlError("map_keys closure takes |key|")
         new_names = []
-        tiny = _Ctx(ctx.batch.slice(0, min(1, n)), ctx.tables)
+        tiny = _Ctx(ctx.batch.slice(0, min(1, n)), ctx.tables, ctx.secrets)
         for fname, _v in fields:
             saved = _shadow(tiny, {params[0]: pa.array([fname])})
             out = _exec_body_value(body, tiny)
@@ -1383,14 +1484,16 @@ def _masked(new: pa.Array, existing: pa.Array | None, mask, n: int) -> pa.Array:
 class VrlProgram:
     """Compiled program usable as stages.remap's ``program``."""
 
-    def __init__(self, source: str, tables: dict | None = None):
+    def __init__(self, source: str, tables: dict | None = None,
+                 secrets: dict | None = None):
         self.source = source
         self.tables = dict(tables or {})
+        self.secrets = dict(secrets or {})
         self.statements = _Parser(source).parse_program()
         _check_vars(self.statements, set())
 
     def __call__(self, batch: pa.Table):
-        ctx = _Ctx(batch, self.tables)
+        ctx = _Ctx(batch, self.tables, dict(self.secrets))
         _exec_stmts(self.statements, ctx, None)
         msg = pc.if_else(ctx.err, pa.scalar("vrl program error", pa.string()),
                          pa.scalar(None, pa.string()))
@@ -1593,5 +1696,6 @@ def _exec_assign(target, expr, ctx: _Ctx, mask):
         ctx.batch = _set(ctx.batch, top, rebuilt)
 
 
-def compile_vrl(source: str, tables: dict | None = None) -> VrlProgram:
-    return VrlProgram(source, tables)
+def compile_vrl(source: str, tables: dict | None = None,
+                secrets: dict | None = None) -> VrlProgram:
+    return VrlProgram(source, tables, secrets)

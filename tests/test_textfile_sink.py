@@ -1,0 +1,89 @@
+"""Encoded text-file sink (sinks/textfile.py): codec selection,
+deterministic part names, retry idempotency, topology wiring."""
+
+import json
+import os
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def _ds():
+    return rd.from_arrow(pa.table({
+        "host": ["h1", "h2"],
+        "message": ["hello world", "second line"],
+        "level": ["info", "error"],
+    }))
+
+
+def _read_all(out_dir):
+    lines = []
+    for f in sorted(os.listdir(out_dir)):
+        with open(os.path.join(out_dir, f)) as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    return lines
+
+
+def test_json_lines_roundtrip(tmp_path):
+    from vector_ray.sinks.textfile import write_text_sink
+
+    n = write_text_sink(_ds(), str(tmp_path / "out"), encoding="json")
+    assert n == 2
+    rows = [json.loads(x) for x in _read_all(str(tmp_path / "out"))]
+    assert sorted(r["host"] for r in rows) == ["h1", "h2"]
+
+
+def test_logfmt_and_text_encodings(tmp_path):
+    from vector_ray.sinks.textfile import write_text_sink
+
+    write_text_sink(_ds(), str(tmp_path / "lf"), encoding="logfmt")
+    lf = _read_all(str(tmp_path / "lf"))
+    assert any("host=h1" in x and "level=info" in x for x in lf)
+
+    write_text_sink(_ds(), str(tmp_path / "tx"), encoding="text")
+    tx = _read_all(str(tmp_path / "tx"))
+    assert sorted(tx) == ["hello world", "second line"]
+
+
+def test_syslog_encoding(tmp_path):
+    from vector_ray.sinks.textfile import write_text_sink
+
+    write_text_sink(_ds(), str(tmp_path / "sl"), encoding="syslog")
+    sl = _read_all(str(tmp_path / "sl"))
+    assert all(x.startswith("<") for x in sl)
+
+
+def test_deterministic_names_idempotent_rerun(tmp_path):
+    from vector_ray.sinks.textfile import write_text_sink
+
+    out = str(tmp_path / "out")
+    write_text_sink(_ds(), out, encoding="json")
+    files1 = sorted(os.listdir(out))
+    write_text_sink(_ds(), out, encoding="json")  # rerun: same content
+    files2 = sorted(os.listdir(out))
+    assert files1 == files2  # content-hash names: no duplicate parts
+
+
+def test_file_sink_in_topology(tmp_path):
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(f"""
+sources:
+  t: {{type: transcripts, sf_dir: /root/testdata/sf0.001}}
+transforms:
+  keep:
+    type: filter
+    inputs: [t]
+    condition: '.role == "tool"'
+sinks:
+  out:
+    type: file
+    inputs: [keep]
+    path: "{tmp_path}/sink"
+    encoding: {{codec: logfmt}}
+""")
+    res = run_topology(topo)
+    assert res.sink_counts["out"] > 0
+    lines = _read_all(str(tmp_path / "sink"))
+    assert len(lines) == res.sink_counts["out"]
+    assert all("role=tool" in x for x in lines)

@@ -31,6 +31,11 @@ def encode_logfmt(t: pa.Table, cols: Sequence[str] | None = None) -> pa.Array:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         s = pc.cast(col, pa.string())
+        # logfmt is line-oriented: embedded newlines must escape or the
+        # record spans lines (line-count = record-count invariant)
+        s = pc.replace_substring(
+            pc.replace_substring(s, pattern="\r", replacement="\\r"),
+            pattern="\n", replacement="\\n")
         needs_quote = pc.fill_null(
             pc.or_(pc.match_substring(s, " "), pc.match_substring(s, '"')), False
         )

@@ -1,0 +1,79 @@
+"""Encoded text-file sink — the analogue of the reference's `file` sink
+with codec selection (src/sinks/file/mod.rs + lib/codecs encoding
+formats).
+
+Each block encodes to newline-delimited text with one of the
+``functions.encode`` codecs (json / logfmt / csv / text / gelf /
+syslog / cef) and lands as its own ``part-<digest>.log`` file —
+deterministic content-hash names, tmp-file + rename, so a Ray task
+retry re-produces the same file instead of appending a duplicate
+(same idempotency discipline as sinks/multi.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pyarrow as pa
+from ray.data import Dataset
+
+from vector_ray.functions import encode as encode_fns
+
+_ENCODERS = {
+    "json": encode_fns.encode_json,
+    "logfmt": encode_fns.encode_logfmt,
+    "csv": encode_fns.encode_csv,
+    "text": encode_fns.encode_text,
+    "gelf": encode_fns.encode_gelf,
+    "syslog": encode_fns.encode_syslog,
+    "cef": encode_fns.encode_cef,
+}
+
+
+def encode_lines(t: pa.Table, encoding: str, **kwargs) -> list[str]:
+    enc = _ENCODERS.get(encoding)
+    if enc is None:
+        raise ValueError(f"unknown encoding {encoding!r}; "
+                         f"one of {sorted(_ENCODERS)}")
+    lines = enc(t, **kwargs)
+    if isinstance(lines, pa.ChunkedArray):
+        lines = lines.combine_chunks()
+    return lines.to_pylist()
+
+
+def write_text_sink(
+    ds: Dataset,
+    out_dir: str,
+    *,
+    encoding: str = "json",
+    suffix: str = ".log",
+    **encoder_kwargs,
+) -> int:
+    """Stream-encode and write; returns total rows written.
+
+    Streaming: each block encodes and lands independently inside the
+    map task (no driver materialization); only per-block row counts
+    return to the driver.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"rows": pa.array([0], pa.int64())})
+        lines = encode_lines(t, encoding, **encoder_kwargs)
+        payload = ("\n".join(x if x is not None else "" for x in lines)
+                   + "\n").encode()
+        name = (f"part-{hashlib.blake2b(payload, digest_size=16).hexdigest()}"
+                f"{suffix}")
+        tmp = os.path.join(out_dir, "." + name + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, os.path.join(out_dir, name))
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    partials = ds.map_batches(write_block, batch_format="pyarrow",
+                              batch_size=None)
+    # tiny per-block counts combine on the driver (project invariant:
+    # never groupby for a handful of rows)
+    return int(partials.to_pandas()["rows"].sum())

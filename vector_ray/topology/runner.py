@@ -326,6 +326,19 @@ def _run_sink(spec: ComponentSpec, ds: Dataset, variables: dict) -> int:
                            partition_cols=part_cols,
                            name=spec.name)
         return sink.write(ds, inputs=spec.inputs)
+    if spec.type == "file":
+        # reference `file` sink with codec selection
+        # (src/sinks/file/mod.rs; lib/codecs/src/encoding/format/)
+        from vector_ray.sinks.textfile import write_text_sink
+
+        enc_cfg = c.get("encoding", {})
+        encoding = enc_cfg.get("codec", "json") if isinstance(enc_cfg, dict) \
+            else str(enc_cfg)
+        kwargs = {k: v for k, v in (enc_cfg.items()
+                                    if isinstance(enc_cfg, dict) else ())
+                  if k != "codec"}
+        return write_text_sink(ds, c["path"].format(**variables),
+                               encoding=encoding, **kwargs)
     if spec.type == "csv":
         path = c["path"].format(**variables)
         mat = ds.materialize()

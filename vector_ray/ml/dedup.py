@@ -329,14 +329,19 @@ def minhash_lsh_dedup(
     — the dup-dense/100-TB path; ``"auto"`` (default) switches to the
     join above 100k candidate pairs.
     """
-    band_rows = ds.map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(
-            text_col=text_col, id_col=id_col, num_hashes=num_hashes,
-            bands=bands, shingle_n=shingle_n, seed=seed,
-        ),
-    )
+    # TASK-based stage, not an actor pool: MinHasher setup is just RNG
+    # parameter generation (~µs), so per-task construction is free,
+    # tasks FUSE with the parquet read, and there is no actor-pool
+    # cold-start (measured 1.5 s of a 2.5 s sf0.1 run)
+    hasher_kwargs = dict(text_col=text_col, id_col=id_col,
+                         num_hashes=num_hashes, bands=bands,
+                         shingle_n=shingle_n, seed=seed)
+
+    def _hash_batch(t: pa.Table) -> pa.Table:
+        return MinHasher(**hasher_kwargs)(t)
+
+    band_rows = ds.map_batches(_hash_batch, batch_format="pyarrow",
+                               batch_size=None)
 
     pairs_df = _candidate_pairs_sorted(band_rows, id_col=id_col)
 
@@ -436,11 +441,12 @@ def simhash_dedup(
     texts (broadcast lookup of candidate ids only) — with
     ``max_hamming=0`` the result is then exactly the duplicate-text
     pair set, making the signature+banding machinery oracle-checkable."""
-    sigs = ds.map_batches(
-        SimHasher, batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
-    )
+    # task-based for the same reason as MinHasher (stateless-cheap init)
+    def _sim_batch(t: pa.Table) -> pa.Table:
+        return SimHasher(text_col=text_col, id_col=id_col)(t)
+
+    sigs = ds.map_batches(_sim_batch, batch_format="pyarrow",
+                          batch_size=None)
 
     def explode(t: pa.Table) -> pa.Table:
         ids = t[id_col].to_pylist()
@@ -659,12 +665,16 @@ def embedding_cosine_dedup(
     missed; raise recall with fewer bits or run twice with different
     seeds and union the pair sets.
     """
-    bucketed = ds.map_batches(
-        _EmbeddingBucketer, batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency,
-        fn_constructor_kwargs=dict(vec_col=vec_col, id_col=id_col,
-                                   nbits=nbits, seed=seed),
-    )
+    # task-based: hyperplanes derive from (seed, dim) in microseconds,
+    # so tasks fuse with the read instead of paying actor-pool start-up
+    bucketer_kwargs = dict(vec_col=vec_col, id_col=id_col,
+                           nbits=nbits, seed=seed)
+
+    def _bucket_batch(t: pa.Table) -> pa.Table:
+        return _EmbeddingBucketer(**bucketer_kwargs)(t)
+
+    bucketed = ds.map_batches(_bucket_batch, batch_format="pyarrow",
+                              batch_size=None)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:

@@ -111,12 +111,22 @@ class LangId:
 
 
 def lang_id(ds: Dataset, *, text_col: str = "text",
-            concurrency: int | tuple = (1, 4)) -> Dataset:
-    return ds.map_batches(
-        LangId, batch_format="pyarrow", batch_size=None,
-        concurrency=concurrency,
-        fn_constructor_kwargs={"text_col": text_col},
-    )
+            concurrency: int | tuple | None = None) -> Dataset:
+    # task-based by default: LangId setup is ~0.3 ms (tiny n-gram
+    # tables), so per-task construction fuses with the read and skips
+    # actor-pool cold-start; pass concurrency to force an actor pool
+    # (the pattern a HEAVY model-scoring stage would use)
+    if concurrency is not None:
+        return ds.map_batches(
+            LangId, batch_format="pyarrow", batch_size=None,
+            concurrency=concurrency,
+            fn_constructor_kwargs={"text_col": text_col},
+        )
+
+    def _score(t):
+        return LangId(text_col=text_col)(t)
+
+    return ds.map_batches(_score, batch_format="pyarrow", batch_size=None)
 
 
 def quality_score(ds: Dataset, *, text_col: str = "text") -> Dataset:

@@ -451,6 +451,26 @@ def _consistency_counts(ds, value_col: str, n_col: str):
     return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
+def _q_snapshot_enrich_events(sf_dir: str):
+    """aws_ec2_metadata-analogue snapshot enrichment (enrichment/
+    snapshot.py): constant metadata fields attach to every event —
+    SQL-trivial, which makes the actor-stage plumbing oracle-checkable."""
+    import json
+    import os
+
+    from vector_ray.enrichment.snapshot import enrich_snapshot
+
+    snap_path = "/tmp/vector_ray/snapshot_meta.json"
+    os.makedirs(os.path.dirname(snap_path), exist_ok=True)
+    with open(snap_path, "w") as f:
+        json.dump({"instance_id": "i-0abc", "availability_zone":
+                   "us-east-1a", "instance_type": "m5.xlarge"}, f)
+    out = enrich_snapshot(
+        _events(sf_dir, columns=["event_id", "event_type"]), snap_path,
+        fields=["instance_id", "availability_zone"])
+    return out
+
+
 def _q_fingerprint_consistency_docs(sf_dir: str):
     from vector_ray.ml.text import doc_fingerprint
 
@@ -907,6 +927,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_exact_dedup_join_docs": _q_minhash_exact_dedup_join_docs,
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
+        "snapshot_enrich_events": _q_snapshot_enrich_events,
         "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
         "lang_id_consistency_docs": _q_lang_id_consistency_docs,
         "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
@@ -997,6 +1018,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_exact_dedup_join_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
         "embedding_dedup_pairs": oracle.SQL_EMBEDDING_DEDUP_PAIRS,
         "embedding_dedup_lsh": oracle.SQL_EMBEDDING_DEDUP_LSH,
+        "snapshot_enrich_events": oracle.SQL_SNAPSHOT_ENRICH_EVENTS,
         "fingerprint_consistency_docs": oracle.SQL_FINGERPRINT_CONSISTENCY_DOCS,
         "lang_id_consistency_docs": oracle.SQL_LANG_ID_CONSISTENCY_DOCS,
         "simhash_exact_pairs_docs": oracle.SQL_SIMHASH_EXACT_PAIRS_DOCS,

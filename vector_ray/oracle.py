@@ -439,6 +439,12 @@ WHERE vec_id NOT IN (
   WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9)
 """
 
+SQL_SNAPSHOT_ENRICH_EVENTS = """
+SELECT event_id, event_type,
+       'i-0abc' AS instance_id, 'us-east-1a' AS availability_zone
+FROM events
+"""
+
 SQL_LANG_ID_CONSISTENCY_DOCS = f"""
 WITH {_DOCS_WITH_DUPS}
 SELECT md5(text) AS th, CAST(1 AS BIGINT) AS n_lang,

@@ -114,21 +114,50 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
         queries["sample_sorted_by_conv"] = round(time.perf_counter() - t0, 3)
 
         # ML signature stage (vectorized MinHash kernels, round 2):
-        # docs table -> banded signature rows, 128 perms x 32 bands
+        # docs table -> banded signature rows, 128 perms x 32 bands;
+        # fused-task stage (no actor-pool cold start)
         from vector_ray.ml.dedup import MinHasher
+
+        mh_kwargs = dict(text_col="text", id_col="doc_id", num_hashes=128,
+                         bands=32, shingle_n=3, seed=42)
+
+        def _mh(t):
+            return MinHasher(**mh_kwargs)(t)
 
         t0 = time.perf_counter()
         ray.data.read_parquet(
             os.path.join(sf_dir, "documents.parquet"),
             columns=["doc_id", "text"],
-        ).map_batches(
-            MinHasher, batch_format="pyarrow", batch_size=None,
-            concurrency=(1, max(2, num_cpus // 2)),
-            fn_constructor_kwargs=dict(
-                text_col="text", id_col="doc_id", num_hashes=128,
-                bands=32, shingle_n=3, seed=42),
-        ).count()
+        ).map_batches(_mh, batch_format="pyarrow", batch_size=None).count()
         queries["minhash_signatures_docs"] = round(time.perf_counter() - t0, 3)
+
+        # VRL program throughput: a realistic multi-function remap
+        # (branching + parse + stdlib calls) over the events table —
+        # the round-2 compiler surface under load
+        from vector_ray.stages.remap import remap as _remap
+        from vector_ray.vrl import compile_vrl as _cvrl
+
+        prog = _cvrl("""
+if .value > 250 {
+    .tier = "high"
+} else if .value > 50 {
+    .tier = "mid"
+} else {
+    .tier = "low"
+}
+.tag = upcase(.event_type) + "-" + .tier
+.eid_hash = md5(to_string(.event_id))
+.day = format_timestamp(.ts, "%Y-%m-%d")
+.is_big = .value > 100.0
+""")
+        t0 = time.perf_counter()
+        _remap(
+            ray.data.read_parquet(
+                os.path.join(sf_dir, "events.parquet"),
+                columns=["event_id", "event_type", "value", "ts"]),
+            prog,
+        ).primary.count()
+        queries["vrl_program_events"] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
     out = {

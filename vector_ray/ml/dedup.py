@@ -119,18 +119,22 @@ class MinHasher:
         return minhash_signatures(flat_sh, counts, self.a, self.b, _MERSENNE)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from vector_ray.ml.hashing import splitmix64
-
         ids = t[self.id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        sig = self._signatures(t[self.text_col].to_pylist())
+        texts = t[self.text_col].to_pylist()
+        sig = self._signatures(texts)
         keys = band_keys(sig, self.bands, seed=self.seed)  # (D, bands)
-        # whole-signature hash: byte-identical texts share it, so a
-        # (band_hash, sig_hash) sort puts exact dups ADJACENT — the
-        # sorted-run candidate generator relies on this
-        coef = splitmix64(np.arange(self.bands, dtype=np.uint64) + np.uint64(99)) | np.uint64(1)
-        sig_hash = splitmix64((keys * coef).sum(axis=1, dtype=np.uint64))
+        # RAW-TEXT hash, not a signature hash: byte-identical texts
+        # share it, so a (band_hash, sig_hash) sort puts exact dups
+        # ADJACENT — the sorted-run candidate generator's chain edges
+        # rely on this.  A signature-derived hash is NOT sufficient:
+        # shingle-less documents (very short texts) all share the
+        # sentinel signature, so different-text docs would interleave
+        # inside the run and exact-verify would isolate every one of
+        # them (found as ~250 missed dups on a dup-dense corpus).
+        sig_hash = hash_strings(["" if s is None else s for s in texts],
+                                seed=_TOKEN_SEED)
         d = keys.shape[0]
         idx = np.repeat(np.arange(d), self.bands)
         return pa.table({
@@ -159,7 +163,10 @@ def _candidate_pairs_sorted(band_rows, *, id_col: str) -> pd.DataFrame:
     """
     import ray as _ray
 
-    sorted_ds = band_rows.sort(["band", "band_hash", "sig_hash", id_col])         .materialize()
+    from vector_ray.stages.blocks import presort
+
+    sorted_ds = presort(band_rows).sort(
+        ["band", "band_hash", "sig_hash", id_col]).materialize()
     refs = sorted_ds.to_arrow_refs()
 
     @_ray.remote
@@ -538,7 +545,9 @@ def _simhash_pairs_sorted(sig_rows, *, id_col: str,
     boundary runs' members (bounded by block size)."""
     import ray as _ray
 
-    sorted_ds = sig_rows.sort(["band", "key", id_col]).materialize()
+    from vector_ray.stages.blocks import presort
+
+    sorted_ds = presort(sig_rows).sort(["band", "key", id_col]).materialize()
     refs = sorted_ds.to_arrow_refs()
 
     @_ray.remote

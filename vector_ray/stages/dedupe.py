@@ -139,7 +139,10 @@ def dedupe_exact_sorted(
 
     with_fp = ds.map_batches(add_fp, batch_format="pyarrow", batch_size=None)
     desc = [False] + [keep == "last"] * len(order_cols)
-    sorted_ds = with_fp.sort([FINGERPRINT_COL] + order_cols, descending=desc)
+    from vector_ray.stages.blocks import presort
+
+    sorted_ds = presort(with_fp).sort([FINGERPRINT_COL] + order_cols,
+                                      descending=desc)
 
     # one pass over block refs: boundary fingerprints (driver-tiny)
     import ray as _ray
@@ -241,8 +244,11 @@ def dedupe_lru(
             part = pa.array(np.zeros(t.num_rows, np.int32), pa.int32())
         return t.append_column(PART_COL, part)
 
+    from vector_ray.stages.blocks import presort
+
     sorted_ds = (
-        ds.map_batches(add_cols, batch_format="pyarrow", batch_size=None)
+        presort(ds.map_batches(add_cols, batch_format="pyarrow",
+                               batch_size=None))
         .sort([PART_COL] + order_cols)
         .materialize()
     )

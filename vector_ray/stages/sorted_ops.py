@@ -25,6 +25,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
+
+from vector_ray.stages.blocks import presort
 import ray.data as rd
 from ray.data import Dataset
 
@@ -65,7 +67,8 @@ def add_group_rank(
     desc = [False] + list(descending if descending is not None
                           else [False] * len(order_by))
     sorted_ds = (
-        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+        presort(ds.map_batches(add_key, batch_format="pyarrow",
+                               batch_size=None))
         .sort([_KEY_COL] + list(order_by), descending=desc)
         .materialize()
     )
@@ -318,7 +321,8 @@ def reduce_sorted(
         return t.append_column(_KEY_COL, _combined_key(t, group_cols))
 
     sorted_ds = (
-        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+        presort(ds.map_batches(add_key, batch_format="pyarrow",
+                               batch_size=None))
         .sort([_KEY_COL] + list(order_by))
         .materialize()
     )
@@ -463,7 +467,8 @@ def sessionize_sorted(
         return t.append_column(_KEY_COL, _combined_key(t, [key]))
 
     sorted_ds = (
-        ds.map_batches(add_key, batch_format="pyarrow", batch_size=None)
+        presort(ds.map_batches(add_key, batch_format="pyarrow",
+                               batch_size=None))
         .sort([_KEY_COL, ts_col] + list(order_by))
         .materialize()
     )
@@ -577,7 +582,8 @@ def sessionize_by_condition_sorted(
         return t.append_column("__sess_match", cond(t))
 
     sorted_ds = (
-        ds.map_batches(add_cols, batch_format="pyarrow", batch_size=None)
+        presort(ds.map_batches(add_cols, batch_format="pyarrow",
+                               batch_size=None))
         .sort([_KEY_COL] + list(order_by))
         .materialize()
     )

@@ -319,3 +319,23 @@ def test_simhash_sorted_matches_grouped(docs):
     assert p_sorted[["a", "b"]].values.tolist() == \
         p_grouped[["a", "b"]].values.tolist()
     assert len(p_sorted) > 0
+
+
+def test_minhash_exact_dedup_shingle_less_docs():
+    """Regression: documents too short to produce shingles share the
+    sentinel signature; exact-dup adjacency must still key on the raw
+    text so identical short docs collapse and DIFFERENT short docs
+    survive (the signature-hash interleaving bug isolated every copy)."""
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    rows = {"doc_id": [], "text": []}
+    shorts = ["ab", "cd", "ef"]  # < shingle_n words: no shingles
+    for i, s in enumerate(shorts):
+        for k in range(4):  # 4 identical copies each
+            rows["doc_id"].append(i + k * 100)
+            rows["text"].append(s)
+    ded, clusters = minhash_lsh_dedup(
+        rd.from_arrow(pa.table(rows)), verify="exact",
+        num_hashes=32, bands=8, concurrency=1)
+    kept = sorted(ded.to_pandas()["doc_id"])
+    assert kept == [0, 1, 2]  # one survivor per distinct short text

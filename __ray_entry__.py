@@ -451,6 +451,48 @@ def _consistency_counts(ds, value_col: str, n_col: str):
     return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
+def _q_orders_mktsegment_join(sf_dir: str):
+    """Distributed HASH JOIN (Dataset.join shuffle join, not the
+    broadcast semi/anti path): orders x customer on custkey, then
+    order counts + integer-cent revenue per market segment.  The join
+    key hash-partitions both sides; the aggregate is per-batch partials
+    into a tiny groupby (two-phase, no raw-row shuffle after the join)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_mktsegment"])
+    joined = orders.join(cust, "inner", 8, on=("o_custkey",),
+                         right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        t2 = pa.table({"c_mktsegment": t["c_mktsegment"], "cents": cents})
+        df = t2.to_pandas().groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("cents", "size"), revenue_cents=("cents", "sum"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    parts = joined.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+    out = parts.groupby("c_mktsegment").aggregate(
+        Sum("n_orders"), Sum("revenue_cents"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_mktsegment": t["c_mktsegment"],
+            "n_orders": pc.cast(t["sum(n_orders)"], pa.int64()),
+            "revenue_cents": pc.cast(t["sum(revenue_cents)"], pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
 def _q_snapshot_enrich_events(sf_dir: str):
     """aws_ec2_metadata-analogue snapshot enrichment (enrichment/
     snapshot.py): constant metadata fields attach to every event —
@@ -927,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_exact_dedup_join_docs": _q_minhash_exact_dedup_join_docs,
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
+        "orders_mktsegment_join": _q_orders_mktsegment_join,
         "snapshot_enrich_events": _q_snapshot_enrich_events,
         "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
         "lang_id_consistency_docs": _q_lang_id_consistency_docs,
@@ -1018,6 +1061,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_exact_dedup_join_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
         "embedding_dedup_pairs": oracle.SQL_EMBEDDING_DEDUP_PAIRS,
         "embedding_dedup_lsh": oracle.SQL_EMBEDDING_DEDUP_LSH,
+        "orders_mktsegment_join": oracle.SQL_ORDERS_MKTSEGMENT_JOIN,
         "snapshot_enrich_events": oracle.SQL_SNAPSHOT_ENRICH_EVENTS,
         "fingerprint_consistency_docs": oracle.SQL_FINGERPRINT_CONSISTENCY_DOCS,
         "lang_id_consistency_docs": oracle.SQL_LANG_ID_CONSISTENCY_DOCS,

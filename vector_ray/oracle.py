@@ -439,6 +439,15 @@ WHERE vec_id NOT IN (
   WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9)
 """
 
+SQL_ORDERS_MKTSEGMENT_JOIN = """
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
 SQL_SNAPSHOT_ENRICH_EVENTS = """
 SELECT event_id, event_type,
        'i-0abc' AS instance_id, 'us-east-1a' AS availability_zone

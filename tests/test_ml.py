@@ -339,3 +339,28 @@ def test_minhash_exact_dedup_shingle_less_docs():
         num_hashes=32, bands=8, concurrency=1)
     kept = sorted(ded.to_pandas()["doc_id"])
     assert kept == [0, 1, 2]  # one survivor per distinct short text
+
+
+def test_minhash_distributed_components_matches_driver(docs):
+    """components='distributed' (pairs Dataset -> join verify ->
+    min-label propagation with pointer jumping -> anti-join drop) must
+    produce the same survivors and cluster mapping as the driver
+    union-find."""
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    base = docs.to_pandas().head(30)
+    rows = {"doc_id": [], "text": []}
+    for i, txt in enumerate(base["text"]):
+        rows["doc_id"].append(i)
+        rows["text"].append(str(txt))
+        for k in range(1, 4):  # 3 extra copies each
+            rows["doc_id"].append(i + k * 1000)
+            rows["text"].append(str(txt))
+    ds = rd.from_arrow(pa.table(rows))
+    kw = dict(verify="exact", num_hashes=32, bands=8, concurrency=1)
+    ded_d, cl_d = minhash_lsh_dedup(ds, components="driver", **kw)
+    ded_x, cl_x = minhash_lsh_dedup(ds, components="distributed", **kw)
+    assert sorted(ded_d.to_pandas()["doc_id"]) == \
+        sorted(ded_x.to_pandas()["doc_id"]) == list(range(30))
+    assert cl_d.sort_values("doc_id").values.tolist() == \
+        cl_x.sort_values("doc_id").values.tolist()

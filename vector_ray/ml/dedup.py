@@ -145,7 +145,8 @@ class MinHasher:
         })
 
 
-def _candidate_pairs_sorted(band_rows, *, id_col: str) -> pd.DataFrame:
+def _candidate_pairs_sorted(band_rows, *, id_col: str,
+                            as_dataset: bool = False):
     """Scale path for LSH candidate generation: sort the (band,
     band_hash, sig_hash, id) rows once, then per BLOCK emit star+chain
     edges for every bucket run with pure numpy — one Python call per
@@ -154,14 +155,21 @@ def _candidate_pairs_sorted(band_rows, *, id_col: str) -> pd.DataFrame:
 
     Edges per bucket: star (first -> every member) + chain (adjacent in
     (sig_hash, id) order).  Chain adjacency after the sig_hash sort
-    means byte-identical documents (identical signatures) are ALWAYS
+    means byte-identical documents (same raw-text hash) are ALWAYS
     directly connected, which the exact-verify oracle relies on; the
     star edges give near-dups a path to the rest of the bucket.
     Buckets that span blocks get one extra driver-added edge joining
     the parts (last id of the previous block's run, first id of the
     next), preserving connectivity without moving row data.
+
+    ``as_dataset=True`` returns the (a, b) pairs as a Ray ``Dataset``
+    whose blocks stay in the object store — the driver receives only
+    per-block run SUMMARIES (two keys + two ids each), so the pair set
+    is unbounded.  The default collects to one pandas frame (fine up to
+    a few million pairs).
     """
     import ray as _ray
+    import ray.data as _rd
 
     from vector_ray.stages.blocks import presort
 
@@ -169,14 +177,17 @@ def _candidate_pairs_sorted(band_rows, *, id_col: str) -> pd.DataFrame:
         ["band", "band_hash", "sig_hash", id_col]).materialize()
     refs = sorted_ds.to_arrow_refs()
 
-    @_ray.remote
+    @_ray.remote(num_returns=2)
     def block_pairs(t: pa.Table):
         n = t.num_rows
+        id_type = t.schema.field(id_col).type
         if n == 0:
-            return None, None, None
+            return pa.table({"a": pa.array([], id_type),
+                             "b": pa.array([], id_type)}), None
         band = t["band"].to_numpy(zero_copy_only=False)
         bh = t["band_hash"].to_numpy(zero_copy_only=False)
         ids = t[id_col].to_numpy(zero_copy_only=False)
+        sh = t["sig_hash"].to_numpy(zero_copy_only=False)
         new_run = np.ones(n, dtype=bool)
         new_run[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
         run_id = np.cumsum(new_run) - 1
@@ -188,44 +199,71 @@ def _candidate_pairs_sorted(band_rows, *, id_col: str) -> pd.DataFrame:
         # star edges: run-first -> member (skip the first itself)
         not_first = ~new_run
         star_a, star_b = first_of_run[not_first], ids[not_first]
-        a = np.concatenate([chain_a, star_a])
-        b = np.concatenate([chain_b, star_b])
+        # TEXT-star edges: first-of-text-subrun -> member.  Exact
+        # verification keeps only same-text edges, and without these the
+        # surviving graph inside a text group is a 1-wide CHAIN whose
+        # diameter equals the group size — label propagation would need
+        # one round per member.  The text-star collapses each group to
+        # diameter <= 2 per block.
+        new_trun = np.ones(n, dtype=bool)
+        new_trun[1:] = new_run[1:] | (sh[1:] != sh[:-1])
+        trun_id = np.cumsum(new_trun) - 1
+        first_of_trun = ids[np.nonzero(new_trun)[0]][trun_id]
+        not_tfirst = ~new_trun
+        tstar_a, tstar_b = first_of_trun[not_tfirst], ids[not_tfirst]
+        a = np.concatenate([chain_a, star_a, tstar_a])
+        b = np.concatenate([chain_b, star_b, tstar_b])
         keep = a != b
-        df = pd.DataFrame({"a": a[keep], "b": b[keep]})
-        # normalize orientation then dedupe within the block
-        lo = np.minimum(df["a"], df["b"])
-        hi = np.maximum(df["a"], df["b"])
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
         df = pd.DataFrame({"a": lo, "b": hi}).drop_duplicates()
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
         first_key = (int(band[0]), int(bh[0]), ids[0])
         last_key = (int(band[-1]), int(bh[-1]), ids[-1])
-        return df, first_key, last_key
+        return tbl, (first_key, last_key)
 
-    got = _ray.get([block_pairs.remote(r) for r in refs])
-    frames = []
+    pair_refs, summary_refs = [], []
+    for r in refs:
+        p, s = block_pairs.remote(r)
+        pair_refs.append(p)
+        summary_refs.append(s)
+    summaries = _ray.get(summary_refs)  # tiny; pair tables stay remote
+
+    boundary = {"a": [], "b": []}
     prev_last = None  # (band, band_hash, last_id)
-    for df, first, last in got:
-        if df is None:
+    for s in summaries:
+        if s is None:
             continue
-        frames.append(df)
-        if prev_last is not None and prev_last[:2] == first[:2]                 and prev_last[2] != first[2]:
+        first, last = s
+        if prev_last is not None and prev_last[:2] == first[:2] \
+                and prev_last[2] != first[2]:
             lo, hi = sorted((prev_last[2], first[2]))
-            frames.append(pd.DataFrame({"a": [lo], "b": [hi]}))
+            boundary["a"].append(lo)
+            boundary["b"].append(hi)
         prev_last = last
-    if not frames:
+
+    pairs_ds = _rd.from_arrow_refs(pair_refs)
+    if boundary["a"]:
+        pairs_ds = pairs_ds.union(_rd.from_pandas(pd.DataFrame(boundary)))
+    if as_dataset:
+        return pairs_ds
+    out = pairs_ds.to_pandas()
+    if len(out) == 0:
         return pd.DataFrame({"a": [], "b": []})
-    return pd.concat(frames, ignore_index=True).drop_duplicates()
+    return out.drop_duplicates().reset_index(drop=True)
 
 
 def _verify_pairs_join(
     ds: Dataset,
-    pairs_df: pd.DataFrame,
+    pairs_df,
     *,
     id_col: str,
     text_col: str,
     shingle_n: int,
     threshold: float,
     verify: str,
-) -> list[tuple]:
+    as_dataset: bool = False,
+):
     """Distributed candidate verification: the (a, b) id pairs hash-join
     against the corpus twice (Ray Data shuffle join) to attach both
     texts, then each batch verifies its pairs locally — the driver only
@@ -236,8 +274,13 @@ def _verify_pairs_join(
     """
     import ray.data as rd
 
-    parts = max(2, min(64, len(pairs_df) // 250_000 + 2))
-    pairs = rd.from_pandas(pairs_df)
+    if isinstance(pairs_df, Dataset):
+        pairs = pairs_df
+        parts = _join_partitions()
+    else:
+        parts = min(_join_partitions(64),
+                    max(2, len(pairs_df) // 250_000 + 2))
+        pairs = rd.from_pandas(pairs_df)
     docs = ds.select_columns([id_col, text_col])
 
     def _rename(col_from: str, col_to: str):
@@ -272,6 +315,8 @@ def _verify_pairs_join(
             return t.filter(pa.array(keep)).select(["a", "b"])
 
     out = j2.map_batches(check, batch_format="pyarrow", batch_size=None)
+    if as_dataset:
+        return out
     res = out.to_pandas()
     return list(res.itertuples(index=False, name=None))
 
@@ -281,6 +326,107 @@ def _jaccard(a: str, b: str, n: int) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+def _join_partitions(cap: int = 16) -> int:
+    """Hash-join partition count sized to the cluster: each partition
+    is an aggregator ACTOR — more partitions than CPUs deadlocks small
+    sessions (actors can never all schedule)."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(2, min(cap, cpus // 2))
+
+
+def distributed_components(pairs, *, num_partitions: int | None = None,
+                           max_iters: int = 25):
+    """Distributed connected components over an (a, b) edge Dataset by
+    iterative MIN-LABEL PROPAGATION — the extreme-scale replacement for
+    the driver union-find when the verified pair set itself no longer
+    fits one machine.
+
+    Per round: each node takes the minimum label among itself and its
+    neighbors (one hash join edges⋈labels + a groupby-min).  The
+    star+chain edge construction bounds bucket diameter at ~2, so
+    convergence is a handful of rounds; the label sum is monotone
+    decreasing, giving an O(1)-size convergence check per round with
+    no extra join.  Requires numeric node ids (monotone-sum check).
+
+    Returns a Dataset of ``(node, label)`` for every node that appears
+    in an edge — nodes where label < node are the duplicates to drop.
+    """
+    import ray.data as _rd
+    from ray.data.aggregate import Min
+
+    if num_partitions is None:
+        num_partitions = _join_partitions()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t["a"].combine_chunks() if isinstance(t["a"], pa.ChunkedArray) \
+            else t["a"]
+        b = t["b"].combine_chunks() if isinstance(t["b"], pa.ChunkedArray) \
+            else t["b"]
+        if not pa.types.is_integer(a.type):
+            raise ValueError("distributed_components requires numeric ids")
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    edges = pairs.map_batches(both_dirs, batch_format="pyarrow",
+                              batch_size=None).materialize()
+
+    init = edges.groupby("src").aggregate(Min("dst"))
+
+    def init_lab(t: pa.Table) -> pa.Table:
+        lab = pc.min_element_wise(t["src"], t["min(dst)"])
+        return pa.table({"node": t["src"], "label": lab})
+
+    labels = init.map_batches(init_lab, batch_format="pyarrow",
+                              batch_size=None).materialize()
+    prev_sum = labels.sum("label")
+
+    def relabel(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["src"], "label": t["min(label)"]})
+
+    def as_self(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["node"], "label": t["label"]})
+
+    def as_parent(t: pa.Table) -> pa.Table:
+        # labels viewed as (src=node, dst=label) "parent" edges for the
+        # pointer-jumping join
+        return pa.table({"pnode": t["node"], "plabel": t["label"]})
+
+    for _ in range(max_iters):
+        # 1) neighbor minimum
+        neigh = edges.join(labels, "inner", num_partitions,
+                           on=("dst",), right_on=("node",))
+        cand = neigh.select_columns(["src", "label"])
+        mine = labels.map_batches(as_self, batch_format="pyarrow",
+                                  batch_size=None)
+        labels = (cand.union(mine).groupby("src").aggregate(Min("label"))
+                  .map_batches(relabel, batch_format="pyarrow",
+                               batch_size=None))
+        # 2) pointer jump: label <- label(label) — doubles the distance
+        # covered per round, so chains converge in O(log n) rounds
+        parents = labels.map_batches(as_parent, batch_format="pyarrow",
+                                     batch_size=None)
+        jumped = labels.join(parents, "left_outer", num_partitions,
+                             on=("label",), right_on=("pnode",))
+
+        def apply_jump(t: pa.Table) -> pa.Table:
+            lab = pc.min_element_wise(
+                t["label"], pc.fill_null(t["plabel"], t["label"]))
+            return pa.table({"node": t["node"], "label": lab})
+
+        labels = jumped.map_batches(apply_jump, batch_format="pyarrow",
+                                    batch_size=None).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
 
 
 def _connected_components(pairs: list[tuple]) -> dict:
@@ -313,6 +459,7 @@ def minhash_lsh_dedup(
     concurrency: int | tuple = (1, 4),
     verify: str = "jaccard",
     verify_in: str = "auto",
+    components: str = "driver",
 ) -> tuple[Dataset, pd.DataFrame]:
     """MinHash+LSH near-dup removal.
 
@@ -349,6 +496,32 @@ def minhash_lsh_dedup(
 
     band_rows = ds.map_batches(_hash_batch, batch_format="pyarrow",
                                batch_size=None)
+
+    if components == "distributed":
+        # UNBOUNDED chain: candidate pairs, verification, and connected
+        # components all stay in the object store — the driver only
+        # ever holds per-block run summaries and the final clusters
+        # frame (O(duplicate docs), pairs never collected).
+        pairs_ds = _candidate_pairs_sorted(band_rows, id_col=id_col,
+                                           as_dataset=True)
+        verified_ds = _verify_pairs_join(
+            ds, pairs_ds, id_col=id_col, text_col=text_col,
+            shingle_n=shingle_n, threshold=threshold, verify=verify,
+            as_dataset=True)
+        labels = distributed_components(verified_ds)
+
+        def only_dups(t: pa.Table) -> pa.Table:
+            return t.filter(pc.not_equal(t["node"], t["label"]))
+
+        dropped = labels.map_batches(only_dups, batch_format="pyarrow",
+                                     batch_size=None)
+        survivors = ds.join(dropped.select_columns(["node"]), "left_anti",
+                            _join_partitions(), on=(id_col,),
+                            right_on=("node",))
+        cl = labels.to_pandas()
+        clusters = pd.DataFrame({id_col: cl["node"],
+                                 "cluster": cl["label"]})             .sort_values(id_col).reset_index(drop=True)
+        return survivors, clusters
 
     pairs_df = _candidate_pairs_sorted(band_rows, id_col=id_col)
 

@@ -182,3 +182,24 @@ sinks:
         "WHERE role IN ('user','system')"
     ).fetchone()[0]
     assert res.sink_counts["merged"] == want
+
+
+def test_tap_exposes_component_ports():
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml("""
+sources:
+  t: {type: transcripts, sf_dir: /root/testdata/sf0.001}
+transforms:
+  keep:
+    type: filter
+    inputs: [t]
+    condition: '.role == "tool"'
+sinks:
+  out: {type: blackhole, inputs: [keep]}
+""")
+    res = run_topology(topo, execute_sinks=False, tap="keep")
+    assert "keep" in res.outputs
+    rows = res.outputs["keep"].take(5)
+    assert all(r["role"] == "tool" for r in rows)
+    assert res.sink_counts == {}  # sinks skipped while tapping

@@ -84,6 +84,38 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_tap(args) -> int:
+    """``vector tap`` analogue: sample the events flowing out of one
+    component (src/tap) — builds the DAG up to the component, prints
+    ``--limit`` rows as JSON lines, executes no sinks."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True,
+                 logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(args.config)
+    res = run_topology(topo, variables=_parse_vars(args.var),
+                       execute_sinks=False, tap=args.component)
+    key = args.component
+    if key not in res.outputs:
+        avail = sorted(res.outputs)
+        print(json.dumps({"error": f"no tapped output {key!r}",
+                          "available": avail}))
+        ray.shutdown()
+        return 1
+    for row in res.outputs[key].take(args.limit):
+        print(json.dumps(row, default=str))
+    ray.shutdown()
+    return 0
+
+
 def cmd_vrl(args) -> int:
     """One-shot VRL program evaluation over a JSON event — the
     ``vector vrl`` runner's batch analogue (lib/vector-vrl/cli)."""
@@ -163,6 +195,14 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--program", required=True)
     sp.add_argument("--event", required=True, help="JSON object")
     sp.set_defaults(fn=cmd_vrl)
+
+    sp = sub.add_parser("tap", help="sample events at a component (vector tap)")
+    sp.add_argument("config", help="pipeline YAML path or inline YAML")
+    sp.add_argument("component", help="component name (or name.port)")
+    sp.add_argument("--limit", type=int, default=10)
+    sp.add_argument("--var", action="append", default=[])
+    sp.add_argument("--num-cpus", type=int, default=None)
+    sp.set_defaults(fn=cmd_tap)
 
     sp = sub.add_parser("test", help="run the config's tests: blocks (vector test)")
     sp.add_argument("config", help="pipeline YAML (with tests:) path or inline")

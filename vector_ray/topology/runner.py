@@ -82,6 +82,7 @@ def run_topology(
     *,
     variables: dict[str, str] | None = None,
     execute_sinks: bool = True,
+    tap: str | None = None,
 ) -> RunResult:
     """Execute the DAG.  ``variables`` substitute into source paths
     (e.g. ``{sf_dir}``)."""
@@ -134,6 +135,12 @@ def run_topology(
             result.outputs[name] = ins
             if execute_sinks:
                 result.sink_counts[name] = _run_sink(spec, ins, variables)
+        if tap is not None and name == tap.split(".", 1)[0] \
+                and name in ports:
+            # `vector tap` analogue: expose this component's ports
+            for pname, d in ports[name].items():
+                key = name if pname == "" else f"{name}.{pname}"
+                result.outputs[key] = d
     return result
 
 

@@ -78,7 +78,11 @@ def cmd_run(args) -> int:
 
     topo = Topology.from_yaml(args.config)
     res = run_topology(topo, variables=_parse_vars(args.var))
-    print(json.dumps({"sink_counts": res.sink_counts}))
+    out = {"sink_counts": res.sink_counts}
+    if getattr(args, "metrics", False):
+        # `vector top` analogue: component_sent_events_total rows
+        out["metrics"] = res.metrics.to_pylist()
+    print(json.dumps(out))
     if args.shutdown:
         ray.shutdown()
     return 0
@@ -190,6 +194,8 @@ def main(argv: list[str] | None = None) -> int:
                             help="substitution var, e.g. --var sf_dir=/data")
             sp.add_argument("--num-cpus", type=int, default=None)
             sp.add_argument("--no-shutdown", dest="shutdown", action="store_false")
+            sp.add_argument("--metrics", action="store_true",
+                            help="print component metrics (vector top)")
 
     sp = sub.add_parser("vrl", help="evaluate a VRL program over one JSON event")
     sp.add_argument("--program", required=True)

@@ -451,6 +451,31 @@ def _consistency_counts(ds, value_col: str, n_col: str):
     return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
 
 
+def _q_training_pipeline_docs(sf_dir: str):
+    """Composed training-data pipeline over documents: quality scoring
+    -> min-quality filter -> exact content dedup -> token counting, all
+    streaming (no mid-pipeline materialization) — the pretraining-prep
+    composition a 100 TB corpus runs, with a full SQL oracle."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.ml.dedup import exact_dedup_docs
+    from vector_ray.ml.text import quality_score, token_count
+
+    scored = quality_score(_docs(sf_dir))
+
+    def keep(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.greater_equal(t["n_words"], 5),
+                     pc.greater_equal(t["n_chars"], 30))
+        return t.filter(pc.fill_null(ok, False))
+
+    filtered = scored.map_batches(keep, batch_format="pyarrow",
+                                  batch_size=None)
+    deduped = exact_dedup_docs(filtered)
+    counted = token_count(deduped)
+    return counted.select_columns(["doc_id", "n_words", "bpe_tokens"])
+
+
 def _q_orders_mktsegment_join(sf_dir: str):
     """Distributed HASH JOIN (Dataset.join shuffle join, not the
     broadcast semi/anti path): orders x customer on custkey, then
@@ -969,6 +994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_exact_dedup_join_docs": _q_minhash_exact_dedup_join_docs,
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
+        "training_pipeline_docs": _q_training_pipeline_docs,
         "orders_mktsegment_join": _q_orders_mktsegment_join,
         "snapshot_enrich_events": _q_snapshot_enrich_events,
         "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
@@ -1061,6 +1087,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_exact_dedup_join_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
         "embedding_dedup_pairs": oracle.SQL_EMBEDDING_DEDUP_PAIRS,
         "embedding_dedup_lsh": oracle.SQL_EMBEDDING_DEDUP_LSH,
+        "training_pipeline_docs": oracle.SQL_TRAINING_PIPELINE_DOCS,
         "orders_mktsegment_join": oracle.SQL_ORDERS_MKTSEGMENT_JOIN,
         "snapshot_enrich_events": oracle.SQL_SNAPSHOT_ENRICH_EVENTS,
         "fingerprint_consistency_docs": oracle.SQL_FINGERPRINT_CONSISTENCY_DOCS,

@@ -439,6 +439,23 @@ WHERE vec_id NOT IN (
   WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9)
 """
 
+SQL_TRAINING_PIPELINE_DOCS = rf"""
+WITH scored AS (
+  SELECT doc_id, text,
+         length(text)::BIGINT AS n_chars,
+         len(regexp_extract_all(text, '\S+'))::BIGINT AS n_words
+  FROM documents),
+filtered AS (
+  SELECT * FROM scored WHERE n_words >= 5 AND n_chars >= 30),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM filtered) WHERE rn = 1)
+SELECT doc_id, n_words,
+       len(regexp_extract_all(text, '{_TOKEN_REGEX_SQL}'))::BIGINT AS bpe_tokens
+FROM deduped
+"""
+
 SQL_ORDERS_MKTSEGMENT_JOIN = """
 SELECT c.c_mktsegment,
        count(*)::BIGINT AS n_orders,

@@ -364,3 +364,43 @@ def test_minhash_distributed_components_matches_driver(docs):
         sorted(ded_x.to_pandas()["doc_id"]) == list(range(30))
     assert cl_d.sort_values("doc_id").values.tolist() == \
         cl_x.sort_values("doc_id").values.tolist()
+
+
+def test_multimodal_resize_and_frame_sample():
+    from vector_ray.ml.multimodal import (resize_images, sample_frames,
+                                          synthesize_media)
+
+    media = rd.from_arrow(synthesize_media(120, seed=7))
+    resized = resize_images(media, target_w=224, target_h=224,
+                            concurrency=1).to_pandas()
+    imgs = resized[resized["kind"] == "image"]
+    assert (imgs["width"] == 224).all() and (imgs["height"] == 224).all()
+    others = resized[resized["kind"] != "image"]
+    assert others["width"].isna().all()
+    # deterministic fake: same input -> same payload
+    resized2 = resize_images(rd.from_arrow(synthesize_media(120, seed=7)),
+                             target_w=224, target_h=224,
+                             concurrency=1).to_pandas()
+    assert list(resized["payload"]) == list(resized2["payload"])
+
+    frames = sample_frames(media, every_ms=5000, concurrency=1).to_pandas()
+    assert len(frames) > 0
+    assert set(frames.columns) == {"media_id", "frame_idx", "ts_ms", "frame"}
+    # frame counts bounded by duration // every_ms (and >= 1 per video)
+    vids = rd.from_arrow(synthesize_media(120, seed=7)).to_pandas()
+    vids = vids[vids["kind"] == "video"]
+    counts = frames.groupby("media_id").size()
+    assert set(counts.index) == set(vids["media_id"])
+    for mid, dur in zip(vids["media_id"], vids["duration_ms"]):
+        assert counts[mid] == min(32, max(1, dur // 5000))
+
+
+def test_multimodal_resize_stub_boundary():
+    import pytest as _pytest
+
+    from vector_ray.ml.multimodal import resize_images, synthesize_media
+
+    media = rd.from_arrow(synthesize_media(10, seed=7))
+    with _pytest.raises(Exception):  # NotImplementedError inside Ray task
+        resize_images(media, target_w=64, target_h=64, resize_fn=None,
+                      concurrency=1).to_pandas()

@@ -112,3 +112,132 @@ def decode_media(
         concurrency=concurrency,
         fn_constructor_kwargs={"decode_fn": decode_fn},
     )
+
+
+class ImageResizeStage:
+    """Actor-pool image resize.
+
+    Real deployments: __init__ builds the resampler once per actor;
+    __call__ decodes → resizes → re-encodes a batch.  The pixel kernel
+    is stubbed per the module docstring (``resize_fn="fake"`` installs
+    a deterministic payload transform so the plumbing — metadata
+    update, payload passthrough shape, batch sizing — is testable).
+    """
+
+    def __init__(self, *, target_w: int, target_h: int,
+                 resize_fn: str | None = "fake"):
+        self.target_w, self.target_h = int(target_w), int(target_h)
+        if resize_fn == "fake":
+            self._resize = self._fake_resize
+        elif resize_fn is None:
+            self._resize = self._not_implemented
+        else:
+            raise ValueError(resize_fn)
+
+    def _not_implemented(self, payload: bytes) -> bytes:
+        raise NotImplementedError(
+            "real image resize requires an image lib not present in this "
+            "container; plug a decoder+resampler in here")
+
+    def _fake_resize(self, payload: bytes) -> bytes:
+        # deterministic fake: digest-expanded bytes scaled to the target
+        # dimensions (stands in for the re-encoded image)
+        want = max(64, (self.target_w * self.target_h) // 64)
+        out = b""
+        seed = payload[:64]
+        i = 0
+        while len(out) < want:
+            out += hashlib.blake2b(seed + i.to_bytes(4, "little"),
+                                   digest_size=64).digest()
+            i += 1
+        return out[:want]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        is_img = pc.equal(t["kind"], "image").to_pylist()
+        payloads = t["payload"].to_pylist()
+        new_payloads = [self._resize(p) if img else p
+                        for p, img in zip(payloads, is_img)]
+        w = [self.target_w if img else v
+             for v, img in zip(t["width"].to_pylist(), is_img)]
+        h = [self.target_h if img else v
+             for v, img in zip(t["height"].to_pylist(), is_img)]
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "payload": pa.array(new_payloads, pa.large_binary()),
+            "mime": t["mime"],
+            "width": pa.array(w, pa.int32()),
+            "height": pa.array(h, pa.int32()),
+            "duration_ms": t["duration_ms"],
+        })
+
+
+def resize_images(ds: Dataset, *, target_w: int = 224, target_h: int = 224,
+                  resize_fn: str | None = "fake",
+                  batch_size: int = 64,
+                  concurrency: int | tuple = (1, 4)) -> Dataset:
+    return ds.map_batches(
+        ImageResizeStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"target_w": target_w, "target_h": target_h,
+                               "resize_fn": resize_fn})
+
+
+class FrameSampleStage:
+    """Actor-pool video frame sampler: one output ROW PER SAMPLED FRAME
+    (media_id, frame_idx, ts_ms, frame payload) — the row-expanding
+    stage shape (map_batches may return more rows than it got).
+
+    The frame-extraction kernel is stubbed (no ffmpeg here); the fake
+    emits one deterministic frame payload per ``every_ms`` tick of
+    ``duration_ms``, which exercises the real concern at scale: output
+    row count and bytes scale with duration, so batch_size must stay
+    small and the output must stream.
+    """
+
+    def __init__(self, *, every_ms: int = 1000, max_frames: int = 32,
+                 sample_fn: str | None = "fake"):
+        self.every_ms = int(every_ms)
+        self.max_frames = int(max_frames)
+        if sample_fn not in ("fake", None):
+            raise ValueError(sample_fn)
+        self.sample_fn = sample_fn
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vids = t.filter(pc.equal(t["kind"], "video"))
+        ids, ts_ms, idxs, frames = [], [], [], []
+        for mid, dur, payload in zip(vids["media_id"].to_pylist(),
+                                     vids["duration_ms"].to_pylist(),
+                                     vids["payload"].to_pylist()):
+            n = min(self.max_frames, max(1, (dur or 0) // self.every_ms))
+            for k in range(n):
+                if self.sample_fn is None:
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg; plug in here")
+                ids.append(mid)
+                idxs.append(k)
+                ts_ms.append(k * self.every_ms)
+                frames.append(hashlib.blake2b(
+                    payload + k.to_bytes(4, "little"),
+                    digest_size=64).digest())
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(idxs, pa.int32()),
+            "ts_ms": pa.array(ts_ms, pa.int32()),
+            "frame": pa.array(frames, pa.large_binary()),
+        })
+
+
+def sample_frames(ds: Dataset, *, every_ms: int = 1000, max_frames: int = 32,
+                  sample_fn: str | None = "fake",
+                  batch_size: int = 16,
+                  concurrency: int | tuple = (1, 4)) -> Dataset:
+    return ds.map_batches(
+        FrameSampleStage, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={"every_ms": every_ms, "max_frames": max_frames,
+                               "sample_fn": sample_fn})

@@ -28,11 +28,25 @@ def _target_blocks() -> int:
 def presort(ds: Dataset) -> Dataset:
     """Clamp block count ahead of a sort/range-exchange.
 
-    Materializes the input (the sort barrier would anyway) to read the
-    real block count; repartitions only above 4× the target.
+    Cost-aware: block-count explosions come from FAN-IN (unions of many
+    sources/copies, one dynamic split per branch), which the lazy
+    plan's ``initial_num_blocks`` estimate already reflects — so
+    single-source chains (estimate ≤ 8) pass through untouched (no
+    extra materialize, measured ~25% of a small sort otherwise).  Only
+    fan-in plans materialize to read the real block count, and only
+    counts above 4× the target repartition.
     """
-    ds = ds.materialize()
+    from ray.data.dataset import MaterializedDataset
+
     target = _target_blocks()
+    if not isinstance(ds, MaterializedDataset):
+        try:
+            est = ds._plan.initial_num_blocks()
+        except Exception:
+            est = None
+        if est is not None and est <= 8:
+            return ds
+        ds = ds.materialize()
     if ds.num_blocks() > 4 * target:
         ds = ds.repartition(target)
     return ds

@@ -191,6 +191,48 @@ def main() -> None:
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+    if "--stress" in sys.argv:
+        # dup-dense near-dup stress (BASELINE.md): base docs copied 20x
+        # with shifted ids (boilerplate-crawl shape), full minhash LSH
+        # dedup with distributed join verify; survivors must equal the
+        # distinct-text count exactly.
+        import ray
+        import ray.data
+        import pyarrow.compute as pc
+
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+        ray.data.DataContext.get_current().enable_progress_bars = False
+        from vector_ray.ml.dedup import minhash_lsh_dedup
+
+        docs = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+        def copyn(k):
+            def f(t):
+                ids = pc.add(t["doc_id"], k * 1_000_000)
+                return t.set_column(t.schema.get_field_index("doc_id"),
+                                    "doc_id", ids)
+            return f
+
+        parts = [docs] + [docs.map_batches(copyn(k), batch_format="pyarrow",
+                                           batch_size=None)
+                          for k in range(1, 20)]
+        big = parts[0].union(*parts[1:]).materialize()
+        n = big.count()
+        t0 = time.perf_counter()
+        deduped, _cl = minhash_lsh_dedup(big, verify="exact",
+                                         verify_in="join")
+        kept = deduped.count()
+        dt = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": "dup-dense minhash dedup (20x copies, join verify)",
+            "value": round(dt, 2), "unit": "sec", "docs": n, "kept": kept,
+            "docs_per_sec": round(n / dt, 1), "sf": sf_dir,
+            "num_cpus": num_cpus,
+        }))
+        ray.shutdown()
+        return
+
     if "--scaling" in sys.argv:
         # N vs 4N parallelism in fresh processes on the same input.
         # This sandbox VM exposes 32 logical CPUs but sustains only ~8

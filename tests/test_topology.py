@@ -203,3 +203,37 @@ sinks:
     rows = res.outputs["keep"].take(5)
     assert all(r["role"] == "tool" for r in rows)
     assert res.sink_counts == {}  # sinks skipped while tapping
+
+
+def test_unnest_transform():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.topology import Topology, run_topology
+    import vector_ray.topology.runner as runner
+
+    # register a tiny program that splits text into a list column
+    def add_words(t: pa.Table):
+        import pyarrow.compute as pc
+        return t.append_column("words", pc.utf8_split_whitespace(t["text"])), \
+            pa.array([False] * t.num_rows), pa.array([None] * t.num_rows,
+                                                     pa.string())
+    runner.register_program("add_words_test", add_words)
+
+    topo = Topology.from_yaml("""
+sources:
+  t: {type: transcripts, sf_dir: /root/testdata/sf0.001}
+transforms:
+  words:
+    type: remap
+    inputs: [t]
+    program: add_words_test
+  exploded:
+    type: unnest
+    inputs: [words]
+    field: words
+sinks:
+  out: {type: blackhole, inputs: [exploded]}
+""")
+    res = run_topology(topo)
+    assert res.sink_counts["out"] > 6000  # one row per word >> one per turn

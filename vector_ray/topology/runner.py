@@ -207,6 +207,13 @@ def _build_transform(
         return {"": res.primary}
     if t == "filter":
         return {"": filter_stage(ds, c["condition"])}
+    if t == "unnest":
+        # one-event-to-many expansion (VRL unnest as a component: the
+        # row-expanding shape lives at the Dataset level, not inside a
+        # 1:1 remap program)
+        from vector_ray.functions.collections import unnest
+
+        return {"": unnest(ds, c["field"])}
     if t == "route":
         res = route(ds, c["route"], reroute_unmatched=c.get("reroute_unmatched", True))
         if len(res.ports) > 1:

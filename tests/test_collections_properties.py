@@ -73,3 +73,23 @@ def test_parse_csv_unquoted_matches_split(vals):
     col = pa.array(vals, pa.string())
     got = parse_csv(col).to_pylist()
     assert got == [v.split(",") for v in vals]
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.text(alphabet='ab "\\=\n\r\t_0', max_size=14),
+                min_size=1, max_size=10))
+def test_logfmt_encode_parse_roundtrip(vals):
+    """Every value must survive encode_logfmt -> parse_key_value exactly
+    (quoting, backslash/quote/newline escapes), and every encoded
+    record must stay on one line."""
+    from vector_ray.functions.encode import encode_logfmt
+    from vector_ray.functions.parse import parse_key_value
+
+    t = pa.table({"k": pa.array(vals, pa.string()),
+                  "z": [str(i) for i in range(len(vals))]})
+    enc = encode_logfmt(t)
+    assert all("\n" not in (x or "") and "\r" not in (x or "")
+               for x in enc.to_pylist())
+    back = parse_key_value(enc, ["k", "z"])
+    assert back["k"].to_pylist() == vals
+    assert back["z"].to_pylist() == [str(i) for i in range(len(vals))]

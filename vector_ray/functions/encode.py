@@ -31,27 +31,34 @@ def encode_logfmt(t: pa.Table, cols: Sequence[str] | None = None) -> pa.Array:
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         s = pc.cast(col, pa.string())
+        # quote whenever any escaping is involved, so decode is
+        # unambiguous; escape ORDER matters (backslash first)
+        needs_quote = pc.fill_null(pc.match_substring_regex(
+            s, '[\\s"\\\\\x1e]'), False)
+        esc = pc.replace_substring(s, pattern="\\", replacement="\\\\")
+        esc = pc.replace_substring(esc, pattern='"', replacement='\\"')
         # logfmt is line-oriented: embedded newlines must escape or the
         # record spans lines (line-count = record-count invariant)
-        s = pc.replace_substring(
-            pc.replace_substring(s, pattern="\r", replacement="\\r"),
-            pattern="\n", replacement="\\n")
-        needs_quote = pc.fill_null(
-            pc.or_(pc.match_substring(s, " "), pc.match_substring(s, '"')), False
-        )
+        esc = pc.replace_substring(esc, pattern="\n", replacement="\\n")
+        esc = pc.replace_substring(esc, pattern="\r", replacement="\\r")
+        esc = pc.replace_substring(esc, pattern="\x1e", replacement="\\x1e")
         quoted = pc.binary_join_element_wise(
-            pa.scalar('"'),
-            pc.replace_substring(s, pattern='"', replacement='\\"'),
-            pa.scalar('"'), pa.scalar(""),
+            pa.scalar('"'), esc, pa.scalar('"'), pa.scalar(""),
         )
         val = pc.if_else(needs_quote, quoted, s)
         pair = pc.binary_join_element_wise(pa.scalar(c + "="), val, pa.scalar(""))
         # null value -> empty pair (dropped by the final join of non-empties)
         parts.append(pc.fill_null(pair, ""))
-    joined = pc.binary_join_element_wise(*parts, pa.scalar(" "))
-    # collapse runs of spaces left by omitted (null) fields
-    joined = pc.replace_substring_regex(joined, pattern=" {2,}", replacement=" ")
-    return pc.utf8_trim_whitespace(joined)
+    # join on a sentinel (ASCII RS), collapse SEPARATOR runs left by
+    # omitted (null) fields, then map separators to spaces — a plain
+    # space-run collapse would corrupt quoted values containing runs of
+    # spaces (found by the encode->parse roundtrip fuzz)
+    joined = pc.binary_join_element_wise(*parts, pa.scalar("\x1e"))
+    joined = pc.replace_substring_regex(joined, pattern="\x1e+",
+                                        replacement="\x1e")
+    joined = pc.replace_substring_regex(joined, pattern="^\x1e|\x1e$",
+                                        replacement="")
+    return pc.replace_substring(joined, pattern="\x1e", replacement=" ")
 
 
 def encode_json(t: pa.Table, cols: Sequence[str] | None = None) -> pa.Array:

@@ -102,16 +102,37 @@ def parse_key_value(
 ) -> dict[str, pa.Array]:
     """VRL ``parse_key_value`` / ``parse_logfmt`` for known keys.
 
-    One vectorized regex extraction per requested key:
-    ``(?:^|\\s)key=<word>``.  Unknown keys are simply absent (null).
+    One vectorized regex extraction per requested key — quoted values
+    (``key="two words"``, escapes ``\\"``/``\\\\`` resolved) or a bare
+    word.  Unknown keys are simply absent (null).
     """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     out = {}
     for k in keys:
-        pat = rf"(?:^|\s){k}{sep}(?P<v>{word})"
+        # quoted alternative FIRST so `key="a b"` never half-matches as
+        # the bare word `"a` (found by the encode->parse roundtrip
+        # fuzz); one raw capture, then vectorized unquote+unescape
+        pat = (rf"(?:^|\s){k}{sep}"
+               rf"(?P<v>\"(?:[^\"\\]|\\.)*\"|{word})")
         s = pc.extract_regex(col, pattern=pat)
-        out[k] = pc.struct_field(s, "v")
+        raw = pc.struct_field(s, "v")
+        is_quoted = pc.fill_null(pc.match_substring_regex(
+            raw, r'^"(?:[^"\\]|\\.)*"$'), False)
+        inner = pc.replace_substring_regex(raw, pattern=r'^"|"$',
+                                           replacement="")
+        # one-pass unescape via sentinel: \\ must not re-combine with a
+        # following n/r/" (e.g. `a\\nb` is backslash+n, not newline)
+        inner = pc.replace_substring(inner, pattern="\\\\",
+                                     replacement="\x00")
+        inner = pc.replace_substring(inner, pattern='\\"', replacement='"')
+        inner = pc.replace_substring(inner, pattern="\\n", replacement="\n")
+        inner = pc.replace_substring(inner, pattern="\\r", replacement="\r")
+        inner = pc.replace_substring(inner, pattern="\\x1e",
+                                     replacement="\x1e")
+        inner = pc.replace_substring(inner, pattern="\x00",
+                                     replacement="\\")
+        out[k] = pc.if_else(is_quoted, inner, raw)
     return out
 
 

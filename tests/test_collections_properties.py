@@ -93,3 +93,18 @@ def test_logfmt_encode_parse_roundtrip(vals):
     back = parse_key_value(enc, ["k", "z"])
     assert back["k"].to_pylist() == vals
     assert back["z"].to_pylist() == [str(i) for i in range(len(vals))]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.text(alphabet='ab ",\n\t_0', max_size=14),
+                min_size=1, max_size=10))
+def test_csv_encode_parse_roundtrip(vals):
+    from vector_ray.functions.encode import encode_csv
+    from vector_ray.functions.parse_logs import parse_csv
+
+    t = pa.table({"a": pa.array(vals, pa.string()),
+                  "b": [str(i) for i in range(len(vals))]})
+    enc = encode_csv(t)
+    back = parse_csv(enc).to_pylist()
+    assert [r[0] for r in back] == vals
+    assert [r[1] for r in back] == [str(i) for i in range(len(vals))]

@@ -677,20 +677,30 @@ def simhash_dedup(
             .reset_index(drop=True)
         )
     if verify_exact and len(pairs):
-        cand_ids = sorted(set(pairs["a"]) | set(pairs["b"]))
-        cand_arr = pa.array(cand_ids)
+        if len(pairs) > 100_000:
+            # dup-dense: double hash-join against the corpus so the
+            # driver never holds candidate texts (same path as minhash)
+            verified = _verify_pairs_join(
+                ds, pairs[["a", "b"]], id_col=id_col, text_col=text_col,
+                shingle_n=0, threshold=0.0, verify="exact")
+            keep = set(verified)
+            same = [tuple(p) in keep
+                    for p in pairs[["a", "b"]].itertuples(index=False)]
+        else:
+            cand_ids = sorted(set(pairs["a"]) | set(pairs["b"]))
+            cand_arr = pa.array(cand_ids)
 
-        def keep_cands(t: pa.Table) -> pa.Table:
-            mask = pc.is_in(t[id_col], value_set=cand_arr)
-            return t.filter(mask).select([id_col, text_col])
+            def keep_cands(t: pa.Table) -> pa.Table:
+                mask = pc.is_in(t[id_col], value_set=cand_arr)
+                return t.filter(mask).select([id_col, text_col])
 
-        texts = {
-            r[id_col]: r[text_col]
-            for r in ds.map_batches(keep_cands, batch_format="pyarrow",
-                                    batch_size=None).take_all()
-        }
-        same = [texts.get(a) is not None and texts.get(a) == texts.get(b)
-                for a, b in zip(pairs["a"], pairs["b"])]
+            texts = {
+                r[id_col]: r[text_col]
+                for r in ds.map_batches(keep_cands, batch_format="pyarrow",
+                                        batch_size=None).take_all()
+            }
+            same = [texts.get(a) is not None and texts.get(a) == texts.get(b)
+                    for a, b in zip(pairs["a"], pairs["b"])]
         pairs = pairs[same].reset_index(drop=True)
     return pairs
 

@@ -435,3 +435,15 @@ def test_batch5_seahash_deterministic():
     hs = out["h"].to_pylist()
     assert hs[0] == hs[1] != hs[2]
     assert all(h.isdigit() for h in hs)
+
+
+def test_parse_logfmt_schema_less_key_discovery():
+    """parse_key_value.cue returns every key; the columnar analogue
+    discovers the key set from a bounded sample, then extracts
+    vectorized."""
+    t = pa.table({"m": ["a=1 b=two c=3", 'a=9 d="quoted val"', "junk"]})
+    out, err, _ = compile_vrl(". = parse_logfmt(.m)")(t)
+    assert out["a"].to_pylist() == ["1", "9", None]
+    assert out["b"].to_pylist() == ["two", None, None]
+    assert out["d"].to_pylist() == [None, "quoted val", None]
+    assert not any(err.to_pylist())

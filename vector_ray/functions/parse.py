@@ -189,3 +189,29 @@ def extract_regex_masked(col, pattern: str, mask) -> dict[str, pa.Array]:
     ok_full = np.zeros(n, dtype=bool)
     ok_full[idx] = ok_sub.to_numpy(zero_copy_only=False)
     return fields, pa.array(ok_full)
+
+
+def discover_kv_keys(col, *, sep: str = "=", sample: int = 1000,
+                     max_keys: int = 64) -> list[str]:
+    """Key discovery for schema-less ``parse_key_value`` calls: scan a
+    bounded SAMPLE of rows for ``word=`` keys (first-seen order) so the
+    vectorized per-key extraction can run without a caller-supplied
+    key list.  Columnar model note: the output schema is the sampled
+    key set — keys first appearing outside the sample are absent
+    (documented divergence from row-wise VRL's per-event maps)."""
+    import re as _re
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = min(len(col), sample)
+    rx = _re.compile(rf"(?:^|\s)([A-Za-z_][\w.]*){_re.escape(sep)}")
+    seen: dict[str, None] = {}
+    for v in col.slice(0, n).to_pylist():
+        if v is None:
+            continue
+        for m in rx.finditer(v):
+            if m.group(1) not in seen:
+                seen[m.group(1)] = None
+                if len(seen) >= max_keys:
+                    return list(seen)
+    return list(seen)

@@ -91,9 +91,19 @@ def _parse_regex_struct(col, pattern):
 
 
 def _parse_kv_struct(col, *keys):
-    fields = parse_fns.parse_key_value(col, list(keys))
-    arrays = [fields[k] for k in keys]
-    st = pa.StructArray.from_arrays(arrays, names=list(keys))
+    ks = list(keys)
+    if not ks:
+        # schema-less call: discover keys from a bounded sample
+        # (parse_key_value.cue returns every key; the columnar schema
+        # comes from the sampled key set)
+        ks = parse_fns.discover_kv_keys(col)
+        if not ks:
+            n = len(col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                    else col)
+            return pa.nulls(n, pa.struct([])), None
+    fields = parse_fns.parse_key_value(col, ks)
+    arrays = [fields[k] for k in ks]
+    st = pa.StructArray.from_arrays(arrays, names=ks)
     return st, None
 
 

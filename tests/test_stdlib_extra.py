@@ -447,3 +447,12 @@ def test_parse_logfmt_schema_less_key_discovery():
     assert out["b"].to_pylist() == ["two", None, None]
     assert out["d"].to_pylist() == [None, "quoted val", None]
     assert not any(err.to_pylist())
+
+
+def test_parse_json_schema_less_key_discovery():
+    t = pa.table({"a": ['{"x": 1, "y": "two"}', '{"x": 9}', "junk"]})
+    out, err, _ = compile_vrl(
+        ".obj = parse_json(.a)\n.back = encode_json(.obj)")(t)
+    assert out["obj"].to_pylist()[0] == {"x": "1", "y": "two"}
+    assert out["back"].to_pylist()[:2] == ['{"x":"1","y":"two"}',
+                                          '{"x":"9"}']

@@ -215,3 +215,27 @@ def discover_kv_keys(col, *, sep: str = "=", sample: int = 1000,
                 if len(seen) >= max_keys:
                     return list(seen)
     return list(seen)
+
+
+def discover_json_keys(col, *, sample: int = 1000,
+                       max_keys: int = 64) -> list[str]:
+    """Top-level key discovery for schema-less ``parse_json`` calls
+    (same bounded-sample model as ``discover_kv_keys``)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = min(len(col), sample)
+    seen: dict[str, None] = {}
+    for v in col.slice(0, n).to_pylist():
+        if v is None or not v.lstrip().startswith("{"):
+            continue
+        try:
+            obj = json.loads(v)
+        except (ValueError, TypeError):
+            continue
+        if isinstance(obj, dict):
+            for k in obj:
+                if k not in seen:
+                    seen[k] = None
+                    if len(seen) >= max_keys:
+                        return list(seen)
+    return list(seen)

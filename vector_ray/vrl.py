@@ -108,8 +108,17 @@ def _parse_kv_struct(col, *keys):
 
 
 def _parse_json_struct(col, *keys):
-    fields, attempted, ok = parse_fns.parse_json_fields(col, list(keys), with_masks=True)
-    st = pa.StructArray.from_arrays([fields[k] for k in keys], names=list(keys))
+    ks = list(keys)
+    if not ks:
+        # schema-less call: discover top-level keys from a sample
+        ks = parse_fns.discover_json_keys(col)
+        if not ks:
+            n = len(col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                    else col)
+            return pa.nulls(n, pa.struct([])), None
+    fields, attempted, ok = parse_fns.parse_json_fields(col, ks,
+                                                        with_masks=True)
+    st = pa.StructArray.from_arrays([fields[k] for k in ks], names=ks)
     full_ok = pc.or_(ok, pc.invert(attempted))  # non-JSON rows are not errors
     return st, full_ok
 

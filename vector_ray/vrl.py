@@ -984,6 +984,10 @@ def _eval_call(node, ctx: _Ctx):
         v, _e = _eval(knode, ctx)
         kwargs[kname] = _lit_of(knode, v)
     if closure is not None:
+        if kwargs.get("recursive"):
+            raise VrlError(f"{name}: recursive iteration is not "
+                           "supported (columnar schemas are flat; "
+                           "flatten/unflatten cover the nesting cases)")
         return _eval_closure(name, args, closure, ctx)
     if name in _CTX_FUNCS:
         return _enrich_call(name, argnodes, args, ctx)

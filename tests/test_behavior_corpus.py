@@ -80,3 +80,40 @@ def test_behavior_corpus_detects_failure():
     res = run_unit_tests(TOPO, bad)[0]
     assert not res.passed
     assert len(res.failures) == 2  # bad count + non-empty port
+
+
+def test_vrl_test_input_toml_canary():
+    """Mirror of tests/behavior/transforms/vrl_test_input.toml
+    (canary): the test INPUT is built by a VRL program, the output
+    condition checks a nested path and a timestamp type."""
+    from vector_ray.topology import Topology
+    from vector_ray.topology.unit_test import run_unit_tests
+
+    topo = Topology.from_yaml("""
+sources:
+  stub: {type: transcripts, sf_dir: /root/testdata/sf0.001}
+transforms:
+  canary:
+    type: remap
+    inputs: [stub]
+    source: ".passthrough = true"
+sinks:
+  out: {type: blackhole, inputs: [canary]}
+""")
+    tests = [{
+        "name": "canary",
+        "inputs": [{
+            "insert_at": "canary",
+            "type": "vrl",
+            "source": '. = {"a": {"b": "c"}, "d": now()}',
+        }],
+        "outputs": [{
+            "extract_from": "canary",
+            "conditions": [{
+                "type": "vrl",
+                "source": '.a.b == "c" && is_timestamp(.d)',
+            }],
+        }],
+    }]
+    results = run_unit_tests(topo, tests)
+    assert results[0].passed, results[0].failures

@@ -319,6 +319,31 @@ def _to_bool(v, n):
     return pc.fill_null(pc.cast(v, pa.bool_()), False)
 
 
+def _full_vrl_condition(src: str):
+    """Compile a condition via the full VRL compiler (vrl.py): the
+    expression runs as `res = <expr>` and the mask is the result column
+    with null -> false (src/conditions/vrl.rs:115-127 semantics)."""
+    import pyarrow.compute as pc
+
+    from vector_ray.vrl import VrlError, compile_vrl
+
+    try:
+        prog = compile_vrl(f"__cond__ = {src}\n.__cond__ = __cond__")
+    except VrlError as e:
+        raise ConditionError(f"cannot compile condition {src!r}: {e}")
+
+    def fn(batch: pa.Table):
+        out, _err, _msg = prog(batch)
+        col = out["__cond__"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if not pa.types.is_boolean(col.type):
+            raise ConditionError(f"condition {src!r} is not boolean")
+        return pc.fill_null(col, False)
+
+    return fn
+
+
 class Condition:
     """Compiled condition: ``cond(batch) -> BooleanArray`` (no nulls)."""
 
@@ -337,8 +362,15 @@ class Condition:
                 self._node, self._fn = None, compile_datadog_search(csrc)
             elif ctype in ("vrl", "is_log", "is_metric"):
                 self.source = csrc if ctype == "vrl" else ctype
-                self._node = _Parser(self.source).parse()
-                self._fn = None
+                try:
+                    self._node = _Parser(self.source).parse()
+                    self._fn = None
+                except ConditionError:
+                    # fall back to the FULL VRL compiler for expressions
+                    # beyond the fast boolean subset (stdlib predicates,
+                    # closures, member access); evaluate the expression
+                    # as a program assigning a result column
+                    self._node, self._fn = None, _full_vrl_condition(csrc)
             else:
                 raise ConditionError(f"unknown condition type {ctype!r}")
         elif callable(source):

@@ -56,6 +56,24 @@ def _rows_to_table(rows: list[dict]) -> pa.Table:
     return t
 
 
+def _input_rows(inp: dict) -> list[dict]:
+    """A test input is either literal ``rows`` or a VRL program that
+    BUILDS the event (``type: vrl`` + ``source``, the
+    vrl_test_input.toml shape: ``. = {...}`` merges the object into
+    the synthesized row)."""
+    if "rows" in inp:
+        return inp["rows"]
+    if inp.get("type") == "vrl" and "source" in inp:
+        from vector_ray.vrl import compile_vrl
+
+        seed = pa.table({"__seed": pa.array([0], pa.int64())})
+        out, _err, _msg = compile_vrl(inp["source"])(seed)
+        if "__seed" in out.column_names:
+            out = out.drop_columns(["__seed"])
+        return out.to_pylist()
+    raise ConfigError("test input needs `rows` or {type: vrl, source}")
+
+
 def run_unit_tests(topo: Topology, tests: list[dict],
                    *, tables=None) -> list[TestResult]:
     """Run each behavioral test against the real component graph."""
@@ -72,7 +90,8 @@ def run_unit_tests(topo: Topology, tests: list[dict],
         if "inputs" in spec:
             injections: dict[str, list[dict]] = {}
             for inp in spec["inputs"]:
-                injections.setdefault(inp["insert_at"], []).extend(inp["rows"])
+                injections.setdefault(inp["insert_at"], []).extend(
+                    _input_rows(inp))
         else:
             injections = {spec["insert_at"]: spec["input_rows"]}
         for point in injections:

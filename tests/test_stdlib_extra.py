@@ -456,3 +456,17 @@ def test_parse_json_schema_less_key_discovery():
     assert out["obj"].to_pylist()[0] == {"x": "1", "y": "two"}
     assert out["back"].to_pylist()[:2] == ['{"x":"1","y":"two"}',
                                           '{"x":"9"}']
+
+
+def test_tag_types_externally():
+    # tag_types_externally.cue: every value wraps in a one-field object
+    # named by its type
+    t = pa.table({"s": ["x"], "n": pa.array([3], pa.int64()),
+                  "f": pa.array([1.5], pa.float64()),
+                  "b": pa.array([True])})
+    out, _, _ = compile_vrl(".tagged = tag_types_externally(.)")(t)
+    tagged = out["tagged"].to_pylist()[0]
+    assert tagged["s"] == {"string": "x"}
+    assert tagged["n"] == {"integer": 3}
+    assert tagged["f"] == {"float": 1.5}
+    assert tagged["b"] == {"boolean": True}

@@ -424,7 +424,8 @@ _CTX_FUNCS = {"get_enrichment_table_record", "find_enrichment_table_records"}
 # whole-event encoders: `encode_json(.)` serializes the event — in the
 # columnar model "." IS the batch, so these receive ctx.batch (or a
 # struct column when called on one)
-_ENCODE_FUNCS = {"encode_json", "encode_key_value", "encode_logfmt"}
+_ENCODE_FUNCS = {"encode_json", "encode_key_value", "encode_logfmt",
+                 "tag_types_externally"}
 
 # program-scoped secret store (get_secret.cue / set_secret.cue /
 # remove_secret.cue); secrets ride on the compiled program like tables
@@ -1137,6 +1138,23 @@ def _enrich_call(name, argnodes, args, ctx: _Ctx):
     return pa.ListArray.from_arrays(offsets, inner), None
 
 
+def _vrl_type_tag(t: pa.DataType) -> str:
+    """tag_types_externally.cue's external type names for Arrow types."""
+    if pa.types.is_boolean(t):
+        return "boolean"
+    if pa.types.is_integer(t):
+        return "integer"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return "array"
+    if pa.types.is_struct(t):
+        return "object"
+    return "string"
+
+
 def _encode_call(name, argnodes, args, ctx: _Ctx):
     from vector_ray.functions import encode as _encode
 
@@ -1148,6 +1166,20 @@ def _encode_call(name, argnodes, args, ctx: _Ctx):
             raise VrlError(f"{name} requires an object (or `.`)")
         t = pa.table({f.name: _as_array(pc.struct_field(col, f.name), ctx.n)
                       for f in col.type})
+    if name == "tag_types_externally":
+        # wrap every field in a one-field struct named by its type
+        # (tag_types_externally.cue); uniform column types make this
+        # exactly expressible in the columnar model
+        fields = []
+        for fname in t.column_names:
+            col = t[fname]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            tagged = pa.StructArray.from_arrays(
+                [col], names=[_vrl_type_tag(col.type)])
+            fields.append((fname, tagged))
+        return pa.StructArray.from_arrays(
+            [v for _k, v in fields], names=[k for k, _v in fields]), None
     if name == "encode_json":
         return _encode.encode_json(t), None
     return _encode.encode_logfmt(t), None  # key_value == logfmt format

@@ -470,3 +470,11 @@ def test_tag_types_externally():
     assert tagged["n"] == {"integer": 3}
     assert tagged["f"] == {"float": 1.5}
     assert tagged["b"] == {"boolean": True}
+
+
+def test_encode_key_value_custom_delimiters():
+    t = pa.table({"o": pa.array([{"a": "x y", "b": "2"}])})
+    out, _, _ = compile_vrl(
+        '.s = encode_key_value(.o, key_value_delimiter: ":", '
+        'field_delimiter: ",")')(t)
+    assert out["s"].to_pylist() == ['a:"x y",b:2']

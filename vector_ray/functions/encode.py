@@ -20,7 +20,8 @@ def _cols(t: pa.Table, cols: Sequence[str] | None) -> list[str]:
     return list(cols) if cols else list(t.column_names)
 
 
-def encode_logfmt(t: pa.Table, cols: Sequence[str] | None = None) -> pa.Array:
+def encode_logfmt(t: pa.Table, cols: Sequence[str] | None = None,
+                  *, kv_sep: str = "=", field_sep: str = " ") -> pa.Array:
     """``key=value`` pairs, space-separated; values with spaces are
     double-quoted; null fields are omitted — the logfmt encoder's
     public behavior.  Vectorized: per-column string casts + quoting
@@ -46,7 +47,8 @@ def encode_logfmt(t: pa.Table, cols: Sequence[str] | None = None) -> pa.Array:
             pa.scalar('"'), esc, pa.scalar('"'), pa.scalar(""),
         )
         val = pc.if_else(needs_quote, quoted, s)
-        pair = pc.binary_join_element_wise(pa.scalar(c + "="), val, pa.scalar(""))
+        pair = pc.binary_join_element_wise(pa.scalar(c + kv_sep), val,
+                                           pa.scalar(""))
         # null value -> empty pair (dropped by the final join of non-empties)
         parts.append(pc.fill_null(pair, ""))
     # join on a sentinel (ASCII RS), collapse SEPARATOR runs left by
@@ -58,7 +60,8 @@ def encode_logfmt(t: pa.Table, cols: Sequence[str] | None = None) -> pa.Array:
                                         replacement="\x1e")
     joined = pc.replace_substring_regex(joined, pattern="^\x1e|\x1e$",
                                         replacement="")
-    return pc.replace_substring(joined, pattern="\x1e", replacement=" ")
+    return pc.replace_substring(joined, pattern="\x1e",
+                                replacement=field_sep)
 
 
 def encode_json(t: pa.Table, cols: Sequence[str] | None = None) -> pa.Array:

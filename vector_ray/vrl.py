@@ -993,7 +993,7 @@ def _eval_call(node, ctx: _Ctx):
     if name in _CTX_FUNCS:
         return _enrich_call(name, argnodes, args, ctx)
     if name in _ENCODE_FUNCS:
-        return _encode_call(name, argnodes, args, ctx)
+        return _encode_call(name, argnodes, args, ctx, kwargs)
     if name in _SECRET_FUNCS:
         return _secret_call(name, argnodes, args, ctx)
     if name in _PRED_FUNCS:
@@ -1155,7 +1155,8 @@ def _vrl_type_tag(t: pa.DataType) -> str:
     return "string"
 
 
-def _encode_call(name, argnodes, args, ctx: _Ctx):
+def _encode_call(name, argnodes, args, ctx: _Ctx, kwargs=None):
+    kwargs = kwargs or {}
     from vector_ray.functions import encode as _encode
 
     if argnodes and argnodes[0] == ("path", []):
@@ -1182,7 +1183,13 @@ def _encode_call(name, argnodes, args, ctx: _Ctx):
             [v for _k, v in fields], names=[k for k, _v in fields]), None
     if name == "encode_json":
         return _encode.encode_json(t), None
-    return _encode.encode_logfmt(t), None  # key_value == logfmt format
+    # encode_key_value.cue: custom delimiters pass into the encoder
+    # (post-processing would corrupt quoted values containing spaces —
+    # the exact bug class the roundtrip fuzz guards against)
+    return _encode.encode_logfmt(
+        t,
+        kv_sep=str(kwargs.get("key_value_delimiter", "=")),
+        field_sep=str(kwargs.get("field_delimiter", " "))), None
 
 
 def _secret_call(name, argnodes, args, ctx: _Ctx):

@@ -282,7 +282,7 @@ def _q_simhash_pairs_docs(sf_dir: str):
 
 
 def _docs_with_dups(sf_dir: str):
-    """documents UNION a doc_id-shifted copy of every 10th doc — the
+    """documents UNION a doc_id-shifted copy of every 8th doc — the
     testdata has no byte-identical texts, so exact-dup coverage is
     synthesized identically on both sides (same SQL in the oracle)."""
     import pyarrow as pa
@@ -411,7 +411,10 @@ def _q_simhash_exact_pairs_docs(sf_dir: str):
 
     pairs = simhash_dedup(_docs_with_dups(sf_dir), max_hamming=0,
                           verify_exact=True)
-    return pairs[["a", "b"]]
+    # Belt-and-braces against empty-frame float64 promotion (r02 driver
+    # fail): the upstream empty frames are now dtype-typed, but the id
+    # columns must reach the oracle compare as int64 regardless.
+    return pairs[["a", "b"]].astype({"a": "int64", "b": "int64"})
 
 
 def _q_doc_fingerprint(sf_dir: str):

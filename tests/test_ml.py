@@ -404,3 +404,27 @@ def test_multimodal_resize_stub_boundary():
     with _pytest.raises(Exception):  # NotImplementedError inside Ray task
         resize_images(media, target_w=64, target_h=64, resize_fn=None,
                       concurrency=1).to_pandas()
+
+
+def test_simhash_pair_ids_stay_int64_with_empty_blocks():
+    """Regression (r02 driver fail): blocks that produce no hit-pairs
+    used to emit untyped empty pandas frames, and pd.concat promoted
+    the whole pair frame to float64 whenever any such block existed
+    (parallelism-dependent). Spread few dup pairs over many blocks so
+    most blocks are pair-less and assert integer ids on both impls."""
+    from vector_ray.ml.dedup import simhash_dedup
+
+    rows = {"doc_id": [], "text": []}
+    for i in range(200):
+        rows["doc_id"].append(i)
+        rows["text"].append(f"unique document number {i} with filler words")
+    # exactly one duplicated text -> one pair among ~200 rows
+    rows["doc_id"].append(9001)
+    rows["text"].append(rows["text"][0])
+    ds = rd.from_arrow(pa.table(rows)).repartition(16)
+    for impl in ("sorted", "grouped"):
+        pairs = simhash_dedup(ds, max_hamming=0, impl=impl,
+                              verify_exact=True, concurrency=1)
+        assert len(pairs) == 1
+        assert str(pairs["a"].dtype) == "int64", (impl, pairs.dtypes)
+        assert str(pairs["b"].dtype) == "int64", (impl, pairs.dtypes)

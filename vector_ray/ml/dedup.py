@@ -650,7 +650,12 @@ def simhash_dedup(
         ids = g[id_col].to_numpy()
         sig = g["simhash"].to_numpy().astype(np.uint64)
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "hamming": []})
+            # Empty frames MUST carry the id dtype: pd.concat promotes
+            # int64 ids to float64 if ANY concatenated frame defaults
+            # to float64 (parallelism-dependent — the r02 driver fail).
+            return pd.DataFrame({"a": pd.Series([], dtype=ids.dtype),
+                                 "b": pd.Series([], dtype=ids.dtype),
+                                 "hamming": pd.Series([], dtype=np.int64)})
         rows = []
         for i in range(len(ids)):
             x = np.bitwise_xor(sig[i + 1 :], sig[i])
@@ -757,8 +762,14 @@ def _simhash_pairs_sorted(sig_rows, *, id_col: str,
                 rows.append(pd.DataFrame({
                     "a": ids[s + iu[hit]], "b": ids[s + ju[hit]],
                     "hamming": ham[iu[hit], ju[hit]]}))
+        # Typed empty frame: an untyped one defaults float64 and
+        # pd.concat would promote every block's int ids (r02 driver
+        # hash-fail at 32 cpus — empty blocks appear only at high
+        # parallelism).
         df = pd.concat(rows, ignore_index=True) if rows else \
-            pd.DataFrame({"a": [], "b": [], "hamming": []})
+            pd.DataFrame({"a": pd.Series([], dtype=ids.dtype),
+                          "b": pd.Series([], dtype=ids.dtype),
+                          "hamming": pd.Series([], dtype=np.int64)})
         first = ((int(band[0]), int(key[0])), ids[:ends[0]], sig[:ends[0]])
         last = ((int(band[-1]), int(key[-1])), ids[starts[-1]:],
                 sig[starts[-1]:])
@@ -772,7 +783,8 @@ def _simhash_pairs_sorted(sig_rows, *, id_col: str,
     for df, first, last in got:
         if df is None:
             continue
-        frames.append(df)
+        if len(df):  # empty frames would still poison concat dtypes
+            frames.append(df)
         fkey, fids, fsig = first
         if open_key is not None and open_key == fkey and len(fids):
             ham = _POPCNT8[(open_sig[:, None] ^ fsig[None, :])

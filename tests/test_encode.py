@@ -115,3 +115,16 @@ def test_encode_protobuf_declared_stub():
 
     with _pytest.raises(NotImplementedError):
         encode_protobuf(pa.table({"a": [1]}))
+
+
+def test_encode_logfmt_quotes_custom_delimiters():
+    """Values containing a non-default kv/field delimiter must be
+    quoted, or the encoding is ambiguous: with field_delimiter=','
+    the value 'a,b' used to encode unquoted as k1=a,b,k2=x."""
+    t = pa.table({"k1": ["a,b"], "k2": ["x"], "k3": ["p:q"]})
+    out = encode_logfmt(t, kv_sep=":", field_sep=",").to_pylist()
+    assert out[0] == 'k1:"a,b",k2:x,k3:"p:q"'
+    # defaults unchanged: '=' in a value stays unquoted (split on
+    # FIRST '=' is unambiguous), space still quotes
+    t2 = pa.table({"k": ["a=b"], "m": ["two words"]})
+    assert encode_logfmt(t2).to_pylist()[0] == 'k=a=b m="two words"'

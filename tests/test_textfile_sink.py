@@ -87,3 +87,24 @@ sinks:
     lines = _read_all(str(tmp_path / "sink"))
     assert len(lines) == res.sink_counts["out"]
     assert all("role=tool" in x for x in lines)
+
+
+def test_identical_blocks_do_not_collide(tmp_path):
+    """Two byte-identical blocks used to land on the SAME content-hash
+    file name (os.replace overwrote one) while the returned count
+    summed both — silent row loss.  Twins now materialize as -dupK
+    copies and on-disk line count equals the reported total."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.sinks.textfile import write_text_sink
+
+    t = pa.table({"k": ["a", "b"]})
+    ds = rd.from_arrow(t).union(rd.from_arrow(t))  # 2 identical blocks
+    out = tmp_path / "sink"
+    n = write_text_sink(ds, str(out), encoding="json")
+    assert n == 4
+    files = sorted(p.name for p in out.iterdir())
+    assert len(files) == 2 and any("-dup1" in f for f in files)
+    lines = sum(len(p.read_text().splitlines()) for p in out.iterdir())
+    assert lines == 4

@@ -393,3 +393,25 @@ arr = .tags
 """)(t)
     assert out["deep"].to_pylist() == ["v1", "v2"]
     assert out["first"].to_pylist() == ["x", "z"]
+
+
+def test_string_literal_escapes_non_ascii():
+    """Regression: encode().decode('unicode_escape') mojibake'd every
+    non-ASCII literal ("café" -> 'cafÃ©') because UTF-8 bytes were
+    reinterpreted as latin-1."""
+    t = pa.table({"x": ["a", "b"]})
+    out, _, _ = compile_vrl('.tag = "café ☕"')(t)
+    assert out["tag"].to_pylist() == ["café ☕"] * 2
+    out, _, _ = compile_vrl('.tag = "line1\\nline2\\t\\"q\\" \\\\ \\u{1F600}"')(t)
+    assert out["tag"].to_pylist() == ['line1\nline2\t"q" \\ \U0001F600'] * 2
+
+
+def test_regex_literal_raw_semantics():
+    """r"..." keeps backslash sequences verbatim (raw-string semantics):
+    \\d must survive as a regex class, \\\\ must not collapse."""
+    t = pa.table({"x": ["a1 b22", "no digits"]})
+    out, _, _ = compile_vrl(r'.m = match(.x, r"\d+")')(t)
+    assert out["m"].to_pylist() == [True, False]
+    t2 = pa.table({"x": ["a\\b", "ab"]})
+    out, _, _ = compile_vrl(r'.m = match(.x, r"a\\b")')(t2)
+    assert out["m"].to_pylist() == [True, False]

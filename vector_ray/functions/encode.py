@@ -26,6 +26,17 @@ def encode_logfmt(t: pa.Table, cols: Sequence[str] | None = None,
     double-quoted; null fields are omitted — the logfmt encoder's
     public behavior.  Vectorized: per-column string casts + quoting
     masks, one final element-wise join."""
+    # values containing the configured delimiters must quote too —
+    # with field_delimiter="," an unquoted value "a,b" reads back as
+    # two fields (reference encoder quotes on delimiter occurrence);
+    # default field_sep " " is already inside \s, default kv_sep "="
+    # is unambiguous unquoted (logfmt splits on the FIRST kv_sep).
+    import re as _re
+
+    quote_pat = '[\\s"\\\\\x1e]'
+    for sep in (kv_sep, field_sep):
+        if sep not in ("=", " "):
+            quote_pat += f"|{_re.escape(sep)}"
     parts = []
     for c in _cols(t, cols):
         col = t[c]
@@ -35,7 +46,7 @@ def encode_logfmt(t: pa.Table, cols: Sequence[str] | None = None,
         # quote whenever any escaping is involved, so decode is
         # unambiguous; escape ORDER matters (backslash first)
         needs_quote = pc.fill_null(pc.match_substring_regex(
-            s, '[\\s"\\\\\x1e]'), False)
+            s, quote_pat), False)
         esc = pc.replace_substring(s, pattern="\\", replacement="\\\\")
         esc = pc.replace_substring(esc, pattern='"', replacement='\\"')
         # logfmt is line-oriented: embedded newlines must escape or the

@@ -60,7 +60,8 @@ def write_text_sink(
 
     def write_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
-            return pa.table({"rows": pa.array([0], pa.int64())})
+            return pa.table({"rows": pa.array([0], pa.int64()),
+                             "name": pa.array([None], pa.string())})
         lines = encode_lines(t, encoding, **encoder_kwargs)
         payload = ("\n".join(x if x is not None else "" for x in lines)
                    + "\n").encode()
@@ -70,10 +71,29 @@ def write_text_sink(
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, os.path.join(out_dir, name))
-        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64()),
+                         "name": pa.array([name], pa.string())})
 
     partials = ds.map_batches(write_block, batch_format="pyarrow",
                               batch_size=None)
     # tiny per-block counts combine on the driver (project invariant:
     # never groupby for a handful of rows)
-    return int(partials.to_pandas()["rows"].sum())
+    df = partials.to_pandas()
+    # Two byte-identical blocks hash to the SAME part name — os.replace
+    # would leave one file while the count claimed both (silent row
+    # loss on dup-dense corpora).  Ray returns exactly one partial per
+    # completed block, so occurrence-count the names on the driver and
+    # materialize the k-th twin as a deterministic `-dupK` copy; the
+    # payload IS the on-disk file, so the copy never re-reads the data
+    # from the object store.
+    import shutil
+
+    named = df[df["name"].notna()]
+    for name, grp in named.groupby("name"):
+        for k in range(1, len(grp)):
+            base, ext = os.path.splitext(name)
+            twin = f"{base}-dup{k}{ext}"
+            tmp = os.path.join(out_dir, "." + twin + ".tmp")
+            shutil.copyfile(os.path.join(out_dir, name), tmp)
+            os.replace(tmp, os.path.join(out_dir, twin))
+    return int(df["rows"].sum())

@@ -470,8 +470,51 @@ def _tokenize(src: str) -> list[tuple[str, str]]:
     return out
 
 
+_STR_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", '"': '"',
+                "'": "'", "0": "\0", "{": "{", "}": "}"}
+
+
 def _unquote(s: str) -> str:
-    return s[1:-1].encode().decode("unicode_escape")
+    """Unescape a quoted VRL string literal on the str itself with the
+    reference escape set (\\n \\t \\r \\\\ \\" \\' \\0 \\u{...} —
+    lib/vrl string-literal unescaping).  The previous
+    encode().decode('unicode_escape') reinterpreted UTF-8 bytes as
+    latin-1, mojibaking every non-ASCII literal ("café" -> 'cafÃ©')."""
+    s = s[1:-1]
+    if "\\" not in s:
+        return s
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\" or i + 1 >= n:
+            out.append(c)
+            i += 1
+            continue
+        e = s[i + 1]
+        if e == "u" and i + 2 < n and s[i + 2] == "{":
+            j = s.find("}", i + 3)
+            if j != -1:
+                try:
+                    out.append(chr(int(s[i + 3:j], 16)))
+                    i = j + 1
+                    continue
+                except ValueError:
+                    pass
+        if e in _STR_ESCAPES:
+            out.append(_STR_ESCAPES[e])
+        else:  # unknown escape: keep verbatim (VRL would reject at
+            out.append(c)  # compile; verbatim is the lossless choice)
+            out.append(e)
+        i += 2
+    return "".join(out)
+
+
+def _unquote_regex(s: str) -> str:
+    """r"..." literals have raw-string semantics: only \\" unescapes
+    (the one sequence needed to embed a quote); every other backslash
+    passes through untouched to the regex engine — running the string
+    unescaper here collapsed \\\\ and warned on \\d."""
+    return s[1:-1].replace('\\"', '"')
 
 
 # ---------------------------------------------------------------------------
@@ -726,7 +769,7 @@ class _Parser:
             return ("lit", _unquote(val))
         if kind == "regex":
             self.next()
-            return ("lit", ("__regex__", _unquote(val[1:])))
+            return ("lit", ("__regex__", _unquote_regex(val[1:])))
         if kind == "num":
             self.next()
             return ("lit", float(val) if "." in val else int(val))
@@ -947,7 +990,6 @@ def _eval_bin(node, ctx: _Ctx):
         lm, rm = _bool_mask(lv, n), _bool_mask(rv, n)
         return (pc.and_(lm, rm) if op == "&&" else pc.or_(lm, rm)), err
     if op in _CMP_OPS:
-        la = _as_array(lv, n) if not isinstance(lv, (pa.Array, pa.ChunkedArray)) or True else lv
         la = _as_array(lv, n)
         if rv is None:
             m = pc.is_null(la)

@@ -96,3 +96,24 @@ def test_splitmix64_matches_reference_scalar():
     # first output 0xE220A8397B1DCDAF)
     out = splitmix64(np.array([0], dtype=np.uint64))
     assert out[0] == np.uint64(0xE220A8397B1DCDAF)
+
+
+def test_hash_utf8_128_lanes():
+    import pyarrow as pa
+
+    from vector_ray.ml.hashing import hash_utf8_128
+
+    texts = ["", "a", "ab", "ba", "caffè ☕", "caffè ☕", "x" * 5000, None]
+    h1, h2 = hash_utf8_128(pa.array(texts, pa.string()))
+    # equal content -> equal key; null hashes like ""
+    assert h1[4] == h1[5] and h2[4] == h2[5]
+    assert h1[0] == h1[7] and h2[0] == h2[7]
+    # distinct content -> distinct 128-bit keys (incl. permutations)
+    keys = set(zip(h1.tolist(), h2.tolist()))
+    assert len(keys) == 6  # 8 entries, dup pairs (4,5) and (0=="",7=null)
+    # lanes are independent (not equal to each other elementwise)
+    assert (h1 != h2).any()
+    # chunked input and slices agree with whole-array hashing
+    ch = pa.chunked_array([texts[:3], texts[3:]], pa.string())
+    g1, g2 = hash_utf8_128(ch)
+    assert g1.tolist() == h1.tolist() and g2.tolist() == h2.tolist()

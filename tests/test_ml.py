@@ -428,3 +428,54 @@ def test_simhash_pair_ids_stay_int64_with_empty_blocks():
         assert len(pairs) == 1
         assert str(pairs["a"].dtype) == "int64", (impl, pairs.dtypes)
         assert str(pairs["b"].dtype) == "int64", (impl, pairs.dtypes)
+
+
+def test_doc_fingerprint_vectorized_matches_reference(docs):
+    """The flat-space winnowing pass must reproduce the original
+    per-row rolling-hash values exactly (same wrap-then-mod
+    arithmetic), including empty/null/short/unicode rows."""
+    from vector_ray.ml.text import doc_fingerprint
+
+    def reference(texts, window=8):
+        import numpy as _np
+        outs = _np.empty(len(texts), dtype=_np.uint64)
+        B, M = _np.uint64(257), _np.uint64((1 << 61) - 1)
+        for i, s in enumerate(texts):
+            b = _np.frombuffer((s or "").encode(), dtype=_np.uint8).astype(_np.uint64)
+            if len(b) < window:
+                h = _np.uint64(0)
+                for x in b:
+                    h = (h * B + x) % M
+                outs[i] = h
+                continue
+            powers = _np.empty(window, dtype=_np.uint64)
+            powers[0] = 1
+            for j in range(1, window):
+                powers[j] = (powers[j - 1] * B) % M
+            strided = _np.lib.stride_tricks.sliding_window_view(b, window)
+            outs[i] = ((strided * powers[::-1]).sum(axis=1) % M).min()
+        return outs.tolist()
+
+    texts = ["", None, "ab", "exactly8", "caffè ☕ latte", "x" * 7, "y" * 8,
+             "the quick brown fox jumps over the lazy dog"]
+    texts += docs.to_pandas()["text"].head(40).astype(str).tolist()
+    t = pa.table({"doc_id": list(range(len(texts))),
+                  "text": pa.array(texts, pa.string())})
+    out = doc_fingerprint(rd.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert out["fingerprint"].tolist() == reference(texts)
+
+
+def test_exact_dedup_fast_matches_md5(docs):
+    """The 128-bit vectorized content key must pick the same survivors
+    as the md5 path (identical distinct-text partitioning)."""
+    from vector_ray.ml.dedup import exact_dedup_docs
+
+    base = docs.to_pandas().head(80)[["doc_id", "text"]]
+    dup = base.head(20).copy()
+    dup["doc_id"] = dup["doc_id"] + 500_000
+    t = pa.Table.from_pandas(__import__("pandas").concat([base, dup]),
+                             preserve_index=False)
+    ds = rd.from_arrow(t)
+    fast = sorted(exact_dedup_docs(ds).to_pandas()["doc_id"])
+    md5 = sorted(exact_dedup_docs(ds, hash="md5").to_pandas()["doc_id"])
+    assert fast == md5 and len(fast) == 80

@@ -53,21 +53,46 @@ def content_hash(ds: Dataset, *, text_col: str = "text",
     return ds.map_batches(h, batch_format="pyarrow", batch_size=None)
 
 
+def content_hash128(ds: Dataset, *, text_col: str = "text",
+                    out_cols: tuple[str, str] = ("text_h1", "text_h2"),
+                    ) -> Dataset:
+    """Two uint64 hash columns per text (128-bit content key), fully
+    vectorized off the Arrow buffers — the production exact-dedup key.
+    md5 (``content_hash``) stays only where the DuckDB oracle needs a
+    recognizable digest."""
+    from vector_ray.ml.hashing import hash_utf8_128
+
+    def h(t: pa.Table) -> pa.Table:
+        h1, h2 = hash_utf8_128(t[text_col])
+        t = t.append_column(out_cols[0], pa.array(h1, pa.uint64()))
+        return t.append_column(out_cols[1], pa.array(h2, pa.uint64()))
+
+    return ds.map_batches(h, batch_format="pyarrow", batch_size=None)
+
+
 def exact_dedup_docs(ds: Dataset, *, text_col: str = "text",
-                     id_col: str = "doc_id") -> Dataset:
+                     id_col: str = "doc_id",
+                     hash: str = "fast") -> Dataset:
     """Exact dedup: one survivor (min id) per distinct text content.
 
-    Hash-partition on the md5 (the groupby shuffle key is the 32-char
+    Hash-partition on the content hash (the groupby shuffle key is the
     digest, not the full document — only the hash + id move in the
-    shuffle reduce)."""
+    shuffle reduce).  ``hash="fast"`` (default) keys on the vectorized
+    128-bit kernel; ``hash="md5"`` keeps the per-row md5 for digest
+    parity with SQL oracles."""
     from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
 
-    hashed = content_hash(ds, text_col=text_col)
-    ranked = add_group_rank(hashed, ["text_md5"], [id_col])
+    if hash == "md5":
+        hashed = content_hash(ds, text_col=text_col)
+        keys = ["text_md5"]
+    else:
+        hashed = content_hash128(ds, text_col=text_col)
+        keys = ["text_h1", "text_h2"]
+    ranked = add_group_rank(hashed, keys, [id_col])
 
     def keep_first(t: pa.Table) -> pa.Table:
         return t.filter(pc.equal(t[RANK_COL], 0)).drop_columns(
-            ["text_md5", RANK_COL]
+            keys + [RANK_COL]
         )
 
     return ranked.map_batches(keep_first, batch_format="pyarrow", batch_size=None)
@@ -307,11 +332,10 @@ def _verify_pairs_join(
         def check(t: pa.Table) -> pa.Table:
             ta = t["_text_a"].to_pylist()
             tb = t["_text_b"].to_pylist()
-            # per-PAIR set math over pre-hashed shingles; the pair loop
-            # runs inside the task, distributed across join partitions
-            keep = np.fromiter(
-                (_jaccard(x or "", y or "", shingle_n) >= threshold
-                 for x, y in zip(ta, tb)), dtype=bool, count=len(ta))
+            # per-PAIR set math with per-unique-text shingle memoization;
+            # the pair loop runs inside the task, distributed across
+            # join partitions
+            keep = _jaccard_keep_mask(ta, tb, shingle_n, threshold)
             return t.filter(pa.array(keep)).select(["a", "b"])
 
     out = j2.map_batches(check, batch_format="pyarrow", batch_size=None)
@@ -326,6 +350,32 @@ def _jaccard(a: str, b: str, n: int) -> float:
     if not sa and not sb:
         return 1.0
     return len(sa & sb) / max(1, len(sa | sb))
+
+
+def _jaccard_keep_mask(texts_a, texts_b, n: int,
+                       threshold: float) -> np.ndarray:
+    """Pair-wise shingle-Jaccard >= threshold with shingle sets
+    memoized per UNIQUE text: a document appearing in k candidate
+    pairs tokenizes once, not k times (k≈20 on the dup-dense stress
+    shape, so the verify stage did ~20x redundant hashing)."""
+    cache: dict[str, set] = {}
+
+    def sh(x: str) -> set:
+        s = cache.get(x)
+        if s is None:
+            s = set(_shingles(x, n).tolist())
+            cache[x] = s
+        return s
+
+    m = len(texts_a)
+    out = np.empty(m, dtype=bool)
+    for i in range(m):
+        sa, sb = sh(texts_a[i] or ""), sh(texts_b[i] or "")
+        if not sa and not sb:
+            out[i] = True
+        else:  # same float expression as _jaccard (boundary parity)
+            out[i] = len(sa & sb) / max(1, len(sa | sb)) >= threshold
+    return out
 
 
 def _join_partitions(cap: int = 16) -> int:
@@ -554,11 +604,12 @@ def minhash_lsh_dedup(
                 if texts.get(a) is not None and texts.get(a) == texts.get(b)
             ]
         else:
-            verified = [
-                (a, b) for a, b in pairs_df.itertuples(index=False)
-                if _jaccard(texts.get(a, ""), texts.get(b, ""), shingle_n)
-                >= threshold
-            ]
+            ids_a = pairs_df.iloc[:, 0].tolist()
+            ids_b = pairs_df.iloc[:, 1].tolist()
+            keep = _jaccard_keep_mask(
+                [texts.get(a, "") for a in ids_a],
+                [texts.get(b, "") for b in ids_b], shingle_n, threshold)
+            verified = [(a, b) for a, b, k in zip(ids_a, ids_b, keep) if k]
     roots = _connected_components(verified)
     clusters = pd.DataFrame(
         {id_col: list(roots), "cluster": [roots[k] for k in roots]}
@@ -817,6 +868,30 @@ def _simhash_pairs_sorted(sig_rows, *, id_col: str,
 # exact within-bucket cosine verification.
 # ---------------------------------------------------------------------------
 
+def _vectors_matrix(col) -> np.ndarray:
+    """(n, d) float64 matrix from an Arrow list-of-float column.
+
+    Fixed-size-list (and constant-width list) columns go through
+    ``flatten().to_numpy()`` + reshape — zero-copy from the object
+    store buffer; the previous ``np.stack(col.to_pylist())`` was a
+    Python list-of-lists round-trip per batch."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n and col.null_count == 0:
+        width = None
+        if pa.types.is_fixed_size_list(col.type):
+            width = col.type.list_size
+        elif pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            if (lens == lens[0]).all():  # constant-width only
+                width = int(lens[0])
+        if width is not None:
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            return flat.reshape(n, width).astype(np.float64, copy=False)
+    return np.stack(col.to_pylist()).astype(np.float64)
+
+
 class _EmbeddingBucketer:
     """Actor stage: signed hyperplane signature -> bucket id per row.
     Hyperplanes derive deterministically from (seed, dim) in __init__ —
@@ -828,7 +903,7 @@ class _EmbeddingBucketer:
         self._planes = None
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        m = np.stack(t[self.vec_col].to_pylist()).astype(np.float64)
+        m = _vectors_matrix(t[self.vec_col])
         if self.nbits == 0:
             bucket = np.zeros(len(m), dtype=np.int64)
         else:
@@ -880,23 +955,32 @@ def embedding_cosine_dedup(
     bucketed = ds.map_batches(_bucket_batch, batch_format="pyarrow",
                               batch_size=None)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        g = g.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        m = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+    def bucket_pairs(g: pa.Table) -> pa.Table:
+        # Arrow in/out: ids keep their type even for pair-less buckets
+        # (untyped empty pandas frames float64-promoted the concat —
+        # the simhash r02 defect class) and vectors reshape zero-copy
+        id_type = g[id_col].type
+        empty = pa.table({"a": pa.array([], id_type),
+                          "b": pa.array([], id_type)})
+        if g.num_rows < 2:
+            return empty
+        g = g.take(pc.sort_indices(g[id_col]))
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        m = _vectors_matrix(g[vec_col])
         norms = np.linalg.norm(m, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
         m = m / norms
         sim = m @ m.T
         iu, ju = np.triu_indices(len(ids), k=1)
         hit = sim[iu, ju] >= threshold
-        return pd.DataFrame({"a": ids[iu[hit]], "b": ids[ju[hit]]})
+        if not hit.any():
+            return empty
+        return pa.table({"a": pa.array(ids[iu[hit]], id_type),
+                         "b": pa.array(ids[ju[hit]], id_type)})
 
     pairs = (
         bucketed.groupby("bucket")
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
         .to_pandas()
     )
     if len(pairs) == 0 or "a" not in pairs.columns:

@@ -199,3 +199,60 @@ def simhash_signatures(
         vote = (2 * ones) > doc_lens
         sig |= (vote & nonzero).astype(np.uint64) << np.uint64(bit)
     return sig
+
+
+_POLY_Q = np.uint64(0x27D4EB2F165667C5)  # xxhash64 prime-5 (odd) — second lane
+
+
+def hash_utf8_128(arr) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint64 polynomial hashes per string — a 128-bit
+    content key for exact dedup at corpus scale (64 bits collide around
+    2^32 documents; two lanes push the birthday bound past any corpus).
+
+    Works in FLAT space straight off the Arrow buffers: no fixed-width
+    UCS-4 materialization (``np.asarray(texts, np.str_)`` allocates
+    4 * max_len bytes per row, catastrophic when one long document
+    shares a batch), no per-row Python call.  Nulls hash like empty
+    strings — mask them out at the caller if null != "".
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return (np.empty(0, dtype=np.uint64),) * 2
+    arr = pc.fill_null(arr, "")
+    if not pa.types.is_large_string(arr.type):
+        arr = arr.cast(pa.large_string())
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int64)[
+        arr.offset:arr.offset + n + 1]
+    data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    b = data[offs[0]:offs[-1]].astype(np.uint64)
+    offs = offs - offs[0]
+    L = np.diff(offs)
+    total = len(b)
+    lanes = []
+    if total == 0:
+        zero = np.zeros(n, dtype=np.uint64)
+        for k, P in enumerate((_POLY_P, _POLY_Q)):
+            lanes.append(splitmix64(zero ^ (L.astype(np.uint64) * _SM_M1)
+                                    ^ np.uint64(k * 2654435761 + 1)))
+        return lanes[0], lanes[1]
+    pos = np.arange(total, dtype=np.int64) - np.repeat(offs[:-1], L)
+    max_len = int(L.max())
+    for k, P in enumerate((_POLY_P, _POLY_Q)):
+        # position-ascending powers of P (wraparound mod 2^64); segment
+        # sums via cumsum differencing (reduceat mishandles empty
+        # segments), subtraction is exact mod 2^64
+        pows = np.multiply.accumulate(np.full(max_len, P, dtype=np.uint64))
+        contrib = b * pows[pos]
+        csum = np.concatenate(([np.uint64(0)], np.cumsum(contrib,
+                                                         dtype=np.uint64)))
+        sums = csum[offs[1:]] - csum[offs[:-1]]
+        lanes.append(splitmix64(sums ^ (L.astype(np.uint64) * _SM_M1)
+                                ^ np.uint64(k * 2654435761 + 1)))
+    return lanes[0], lanes[1]

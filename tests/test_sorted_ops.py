@@ -164,3 +164,35 @@ def test_sessionize_by_condition_sorted_matches_grouped():
         ).to_pandas().sort_values(["k", "i"]).reset_index(drop=True)
         b = b[a.columns]
         assert a["session_id"].tolist() == b["session_id"].tolist(), mode
+
+
+def test_aggregate_diff_sorted_matches_grouped():
+    """The segmented-shift diff tail (default) must equal the
+    per-series map_groups fallback at multi-series, multi-block scale
+    (run boundaries crossing block boundaries included)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.aggregate import aggregate_stage
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    series = [f"s{i % 97}" for i in range(n)]
+    t = pa.table({
+        "etype": series,
+        "value": rng.normal(100, 20, n),
+        "ts": pa.array((np.arange(n, dtype=np.int64) * 3_333_333),
+                       pa.timestamp("us")),
+    })
+    ds = rd.from_arrow(t).repartition(12)
+    kw = dict(series_keys=["etype"], value_col="value",
+              interval_ms=10_000, mode="diff")
+    srt = (aggregate_stage(ds, impl="sorted", **kw).to_pandas()
+           .sort_values(["etype", "window_start"]).reset_index(drop=True))
+    grp = (aggregate_stage(ds, impl="grouped", **kw).to_pandas()
+           .sort_values(["etype", "window_start"]).reset_index(drop=True))
+    assert list(srt.columns) == list(grp.columns)
+    assert len(srt) == len(grp) and len(srt) > 0
+    assert np.allclose(srt["value"], grp["value"], atol=1e-9)
+    assert (srt["etype"] == grp["etype"]).all()

@@ -57,6 +57,7 @@ def aggregate_stage(
     mode: str = "sum",
     kind_col: str | None = None,
     tie_breakers: Sequence[str] = (),
+    impl: str = "sorted",
 ) -> Dataset:
     """Aggregate metric rows into one row per (series, window).
 
@@ -173,10 +174,20 @@ def aggregate_stage(
         if mode != "diff":
             return lat
 
-        # diff vs previous window per series: after the collapse there is
-        # ONE row per (series, window), so grouping by series alone is
-        # #series Python calls over window-count-sized frames (bounded by
-        # time-range/interval) with a vectorized diff inside.
+        if impl == "sorted":
+            # DEFAULT scale path: diff vs previous window per series as
+            # one (series, window) sort + per-block vectorized shift +
+            # driver chain scan — no per-series Python call (series
+            # cardinality is unbounded; it's what tag_cardinality_limit
+            # exists to cap).
+            from vector_ray.stages.sorted_ops import segmented_diff_sorted
+
+            return segmented_diff_sorted(
+                lat, keys=keys, order_by=[WINDOW_COL],
+                value_col="latest", out_col="value")
+
+        # grouped fallback: one Python call per series over
+        # window-count-sized frames, vectorized diff inside
         def diff(g: pd.DataFrame) -> pd.DataFrame:
             g = g.sort_values(WINDOW_COL, kind="mergesort")
             g["value"] = g["latest"].diff()

@@ -672,3 +672,88 @@ def sessionize_by_condition_sorted(
 
     out_refs = [apply.remote(r, *plans[i]) for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)
+
+
+def segmented_diff_sorted(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    out_col: str = "value",
+) -> Dataset:
+    """``value[i] - value[previous row in the same key run]`` after a
+    global (keys, order_by) sort; the first row of each key run drops
+    (no predecessor).
+
+    Per-block vectorized shift with a driver chain scan carrying each
+    block's (last key, last value) — replaces the per-series
+    ``groupby(keys).map_groups`` tail of ``aggregate(mode="diff")``,
+    whose Python-call count grew with series cardinality (the thing
+    ``tag_cardinality_limit`` exists to bound, i.e. unbounded).
+    Output: input columns minus ``value_col`` plus float64 ``out_col``;
+    rows whose diff is null (run head, NaN neighbor) are dropped,
+    matching the pandas ``Series.diff`` + ``dropna`` semantics."""
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(_KEY_COL, _combined_key(t, list(keys)))
+
+    sorted_ds = (
+        presort(ds.map_batches(add_key, batch_format="pyarrow",
+                               batch_size=None))
+        .sort([_KEY_COL] + list(order_by))
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    def _keys_np(t: pa.Table) -> np.ndarray:
+        col = t[_KEY_COL]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return col.to_numpy(zero_copy_only=False)
+
+    @ray.remote
+    def summary(t: pa.Table):
+        if t.num_rows == 0:
+            return None
+        kn = _keys_np(t)
+        val = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        return (kn[-1], float(val[-1]))
+
+    sums = ray.get([summary.remote(r) for r in refs])
+    carries, carry = [], None  # carry = (last key, last value) so far
+    for s in sums:
+        carries.append(carry)
+        if s is not None:
+            carry = s
+
+    @ray.remote
+    def apply(t: pa.Table, carry):
+        n = t.num_rows
+        keep_cols = [c for c in t.column_names
+                     if c not in (_KEY_COL, value_col)]
+        if n == 0:
+            return t.select(keep_cols).append_column(
+                out_col, pa.array([], pa.float64()))
+        kn = _keys_np(t)
+        val = pc.cast(t[value_col], pa.float64()).to_numpy(
+            zero_copy_only=False)
+        prev = np.empty(n, dtype=np.float64)
+        prev[1:] = val[:-1]
+        same = np.empty(n, dtype=bool)
+        same[1:] = kn[1:] == kn[:-1]
+        if carry is not None and carry[0] == kn[0]:
+            same[0] = True
+            prev[0] = carry[1]
+        else:
+            same[0] = False
+            prev[0] = np.nan
+        d = val - prev
+        keep = same & ~np.isnan(d)
+        out = t.select(keep_cols).append_column(
+            out_col, pa.array(d, pa.float64()))
+        return out.filter(pa.array(keep))
+
+    out_refs = [apply.remote(r, carries[i]) for i, r in enumerate(refs)]
+    return rd.from_arrow_refs(out_refs)

@@ -567,6 +567,46 @@ def _q_media_features(sf_dir: str):
     return decode_media(media).select_columns(["media_id", "kind", "n_bytes"])
 
 
+def _q_media_consistency(sf_dir: str):
+    """Value-checked oracle for the multimodal actor-pool plumbing: the
+    fixture replicates every payload 3x under shifted ids, so identical
+    payloads decode in DIFFERENT batches/actors; per payload the
+    feature vector must come out identical (n_distinct_features == 1)
+    and the SQL-derivable group sizes pin the grouping itself."""
+    import hashlib as _hashlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from vector_ray.ml.multimodal import decode_media, ensure_media_fixture
+
+    path = ensure_media_fixture()
+    decoded = decode_media(rd.read_parquet(path), batch_size=32)
+
+    def key(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        fh = [_hashlib.md5(np.asarray(f, dtype=np.float32).tobytes())
+              .hexdigest() for f in t["features"].to_pylist()]
+        return pa.table({"th": t["payload_md5"],
+                         "fh": pa.array(fh, pa.string())})
+
+    kd = decoded.map_batches(key, batch_format="pyarrow", batch_size=None)
+    per_value = kd.groupby(["th", "fh"]).count()
+    out = per_value.groupby("th").aggregate(Count(), Sum("count()"))
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "th": t["th"],
+            "n_distinct_features": pc.cast(t["count()"], pa.int64()),
+            "n_media": pc.cast(t["sum(count())"], pa.int64()),
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow", batch_size=None)
+
+
 def _q_session_stats_events(sf_dir: str):
     from vector_ray.stages.windows import session_stats
 
@@ -1005,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_features": _q_media_features,
+        "media_consistency": _q_media_consistency,
         "session_stats_events": _q_session_stats_events,
         "sliding_window_events": _q_sliding_window_events,
         "salted_reduce_transcripts": _q_salted_reduce_transcripts,
@@ -1098,4 +1139,12 @@ def oracle_sql() -> dict[str, str]:
         "simhash_exact_pairs_docs": oracle.SQL_SIMHASH_EXACT_PAIRS_DOCS,
         "role_enrich": oracle.sql_role_enrich(
             tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),
+        "media_consistency": oracle.sql_media_consistency(
+            _ensure_media_fixture_path()),
     }
+
+
+def _ensure_media_fixture_path() -> str:
+    from vector_ray.ml.multimodal import ensure_media_fixture
+
+    return ensure_media_fixture()

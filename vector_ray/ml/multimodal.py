@@ -90,12 +90,13 @@ class MediaDecodeStage:
         payloads = t["payload"].to_pylist()
         kinds = t["kind"].to_pylist()
         feats = np.stack([self._decode(p, k) for p, k in zip(payloads, kinds)])
-        return pa.table({
-            "media_id": t["media_id"],
-            "kind": t["kind"],
-            "n_bytes": pa.array([len(p) for p in payloads], pa.int64()),
-            "features": pa.array(list(feats), pa.list_(pa.float32())),
-        })
+        # pass every non-payload column through (downstream stages need
+        # their metadata; the payload itself is consumed here)
+        out = t.drop_columns(["payload"])
+        out = out.append_column(
+            "n_bytes", pa.array([len(p) for p in payloads], pa.int64()))
+        return out.append_column(
+            "features", pa.array(list(feats), pa.list_(pa.float32())))
 
 
 def decode_media(
@@ -241,3 +242,43 @@ def sample_frames(ds: Dataset, *, every_ms: int = 1000, max_frames: int = 32,
         concurrency=concurrency,
         fn_constructor_kwargs={"every_ms": every_ms, "max_frames": max_frames,
                                "sample_fn": sample_fn})
+
+
+MEDIA_FIXTURE_VERSION = 1
+
+
+def ensure_media_fixture(n: int = 400, copies: int = 3,
+                         seed: int = 42) -> str:
+    """Deterministic media parquet fixture for the consistency oracle:
+    ``copies`` id-shifted replicas of the synthesized table plus a
+    ``payload_md5`` column, cached under the scratch dir so Ray and
+    DuckDB read the SAME file.  Duplicated payloads land in different
+    blocks/batches, which is exactly what makes per-payload feature
+    constancy a falsifiable invariant for the actor-pool stage."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from vector_ray.model import scratch_dir
+
+    path = os.path.join(
+        scratch_dir(), f"media_v{MEDIA_FIXTURE_VERSION}",
+        f"media_{n}x{copies}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    base = synthesize_media(n, seed=seed)
+    parts = []
+    for c in range(copies):
+        ids = pc.add(base["media_id"], c * 1_000_000)
+        parts.append(base.set_column(
+            base.schema.get_field_index("media_id"), "media_id", ids))
+    table = pa.concat_tables(parts)
+    md5s = [hashlib.md5(p).hexdigest()
+            for p in table["payload"].to_pylist()]
+    table = table.append_column("payload_md5", pa.array(md5s, pa.string()))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

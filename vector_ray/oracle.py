@@ -630,3 +630,15 @@ SELECT event_type,
          AS stdev_x1e4
 FROM events GROUP BY 1, 2
 """
+
+
+def sql_media_consistency(media_path: str) -> str:
+    """Consistency oracle for the multimodal actor-pool stage: group
+    sizes come from the fixture parquet (SQL-derivable); the constancy
+    claim (one distinct feature vector per payload) is the Ray-side
+    invariant the hash compare pins to the literal 1."""
+    return f"""
+SELECT payload_md5 AS th, CAST(1 AS BIGINT) AS n_distinct_features,
+       count(*)::BIGINT AS n_media
+FROM read_parquet('{media_path}') GROUP BY 1
+"""

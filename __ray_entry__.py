@@ -664,6 +664,98 @@ def _q_route_rows_errors(sf_dir: str):
     )
 
 
+def _q_route_rows_all(sf_dir: str):
+    """Row-set evidence for BOTH routing operators in one driver slot:
+    route's `errors` port (clone semantics) unioned with
+    exclusive_route's `tool_calls` port (first-match-wins),
+    discriminated by `port`."""
+    import pyarrow as pa
+
+    from vector_ray.pipelines.flagship import (
+        FLAGSHIP_ROUTES,
+        enriched_transcripts,
+        routed_transcripts,
+    )
+    from vector_ray.stages.route import exclusive_route
+
+    cols = ["conv_id", "turn_idx", "role", "tool", "level", "category"]
+
+    def tag(port):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "port", pa.array([port] * t.num_rows, pa.string()))
+        return f
+
+    errors = (
+        routed_transcripts(sf_dir).port("errors").select_columns(cols)
+        .map_batches(tag("errors"), batch_format="pyarrow", batch_size=None)
+    )
+    xcalls = (
+        exclusive_route(enriched_transcripts(sf_dir),
+                        list(FLAGSHIP_ROUTES.items()))
+        .port("tool_calls").select_columns(cols)
+        .map_batches(tag("tool_calls"), batch_format="pyarrow",
+                     batch_size=None)
+    )
+    return errors.union(xcalls)
+
+
+def _q_agg_summary_events(sf_dir: str):
+    """sum + count + mean per (series, window) from ONE aggregation pass
+    (mode="summary") — the consolidated oracle row for the sum-family
+    modes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.aggregate import aggregate_stage
+
+    out = aggregate_stage(
+        _cents(_events(sf_dir)), series_keys=["event_type"],
+        value_col="value_cents", interval_ms=3_600_000, mode="summary",
+    )
+
+    def fix(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["mean"], 10_000.0)), pa.int64())
+        t = t.drop_columns(["mean"]).append_column("mean_microcents", micro)
+        return t.rename_columns(
+            ["value_cents" if c == "sum" else "n_events" if c == "count"
+             else c for c in t.column_names]
+        )
+
+    return out.map_batches(fix, batch_format="pyarrow", batch_size=None)
+
+
+def _q_protobuf_roundtrip_events(sf_dir: str):
+    """encode_proto -> parse_proto per batch over the events projection;
+    the wire roundtrip is the identity, so the oracle is the plain
+    projection (same invariant style as nginx_parse_events)."""
+    import pyarrow as pa
+
+    from vector_ray.functions.protobuf import (
+        decode_protobuf_rows,
+        encode_protobuf_rows,
+    )
+
+    schema = {"event_id": (1, "int64"), "event_type": (2, "string"),
+              "value_cents": (3, "sint64")}
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        wire = encode_protobuf_rows(t, schema)
+        rows = decode_protobuf_rows(wire, schema)
+        return pa.table({
+            "event_id": pa.array([r.get("event_id") for r in rows],
+                                 pa.int64()),
+            "event_type": pa.array([r.get("event_type") for r in rows],
+                                   pa.string()),
+            "value_cents": pa.array([r.get("value_cents") for r in rows],
+                                    pa.int64()),
+        })
+
+    return _cents(
+        _events(sf_dir, columns=["event_id", "event_type", "value"])
+    ).map_batches(roundtrip, batch_format="pyarrow", batch_size=None)
+
+
 def _q_exclusive_route_rows(sf_dir: str):
     from vector_ray.pipelines.flagship import FLAGSHIP_ROUTES, enriched_transcripts
     from vector_ray.stages.route import exclusive_route
@@ -932,17 +1024,6 @@ def _q_top2_per_type(sf_dir: str):
     return ranked.map_batches(top, batch_format="pyarrow", batch_size=None)
 
 
-def _q_session_stats_sorted_events(sf_dir: str):
-    # column-pruned variant of session_stats (same vectorized
-    # partial + native-aggregate path; no per-session Python call)
-    from vector_ray.stages.windows import session_stats
-
-    return session_stats(
-        _events(sf_dir, columns=["user_id", "ts", "event_id"]),
-        key="user_id", gap_secs=3600.0, order_by=["event_id"],
-    )
-
-
 def _q_latest_events(sf_dir: str):
     from vector_ray.stages.aggregate import aggregate_stage
 
@@ -1007,71 +1088,86 @@ def _q_quantile_sketch_events(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
+    # so the first 50 carry exactly one strongest oracle-checked query
+    # per operator family (round-2 verdict item 2); redundant variants
+    # and declared rows-only extras sit past the window.
     return {
+        # --- log-pipeline transforms (SURVEY §2.1) ---
         "parse_extract": _q_parse_extract,
         "enrich_lookup": _q_enrich_lookup,
-        "route_counts": _q_route_counts,
-        "exclusive_route_counts": _q_exclusive_route_counts,
         "remap_dropped": _q_remap_dropped,
-        "agg_sum_events": _q_agg_sum_events,
-        "agg_mean_events": _q_agg_mean_events,
-        "agg_count_events": _q_agg_count_events,
+        "route_rows_all": _q_route_rows_all,  # route + exclusive_route rows
+        "agg_summary_events": _q_agg_summary_events,  # sum+count+mean, 1 pass
+        "latest_events": _q_latest_events,
+        "diff_events": _q_diff_events,
+        "stdev_events": _q_stdev_events,
+        "histogram_events": _q_histogram_events,
         "throttle_events": _q_throttle_events,
         "dedupe_events": _q_dedupe_events,
         "reduce_events": _q_reduce_events,
+        "salted_reduce_transcripts": _q_salted_reduce_transcripts,
         "log_to_metric_events": _q_log_to_metric_events,
+        "metric_to_log_events": _q_metric_to_log_events,
         "hash_replace_events": _q_hash_replace_events,
         "cardinality_events": _q_cardinality_events,
         "sample_transcripts": _q_sample_transcripts,
-        "doc_quality": _q_doc_quality,
-        "exact_dedup_docs": _q_exact_dedup_docs,
-        "hash_docs": _q_hash_docs,
-        "ann_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        # rows-only checks (not SQL-expressible): heuristics + LSH family
-        "lang_id_docs": _q_lang_id_docs,
-        "minhash_dedup_docs": _q_minhash_dedup_docs,
-        "simhash_pairs_docs": _q_simhash_pairs_docs,
-        "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
-        "minhash_exact_dedup_join_docs": _q_minhash_exact_dedup_join_docs,
-        "embedding_dedup_pairs": _q_embedding_dedup_pairs,
-        "embedding_dedup_lsh": _q_embedding_dedup_lsh,
-        "training_pipeline_docs": _q_training_pipeline_docs,
-        "orders_mktsegment_join": _q_orders_mktsegment_join,
-        "snapshot_enrich_events": _q_snapshot_enrich_events,
-        "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
-        "lang_id_consistency_docs": _q_lang_id_consistency_docs,
-        "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "media_features": _q_media_features,
-        "media_consistency": _q_media_consistency,
+        "sample_hash_events": _q_sample_hash_events,
+        # --- windows / sessions (§2.8) ---
         "session_stats_events": _q_session_stats_events,
         "sliding_window_events": _q_sliding_window_events,
-        "salted_reduce_transcripts": _q_salted_reduce_transcripts,
         "distinct_users_events": _q_distinct_users_events,
+        # --- conditions, parsers, codecs (§2.2, §2.6, §2.7) ---
         "props_extract_events": _q_props_extract_events,
         "vrl_conditional_events": _q_vrl_conditional_events,
         "filter_events": _q_filter_events,
         "dd_filter_events": _q_dd_filter_events,
         "nginx_parse_events": _q_nginx_parse_events,
+        "protobuf_roundtrip_events": _q_protobuf_roundtrip_events,
+        # --- enrichment (§2.3) ---
         "cidr_enrich_events": _q_cidr_enrich_events,
+        "snapshot_enrich_events": _q_snapshot_enrich_events,
+        "role_enrich": _q_role_enrich,
+        # --- relational / sketches (§2.9) ---
         "lineitem_pricing": _q_lineitem_pricing,
         "events_semi_join": _q_events_semi_join,
         "events_anti_join": _q_events_anti_join,
         "top2_per_type": _q_top2_per_type,
-        "session_stats_sorted_events": _q_session_stats_sorted_events,
-        "latest_events": _q_latest_events,
-        "diff_events": _q_diff_events,
-        "stdev_events": _q_stdev_events,
+        "orders_mktsegment_join": _q_orders_mktsegment_join,
+        "quantile_sketch_events": _q_quantile_sketch_events,
+        # --- ML / training-data family ---
+        "doc_quality": _q_doc_quality,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "training_pipeline_docs": _q_training_pipeline_docs,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
+        "embedding_dedup_pairs": _q_embedding_dedup_pairs,
+        "embedding_dedup_lsh": _q_embedding_dedup_lsh,
+        "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
+        "lang_id_consistency_docs": _q_lang_id_consistency_docs,
+        "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
+        "media_consistency": _q_media_consistency,
+        # ================= driver window ends here (50) =================
+        # Variants of families already checked above, plus declared
+        # rows-only queries (thresholded/heuristic results that are not
+        # SQL-expressible).  Registered for breadth; locally verifiable
+        # via .claude/skills/verify/verify_subset.py.
+        "route_counts": _q_route_counts,
+        "exclusive_route_counts": _q_exclusive_route_counts,
         "route_rows_errors": _q_route_rows_errors,
         "exclusive_route_rows": _q_exclusive_route_rows,
-        "sample_hash_events": _q_sample_hash_events,
-        "histogram_events": _q_histogram_events,
-        "metric_to_log_events": _q_metric_to_log_events,
-        "role_enrich": _q_role_enrich,
-        # rows-only: approximate quantiles cannot hash-match exact SQL
-        "quantile_sketch_events": _q_quantile_sketch_events,
+        "agg_sum_events": _q_agg_sum_events,
+        "agg_mean_events": _q_agg_mean_events,
+        "agg_count_events": _q_agg_count_events,
+        "hash_docs": _q_hash_docs,
+        "minhash_exact_dedup_join_docs": _q_minhash_exact_dedup_join_docs,
+        "lang_id_docs": _q_lang_id_docs,
+        "minhash_dedup_docs": _q_minhash_dedup_docs,
+        "simhash_pairs_docs": _q_simhash_pairs_docs,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "media_features": _q_media_features,
     }
 
 
@@ -1085,6 +1181,9 @@ def oracle_sql() -> dict[str, str]:
         "route_counts": oracle.sql_route_counts(tpath),
         "exclusive_route_counts": oracle.sql_exclusive_route_counts(tpath),
         "remap_dropped": oracle.sql_remap_dropped(tpath),
+        "route_rows_all": oracle.sql_route_rows_all(tpath, csv),
+        "agg_summary_events": oracle.SQL_AGG_SUMMARY_EVENTS,
+        "protobuf_roundtrip_events": oracle.SQL_PROTOBUF_ROUNDTRIP_EVENTS,
         "agg_sum_events": oracle.SQL_AGG_SUM_EVENTS,
         "agg_mean_events": oracle.SQL_AGG_MEAN_EVENTS,
         "agg_count_events": oracle.SQL_AGG_COUNT_EVENTS,
@@ -1117,7 +1216,6 @@ def oracle_sql() -> dict[str, str]:
         "events_semi_join": oracle.SQL_EVENTS_SEMI_JOIN,
         "events_anti_join": oracle.SQL_EVENTS_ANTI_JOIN,
         "top2_per_type": oracle.SQL_TOP2_PER_TYPE,
-        "session_stats_sorted_events": oracle.SQL_SESSION_STATS_EVENTS,
         "latest_events": oracle.SQL_LATEST_EVENTS,
         "diff_events": oracle.SQL_DIFF_EVENTS,
         "stdev_events": oracle.SQL_STDEV_EVENTS,

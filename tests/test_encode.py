@@ -108,13 +108,19 @@ def test_encode_cef_roundtrips_through_parser():
     assert parsed["duser"][0].as_py() == "bob=admin"
 
 
-def test_encode_protobuf_declared_stub():
+def test_encode_protobuf_inline_schema():
     import pytest as _pytest
 
     from vector_ray.functions.encode import encode_protobuf
+    from vector_ray.functions.protobuf import decode_protobuf_rows
 
-    with _pytest.raises(NotImplementedError):
-        encode_protobuf(pa.table({"a": [1]}))
+    schema = {"a": (1, "int64"), "b": (2, "string")}
+    t = pa.table({"a": [1, 2], "b": ["x", None]})
+    wire = encode_protobuf(t, schema=schema)
+    assert decode_protobuf_rows(wire, schema) == [
+        {"a": 1, "b": "x"}, {"a": 2}]
+    with _pytest.raises(ValueError):
+        encode_protobuf(pa.table({"a": [1]}))  # no schema, no desc_file
 
 
 def test_encode_logfmt_quotes_custom_delimiters():

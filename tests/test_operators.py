@@ -189,6 +189,31 @@ def test_aggregate_mean_stdev_count():
     assert cnt["value"].tolist() == [4]
 
 
+def test_aggregate_summary_matches_individual_modes():
+    """mode="summary" (sum+count+mean from one pass / one shuffle) must
+    equal the per-mode results, across multiple blocks."""
+    rng = np.random.default_rng(7)
+    n = 400
+    rows = pa.table({
+        "etype": rng.choice(["a", "b", "c"], n).tolist(),
+        "value": rng.integers(0, 100, n).astype(float).tolist(),
+        "ts": ts_us(*rng.integers(0, 40, n).tolist()),
+    })
+    ds = rd.from_arrow(rows).repartition(8)
+    summ = aggregate_stage(
+        ds, series_keys=["etype"], value_col="value",
+        interval_ms=10_000, mode="summary",
+    ).to_pandas().sort_values(["etype", "window_start"]).reset_index(drop=True)
+    for mode, col in (("sum", "sum"), ("count", "count"), ("mean", "mean")):
+        one = aggregate_stage(
+            rd.from_arrow(rows).repartition(8), series_keys=["etype"],
+            value_col="value", interval_ms=10_000, mode=mode,
+        ).to_pandas().sort_values(
+            ["etype", "window_start"]).reset_index(drop=True)
+        np.testing.assert_allclose(summ[col].to_numpy(dtype=float),
+                                   one["value"].to_numpy(dtype=float))
+
+
 def test_aggregate_diff():
     rows = pa.table({
         "etype": ["a"] * 3, "kind": ["absolute"] * 3,

@@ -29,6 +29,7 @@ def _oracle_sqls():
             "sample_transcripts": oracle.sql_sample_transcripts(tpath),
             "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
             "route_rows_errors": oracle.sql_route_rows_errors(tpath, csv),
+            "route_rows_all": oracle.sql_route_rows_all(tpath, csv),
             "exclusive_route_rows": oracle.sql_exclusive_route_rows(tpath),
             "role_enrich": oracle.sql_role_enrich(
                 tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),

@@ -289,12 +289,22 @@ def encode_cef(
     return pc.binary_join_element_wise(head, ext, "")
 
 
-def encode_protobuf(t: pa.Table, *args, **kwargs):
+def encode_protobuf(t: pa.Table, *, schema=None, desc_file=None,
+                    message_type=None, cols=None) -> pa.Array:
     """Protobuf serializer (lib/codecs/src/encoding/format/protobuf.rs)
-    requires a compiled descriptor set; no protobuf toolchain ships in
-    this container, so the encoder is a declared stub (SURVEY §7.0
-    out-of-scope boundary — same policy as the media codecs)."""
-    raise NotImplementedError(
-        "protobuf encoding needs a descriptor set + protobuf runtime; "
-        "declared out of scope in this container"
-    )
+    on the pure-Python wire codec in functions/protobuf.py — one
+    length-free wire message per row (framing is the sink's job, as in
+    the reference).  Accepts either an inline ``schema`` dict
+    (field name -> (number, type[, "repeated"])) or a compiled
+    ``desc_file`` + ``message_type`` pair, mirroring the reference's
+    ``desc_file``/``message_type`` encoder options."""
+    from vector_ray.functions.protobuf import encode_protobuf_rows
+
+    registry = None
+    if schema is None:
+        if desc_file is None or message_type is None:
+            raise ValueError(
+                "encode_protobuf needs schema= or desc_file=+message_type=")
+        from vector_ray.functions.stdlib_extra import _proto_schema
+        schema, registry = _proto_schema(desc_file, message_type)
+    return encode_protobuf_rows(t, schema, cols=cols, registry=registry)

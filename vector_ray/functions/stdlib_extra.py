@@ -19,6 +19,7 @@ import json
 import os
 import re
 import socket
+import struct
 import time
 import zlib
 
@@ -940,16 +941,69 @@ def set_semantic_meaning(col, *a, **k):
     return col
 
 
+_PROTO_DESC_CACHE: dict = {}
+
+
+def _proto_schema(desc_file: str, message_type: str):
+    """(schema, registry) from a compiled FileDescriptorSet path,
+    cached per (path, type) — descriptor parsing runs once per worker,
+    not per batch."""
+    from vector_ray.functions.protobuf import schema_from_descriptor
+
+    key = (str(desc_file), str(message_type))
+    if key not in _PROTO_DESC_CACHE:
+        with open(desc_file, "rb") as f:
+            _PROTO_DESC_CACHE[key] = schema_from_descriptor(
+                f.read(), str(message_type))
+    return _PROTO_DESC_CACHE[key]
+
+
+def parse_proto(col, desc_file, message_type) -> pa.Array:
+    """parse_proto.cue semantics on the pure-Python wire codec
+    (functions/protobuf.py): binary column + compiled descriptor-set
+    path + fully-qualified message type -> struct rows; undecodable
+    rows null (fallible)."""
+    from vector_ray.functions.protobuf import decode_protobuf_rows
+
+    schema, registry = _proto_schema(desc_file, message_type)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        col = pc.cast(col, pa.large_binary())
+    rows = decode_protobuf_rows(col, schema, registry)
+    return pa.array(rows)
+
+
+def encode_proto(col, desc_file, message_type) -> pa.Array:
+    """encode_proto.cue: struct column -> wire bytes per row against
+    the descriptor's message type; unencodable rows null."""
+    from vector_ray.functions.protobuf import encode_message
+
+    schema, registry = _proto_schema(desc_file, message_type)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = []
+    for obj in col.to_pylist():
+        if obj is None:
+            out.append(None)
+            continue
+        try:
+            out.append(encode_message(
+                {k: v for k, v in obj.items() if v is not None},
+                schema, registry))
+        except (ValueError, TypeError, KeyError, struct.error):
+            out.append(None)
+    return pa.array(out, pa.large_binary())
+
+
 def _proto_unavailable(name: str):
     def fn(col, *a, **k):
         raise NotImplementedError(
-            f"{name}: protobuf runtime not present in this build "
-            "(encode_proto/parse_proto/parse_dnstap are declared stubs)")
+            f"{name}: needs the dnstap descriptor set shipped with the "
+            "reference build; parse_proto covers user descriptors")
     return fn
 
 
-encode_proto = _proto_unavailable("encode_proto")
-parse_proto = _proto_unavailable("parse_proto")
 parse_dnstap = _proto_unavailable("parse_dnstap")
 
 

@@ -153,6 +153,15 @@ SELECT event_type,
 FROM events GROUP BY 1, 2
 """
 
+SQL_AGG_SUMMARY_EVENTS = f"""
+SELECT event_type,
+       (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+       count(*)::BIGINT AS n_events,
+       CAST(round(avg(CAST(round(value * 100) AS BIGINT)) * 10000) AS BIGINT) AS mean_microcents
+FROM events GROUP BY 1, 2
+"""
+
 SQL_AGG_COUNT_EVENTS = f"""
 SELECT event_type,
        (epoch_us(ts) // {HOUR_US}) * {HOUR_US} AS window_start,
@@ -347,6 +356,26 @@ WHERE level = 'error'
     )
 
 
+def sql_route_rows_all(transcripts_path: str, tool_csv: str) -> str:
+    """One row-set check for BOTH routing operators: the `errors` port
+    under multi-match clone semantics unioned with the `tool_calls`
+    port under first-match-wins, discriminated by `port` — replaces two
+    driver slots with one without losing either operator's row-level
+    evidence."""
+    return (
+        enriched_cte(transcripts_path, tool_csv)
+        + """
+SELECT conv_id, turn_idx, role, tool, level, category,
+       'errors' AS port
+FROM pe WHERE level = 'error'
+UNION ALL
+SELECT conv_id, turn_idx, role, tool, level, category,
+       'tool_calls' AS port
+FROM pe WHERE NOT coalesce(level = 'error', false) AND tool <> ''
+"""
+    )
+
+
 def sql_exclusive_route_rows(transcripts_path: str) -> str:
     """Rows landing in `tool_calls` under FIRST-match-wins: not errors,
     and tool non-empty."""
@@ -358,6 +387,15 @@ WHERE NOT coalesce(level = 'error', false) AND tool <> ''
 """
     )
 
+
+# encode_proto then parse_proto inside one batch: if the wire codec is
+# correct the roundtrip is the identity, so the oracle is the plain
+# projection the pipeline started from.
+SQL_PROTOBUF_ROUNDTRIP_EVENTS = """
+SELECT event_id, event_type,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+"""
 
 SQL_SAMPLE_HASH_EVENTS = """
 SELECT event_id, user_id, 7::BIGINT AS sample_rate FROM events

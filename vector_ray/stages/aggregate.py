@@ -33,7 +33,8 @@ from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
 WINDOW_COL = "window_start"
 
-MODES = {"auto", "sum", "latest", "count", "diff", "max", "min", "mean", "stdev"}
+MODES = {"auto", "sum", "latest", "count", "diff", "max", "min", "mean",
+         "stdev", "summary"}
 
 
 def _add_window(ds: Dataset, ts_col: str, interval_ms: int) -> Dataset:
@@ -82,6 +83,32 @@ def aggregate_stage(
 
     ds = _add_window(ds, ts_col, interval_ms)
     gkeys = keys + [WINDOW_COL]
+
+    if mode == "summary":
+        # sum + count + mean in ONE pass / ONE shuffle: the partials
+        # already carry everything all three stats need, so running the
+        # modes as separate stages would triple the scan and the
+        # exchange for no extra information.
+        def partial3(t: pa.Table) -> pa.Table:
+            df = t.select(gkeys + [value_col]).to_pandas()
+            out = df.groupby(gkeys, sort=False)[value_col].agg(
+                ["sum", "count"]).reset_index()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        merged = (
+            ds.map_batches(partial3, batch_format="pyarrow", batch_size=None)
+            .groupby(gkeys)
+            .aggregate(Sum("sum", alias_name="sum"),
+                       Sum("count", alias_name="count"))
+        )
+
+        def finish3(t: pa.Table) -> pa.Table:
+            s = t["sum"].to_numpy(zero_copy_only=False).astype(float)
+            n = t["count"].to_numpy(zero_copy_only=False).astype(float)
+            return t.append_column("mean", pa.array(s / n, pa.float64()))
+
+        return merged.map_batches(finish3, batch_format="pyarrow",
+                                  batch_size=None)
 
     if mode in ("sum", "max", "min", "mean", "stdev", "count"):
         # partial pre-aggregation per batch, then a tiny global groupby

@@ -1,0 +1,57 @@
+"""Cluster-sizing knobs scale with ``ray.cluster_resources()``.
+
+The hash-join partition count (ml/dedup.py `_join_partitions`) and the
+presort block-count clamp (stages/blocks.py `_target_blocks`) both size
+to the CLUSTER's CPU total, not the local node — on a 256-node cluster
+the values must grow, and on a tiny local session they must shrink so
+aggregator actors can all schedule.  This pins the 100x-cluster
+behavior by faking `cluster_resources` at several sizes instead of
+assuming it.
+"""
+
+import ray
+
+from vector_ray.ml.dedup import _join_partitions
+from vector_ray.stages.blocks import _target_blocks
+
+
+def _fake_cpus(monkeypatch, cpus: float):
+    monkeypatch.setattr(ray, "cluster_resources", lambda: {"CPU": cpus})
+
+
+def test_join_partitions_scale_with_cluster(monkeypatch):
+    _fake_cpus(monkeypatch, 4)
+    assert _join_partitions() == 2          # floor: tiny local session
+    _fake_cpus(monkeypatch, 32)
+    assert _join_partitions() == 16          # cpus//2 in the mid range
+    _fake_cpus(monkeypatch, 2048)            # 256 nodes x 8 cpus
+    assert _join_partitions() == 16          # default cap (actor pool)
+    assert _join_partitions(64) == 64        # wide-join cap scales too
+    assert _join_partitions(4096) == 1024    # uncapped: cpus//2
+
+
+def test_join_partitions_monotone_nondecreasing(monkeypatch):
+    prev = 0
+    for cpus in (1, 2, 4, 8, 16, 32, 64, 128, 512, 2048):
+        _fake_cpus(monkeypatch, cpus)
+        cur = _join_partitions(64)
+        assert cur >= prev, f"shrank at {cpus} cpus"
+        prev = cur
+
+
+def test_presort_target_blocks_scale_with_cluster(monkeypatch):
+    _fake_cpus(monkeypatch, 4)
+    assert _target_blocks() == 16            # floor
+    _fake_cpus(monkeypatch, 32)
+    assert _target_blocks() == 64            # 2x cpus
+    _fake_cpus(monkeypatch, 2048)
+    assert _target_blocks() == 512           # cap: block count bounded
+
+
+def test_sizing_survives_resources_failure(monkeypatch):
+    def boom():
+        raise RuntimeError("no cluster")
+
+    monkeypatch.setattr(ray, "cluster_resources", boom)
+    assert _join_partitions() == 4           # 8-cpu fallback // 2
+    assert _target_blocks() == 16

@@ -725,12 +725,16 @@ def _q_agg_summary_events(sf_dir: str):
     return out.map_batches(fix, batch_format="pyarrow", batch_size=None)
 
 
-def _q_protobuf_roundtrip_events(sf_dir: str):
-    """encode_proto -> parse_proto per batch over the events projection;
-    the wire roundtrip is the identity, so the oracle is the plain
-    projection (same invariant style as nginx_parse_events)."""
+def _q_codec_roundtrip_events(sf_dir: str):
+    """encode -> decode per batch through BOTH binary wire codecs
+    (protobuf, then avro) over the events projection; each roundtrip is
+    the identity, so the oracle is the plain projection (same invariant
+    style as nginx_parse_events)."""
+    import json
+
     import pyarrow as pa
 
+    from vector_ray.functions.avro import decode_avro_rows, encode_avro_rows
     from vector_ray.functions.protobuf import (
         decode_protobuf_rows,
         encode_protobuf_rows,
@@ -738,16 +742,31 @@ def _q_protobuf_roundtrip_events(sf_dir: str):
 
     schema = {"event_id": (1, "int64"), "event_type": (2, "string"),
               "value_cents": (3, "sint64")}
+    avro_schema = json.dumps({
+        "type": "record", "name": "Event",
+        "fields": [{"name": "event_id", "type": "long"},
+                   {"name": "event_type", "type": "string"},
+                   {"name": "value_cents", "type": "long"}],
+    })
 
     def roundtrip(t: pa.Table) -> pa.Table:
         wire = encode_protobuf_rows(t, schema)
         rows = decode_protobuf_rows(wire, schema)
-        return pa.table({
+        mid = pa.table({
             "event_id": pa.array([r.get("event_id") for r in rows],
                                  pa.int64()),
             "event_type": pa.array([r.get("event_type") for r in rows],
                                    pa.string()),
             "value_cents": pa.array([r.get("value_cents") for r in rows],
+                                    pa.int64()),
+        })
+        datums = encode_avro_rows(mid, avro_schema)
+        back = decode_avro_rows(datums, avro_schema)
+        return pa.table({
+            "event_id": pa.array([r["event_id"] for r in back], pa.int64()),
+            "event_type": pa.array([r["event_type"] for r in back],
+                                   pa.string()),
+            "value_cents": pa.array([r["value_cents"] for r in back],
                                     pa.int64()),
         })
 
@@ -1123,7 +1142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_events": _q_filter_events,
         "dd_filter_events": _q_dd_filter_events,
         "nginx_parse_events": _q_nginx_parse_events,
-        "protobuf_roundtrip_events": _q_protobuf_roundtrip_events,
+        "codec_roundtrip_events": _q_codec_roundtrip_events,
         # --- enrichment (§2.3) ---
         "cidr_enrich_events": _q_cidr_enrich_events,
         "snapshot_enrich_events": _q_snapshot_enrich_events,
@@ -1183,7 +1202,7 @@ def oracle_sql() -> dict[str, str]:
         "remap_dropped": oracle.sql_remap_dropped(tpath),
         "route_rows_all": oracle.sql_route_rows_all(tpath, csv),
         "agg_summary_events": oracle.SQL_AGG_SUMMARY_EVENTS,
-        "protobuf_roundtrip_events": oracle.SQL_PROTOBUF_ROUNDTRIP_EVENTS,
+        "codec_roundtrip_events": oracle.SQL_CODEC_ROUNDTRIP_EVENTS,
         "agg_sum_events": oracle.SQL_AGG_SUM_EVENTS,
         "agg_mean_events": oracle.SQL_AGG_MEAN_EVENTS,
         "agg_count_events": oracle.SQL_AGG_COUNT_EVENTS,

@@ -289,6 +289,15 @@ def encode_cef(
     return pc.binary_join_element_wise(head, ext, "")
 
 
+def encode_avro(t: pa.Table, *, schema, cols=None) -> pa.Array:
+    """Avro binary-datum serializer (lib/codecs/src/encoding/format/
+    avro.rs: one `to_avro_datum` per event against a JSON schema) on
+    the pure-Python codec in functions/avro.py."""
+    from vector_ray.functions.avro import encode_avro_rows
+
+    return encode_avro_rows(t, schema, cols=cols)
+
+
 def encode_protobuf(t: pa.Table, *, schema=None, desc_file=None,
                     message_type=None, cols=None) -> pa.Array:
     """Protobuf serializer (lib/codecs/src/encoding/format/protobuf.rs)

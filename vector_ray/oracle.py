@@ -388,10 +388,11 @@ WHERE NOT coalesce(level = 'error', false) AND tool <> ''
     )
 
 
-# encode_proto then parse_proto inside one batch: if the wire codec is
-# correct the roundtrip is the identity, so the oracle is the plain
-# projection the pipeline started from.
-SQL_PROTOBUF_ROUNDTRIP_EVENTS = """
+# encode then decode inside one batch through BOTH binary wire codecs
+# (protobuf then avro): if the codecs are correct the composition is
+# the identity, so the oracle is the plain projection the pipeline
+# started from.
+SQL_CODEC_ROUNDTRIP_EVENTS = """
 SELECT event_id, event_type,
        CAST(round(value * 100) AS BIGINT) AS value_cents
 FROM events

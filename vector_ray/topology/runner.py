@@ -95,6 +95,12 @@ def run_topology(
 
             tables[tname] = CidrTable.from_csv(
                 path, cidr_col=tcfg.get("cidr_col", "cidr"))
+        elif tcfg.get("type") in ("mmdb", "geoip"):
+            # src/enrichment_tables/mmdb.rs:33-40 / geoip.rs — binary
+            # MaxMind database read by the pure-Python spec reader
+            from vector_ray.enrichment.mmdb import MmdbTable
+
+            tables[tname] = MmdbTable.open(path)
         else:
             tables[tname] = FileTable(path, tcfg.get("schema"))
 
@@ -315,6 +321,17 @@ def _build_transform(
                                  sample_rate=c.get("sample_rate"))}
     if t == "enrich":
         tbl = tables[c["table"]]
+        from vector_ray.enrichment.cidr import CidrTable, enrich_cidr
+        from vector_ray.enrichment.mmdb import MmdbTable, enrich_mmdb
+
+        if isinstance(tbl, MmdbTable):
+            return {"": enrich_mmdb(
+                ds, tbl.buf, ip_field=c["key_field"],
+                select=c["select"], prefix=c.get("prefix", ""))}
+        if isinstance(tbl, CidrTable):
+            return {"": enrich_cidr(
+                ds, tbl, ip_field=c["key_field"],
+                select=c.get("select"), prefix=c.get("prefix", ""))}
         return {"": enrich(
             ds, tbl, key_field=c["key_field"],
             batch_key=c.get("batch_key", c["key_field"]),

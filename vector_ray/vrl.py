@@ -1154,6 +1154,28 @@ def _enrich_call(name, argnodes, args, ctx: _Ctx):
     if len(args) > 3:
         cs = _lit_of(argnodes[3], args[3])
         case_sensitive = bool(cs) if cs is not None else True
+    if hasattr(table, "lookup_batch"):
+        # mmdb/geoip table (src/enrichment_tables/mmdb.rs:112-135):
+        # exactly one equality condition whose value is the IP
+        if len(crit_cols) != 1:
+            raise VrlError("mmdb enrichment tables take exactly one "
+                           "IP condition")
+        select = None
+        if len(args) > 2 and not (argnodes[2][0] == "lit" and args[2] is None):
+            sel = _const_list(args[2])
+            if sel:
+                select = [str(s) for s in sel]
+        cols_py, found_list = table.lookup_batch(
+            crit_cols[0].to_pylist(), select)
+        st = pa.StructArray.from_arrays(
+            [pa.array(v) for v in cols_py.values()], names=list(cols_py))
+        found = pa.array(found_list, pa.bool_())
+        if name == "get_enrichment_table_record":
+            return st, pc.invert(found)
+        counts = np.asarray(found, dtype=np.int64)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(counts)])
+                           .astype(np.int32))
+        return pa.ListArray.from_arrays(offsets, st.filter(found)), None
     keys, cols = _enrich_index(table, tuple(crit_fields), case_sensitive)
     if not case_sensitive:
         crit_cols = [pc.utf8_lower(c) for c in crit_cols]

@@ -347,10 +347,26 @@ def test_batch4_object_from_array():
     assert out["o"].to_pylist() == [{"a": "1", "b": "2"}, {"a": "3", "b": "4"}]
 
 
-def test_batch4_snappy_zstd_declared_unavailable():
-    t = pa.table({"m": ["x"]})
-    with pytest.raises(NotImplementedError):
-        compile_vrl(".z = encode_zstd(.m)")(t)
+def test_batch4_snappy_zstd_roundtrip():
+    """pyarrow's bundled codecs back encode_/decode_snappy|zstd; the
+    snappy bytes match encode_snappy.cue's documented example exactly."""
+    import base64
+
+    t = pa.table({"m": ["The quick brown fox jumps over 13 lazy dogs.",
+                        None, "", "x" * 1000]})
+    out, err, _ = compile_vrl("""
+.s = encode_snappy!(.m)
+.sd = decode_snappy!(.s)
+.z = encode_zstd!(.m)
+.zd = decode_zstd!(.z)
+""")(t)
+    assert out["sd"].to_pylist() == out["zd"].to_pylist() == t["m"].to_pylist()
+    assert base64.b64encode(out["s"].to_pylist()[0]) == \
+        b"LKxUaGUgcXVpY2sgYnJvd24gZm94IGp1bXBzIG92ZXIgMTMgbGF6eSBkb2dzLg=="
+    # corrupt input -> VRL error/null, not a crash
+    t2 = pa.table({"b": [b"\xff\xff\xff\xff"]})
+    out2, err2, _ = compile_vrl(".d = decode_snappy(.b)\n.e = decode_zstd(.b)")(t2)
+    assert out2["d"].to_pylist() == [None] and out2["e"].to_pylist() == [None]
 
 
 def test_batch5_inventory_tail():

@@ -88,6 +88,68 @@ def decode_gzip(col):
     return _map_unique(col, d)
 
 
+def _snappy_len(b: bytes) -> int:
+    """Raw-snappy preamble: uncompressed length as little-endian varint."""
+    n = shift = i = 0
+    while True:
+        c = b[i]
+        n |= (c & 0x7F) << shift
+        if not c & 0x80:
+            return n
+        shift += 7
+        i += 1
+
+
+def _zstd_content_size(b: bytes) -> int | None:
+    """Frame Content Size from a zstd frame header (RFC 8878 §3.1.1),
+    or None when the FCS field is absent."""
+    if len(b) < 5 or int.from_bytes(b[:4], "little") != 0xFD2FB528:
+        return None
+    fhd = b[4]
+    fcs_flag, single_segment = fhd >> 6, (fhd >> 5) & 1
+    pos = 5 + (0 if single_segment else 1)          # window descriptor
+    pos += (0, 1, 2, 4)[fhd & 3]                    # dictionary id
+    if fcs_flag == 0:
+        return b[pos] if single_segment else None
+    if fcs_flag == 1:
+        return int.from_bytes(b[pos:pos + 2], "little") + 256
+    if fcs_flag == 2:
+        return int.from_bytes(b[pos:pos + 4], "little")
+    return int.from_bytes(b[pos:pos + 8], "little")
+
+
+def _codec_pair(name: str, size_of):
+    """encode/decode via pyarrow's bundled codec (no external lib);
+    the size hint comes from the format's own header."""
+    codec = pa.Codec(name)
+
+    def enc(col):
+        return _map_unique(
+            col, lambda v: codec.compress(v.encode(), asbytes=True),
+            pa.large_binary())
+
+    def dec(col):
+        def d(v):
+            try:
+                n = size_of(bytes(v))
+                if n is None:
+                    return None
+                return codec.decompress(v, n, asbytes=True).decode()
+            except (IndexError, OSError, UnicodeDecodeError, pa.ArrowInvalid,
+                    pa.ArrowIOError):
+                return None
+
+        return _map_unique(col, d)
+
+    return enc, dec
+
+
+# matches the reference byte-for-byte: encode_snappy.cue's example
+# compresses to the same raw-snappy bytes pyarrow emits
+encode_snappy, decode_snappy = _codec_pair("snappy", _snappy_len)
+encode_zstd, decode_zstd = _codec_pair("zstd", _zstd_content_size)
+
+
 def encode_zlib(col):
     return _map_unique(col, lambda v: _zlib.compress(v.encode()), pa.large_binary())
 

@@ -770,18 +770,10 @@ def object_from_array(col) -> pa.Array:
     return pa.StructArray.from_arrays(arrs, names=names)
 
 
-def _codec_unavailable(name: str):
-    def fn(col, *a, **k):
-        raise NotImplementedError(
-            f"{name}: compression library not present in this build "
-            "(snappy/zstd are optional dependencies)")
-    return fn
-
-
-encode_snappy = _codec_unavailable("encode_snappy")
-decode_snappy = _codec_unavailable("decode_snappy")
-encode_zstd = _codec_unavailable("encode_zstd")
-decode_zstd = _codec_unavailable("decode_zstd")
+# snappy/zstd ride pyarrow's bundled codecs (functions/codecs.py) —
+# no external compression library needed
+from vector_ray.functions.codecs import (  # noqa: F401
+    decode_snappy, decode_zstd, encode_snappy, encode_zstd)
 
 
 # ---------------------------------------------------------------------------

@@ -886,19 +886,24 @@ def _q_nginx_parse_events(sf_dir: str):
 
 
 def _q_cidr_enrich_events(sf_dir: str):
-    """geoip-analogue enrichment: synthesize an IP per event from
-    user_id, enrich through nested CIDR blocks (longest prefix wins),
-    oracle recomputes the expected region from user_id ranges."""
+    """geoip-analogue enrichment through BOTH lookup engines: the
+    CIDR-interval table and the binary MaxMind DB reader (a spec-
+    conformant .mmdb image built from the same nested blocks).  The
+    oracle recomputes the expected region from user_id ranges for each
+    column, so the mmdb search-tree walk is value-checked per row."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
     from vector_ray.enrichment.cidr import CidrTable, enrich_cidr
+    from vector_ray.enrichment.mmdb import build_mmdb, enrich_mmdb
 
-    table = CidrTable([
-        {"cidr": "10.0.0.0/8", "region": "all"},
-        {"cidr": "10.0.0.0/17", "region": "low"},
-        {"cidr": "10.0.64.0/19", "region": "mid"},
-    ])
+    blocks = [
+        ("10.0.0.0/8", "all"),
+        ("10.0.0.0/17", "low"),
+        ("10.0.64.0/19", "mid"),
+    ]
+    table = CidrTable([{"cidr": c, "region": r} for c, r in blocks])
+    mmdb = build_mmdb([(c, {"region": r}) for c, r in blocks])
 
     def add_ip(t: pa.Table) -> pa.Table:
         third = pc.cast(
@@ -911,7 +916,9 @@ def _q_cidr_enrich_events(sf_dir: str):
     ds = _events(sf_dir, columns=["event_id", "user_id"]).map_batches(
         add_ip, batch_format="pyarrow", batch_size=None)
     out = enrich_cidr(ds, table, ip_field="client_ip", select=["region"])
-    return out.select_columns(["event_id", "region"])
+    out = enrich_mmdb(out, mmdb, ip_field="client_ip",
+                      select=["region"], prefix="mmdb_")
+    return out.select_columns(["event_id", "region", "mmdb_region"])
 
 
 def _q_dd_filter_events(sf_dir: str):

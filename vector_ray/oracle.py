@@ -554,7 +554,10 @@ SQL_CIDR_ENRICH_EVENTS = """
 SELECT event_id,
        CASE WHEN (user_id % 256) BETWEEN 64 AND 95 THEN 'mid'
             WHEN (user_id % 256) <= 127 THEN 'low'
-            ELSE 'all' END AS region
+            ELSE 'all' END AS region,
+       CASE WHEN (user_id % 256) BETWEEN 64 AND 95 THEN 'mid'
+            WHEN (user_id % 256) <= 127 THEN 'low'
+            ELSE 'all' END AS mmdb_region
 FROM events
 """
 

@@ -133,6 +133,37 @@ def test_enrich_mmdb_stage(ray_session):
     assert out["geo_asn"].tolist() == ["64502", "64503", None, None, "64502"]
 
 
+def test_v4_spans_index_parity():
+    """The flattened interval index (vectorized scale path) must agree
+    with the per-IP search-tree walk everywhere, for v4 dbs and for the
+    v4-mapped subtree of v6 dbs."""
+    from vector_ray.enrichment.mmdb import _MmdbIndex
+
+    for ipv, entries in (
+        (4, ENTRIES),
+        (6, [("::0a00:0000/104", {"country": "AA", "asn": 1, "score": 0.0}),
+             ("::0a01:0000/112", {"country": "BB", "asn": 2, "score": 0.0}),
+             ("2001:db8::/32", {"country": "V6", "asn": 3, "score": 0.0})]),
+    ):
+        buf = build_mmdb(entries, ip_version=ipv)
+        reader = MmdbReader(buf)
+        ix = _MmdbIndex(buf, ["country", "asn"])
+        probes = ["10.0.0.0", "10.0.255.255", "10.1.0.0", "10.1.2.200",
+                  "10.1.3.0", "192.168.5.5", "203.0.113.7", "203.0.113.8",
+                  "8.8.8.8", "0.0.0.0", "255.255.255.255", None,
+                  "not-an-ip", "2001:db8::1", "2001:db9::1"]
+        probes += [str(ipaddress.IPv4Address((i * 2654435761) % (1 << 32)))
+                   for i in range(500)]
+        import pyarrow as pa
+
+        got = ix.lookup_columns(pa.array(probes, pa.string()))
+        for i, p in enumerate(probes):
+            rec = None if p is None else reader.lookup(p)
+            want = None if rec is None else rec.get("country")
+            assert got["country"][i].as_py() == (
+                None if want is None else str(want)), (ipv, p)
+
+
 def test_mmdb_table_protocol():
     """MmdbTable speaks the FileTable find_table_row(s) protocol —
     src/enrichment_tables/mmdb.rs:87-135: exactly one Equals condition,

@@ -191,6 +191,42 @@ class MmdbReader:
                 return self._data_at(node)
         return None
 
+    def v4_spans(self) -> list[tuple[int, int, Any]]:
+        """Flatten the search tree's IPv4-space leaves into DISJOINT
+        (start_ip, end_ip, record) spans — the whole tree for a v4
+        database, the ::/96 v4-mapped subtree for a v6 one.
+
+        Trie leaves never overlap, so a sorted-starts + ends pair plus
+        ``np.searchsorted`` answers longest-prefix lookups exactly;
+        this is the vectorized scale path for dense IP columns (one
+        tree walk per worker at init, C-speed lookups per batch)."""
+        node = 0
+        if self.ip_version != 4:
+            for _ in range(96):
+                node = self._record(node, False)
+                if node == self.node_count:
+                    return []
+                if node > self.node_count:
+                    # one record covers the entire v4-mapped region
+                    return [(0, 0xFFFFFFFF, self._data_at(node))]
+        spans: list[tuple[int, int, Any]] = []
+        stack: list[tuple[int, int, int]] = [(node, 0, 0)]
+        while stack:
+            n, prefix, depth = stack.pop()
+            for bit in (0, 1):
+                r = self._record(n, bool(bit))
+                p = (prefix << 1) | bit
+                if r < self.node_count:
+                    if depth + 1 < 32:
+                        stack.append((r, p, depth + 1))
+                elif r > self.node_count:
+                    d = depth + 1
+                    start = p << (32 - d)
+                    spans.append((start, start + (1 << (32 - d)) - 1,
+                                  self._data_at(r)))
+        spans.sort(key=lambda sp: sp[0])
+        return spans
+
     def lookup(self, ip: str):
         """Record dict for ``ip`` or None (lookup-miss passthrough,
         mmdb.rs/geoip.rs semantics).  IPv4 in an IPv6 db traverses the
@@ -475,6 +511,89 @@ class MmdbTable:
 # enrichment stage (mirrors enrich_cidr: broadcast once, map_batches)
 # ---------------------------------------------------------------------------
 
+class _MmdbIndex:
+    """Per-worker vectorized lookup state: the search tree flattened
+    once into disjoint IPv4 spans (`v4_spans`), selected fields
+    pre-extracted per distinct record, batch lookups via a single
+    ``np.searchsorted``.  IPv6 literal addresses (rare in log streams)
+    fall back to the memoized tree walk."""
+
+    def __init__(self, buf: bytes, select: Sequence[str]):
+        self.reader = MmdbReader(buf)
+        self.select = list(select)
+        spans = self.reader.v4_spans()
+        recs: list[Any] = []
+        rec_no: dict[int, int] = {}   # id(record) -> index (records are
+        span_rec = []                 # memoized per offset in the reader)
+        for _s, _e, rec in spans:
+            i = rec_no.get(id(rec))
+            if i is None:
+                i = rec_no[id(rec)] = len(recs)
+                recs.append(rec)
+            span_rec.append(i)
+        self.starts = np.fromiter((s for s, _e, _r in spans), np.int64,
+                                  len(spans))
+        self.ends = np.fromiter((e for _s, e, _r in spans), np.int64,
+                                len(spans))
+        self.span_rec = np.asarray(span_rec, dtype=np.int64)
+        # one extra null slot at the end for misses
+        self.cols = {
+            f: pa.array([None if (v := _dig(r, f)) is None else str(v)
+                         for r in recs] + [None], pa.string())
+            for f in self.select}
+        self.miss = len(recs)
+
+    def lookup_columns(self, col: pa.StringArray) -> dict[str, pa.Array]:
+        n = len(col)
+        ints = _ip4_ints(col)
+        if len(self.starts):
+            idx = np.searchsorted(self.starts, ints, side="right") - 1
+            safe = np.maximum(idx, 0)
+            hit = (idx >= 0) & (ints >= 0) & (ints <= self.ends[safe])
+            rec_idx = np.where(hit, self.span_rec[safe], self.miss)
+        else:
+            rec_idx = np.full(n, self.miss, dtype=np.int64)
+        take = pa.array(rec_idx)
+        out = {f: self.cols[f].take(take) for f in self.select}
+        # per-address tree walk only for IPv6 literals (rare in logs)
+        v6_mask = pc.fill_null(pc.match_substring(col, ":"), False)
+        if pc.any(v6_mask).as_py():
+            v6_rows = np.flatnonzero(np.asarray(v6_mask)).tolist()
+            strs = col.to_pylist()
+            memo: dict[str, Any] = {}
+            for f in self.select:
+                vals = out[f].to_pylist()
+                for i in v6_rows:
+                    s = strs[i]
+                    if s not in memo:
+                        memo[s] = self.reader.lookup(s)
+                    v = None if memo[s] is None else _dig(memo[s], f)
+                    vals[i] = None if v is None else str(v)
+                out[f] = pa.array(vals, pa.string())
+        return out
+
+
+# dotted quad with ipaddress-strict octets (no leading zeros, <= 255)
+_OCT = r"(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+_IP4_RE = (rf"^(?P<a>{_OCT})\.(?P<b>{_OCT})\.(?P<c>{_OCT})"
+           rf"\.(?P<d>{_OCT})$")
+
+
+def _ip4_ints(col: pa.StringArray) -> np.ndarray:
+    """IPv4 strings -> int64 (-1 for null/invalid/v6) in one vectorized
+    RE2 pass — no per-row ipaddress parsing."""
+    ex = pc.extract_regex(col, _IP4_RE)
+    va = pc.is_valid(ex)
+    valid = np.asarray(va)
+    # children of null struct rows hold garbage ('' not null) — mask
+    # through the struct validity before casting
+    octs = [np.asarray(pc.cast(pc.if_else(va, ex.field(i), "0"), pa.int64()))
+            for i in range(4)]
+    ints = (octs[0] << 24) | (octs[1] << 16) | (octs[2] << 8) | octs[3]
+    ints[~valid] = -1
+    return ints
+
+
 def enrich_mmdb(
     ds: Dataset,
     mmdb_bytes: bytes,
@@ -483,35 +602,26 @@ def enrich_mmdb(
     select: Sequence[str],
     prefix: str = "",
 ) -> Dataset:
-    """Broadcast the mmdb image (`ray.put` once — never per batch) and
-    look up ``ip_field`` per row; ``select`` names top-level record
-    keys to append as string columns.  Misses/unparseable IPs pass
-    through with nulls (geoip.rs semantics)."""
+    """Broadcast the mmdb image (`ray.put` once — never per batch);
+    each worker flattens the search tree into a vectorized interval
+    index at init (see :class:`_MmdbIndex`) and answers batches with a
+    single ``searchsorted``.  ``select`` names dotted record paths to
+    append as string columns; misses/unparseable IPs pass through with
+    nulls (geoip.rs semantics)."""
     ref = ray.put(mmdb_bytes)
-    readers: dict[int, MmdbReader] = {}
+    state: dict[int, _MmdbIndex] = {}
+    sel = list(select)
 
     def apply(t: pa.Table) -> pa.Table:
-        r = readers.get(0)
-        if r is None:  # one reader (and record cache) per worker process
-            r = readers[0] = MmdbReader(ray.get(ref))
+        ix = state.get(0)
+        if ix is None:  # one index per worker process
+            ix = state[0] = _MmdbIndex(ray.get(ref), sel)
         col = t[ip_field]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        strs = pc.cast(col, pa.string()).to_pylist()
-        memo: dict[str, Any] = {}
-        rows = []
-        for s in strs:
-            if s in memo:
-                rows.append(memo[s])
-            else:
-                v = None if s is None else r.lookup(s)
-                memo[s] = v
-                rows.append(v)
-        for f in select:
-            vals = [None if row is None else
-                    (None if row.get(f) is None else str(row.get(f)))
-                    for row in rows]
-            t = t.append_column(prefix + f, pa.array(vals, pa.string()))
+        cols = ix.lookup_columns(pc.cast(col, pa.string()))
+        for f in sel:
+            t = t.append_column(prefix + f, cols[f])
         return t
 
     return ds.map_batches(apply, batch_format="pyarrow", batch_size=None)

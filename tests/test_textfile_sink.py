@@ -108,3 +108,54 @@ def test_identical_blocks_do_not_collide(tmp_path):
     assert len(files) == 2 and any("-dup1" in f for f in files)
     lines = sum(len(p.read_text().splitlines()) for p in out.iterdir())
     assert lines == 4
+
+
+def test_gzip_compression_roundtrip(tmp_path):
+    import gzip
+
+    from vector_ray.sinks.textfile import write_text_sink
+
+    out = str(tmp_path / "gz")
+    n = write_text_sink(_ds(), out, encoding="json", compression="gzip")
+    assert n == 2
+    files = os.listdir(out)
+    assert files and all(f.endswith(".log.gz") for f in files)
+    lines = []
+    for f in files:
+        with gzip.open(os.path.join(out, f), "rt") as fh:
+            lines += [ln for ln in fh.read().splitlines() if ln]
+    assert sorted(json.loads(x)["host"] for x in lines) == ["h1", "h2"]
+
+
+def test_zstd_compression_roundtrip(tmp_path):
+    import pyarrow as pa
+
+    from vector_ray.sinks.textfile import write_text_sink
+
+    out = str(tmp_path / "zst")
+    n = write_text_sink(_ds(), out, encoding="json", compression="zstd")
+    assert n == 2
+    files = os.listdir(out)
+    assert files and all(f.endswith(".log.zst") for f in files)
+    from vector_ray.functions.codecs import _zstd_content_size
+
+    codec = pa.Codec("zstd")
+    lines = []
+    for f in files:
+        with open(os.path.join(out, f), "rb") as fh:
+            raw = fh.read()
+        # pyarrow's one-shot decompress wants the exact content size —
+        # read it from the zstd frame header like functions/codecs.py
+        text = codec.decompress(
+            raw, _zstd_content_size(raw), asbytes=True).decode()
+        lines += [ln for ln in text.splitlines() if ln]
+    assert sorted(json.loads(x)["host"] for x in lines) == ["h1", "h2"]
+
+
+def test_unknown_compression_raises(tmp_path):
+    import pytest
+
+    from vector_ray.sinks.textfile import write_text_sink
+
+    with pytest.raises(ValueError, match="compression"):
+        write_text_sink(_ds(), str(tmp_path / "x"), compression="lz4")

@@ -84,7 +84,13 @@ def multi_sink_write(
                 pq.write_table(sub, buf)
                 payload = buf.getvalue()
                 name = f"part-{hashlib.blake2b(payload, digest_size=16).hexdigest()}.parquet"
-                tmp = os.path.join(sink_dirs[port], "." + name + ".tmp")
+                # unique tmp per task: byte-identical twin batches share
+                # the content-hash name, and two tasks racing through one
+                # .tmp path lose it to the first os.replace
+                import uuid
+
+                tmp = os.path.join(
+                    sink_dirs[port], f".{name}.{uuid.uuid4().hex}.tmp")
                 with open(tmp, "wb") as f:
                     f.write(payload)
                 os.replace(tmp, os.path.join(sink_dirs[port], name))

@@ -12,8 +12,10 @@ retry re-produces the same file instead of appending a duplicate
 
 from __future__ import annotations
 
+import gzip as _gzip
 import hashlib
 import os
+import uuid as _uuid
 
 import pyarrow as pa
 from ray.data import Dataset
@@ -42,12 +44,25 @@ def encode_lines(t: pa.Table, encoding: str, **kwargs) -> list[str]:
     return lines.to_pylist()
 
 
+# reference src/sinks/file/mod.rs:119-133 `enum Compression`: Gzip,
+# Zstd, None.  gzip via stdlib with mtime=0 (deterministic bytes so a
+# task retry re-produces the identical content-hash name); zstd via
+# pyarrow's bundled codec (standard zstd frames, readable by any zstd
+# tool).
+_COMPRESSORS = {
+    "none": (lambda b: b, ""),
+    "gzip": (lambda b: _gzip.compress(b, mtime=0), ".gz"),
+    "zstd": (lambda b: pa.Codec("zstd").compress(b, asbytes=True), ".zst"),
+}
+
+
 def write_text_sink(
     ds: Dataset,
     out_dir: str,
     *,
     encoding: str = "json",
     suffix: str = ".log",
+    compression: str = "none",
     **encoder_kwargs,
 ) -> int:
     """Stream-encode and write; returns total rows written.
@@ -57,17 +72,25 @@ def write_text_sink(
     return to the driver.
     """
     os.makedirs(out_dir, exist_ok=True)
+    if compression not in _COMPRESSORS:
+        raise ValueError(f"unknown compression {compression!r}; "
+                         f"one of {sorted(_COMPRESSORS)}")
+    compress, comp_ext = _COMPRESSORS[compression]
 
     def write_block(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table({"rows": pa.array([0], pa.int64()),
                              "name": pa.array([None], pa.string())})
         lines = encode_lines(t, encoding, **encoder_kwargs)
-        payload = ("\n".join(x if x is not None else "" for x in lines)
-                   + "\n").encode()
+        payload = compress(
+            ("\n".join(x if x is not None else "" for x in lines)
+             + "\n").encode())
         name = (f"part-{hashlib.blake2b(payload, digest_size=16).hexdigest()}"
-                f"{suffix}")
-        tmp = os.path.join(out_dir, "." + name + ".tmp")
+                f"{suffix}{comp_ext}")
+        # tmp name must be unique PER TASK: byte-identical twin blocks
+        # share the content-hash name, and two tasks racing through the
+        # same .tmp path lose it to the first os.replace
+        tmp = os.path.join(out_dir, f".{name}.{_uuid.uuid4().hex}.tmp")
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, os.path.join(out_dir, name))

@@ -404,6 +404,21 @@ def _q_embedding_dedup_lsh(sf_dir: str):
     return deduped.select_columns(["vec_id", "label"])
 
 
+def _q_ngram_jaccard_pairs_docs(sf_dir: str):
+    """Standalone n-gram Jaccard set-similarity join (AllPairs prefix
+    filter, ml/ngram_join.py): exact word-3-gram Jaccard >= 0.5 over
+    the dup-synthesized docs — 63 exact-copy pairs at 10000 bp plus
+    the corpus's natural near-dups, all with bit-exact integer
+    similarity vs the SQL oracle (unlike minhash_dedup_docs, whose
+    threshold path is approximate and rows-only)."""
+    from vector_ray.ml.ngram_join import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs_with_dups(sf_dir), threshold=0.5)
+    pairs["a"] = pairs["a"].astype("int64")
+    pairs["b"] = pairs["b"].astype("int64")
+    return pairs
+
+
 def _q_simhash_exact_pairs_docs(sf_dir: str):
     """Oracle-checkable SimHash invariant: max_hamming=0 + exact text
     verify == the duplicate-text pair set (a < b)."""
@@ -1170,7 +1185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
-        "embedding_dedup_lsh": _q_embedding_dedup_lsh,
+        "ngram_jaccard_pairs_docs": _q_ngram_jaccard_pairs_docs,
         "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
         "lang_id_consistency_docs": _q_lang_id_consistency_docs,
         "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
@@ -1194,6 +1209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "doc_fingerprint": _q_doc_fingerprint,
         "media_features": _q_media_features,
+        "embedding_dedup_lsh": _q_embedding_dedup_lsh,
     }
 
 
@@ -1255,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_exact_dedup_join_docs": oracle.SQL_MINHASH_EXACT_DEDUP_DOCS,
         "embedding_dedup_pairs": oracle.SQL_EMBEDDING_DEDUP_PAIRS,
         "embedding_dedup_lsh": oracle.SQL_EMBEDDING_DEDUP_LSH,
+        "ngram_jaccard_pairs_docs": oracle.SQL_NGRAM_JACCARD_PAIRS_DOCS,
         "training_pipeline_docs": oracle.SQL_TRAINING_PIPELINE_DOCS,
         "orders_mktsegment_join": oracle.SQL_ORDERS_MKTSEGMENT_JOIN,
         "snapshot_enrich_events": oracle.SQL_SNAPSHOT_ENRICH_EVENTS,

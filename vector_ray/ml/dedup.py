@@ -299,14 +299,19 @@ def _verify_pairs_join(
     """
     import ray.data as rd
 
+    from vector_ray.stages.blocks import drop_empty_blocks
+
     if isinstance(pairs_df, Dataset):
-        pairs = pairs_df
+        # empty blocks carry stale schemas through maps (Ray skips the
+        # UDF on them — see stages/blocks.drop_empty_blocks) and break
+        # acero key resolution inside the hash join
+        pairs = drop_empty_blocks(pairs_df)
         parts = _join_partitions()
     else:
         parts = min(_join_partitions(64),
                     max(2, len(pairs_df) // 250_000 + 2))
         pairs = rd.from_pandas(pairs_df)
-    docs = ds.select_columns([id_col, text_col])
+    docs = drop_empty_blocks(ds.select_columns([id_col, text_col]))
 
     def _rename(col_from: str, col_to: str):
         def f(t: pa.Table) -> pa.Table:
@@ -316,8 +321,9 @@ def _verify_pairs_join(
 
     j1 = pairs.join(docs, "inner", parts, on=("a",), right_on=(id_col,),
                     right_suffix="_r")
-    j1 = j1.map_batches(_rename(text_col, "_text_a"),
-                        batch_format="pyarrow", batch_size=None)
+    j1 = drop_empty_blocks(j1.map_batches(
+        _rename(text_col, "_text_a"), batch_format="pyarrow",
+        batch_size=None))
     j2 = j1.join(docs, "inner", parts, on=("b",), right_on=(id_col,),
                  right_suffix="_r")
     j2 = j2.map_batches(_rename(text_col, "_text_b"),

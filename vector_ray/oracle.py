@@ -460,6 +460,48 @@ emb2 AS (
   FROM embeddings WHERE vec_id % 8 = 0)
 """
 
+# n-gram Jaccard set-similarity join (ml/ngram_join.py): exact word
+# 3-gram set Jaccard over docs2.  Grams are DISTINCT per doc; docs
+# with <3 tokens contribute their whole token sequence as ONE gram
+# (mirrors ml/hashing.shingle_hashes short-doc semantics); token-less
+# docs never pair.  All math is integer: keep iff i*10000 >= 5000*u
+# (t = 0.5), jaccard_bp = (20000*i + u) // (2*u) — half-away rounding
+# with no float anywhere, so both engines agree bit-exactly.
+SQL_NGRAM_JACCARD_PAIRS_DOCS = f"""
+WITH {_DOCS_WITH_DUPS},
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\\w+') AS toks
+  FROM docs2
+),
+toks AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM tl
+),
+grams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  UNION ALL
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS g
+  FROM toks GROUP BY doc_id HAVING count(*) < 3
+),
+sets AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sets x JOIN sets y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT inter.a, inter.b,
+       (20000 * i + (sa.sz + sb.sz - i)) // (2 * (sa.sz + sb.sz - i))
+         AS jaccard_bp
+FROM inter
+JOIN sizes sa ON sa.doc_id = inter.a
+JOIN sizes sb ON sb.doc_id = inter.b
+WHERE i * 10000 >= 5000 * (sa.sz + sb.sz - i)
+"""
+
 SQL_EMBEDDING_DEDUP_PAIRS = f"""
 WITH {_EMB_WITH_DUPS}
 SELECT e1.vec_id AS a, e2.vec_id AS b

@@ -50,3 +50,38 @@ def presort(ds: Dataset) -> Dataset:
     if ds.num_blocks() > 4 * target:
         ds = ds.repartition(target)
     return ds
+
+
+def drop_empty_blocks(ds: Dataset) -> Dataset:
+    """Schema-stabilize a dataset ahead of a hash join.
+
+    Ray's map operator does NOT run the UDF on empty input blocks — it
+    passes them through with their pre-map (or zero-column) schema
+    (ray/data/_internal/planner/plan_udf_map_op.py: "For empty input
+    blocks, we directly output them without calling the UDF").  A
+    map-then-join chain therefore feeds the join mixed-schema
+    partitions and pyarrow's acero join fails with "No match or
+    multiple matches for key field reference".  Dropping the empty
+    blocks (metadata-only scan; no block fetch) restores a uniform
+    schema.  Returns an empty-but-typed dataset untouched when every
+    block is empty (the join of nothing is nothing either way).
+    """
+    import ray.data as rd
+
+    mat = ds if hasattr(ds, "to_arrow_refs") and _is_materialized(ds) \
+        else ds.materialize()
+    refs, metas = [], 0
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in bundle.blocks:
+            metas += 1
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(ref)
+    if not refs or len(refs) == metas:
+        return mat
+    return rd.from_arrow_refs(refs)
+
+
+def _is_materialized(ds: Dataset) -> bool:
+    from ray.data.dataset import MaterializedDataset
+
+    return isinstance(ds, MaterializedDataset)

@@ -404,6 +404,48 @@ def _q_embedding_dedup_lsh(sf_dir: str):
     return deduped.select_columns(["vec_id", "label"])
 
 
+def _q_asof_join_events(sf_dir: str):
+    """Distributed as-of join (stages/asof.py): each error event joined
+    to the user's most recent at-or-before purchase event — one global
+    sort + per-block vectorized backward fill + driver carry chain.
+    Unmatched rows coalesce to sentinels on BOTH sides so the left-join
+    null columns hash-compare deterministically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.asof import asof_join
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def only(kind):
+        def f(t: pa.Table) -> pa.Table:
+            return (t.filter(pc.equal(t["event_type"], kind))
+                    .drop_columns(["event_type"]))
+        return f
+
+    left = ev.map_batches(only("error"), batch_format="pyarrow",
+                          batch_size=None)
+    right = ev.map_batches(only("purchase"), batch_format="pyarrow",
+                           batch_size=None)
+    joined = asof_join(left, right, on="ts", by=["user_id"],
+                       strategy="backward", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        epoch = pa.scalar(0, pa.timestamp("us"))
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts": t["ts"],
+            "purchase_event_id": pc.fill_null(t["event_id_r"], -1),
+            "purchase_ts": pc.fill_null(
+                pc.cast(t["ts_r"], pa.timestamp("us")), epoch),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def _q_ngram_jaccard_pairs_docs(sf_dir: str):
     """Standalone n-gram Jaccard set-similarity join (AllPairs prefix
     filter, ml/ngram_join.py): exact word-3-gram Jaccard >= 0.5 over
@@ -1153,7 +1195,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_replace_events": _q_hash_replace_events,
         "cardinality_events": _q_cardinality_events,
         "sample_transcripts": _q_sample_transcripts,
-        "sample_hash_events": _q_sample_hash_events,
         # --- windows / sessions (§2.8) ---
         "session_stats_events": _q_session_stats_events,
         "sliding_window_events": _q_sliding_window_events,
@@ -1175,6 +1216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anti_join": _q_events_anti_join,
         "top2_per_type": _q_top2_per_type,
         "orders_mktsegment_join": _q_orders_mktsegment_join,
+        "asof_join_events": _q_asof_join_events,
         "quantile_sketch_events": _q_quantile_sketch_events,
         # --- ML / training-data family ---
         "doc_quality": _q_doc_quality,
@@ -1210,6 +1252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "media_features": _q_media_features,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
+        "sample_hash_events": _q_sample_hash_events,
     }
 
 
@@ -1272,6 +1315,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_pairs": oracle.SQL_EMBEDDING_DEDUP_PAIRS,
         "embedding_dedup_lsh": oracle.SQL_EMBEDDING_DEDUP_LSH,
         "ngram_jaccard_pairs_docs": oracle.SQL_NGRAM_JACCARD_PAIRS_DOCS,
+        "asof_join_events": oracle.SQL_ASOF_JOIN_EVENTS,
         "training_pipeline_docs": oracle.SQL_TRAINING_PIPELINE_DOCS,
         "orders_mktsegment_join": oracle.SQL_ORDERS_MKTSEGMENT_JOIN,
         "snapshot_enrich_events": oracle.SQL_SNAPSHOT_ENRICH_EVENTS,

@@ -460,6 +460,22 @@ emb2 AS (
   FROM embeddings WHERE vec_id % 8 = 0)
 """
 
+# as-of join (stages/asof.py): each error event joined to the user's
+# most recent at-or-before purchase; ties inclusive (>=), unmatched
+# left rows survive with sentinel payload (nullable-int pandas frames
+# hash-drift otherwise).  (user_id, ts) is unique in the testdata, so
+# the backward pick is deterministic on both engines.
+SQL_ASOF_JOIN_EVENTS = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error'),
+     r AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts,
+       coalesce(r.event_id, -1) AS purchase_event_id,
+       coalesce(r.ts, TIMESTAMP '1970-01-01') AS purchase_ts
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
 # n-gram Jaccard set-similarity join (ml/ngram_join.py): exact word
 # 3-gram set Jaccard over docs2.  Grams are DISTINCT per doc; docs
 # with <3 tokens contribute their whole token sequence as ONE gram

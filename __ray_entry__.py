@@ -446,6 +446,45 @@ def _q_asof_join_events(sf_dir: str):
                               batch_size=None)
 
 
+def _q_interval_join_events(sf_dir: str):
+    """Distributed range join (stages/interval_join.py): error events
+    falling inside [purchase_ts, purchase_ts + 1h] per user — chunked
+    band join (quantile chunks from a bounded sample, intervals
+    replicated to overlapping chunks, one equality hash-join, exact
+    range filter).  Genuinely multi-matching: one error can land in
+    several purchase windows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.interval_join import interval_join
+
+    ev = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def errors(t: pa.Table) -> pa.Table:
+        return (t.filter(pc.equal(t["event_type"], "error"))
+                .drop_columns(["event_type"]))
+
+    def purchase_windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        start = t["ts"]
+        end = pc.cast(pc.add(pc.cast(start, pa.int64()),
+                             3_600_000_000), pa.timestamp("us"))
+        return pa.table({"user_id": t["user_id"],
+                         "purchase_event_id": t["event_id"],
+                         "w_start": start, "w_end": end})
+
+    points = ev.map_batches(errors, batch_format="pyarrow",
+                            batch_size=None)
+    windows = ev.map_batches(purchase_windows, batch_format="pyarrow",
+                             batch_size=None)
+    joined = interval_join(points, windows, point_col="ts",
+                           start_col="w_start", end_col="w_end",
+                           by=["user_id"], how="inner")
+    return joined.select_columns(["event_id", "user_id", "ts",
+                                  "purchase_event_id"])
+
+
 def _q_ngram_jaccard_pairs_docs(sf_dir: str):
     """Standalone n-gram Jaccard set-similarity join (AllPairs prefix
     filter, ml/ngram_join.py): exact word-3-gram Jaccard >= 0.5 over
@@ -1184,7 +1223,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_summary_events": _q_agg_summary_events,  # sum+count+mean, 1 pass
         "latest_events": _q_latest_events,
         "diff_events": _q_diff_events,
-        "stdev_events": _q_stdev_events,
         "histogram_events": _q_histogram_events,
         "throttle_events": _q_throttle_events,
         "dedupe_events": _q_dedupe_events,
@@ -1217,6 +1255,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top2_per_type": _q_top2_per_type,
         "orders_mktsegment_join": _q_orders_mktsegment_join,
         "asof_join_events": _q_asof_join_events,
+        "interval_join_events": _q_interval_join_events,
         "quantile_sketch_events": _q_quantile_sketch_events,
         # --- ML / training-data family ---
         "doc_quality": _q_doc_quality,
@@ -1253,6 +1292,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         "sample_hash_events": _q_sample_hash_events,
+        # stdev_events: displaced past the driver window by the round-3
+        # join additions; aggregate keeps 4 in-window reps (summary/
+        # latest/diff/histogram) and stdev stays locally oracle-swept
+        "stdev_events": _q_stdev_events,
     }
 
 
@@ -1316,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_lsh": oracle.SQL_EMBEDDING_DEDUP_LSH,
         "ngram_jaccard_pairs_docs": oracle.SQL_NGRAM_JACCARD_PAIRS_DOCS,
         "asof_join_events": oracle.SQL_ASOF_JOIN_EVENTS,
+        "interval_join_events": oracle.SQL_INTERVAL_JOIN_EVENTS,
         "training_pipeline_docs": oracle.SQL_TRAINING_PIPELINE_DOCS,
         "orders_mktsegment_join": oracle.SQL_ORDERS_MKTSEGMENT_JOIN,
         "snapshot_enrich_events": oracle.SQL_SNAPSHOT_ENRICH_EVENTS,

@@ -476,6 +476,20 @@ SELECT l.event_id, l.user_id, l.ts,
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
 """
 
+# range join (stages/interval_join.py): error events inside the hour
+# after each purchase, per user.  Multi-matching by construction; all
+# columns are ints/timestamps so the hash compare is exact.
+SQL_INTERVAL_JOIN_EVENTS = """
+WITH l AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'error'),
+     r AS (SELECT event_id AS purchase_event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase')
+SELECT l.event_id, l.user_id, l.ts, r.purchase_event_id
+FROM l JOIN r ON l.user_id = r.user_id
+             AND l.ts >= r.ts
+             AND l.ts <= r.ts + INTERVAL 1 HOUR
+"""
+
 # n-gram Jaccard set-similarity join (ml/ngram_join.py): exact word
 # 3-gram set Jaccard over docs2.  Grams are DISTINCT per doc; docs
 # with <3 tokens contribute their whole token sequence as ONE gram

@@ -415,8 +415,14 @@ def _q_asof_join_events(sf_dir: str):
 
     from vector_ray.stages.asof import asof_join
 
+    # one parquet scan feeds both sides (two lazy branches would each
+    # re-execute the read)
     ev = _events(sf_dir, columns=["event_id", "ts", "user_id",
-                                  "event_type"])
+                                  "event_type"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"],
+                                    value_set=pa.array(["error",
+                                                        "purchase"]))),
+        batch_format="pyarrow", batch_size=None).materialize()
 
     def only(kind):
         def f(t: pa.Table) -> pa.Table:
@@ -459,7 +465,11 @@ def _q_interval_join_events(sf_dir: str):
     from vector_ray.stages.interval_join import interval_join
 
     ev = _events(sf_dir, columns=["event_id", "ts", "user_id",
-                                  "event_type"])
+                                  "event_type"]).map_batches(
+        lambda t: t.filter(pc.is_in(t["event_type"],
+                                    value_set=pa.array(["error",
+                                                        "purchase"]))),
+        batch_format="pyarrow", batch_size=None).materialize()
 
     def errors(t: pa.Table) -> pa.Table:
         return (t.filter(pc.equal(t["event_type"], "error"))

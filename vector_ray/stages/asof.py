@@ -43,7 +43,7 @@ import ray
 import ray.data as rd
 from ray.data import Dataset
 
-from vector_ray.stages.blocks import presort
+from vector_ray.stages.blocks import compact_blocks, presort
 from vector_ray.stages.sorted_ops import _combined_key
 
 _KEY = "__asof_key"
@@ -89,6 +89,11 @@ def asof_join(
         # pandas-block schema: reconstruct from names/types
         return pa.schema(list(zip(s.names, s.types)))
 
+    # materialize once: schema() on a lazy chain executes it, and the
+    # union below would execute it a second time; compact so the 6
+    # downstream stages don't pay per-tiny-block task overhead
+    left = compact_blocks(left.materialize())
+    right = compact_blocks(right.materialize())
     left_schema = _arrow_schema(left)
     right_schema = _arrow_schema(right)
     left_names = list(left_schema.names)

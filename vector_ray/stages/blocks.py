@@ -52,6 +52,29 @@ def presort(ds: Dataset) -> Dataset:
     return ds
 
 
+def compact_blocks(ds: Dataset, *, min_rows: int = 32_768) -> Dataset:
+    """Merge undersized blocks of a MATERIALIZED dataset.
+
+    Ray sizes read parallelism for throughput, which leaves small
+    inputs shredded into blocks of a few thousand rows; every
+    downstream stage then pays per-block task-launch overhead that
+    dwarfs the compute (measured ~8 s for a 7-stage pipeline over 100k
+    rows at 128 blocks on this VM).  When the average block is under
+    ``min_rows``, repartition down so blocks carry real work.  Count
+    and block count are metadata reads on a materialized dataset; the
+    repartition is one cheap pass over data small enough to have tiny
+    blocks in the first place.  No-op for healthy block sizes, so it
+    is safe to call unconditionally at operator entry."""
+    nb = ds.num_blocks()
+    if nb is None or nb <= 2:
+        return ds
+    total = ds.count()
+    target = max(1, min(nb, -(-total // min_rows)))
+    if target <= nb // 2:
+        return ds.repartition(target).materialize()
+    return ds
+
+
 def drop_empty_blocks(ds: Dataset) -> Dataset:
     """Schema-stabilize a dataset ahead of a hash join.
 

@@ -46,7 +46,7 @@ import ray.data as rd
 from ray.data import Dataset
 
 from vector_ray.ml.dedup import _join_partitions
-from vector_ray.stages.blocks import drop_empty_blocks
+from vector_ray.stages.blocks import compact_blocks, drop_empty_blocks
 
 _CHUNK = "__ij_chunk"
 
@@ -92,6 +92,12 @@ def interval_join(
         raise ValueError("how='left' needs point_id_col (a unique "
                          "point key) to identify unmatched points")
     by = list(by)
+
+    # materialize once: the sample, the schema probes, and the tagging
+    # pass would each re-execute a lazy input chain otherwise; compact
+    # so downstream stages don't pay per-tiny-block task overhead
+    points = compact_blocks(points.materialize())
+    intervals = compact_blocks(intervals.materialize())
 
     # -- chunk boundaries from a bounded sample of the point column
     sample = (points.select_columns([point_col]).limit(sample_rows)

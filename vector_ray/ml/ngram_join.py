@@ -150,6 +150,14 @@ def ngram_jaccard_pairs(
     import ray
     import ray.data as rd
 
+    from vector_ray.stages.blocks import compact_blocks
+
+    # one materialize feeds the sample, the prefix stage and the verify
+    # join (3 executions of a lazy chain otherwise); compacting merges
+    # the tiny blocks a unioned/filtered doc source arrives in, which
+    # the ~8 downstream stages would each pay per-block task launch for
+    ds = compact_blocks(ds.materialize())
+
     freq_hashes, freq_ranks = _sample_token_ranks(
         ds, text_col=text_col, n=shingle_n, freq_sample=freq_sample,
         freq_top=freq_top)
@@ -167,8 +175,10 @@ def ngram_jaccard_pairs(
                                           t.schema.field(id_col).type),
                          "token": pa.array(out_tok, pa.uint64())})
 
-    prefixes = ds.select_columns([id_col, text_col]).map_batches(
-        prefix_stage, batch_format="pyarrow", batch_size=None).materialize()
+    prefixes = compact_blocks(
+        ds.select_columns([id_col, text_col]).map_batches(
+            prefix_stage, batch_format="pyarrow",
+            batch_size=None).materialize())
 
     def _rename(frm: str, to: str):
         def f(t: pa.Table) -> pa.Table:

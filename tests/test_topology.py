@@ -237,3 +237,115 @@ sinks:
 """)
     res = run_topology(topo)
     assert res.sink_counts["out"] > 6000  # one row per word >> one per turn
+
+
+def test_two_input_join_transforms():
+    """asof_join / interval_join as two-input topology components —
+    the only transforms that consume (left, right) sides instead of a
+    union-of-inputs stream."""
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml("""
+sources:
+  errors:
+    type: parquet
+    path: /root/testdata/sf0.001/events.parquet
+    columns: [event_id, ts, user_id, event_type]
+  purchases:
+    type: parquet
+    path: /root/testdata/sf0.001/events.parquet
+    columns: [event_id, ts, user_id, event_type]
+transforms:
+  only_errors:
+    type: filter
+    inputs: [errors]
+    condition: '.event_type == "error"'
+  only_purchases:
+    type: filter
+    inputs: [purchases]
+    condition: '.event_type == "purchase"'
+  last_purchase:
+    type: asof_join
+    inputs: [only_errors, only_purchases]
+    on: ts  # YAML-1.1 boolean key, accepted by the runner
+    by: [user_id]
+    strategy: backward
+    how: left
+sinks:
+  out: {type: blackhole, inputs: [last_purchase]}
+""")
+    res = run_topology(topo, execute_sinks=False, tap="last_purchase")
+    out = res.outputs["last_purchase"].to_pandas()
+    import ray.data as rd
+    n_err = rd.read_parquet("/root/testdata/sf0.001/events.parquet") \
+        .filter(lambda r: r["event_type"] == "error").count()
+    assert len(out) == n_err
+    assert "event_id_r" in out.columns  # right payload renamed in
+    matched = out["event_id_r"].notna()
+    assert matched.any()
+    assert (out.loc[matched, "ts_r"] <= out.loc[matched, "ts"]).all()
+
+    topo2 = Topology.from_yaml("""
+sources:
+  pts:
+    type: parquet
+    path: /root/testdata/sf0.001/events.parquet
+    columns: [event_id, ts, user_id]
+  iv:
+    type: parquet
+    path: /root/testdata/sf0.001/events.parquet
+    columns: [event_id, ts, user_id]
+transforms:
+  windows:
+    type: remap
+    inputs: [iv]
+    program: purchase_windows_test
+  in_window:
+    type: interval_join
+    inputs: [pts, windows]
+    point_col: ts
+    start_col: ts_w
+    end_col: ts_w_end
+    by: [user_id]
+sinks:
+  out: {type: blackhole, inputs: [in_window]}
+""")
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import vector_ray.topology.runner as runner
+
+    def windows_prog(t: pa.Table):
+        s = t["ts"]
+        e = pc.cast(pc.add(pc.cast(s, pa.int64()), 3_600_000_000),
+                    pa.timestamp("us"))
+        out = pa.table({"user_id": t["user_id"], "iv_id": t["event_id"],
+                        "ts_w": s, "ts_w_end": e})
+        return out, pa.array([False] * t.num_rows), \
+            pa.array([None] * t.num_rows, pa.string())
+
+    runner.register_program("purchase_windows_test", windows_prog)
+    res2 = run_topology(topo2, execute_sinks=False, tap="in_window")
+    out2 = res2.outputs["in_window"].to_pandas()
+    assert len(out2) > 0
+    assert (out2["ts"] >= out2["ts_w"]).all()
+    assert (out2["ts"] <= out2["ts_w_end"]).all()
+
+
+def test_join_transform_wrong_input_count():
+    from vector_ray.topology import ConfigError, Topology, run_topology
+
+    topo = Topology.from_yaml("""
+sources:
+  a:
+    type: parquet
+    path: /root/testdata/sf0.001/events.parquet
+transforms:
+  j:
+    type: asof_join
+    inputs: [a]
+    on: ts
+sinks:
+  out: {type: blackhole, inputs: [j]}
+""")
+    with pytest.raises(ConfigError, match="needs exactly 2 inputs"):
+        run_topology(topo, execute_sinks=False)

@@ -131,8 +131,13 @@ def run_topology(
         if spec.kind == "source":
             ports[name] = {"": _build_source(spec, variables)}
         elif spec.kind == "transform":
-            ins = _union([resolve(r) for r in spec.inputs])
-            ports[name] = _build_transform(spec, ins, tables)
+            ins_list = [resolve(r) for r in spec.inputs]
+            # two-input joins keep their sides separate (different
+            # schemas — a union would reject them)
+            ins = ins_list[0] if spec.type in _TWO_INPUT_TRANSFORMS \
+                else _union(ins_list)
+            ports[name] = _build_transform(spec, ins, tables,
+                                           ins_list=ins_list)
             # fanout: materialize once when multiple consumers read this node
             if consumers.get(name, 0) > 1:
                 ports[name] = {p: d.materialize() for p, d in ports[name].items()}
@@ -179,11 +184,49 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
     raise ConfigError(f"unknown source type {spec.type!r}")
 
 
+# transforms consuming their 2 inputs as distinct (left, right) sides
+# instead of the reference's union-of-inputs stream semantics
+_TWO_INPUT_TRANSFORMS = frozenset({"asof_join", "interval_join"})
+
+
 def _build_transform(
-    spec: ComponentSpec, ds: Dataset, tables: dict[str, FileTable]
+    spec: ComponentSpec, ds: Dataset, tables: dict[str, FileTable],
+    ins_list: list[Dataset] | None = None,
 ) -> dict[str, Dataset]:
     c = spec.config
     t = spec.type
+    if t in ("asof_join", "interval_join"):
+        # two-input components: inputs[0] is the left/points side,
+        # inputs[1] the right/intervals side (every other transform
+        # unions its inputs into one stream, reference-style)
+        if ins_list is None or len(ins_list) != 2:
+            raise ConfigError(
+                f"{t} component {spec.name!r} needs exactly 2 inputs "
+                f"(left, right); got {len(ins_list or [])}")
+        if t == "asof_join":
+            from vector_ray.stages.asof import asof_join
+
+            # YAML 1.1 parses a bare `on:` key as boolean True — accept
+            # it, plus an unambiguous `on_col` alias
+            on_col = c.get("on", c.get(True, c.get("on_col")))
+            if on_col is None:
+                raise ConfigError(
+                    f"asof_join component {spec.name!r} needs `on` "
+                    "(or `on_col`)")
+            return {"": asof_join(
+                ins_list[0], ins_list[1], on=on_col,
+                by=c.get("by", ()), strategy=c.get("strategy", "backward"),
+                tolerance=c.get("tolerance"), suffix=c.get("suffix", "_r"),
+                how=c.get("how", "left"))}
+        from vector_ray.stages.interval_join import interval_join
+
+        return {"": interval_join(
+            ins_list[0], ins_list[1], point_col=c["point_col"],
+            start_col=c["start_col"], end_col=c["end_col"],
+            by=c.get("by", ()), how=c.get("how", "inner"),
+            point_id_col=c.get("point_id_col"),
+            num_chunks=c.get("num_chunks", 64),
+            suffix=c.get("suffix", "_r"))}
     if t == "remap":
         if "source" in c:
             from vector_ray.vrl import compile_vrl
@@ -476,10 +519,12 @@ def run_topology_sharded(
                 ports[name] = {"": rd.read_parquet(
                     shard_files, columns=spec.config.get("columns"))}
             elif spec.kind == "transform":
-                refs = [r for r in spec.inputs]
-                ins = _union([ports[r.partition(".")[0]][r.partition(".")[2]]
-                              for r in refs])
-                ports[name] = _build_transform(spec, ins, tables)
+                ins_list = [ports[r.partition(".")[0]][r.partition(".")[2]]
+                            for r in spec.inputs]
+                ins = ins_list[0] if spec.type in _TWO_INPUT_TRANSFORMS \
+                    else _union(ins_list)
+                ports[name] = _build_transform(spec, ins, tables,
+                                               ins_list=ins_list)
                 if consumers.get(name, 0) > 1:
                     # fanout: execute this node once per shard, not once
                     # per consumer (mirrors run_topology's materialize)

@@ -146,3 +146,39 @@ def test_timestamp_tolerance_seconds(ray_session):
     got = _got(left, right, "backward", tolerance=60.0, blocks=1)
     m = {lv: rv for lv, rv in zip(got["lv"], got["rv"])}
     assert m[0] == 5 and pd.isna(m[1])
+
+
+def test_nearest_matches_pandas(ray_session):
+    left, right = _mk(13, 300, 200, 10)
+    got = _got(left, right, "nearest").drop(columns=["ts_r"])
+    want = _expected(left, right, "nearest")
+    _cmp(got, want[got.columns])
+
+
+def test_nearest_with_tolerance(ray_session):
+    left, right = _mk(17, 250, 120, 6)
+    got = _got(left, right, "nearest", tolerance=35).drop(columns=["ts_r"])
+    want = _expected(left, right, "nearest", tolerance=35)
+    _cmp(got, want[got.columns])
+
+
+def test_nearest_tie_goes_backward(ray_session):
+    left = pd.DataFrame({"k": [1], "ts": [100], "lv": [0]})
+    right = pd.DataFrame({"k": [1, 1], "ts": [95, 105], "rv": [7, 8]})
+    got = _got(left, right, "nearest", blocks=1)
+    assert got["rv"].tolist() == [7]
+
+
+def test_nearest_forward_carry_across_blocks(ray_session):
+    # left rows whose nearest right sits FORWARD in a later block:
+    # rights all at the end of the domain, lefts just before them
+    left = pd.DataFrame({"k": np.zeros(100, dtype="int64"),
+                         "ts": (np.arange(100) * 10).astype("int64"),
+                         "lv": np.arange(100, dtype="int64")})
+    right = pd.DataFrame({"k": np.zeros(3, dtype="int64"),
+                          "ts": np.array([400, 700, 995], dtype="int64"),
+                          "rv": np.array([0, 1, 2], dtype="int64")})
+    got = _got(left, right, "nearest", blocks=16)
+    want = pd.merge_asof(left, right, on="ts", by="k",
+                         direction="nearest", suffixes=("", "_r"))
+    _cmp(got.drop(columns=["ts_r"]), want[["k", "ts", "lv", "rv"]])

@@ -65,9 +65,10 @@ def asof_join(
     """As-of join ``left`` to ``right`` on ordering column ``on``
     within ``by`` equality keys.
 
-    ``strategy``: ``backward`` (greatest right ``on`` <= left ``on``)
-    or ``forward`` (least right ``on`` >= left ``on``); ties are
-    inclusive either way.  ``tolerance`` bounds ``|left.on -
+    ``strategy``: ``backward`` (greatest right ``on`` <= left ``on``),
+    ``forward`` (least right ``on`` >= left ``on``), or ``nearest``
+    (whichever of the two is closer; equal distances resolve backward,
+    matching pandas ``merge_asof``); ties are inclusive either way.  ``tolerance`` bounds ``|left.on -
     right.on|`` — seconds when ``on`` is a timestamp, native units
     otherwise.  ``how``: ``left`` keeps unmatched left rows with null
     right payload; ``inner`` drops them.  Right columns colliding with
@@ -75,8 +76,9 @@ def asof_join(
     Rows with a null ``on`` never match (left ones survive a ``left``
     join unmatched).
     """
-    if strategy not in ("backward", "forward"):
+    if strategy not in ("backward", "forward", "nearest"):
         raise ValueError(f"unknown asof strategy {strategy!r}")
+    nearest = strategy == "nearest"
     if how not in ("left", "inner"):
         raise ValueError(f"unknown asof how {how!r}")
     by = list(by)
@@ -173,18 +175,20 @@ def asof_join(
 
     @ray.remote
     def summary(t: pa.Table):
-        """Last right row of the block: (key, ats, payload values)."""
+        """First/last right row of the block: (key, ats, payloads)."""
         if t.num_rows == 0:
             return None
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         ridx = np.nonzero(side == 0)[0]
         if len(ridx) == 0:
-            return {"last_right": None}
-        i = int(ridx[-1])
-        key = t[_KEY][i].as_py()
-        ats = t[_ATS][i].as_py()
-        vals = {p: t[p][i] for p in payload_out}  # pa scalars
-        return {"last_right": (key, ats, vals)}
+            return {"last_right": None, "first_right": None}
+
+        def row(i):
+            return (t[_KEY][i].as_py(), t[_ATS][i].as_py(),
+                    {p: t[p][i] for p in payload_out})  # pa scalars
+
+        return {"last_right": row(int(ridx[-1])),
+                "first_right": row(int(ridx[0]))}
 
     sums = ray.get([summary.remote(r) for r in refs])
     carry_in: list = []
@@ -193,9 +197,18 @@ def asof_join(
         carry_in.append(carry)
         if s is not None and s["last_right"] is not None:
             carry = s["last_right"]
+    # nearest also needs the FIRST right row of any following block:
+    # reverse chain scan, nearest following block wins
+    carry_f_in: list = [None] * len(sums)
+    if nearest:
+        cf = None
+        for i in range(len(sums) - 1, -1, -1):
+            carry_f_in[i] = cf
+            if sums[i] is not None and sums[i]["first_right"] is not None:
+                cf = sums[i]["first_right"]
 
     @ray.remote
-    def merge_block(t: pa.Table, carry):
+    def merge_block(t: pa.Table, carry, carry_f):
         n = t.num_rows
         empty = pa.table({name: pa.array([], left_schema.field(name).type)
                           for name in left_names} |
@@ -234,8 +247,47 @@ def asof_join(
         on_null = ~pc.is_valid(t[_ATS]).to_numpy(zero_copy_only=False)
         matched &= ~on_null
         from_carry &= ~on_null
+        # nearest: also find the first right row at-or-after each left
+        # row (in-block or the carried first-right of later blocks) and
+        # prefer it over the backward pick only when STRICTLY closer —
+        # equal-distance ties go backward, matching pandas merge_asof
+        use_f = np.zeros(n, dtype=bool)
+        use_fc = np.zeros(n, dtype=bool)
+        nxt_safe = np.zeros(n, dtype=np.int64)
+        if nearest:
+            BIG = np.iinfo(np.int64).max
+            nxt = np.minimum.accumulate(
+                np.where(side == 0, np.arange(n), n)[::-1])[::-1]
+            nxt_safe = np.minimum(nxt, n - 1)
+            has_f = (nxt < n) & (kn[nxt_safe] == kn) & is_left
+            dt_f = np.where(has_f, ats[nxt_safe] - ats, BIG)
+            if tol_units is not None:
+                has_f &= dt_f <= tol_units
+                dt_f = np.where(has_f, dt_f, BIG)
+            fc = np.zeros(n, dtype=bool)
+            dt_fc = np.full(n, BIG)
+            if carry_f is not None:
+                fk, fats, _ = carry_f
+                no_inblock = (nxt >= n) | (kn[nxt_safe] != kn)
+                fc = is_left & no_inblock & (kn == fk)
+                dt_fc = np.where(fc, fats - ats, BIG)
+                if tol_units is not None:
+                    fc &= dt_fc <= tol_units
+                    dt_fc = np.where(fc, dt_fc, BIG)
+            dt_b = np.full(n, BIG)
+            dt_b[matched] = (ats - ats[safe])[matched]
+            if carry is not None:
+                dt_b[from_carry] = (ats - carry[1])[from_carry]
+            fdt = np.where(has_f, dt_f, dt_fc)
+            prefer_f = (has_f | fc) & (fdt < dt_b) & ~on_null
+            use_f = prefer_f & has_f
+            use_fc = prefer_f & ~has_f
+            matched &= ~prefer_f
+            from_carry &= ~prefer_f
         take = pa.array(np.where(matched, safe, 0), pa.int64())
+        take_f = pa.array(np.where(use_f, nxt_safe, 0), pa.int64())
         m_arr, c_arr = pa.array(matched), pa.array(from_carry)
+        f_arr, fc_arr = pa.array(use_f), pa.array(use_fc)
         cols = {name: t[name] for name in left_names}
         for p in payload_out:
             col = t[p]
@@ -244,15 +296,19 @@ def asof_join(
             vals = pc.if_else(m_arr, col.take(take),
                               pa.nulls(n, payload_types[p]))
             if carry is not None:
-                cv = carry[2][p]
-                vals = pc.if_else(c_arr, cv, vals)
+                vals = pc.if_else(c_arr, carry[2][p], vals)
+            if nearest:
+                vals = pc.if_else(f_arr, col.take(take_f), vals)
+                if carry_f is not None:
+                    vals = pc.if_else(fc_arr, carry_f[2][p], vals)
             cols[p] = vals
         out = pa.table(cols).filter(pa.array(is_left))
         if how == "inner":
-            keep = pa.array((matched | from_carry)[is_left])
+            keep = pa.array((matched | from_carry | use_f
+                             | use_fc)[is_left])
             out = out.filter(keep)
         return out
 
-    out_refs = [merge_block.remote(r, carry_in[i])
+    out_refs = [merge_block.remote(r, carry_in[i], carry_f_in[i])
                 for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)

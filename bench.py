@@ -89,7 +89,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
     if not os.environ.get("BENCH_HEADLINE_ONLY"):
         import __ray_entry__ as entry_mod
 
-        for name in ("dedupe_events", "agg_sum_events", "throttle_events"):
+        for name in ("dedupe_events", "agg_sum_events", "throttle_events",
+                     # round-3 gained joins (stages/asof.py,
+                     # stages/interval_join.py)
+                     "asof_join_events", "interval_join_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             res.count()

@@ -55,3 +55,21 @@ def test_sizing_survives_resources_failure(monkeypatch):
     monkeypatch.setattr(ray, "cluster_resources", boom)
     assert _join_partitions() == 4           # 8-cpu fallback // 2
     assert _target_blocks() == 16
+
+
+def test_compact_blocks_merges_tiny_and_keeps_healthy(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.blocks import compact_blocks
+
+    tiny = rd.from_arrow(pa.table({"x": list(range(1000))})) \
+        .repartition(100).materialize()
+    out = compact_blocks(tiny, min_rows=500)
+    assert out.num_blocks() <= 2
+    assert out.count() == 1000
+    assert sorted(r["x"] for r in out.take_all()) == list(range(1000))
+
+    healthy = rd.from_arrow(pa.table({"x": list(range(1000))})) \
+        .repartition(2).materialize()
+    assert compact_blocks(healthy, min_rows=100) is healthy  # no-op

@@ -349,3 +349,70 @@ sinks:
 """)
     with pytest.raises(ConfigError, match="needs exactly 2 inputs"):
         run_topology(topo, execute_sinks=False)
+
+
+def test_ml_training_prep_yaml_pipeline(tmp_path):
+    """End-to-end training-data prep as a YAML topology: quality score
+    -> filter -> exact dedup -> token count — the ml/ Python surface
+    exposed as CLI-runnable components."""
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(f"""
+sources:
+  docs:
+    type: parquet
+    path: /root/testdata/sf0.001/documents.parquet
+    columns: [doc_id, text]
+transforms:
+  scored:
+    type: quality_score
+    inputs: [docs]
+  keep_good:
+    type: filter
+    inputs: [scored]
+    condition: '.n_words >= 5'
+  unique_docs:
+    type: exact_dedup
+    inputs: [keep_good]
+  counted:
+    type: token_count
+    inputs: [unique_docs]
+sinks:
+  out:
+    type: parquet
+    inputs: [counted]
+    path: "{tmp_path}/prep"
+""")
+    res = run_topology(topo)
+    import ray.data as rd
+
+    out = rd.read_parquet(str(tmp_path / "prep")).to_pandas()
+    assert res.sink_counts["out"] == len(out) > 0
+    assert {"doc_id", "text", "n_words", "n_punct",
+            "ws_tokens", "bpe_tokens"} <= set(out.columns)
+    assert out["text"].is_unique  # exact dedup held
+    assert (out["n_words"] >= 5).all()
+    assert (out["ws_tokens"] > 0).all()
+
+
+def test_minhash_dedup_yaml_component():
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml("""
+sources:
+  docs:
+    type: parquet
+    path: /root/testdata/sf0.001/documents.parquet
+    columns: [doc_id, text]
+transforms:
+  deduped:
+    type: minhash_dedup
+    inputs: [docs]
+    threshold: 0.7
+sinks:
+  out: {type: blackhole, inputs: [deduped]}
+""")
+    res = run_topology(topo, execute_sinks=False, tap="deduped")
+    out = res.outputs["deduped"].to_pandas()
+    assert 0 < len(out)
+    assert out["text"].is_unique  # near-dup removal implies exact too

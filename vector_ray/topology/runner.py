@@ -381,6 +381,44 @@ def _build_transform(
             select=c["select"], case_sensitive=c.get("case_sensitive", True),
             prefix=c.get("prefix", ""), concurrency=tuple(c.get("concurrency", (1, 8))),
         )}
+    # --- training-data ML family as YAML components (beyond the
+    # reference; the Python API in vector_ray/ml/ is the primary
+    # surface, these make end-to-end prep pipelines CLI-runnable) ---
+    if t == "exact_dedup":
+        from vector_ray.ml.dedup import exact_dedup_docs
+
+        return {"": exact_dedup_docs(
+            ds, text_col=c.get("text_col", "text"),
+            id_col=c.get("id_col", "doc_id"),
+            hash=c.get("hash", "fast"))}
+    if t == "minhash_dedup":
+        from vector_ray.ml.dedup import minhash_lsh_dedup
+
+        deduped, _clusters = minhash_lsh_dedup(
+            ds, text_col=c.get("text_col", "text"),
+            id_col=c.get("id_col", "doc_id"),
+            num_hashes=c.get("num_hashes", 128),
+            bands=c.get("bands", 32),
+            shingle_n=c.get("shingle_n", 3),
+            threshold=c.get("threshold", 0.8),
+            seed=c.get("seed", 42),
+            verify=c.get("verify", "jaccard"),
+            verify_in=c.get("verify_in", "auto"),
+            components=c.get("components", "driver"))
+        return {"": deduped}
+    if t in ("quality_score", "lang_id", "token_count",
+             "doc_fingerprint"):
+        from vector_ray.ml import text as _mltext
+
+        fn = getattr(_mltext, t)
+        kw = {"text_col": c.get("text_col", "text")}
+        if t == "lang_id" and "concurrency" in c:
+            kw["concurrency"] = tuple(c["concurrency"])
+        if t == "token_count" and "pattern" in c:
+            kw["pattern"] = c["pattern"]
+        if t == "doc_fingerprint" and "window" in c:
+            kw["window"] = c["window"]
+        return {"": fn(ds, **kw)}
     raise ConfigError(f"unknown transform type {t!r}")
 
 

@@ -84,8 +84,13 @@ def _sample_token_ranks(ds: Dataset, *, text_col: str, n: int,
     """Estimate the global token order from a bounded sample: the
     top-``freq_top`` most document-frequent shingles get explicit
     ranks (most frequent = highest rank = sorted LAST per doc, i.e.
-    kept OUT of prefixes); everything else orders by hash."""
-    sample = ds.limit(freq_sample).select_columns([text_col])
+    kept OUT of prefixes); everything else orders by hash.  The sample
+    is RANDOM (seeded) — limit() would read only the corpus head,
+    skewing frequency estimates on sorted/sharded inputs."""
+    sample = ds.select_columns([text_col])
+    total = ds.count()
+    if total > freq_sample:
+        sample = sample.random_sample(freq_sample / total, seed=7)
 
     def shingles_only(t: pa.Table) -> pa.Table:
         _, h_u, _ = _distinct_doc_shingles(t[text_col].to_pylist(), n)

@@ -99,11 +99,17 @@ def interval_join(
     points = compact_blocks(points.materialize())
     intervals = compact_blocks(intervals.materialize())
 
-    # -- chunk boundaries from a bounded sample of the point column
-    sample = (points.select_columns([point_col]).limit(sample_rows)
-              .map_batches(lambda t: pa.table({"v": _as_i64(t[point_col])}),
-                           batch_format="pyarrow", batch_size=None)
-              .to_pandas()["v"].dropna().to_numpy())
+    # -- chunk boundaries from a bounded RANDOM sample of the point
+    # column (limit() would take the first rows — on a time-ordered
+    # input that skews every quantile into one trailing chunk)
+    total = points.count()
+    src = points.select_columns([point_col])
+    if total > sample_rows:
+        src = src.random_sample(sample_rows / total, seed=7)
+    sample = (src.map_batches(
+        lambda t: pa.table({"v": _as_i64(t[point_col])}),
+        batch_format="pyarrow", batch_size=None)
+        .to_pandas()["v"].dropna().to_numpy())
     if len(sample) == 0:
         bounds = np.empty(0, np.int64)
     else:

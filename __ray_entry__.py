@@ -404,6 +404,19 @@ def _q_embedding_dedup_lsh(sf_dir: str):
     return deduped.select_columns(["vec_id", "label"])
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """HyperLogLog approx-distinct users per event_type
+    (stages/sketch.py): mergeable per-block registers (<= groups x 16
+    tiny rows per block leave the workers), integer-exact estimate
+    reproduced bit-for-bit by the SQL oracle."""
+    from vector_ray.stages.sketch import approx_distinct
+
+    return approx_distinct(
+        _events(sf_dir, columns=["event_type", "user_id"]),
+        "user_id", group_keys=("event_type",), b=4, hash="md5",
+        estimate_col="approx_users")
+
+
 def _q_asof_join_events(sf_dir: str):
     """Distributed as-of join (stages/asof.py): each error event joined
     to the user's most recent at-or-before purchase event — one global
@@ -1233,7 +1246,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_summary_events": _q_agg_summary_events,  # sum+count+mean, 1 pass
         "latest_events": _q_latest_events,
         "diff_events": _q_diff_events,
-        "histogram_events": _q_histogram_events,
         "throttle_events": _q_throttle_events,
         "dedupe_events": _q_dedupe_events,
         "reduce_events": _q_reduce_events,
@@ -1267,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join_events": _q_asof_join_events,
         "interval_join_events": _q_interval_join_events,
         "quantile_sketch_events": _q_quantile_sketch_events,
+        "approx_distinct_users": _q_approx_distinct_users,
         # --- ML / training-data family ---
         "doc_quality": _q_doc_quality,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1302,10 +1315,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         "sample_hash_events": _q_sample_hash_events,
-        # stdev_events: displaced past the driver window by the round-3
-        # join additions; aggregate keeps 4 in-window reps (summary/
-        # latest/diff/histogram) and stdev stays locally oracle-swept
+        # stdev/histogram: displaced past the driver window by the
+        # round-3 join/sketch additions; aggregate keeps 3 in-window
+        # reps (summary/latest/diff), these stay locally oracle-swept
         "stdev_events": _q_stdev_events,
+        "histogram_events": _q_histogram_events,
     }
 
 
@@ -1370,6 +1384,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs_docs": oracle.SQL_NGRAM_JACCARD_PAIRS_DOCS,
         "asof_join_events": oracle.SQL_ASOF_JOIN_EVENTS,
         "interval_join_events": oracle.SQL_INTERVAL_JOIN_EVENTS,
+        "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,
         "training_pipeline_docs": oracle.SQL_TRAINING_PIPELINE_DOCS,
         "orders_mktsegment_join": oracle.SQL_ORDERS_MKTSEGMENT_JOIN,
         "snapshot_enrich_events": oracle.SQL_SNAPSHOT_ENRICH_EVENTS,

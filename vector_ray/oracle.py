@@ -460,6 +460,51 @@ emb2 AS (
   FROM embeddings WHERE vec_id % 8 = 0)
 """
 
+# HyperLogLog approx-distinct (stages/sketch.py approx_distinct):
+# distinct users per event_type, b=4 (m=16 registers), md5 row hash.
+# SQL replays the published algorithm exactly: bucket = top-4 bits of
+# the first 16 md5 hex chars as UBIGINT; rho = leading-zero run of the
+# 60-bit suffix + 1 (string bin() bit length — float log2 would
+# mis-floor above 2^53); Z as a HUGEINT power sum; alpha as the exact
+# rational 673/1000; integer division.  The linear-counting branch
+# condition is integer too, so both engines always pick the same
+# branch (at this cardinality: raw).
+SQL_APPROX_DISTINCT_USERS = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS ub
+  FROM events
+),
+br AS (
+  SELECT event_type, (ub >> 60)::INTEGER AS bucket,
+         CASE WHEN (ub & ((1::UBIGINT << 60) - 1)) = 0 THEN 61
+              ELSE 60 - length(bin(ub & ((1::UBIGINT << 60) - 1))) + 1
+         END AS rho
+  FROM h
+),
+regs AS (SELECT event_type, bucket, max(rho) AS m_j FROM br GROUP BY 1, 2),
+grid AS (SELECT DISTINCT event_type, g.bucket
+         FROM events, (SELECT unnest(range(16)) AS bucket) g),
+fullr AS (
+  SELECT grid.event_type, grid.bucket, coalesce(r.m_j, 0) AS m_j
+  FROM grid LEFT JOIN regs r USING (event_type, bucket)
+),
+agg AS (
+  SELECT event_type,
+         sum(1::HUGEINT << (61 - m_j)) AS z_int,
+         sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS v
+  FROM fullr GROUP BY 1
+)
+SELECT event_type,
+       CASE WHEN 2 * ((673::HUGEINT * 256 * (1::HUGEINT << 61))
+                      // (1000 * z_int)) < 80 AND v > 0
+            THEN floor(16 * ln(16.0 / v))::BIGINT
+            ELSE ((673::HUGEINT * 256 * (1::HUGEINT << 61))
+                  // (1000 * z_int))::BIGINT
+       END AS approx_users
+FROM agg
+"""
+
 # as-of join (stages/asof.py): each error event joined to the user's
 # most recent at-or-before purchase; ties inclusive (>=), unmatched
 # left rows survive with sentinel payload (nullable-int pandas frames

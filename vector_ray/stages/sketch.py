@@ -125,3 +125,165 @@ def aggregate_quantile_sketch(
         .groupby(keys)
         .map_groups(merge, batch_format="pandas")
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog approx-distinct (Flajolet et al. 2007, public algorithm)
+# ---------------------------------------------------------------------------
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length for uint64 (0 -> 0).  Shift cascade —
+    float log2 would mis-floor near powers of two above 2^53."""
+    x = x.copy()
+    n = np.zeros(len(x), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(shift))
+        n[m] += shift
+        x[m] >>= np.uint64(shift)
+    n[x > 0] += 1
+    return n
+
+
+def _hll_alpha(m: int) -> tuple[int, int]:
+    """HLL bias constant as an exact rational (numerator, denominator)
+    so both engines compute the estimate in pure integer math."""
+    if m == 16:
+        return 673, 1000
+    if m == 32:
+        return 697, 1000
+    if m == 64:
+        return 709, 1000
+    # 0.7213 / (1 + 1.079/m) = 7213*1000*m / (10000*(1000*m + 1079))
+    return 7213 * 1000 * m, 10000 * (1000 * m + 1079)
+
+
+def _hll_hash_u64(values, hash: str) -> np.ndarray:
+    """64-bit row hashes: ``md5`` = first 16 hex chars of
+    md5(str(value)) for SQL-oracle parity (DuckDB md5); ``fast`` =
+    vectorized splitmix64/string-polynomial kernels (ml/hashing.py) for
+    the production path."""
+    if hash == "md5":
+        import hashlib
+
+        return np.fromiter(
+            (int(hashlib.md5(str(v).encode()).hexdigest()[:16], 16)
+             for v in values), dtype=np.uint64, count=len(values))
+    from vector_ray.ml.hashing import hash_strings, splitmix64
+
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        return splitmix64(arr.astype(np.uint64))
+    return hash_strings([str(v) for v in values])
+
+
+def hll_partials(
+    ds: Dataset,
+    value_col: str,
+    *,
+    group_keys: Sequence[str] = (),
+    b: int = 12,
+    hash: str = "fast",
+) -> pd.DataFrame:
+    """Per-(group, bucket) max-rho registers — the mergeable HLL state.
+
+    Each block emits at most ``groups x 2^b`` tiny rows (bucket id +
+    uint8 rho); the driver merges with one groupby-max.  This is the
+    two-phase sketch shape: the shuffle/driver never sees raw values,
+    only fixed-size registers — constant state per group at any data
+    scale."""
+    m = 1 << b
+    W = 64 - b
+    gk = list(group_keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({**{k: pa.array([], t.schema.field(k).type)
+                                for k in gk},
+                             "__bucket": pa.array([], pa.int32()),
+                             "__rho": pa.array([], pa.int32())})
+        vals = t[value_col].to_pylist()
+        h = _hll_hash_u64(vals, hash)
+        bucket = (h >> np.uint64(W)).astype(np.int64)
+        suffix = h & ((np.uint64(1) << np.uint64(W)) - np.uint64(1))
+        rho = W - _bit_length_u64(suffix) + 1  # suffix==0 -> W+1
+        if gk:
+            gdf = t.select(gk).to_pandas()
+            codes, uniq = pd.factorize(
+                pd.MultiIndex.from_frame(gdf) if len(gk) > 1
+                else gdf[gk[0]])
+            flat = codes * m + bucket
+            regs = np.zeros(len(uniq) * m, dtype=np.int64)
+            np.maximum.at(regs, flat, rho)
+            nz = np.nonzero(regs)[0]
+            out = {k: [] for k in gk}
+            for g in nz // m:
+                vals_g = uniq[g] if len(gk) > 1 else (uniq[g],)
+                for k, v in zip(gk, vals_g):
+                    out[k].append(v)
+            out_t = {k: pa.array(out[k], t.schema.field(k).type)
+                     for k in gk}
+            out_t["__bucket"] = pa.array((nz % m).astype(np.int32),
+                                         pa.int32())
+            out_t["__rho"] = pa.array(regs[nz].astype(np.int32),
+                                      pa.int32())
+            return pa.table(out_t)
+        regs = np.zeros(m, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.nonzero(regs)[0]
+        return pa.table({"__bucket": pa.array(nz.astype(np.int32),
+                                              pa.int32()),
+                         "__rho": pa.array(regs[nz].astype(np.int32),
+                                           pa.int32())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None).to_pandas()
+    if len(parts) == 0:
+        return parts
+    return (parts.groupby(gk + ["__bucket"], as_index=False)["__rho"]
+            .max())
+
+
+def approx_distinct(
+    ds: Dataset,
+    value_col: str,
+    *,
+    group_keys: Sequence[str] = (),
+    b: int = 12,
+    hash: str = "fast",
+    estimate_col: str = "approx_distinct",
+) -> pd.DataFrame:
+    """HyperLogLog distinct-count estimate per group.
+
+    All math is integer (exact-rational alpha, HUGEINT-style power
+    sums) so a SQL oracle reproduces the estimate bit-exactly; the
+    small-range linear-counting branch uses one ``ln`` (floored) — the
+    branch CONDITION is integer, so both engines always take the same
+    branch.  The large-range 2^64 correction is unreachable at any
+    realistic cardinality and omitted (documented divergence from the
+    paper)."""
+    m = 1 << b
+    W = 64 - b
+    rmax = W + 1
+    a_num, a_den = _hll_alpha(m)
+    regs = hll_partials(ds, value_col, group_keys=group_keys, b=b,
+                        hash=hash)
+    gk = list(group_keys)
+
+    def estimate(sub: pd.DataFrame) -> int:
+        M = np.zeros(m, dtype=np.int64)
+        M[sub["__bucket"].to_numpy()] = sub["__rho"].to_numpy()
+        z_int = sum(1 << (rmax - int(r)) for r in M)  # python ints
+        v = int((M == 0).sum())
+        e_raw = (a_num * m * m * (1 << rmax)) // (a_den * z_int)
+        if e_raw * 2 < 5 * m and v > 0:
+            return int(math.floor(m * math.log(m / v)))
+        return e_raw
+
+    if not gk:
+        return pd.DataFrame({estimate_col: [estimate(regs)]})
+    rows = [{**dict(zip(gk, k if len(gk) > 1 else (k,))),
+             estimate_col: estimate(sub)}
+            for k, sub in regs.groupby(gk[0] if len(gk) == 1 else gk)]
+    out = pd.DataFrame(rows).sort_values(gk).reset_index(drop=True)
+    out[estimate_col] = out[estimate_col].astype("int64")
+    return out

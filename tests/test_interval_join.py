@@ -121,3 +121,37 @@ def test_timestamp_columns(ray_session):
                         end_col="e", by=(), num_chunks=4).to_pandas()
     assert sorted(zip(got["pid"], got["iid"])) == [
         (0, 0), (1, 0), (4, 1)]
+
+
+def test_assume_disjoint_matches_chunked_path(ray_session):
+    # disjoint per-key intervals: the asof-based fast path must return
+    # exactly the chunked band join's rows (both hows)
+    rng = np.random.default_rng(23)
+    pts = pd.DataFrame({
+        "pid": np.arange(300, dtype="int64"),
+        "k": rng.integers(0, 4, 300),
+        "v": rng.integers(0, 4000, 300).astype("int64"),
+    })
+    rows = []
+    iid = 0
+    for k in range(4):  # non-overlapping [s, s+80] per key, gap 120
+        for s in range(0, 4000, 200):
+            rows.append((iid, k, s, s + 80)); iid += 1
+    iv = pd.DataFrame(rows, columns=["iid", "k", "lo", "hi"])
+
+    for how in ("inner", "left"):
+        pds = rd.from_arrow(pa.Table.from_pandas(pts)).repartition(5)
+        ids = rd.from_arrow(pa.Table.from_pandas(iv)).repartition(5)
+        slow = interval_join(pds, ids, point_col="v", start_col="lo",
+                             end_col="hi", by=("k",), how=how,
+                             point_id_col="pid", num_chunks=16).to_pandas()
+        fast = interval_join(pds, ids, point_col="v", start_col="lo",
+                             end_col="hi", by=("k",), how=how,
+                             point_id_col="pid",
+                             assume_disjoint=True).to_pandas()
+        key = ["pid", "iid"]
+        s = slow.sort_values(key).reset_index(drop=True)
+        f = fast[s.columns].sort_values(key).reset_index(drop=True)
+        for c in s.columns:
+            a = s[c].astype("float64"); b = f[c].astype("float64")
+            assert a.equals(b), (how, c)

@@ -77,6 +77,7 @@ def interval_join(
     num_chunks: int = 64,
     sample_rows: int = 100_000,
     suffix: str = "_r",
+    assume_disjoint: bool = False,
 ) -> Dataset:
     """Join each point row to every interval containing it (inclusive
     on both ends), matching ``by`` keys exactly.
@@ -92,6 +93,62 @@ def interval_join(
         raise ValueError("how='left' needs point_id_col (a unique "
                          "point key) to identify unmatched points")
     by = list(by)
+
+    if assume_disjoint:
+        # non-overlapping intervals per key admit at most ONE match per
+        # point, so the join reduces to a backward asof on the interval
+        # start plus an end-bound filter — the sorted-run path, measured
+        # ~17x cheaper than the hash join at 24M rows (BASELINE.md).
+        # CALLER CONTRACT: with overlapping intervals this silently
+        # returns only the latest-starting candidate.
+        from vector_ray.stages.asof import asof_join
+
+        # the asof orders both sides on the LEFT's column name: present
+        # the interval start under ``point_col``
+        iv_names = [f.name for f in _schema_of(intervals)]
+        if point_col in iv_names and point_col != start_col:
+            raise ValueError(
+                f"assume_disjoint: intervals side already has a column "
+                f"named {point_col!r}; rename it before joining")
+
+        def prep(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index(start_col)
+            return t.set_column(i, point_col, t[start_col])
+
+        right = intervals.map_batches(prep, batch_format="pyarrow",
+                                      batch_size=None)
+        j = asof_join(points, right, on=point_col, by=by,
+                      strategy="backward", suffix=suffix, how="left")
+        point_names_ = set(points.columns())
+        e_out = end_col + suffix if end_col in point_names_ else end_col
+        s_out = start_col + suffix if start_col in point_names_ \
+            else start_col
+
+        def in_bounds(t: pa.Table) -> pa.Table:
+            # the start column came back as point_col+suffix (asof
+            # payload collision); restore the chunked path's name
+            i = t.schema.get_field_index(point_col + suffix)
+            t = t.set_column(i, s_out, t[point_col + suffix])
+            v = _as_i64(t[point_col])
+            e = _as_i64(t[e_out])
+            hit = pc.and_kleene(pc.is_valid(e), pc.less_equal(v, e))
+            if how == "inner":
+                return t.filter(pc.fill_null(hit, False))
+            # left: blank the interval payload where the end bound
+            # fails, keep the point row
+            miss = pc.fill_null(pc.invert(hit), True)
+            for name in t.schema.names:
+                if name in point_names_:
+                    continue
+                col = t[name]
+                t = t.set_column(
+                    t.schema.get_field_index(name), name,
+                    pc.if_else(miss, pa.nulls(t.num_rows, col.type),
+                               col))
+            return t
+
+        return j.map_batches(in_bounds, batch_format="pyarrow",
+                             batch_size=None)
 
     # materialize once: the sample, the schema probes, and the tagging
     # pass would each re-execute a lazy input chain otherwise; compact

@@ -82,6 +82,18 @@ def _events(sf_dir: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _events_typed(sf_dir: str, kinds: list):
+    """Events of the given types with the predicate PUSHED INTO the
+    parquet read (row-group pruning at storage, not a post-scan map)."""
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pds.field("event_type").isin(kinds))
+
+
 def _cents(ds, src="value", dst="value_cents"):
     """Exact integer cents from the 2-decimal `value` column — float sums
     are order-dependent at the last ulp; integer sums are not."""
@@ -429,13 +441,9 @@ def _q_asof_join_events(sf_dir: str):
     from vector_ray.stages.asof import asof_join
 
     # one parquet scan feeds both sides (two lazy branches would each
-    # re-execute the read)
-    ev = _events(sf_dir, columns=["event_id", "ts", "user_id",
-                                  "event_type"]).map_batches(
-        lambda t: t.filter(pc.is_in(t["event_type"],
-                                    value_set=pa.array(["error",
-                                                        "purchase"]))),
-        batch_format="pyarrow", batch_size=None).materialize()
+    # re-execute the read); the type filter pushes into the read so
+    # only matching row groups leave storage
+    ev = _events_typed(sf_dir, ["error", "purchase"]).materialize()
 
     def only(kind):
         def f(t: pa.Table) -> pa.Table:
@@ -477,12 +485,7 @@ def _q_interval_join_events(sf_dir: str):
 
     from vector_ray.stages.interval_join import interval_join
 
-    ev = _events(sf_dir, columns=["event_id", "ts", "user_id",
-                                  "event_type"]).map_batches(
-        lambda t: t.filter(pc.is_in(t["event_type"],
-                                    value_set=pa.array(["error",
-                                                        "purchase"]))),
-        batch_format="pyarrow", batch_size=None).materialize()
+    ev = _events_typed(sf_dir, ["error", "purchase"]).materialize()
 
     def errors(t: pa.Table) -> pa.Table:
         return (t.filter(pc.equal(t["event_type"], "error"))

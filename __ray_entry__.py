@@ -511,6 +511,38 @@ def _q_interval_join_events(sf_dir: str):
                                   "purchase_event_id"])
 
 
+def _q_window_fns_events(sf_dir: str):
+    """Per-key ordered window functions (stages/window_fns.py):
+    row_number / lag / lead / running sum / 4-row rolling sum of the
+    cent value per user ordered by (ts, event_id) — one global sort,
+    per-block vectorized numpy pass, O(blocks) driver carry chains
+    (forward for lag/counts/sums, backward for lead).  Null lag/lead
+    at run edges coalesce to -1 on BOTH sides so every column is
+    non-null int64 for the value hash."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.window_fns import window_functions
+
+    ds = _cents(_events(
+        sf_dir, columns=["event_id", "ts", "user_id", "value"]))
+    out = window_functions(
+        ds, keys=["user_id"], order_by=["ts", "event_id"],
+        value_col="value_cents", rolling_window=4,
+        lag_col="lag_cents", lead_col="lead_cents",
+        cum_col="cum_cents", roll_col="roll4_cents",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        for c in ("lag_cents", "lead_cents"):
+            i = t.column_names.index(c)
+            t = t.set_column(i, c, pc.fill_null(t[c], -1))
+        return t
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _q_ngram_jaccard_pairs_docs(sf_dir: str):
     """Standalone n-gram Jaccard set-similarity join (AllPairs prefix
     filter, ml/ngram_join.py): exact word-3-gram Jaccard >= 0.5 over
@@ -1281,6 +1313,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_mktsegment_join": _q_orders_mktsegment_join,
         "asof_join_events": _q_asof_join_events,
         "interval_join_events": _q_interval_join_events,
+        "window_fns_events": _q_window_fns_events,
         "quantile_sketch_events": _q_quantile_sketch_events,
         "approx_distinct_users": _q_approx_distinct_users,
         # --- ML / training-data family ---
@@ -1288,8 +1321,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": _q_exact_dedup_docs,
         "training_pipeline_docs": _q_training_pipeline_docs,
         "ann_topk": _q_ann_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "ann_lsh_topk": _q_ann_lsh_topk,
         "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "ngram_jaccard_pairs_docs": _q_ngram_jaccard_pairs_docs,
@@ -1310,6 +1341,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_mean_events": _q_agg_mean_events,
         "agg_count_events": _q_agg_count_events,
         "hash_docs": _q_hash_docs,
+        # ANN keeps its strongest rep (brute-force ann_topk) in-window;
+        # the IVF/LSH variants share its oracle and stay locally swept
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "minhash_exact_dedup_join_docs": _q_minhash_exact_dedup_join_docs,
         "lang_id_docs": _q_lang_id_docs,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
@@ -1387,6 +1422,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs_docs": oracle.SQL_NGRAM_JACCARD_PAIRS_DOCS,
         "asof_join_events": oracle.SQL_ASOF_JOIN_EVENTS,
         "interval_join_events": oracle.SQL_INTERVAL_JOIN_EVENTS,
+        "window_fns_events": oracle.SQL_WINDOW_FNS_EVENTS,
         "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,
         "training_pipeline_docs": oracle.SQL_TRAINING_PIPELINE_DOCS,
         "orders_mktsegment_join": oracle.SQL_ORDERS_MKTSEGMENT_JOIN,

@@ -1,0 +1,75 @@
+"""window_functions: pandas parity, carry chains across blocks, nulls."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from vector_ray.stages.window_fns import window_functions
+
+
+def _expected(df: pd.DataFrame, w: int) -> pd.DataFrame:
+    df = df.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+    g = df.groupby("k", sort=False)["v"]
+    out = df.copy()
+    out["rn"] = g.cumcount() + 1
+    out["lag_value"] = g.shift(1)
+    out["lead_value"] = g.shift(-1)
+    out["cum_value"] = g.cumsum()
+    out["roll_value"] = g.rolling(w, min_periods=1).sum().reset_index(
+        level=0, drop=True)
+    return out
+
+
+def _run(df: pd.DataFrame, w: int, nblocks: int) -> pd.DataFrame:
+    ds = rd.from_pandas(df).repartition(nblocks)
+    got = window_functions(
+        ds, keys=["k"], order_by=["ts", "id"], value_col="v",
+        rolling_window=w,
+    ).to_pandas()
+    return got.sort_values(["k", "ts", "id"]).reset_index(drop=True)
+
+
+@pytest.mark.parametrize("nblocks", [1, 3, 17])
+def test_int_parity_many_blocks(ray_session, nblocks):
+    rng = np.random.default_rng(7)
+    n = 400
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, n),       # few keys → long runs span blocks
+        "ts": rng.permutation(n),
+        "id": np.arange(n),
+        "v": rng.integers(-50, 50, n).astype("int64"),
+    })
+    w = 4
+    got = _run(df, w, nblocks)
+    exp = _expected(df, w)
+    assert got["rn"].tolist() == exp["rn"].tolist()
+    assert got["cum_value"].tolist() == exp["cum_value"].astype(int).tolist()
+    assert got["roll_value"].tolist() == exp["roll_value"].astype(int).tolist()
+    # lag/lead: nullable int64 vs pandas float-with-NaN
+    for col in ("lag_value", "lead_value"):
+        g = got[col].astype("float64").where(got[col].notna(), np.nan)
+        assert np.allclose(g, exp[col], equal_nan=True)
+
+
+def test_float_values_and_single_row_runs(ray_session):
+    # every key appears once: lag/lead all null, rn=1, cum=roll=v
+    df = pd.DataFrame({
+        "k": np.arange(20), "ts": np.zeros(20, dtype=int),
+        "id": np.arange(20), "v": np.linspace(-1.5, 2.5, 20),
+    })
+    got = _run(df, 3, 5)
+    assert (got["rn"] == 1).all()
+    assert got["lag_value"].isna().all()
+    assert got["lead_value"].isna().all()
+    assert np.allclose(got["cum_value"], got["v"])
+    assert np.allclose(got["roll_value"], got["v"])
+
+
+def test_rolling_window_1_is_identity(ray_session):
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2], "ts": [1, 2, 3, 1, 2],
+        "id": range(5), "v": [10, 20, 30, 40, 50],
+    })
+    got = _run(df, 1, 2)
+    assert got["roll_value"].tolist() == got["v"].tolist()

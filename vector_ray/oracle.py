@@ -535,6 +535,29 @@ FROM l JOIN r ON l.user_id = r.user_id
              AND l.ts <= r.ts + INTERVAL 1 HOUR
 """
 
+# window functions (stages/window_fns.py): row_number / lag / lead /
+# running sum / 4-row rolling sum per user ordered by (ts, event_id)
+# — a total order, so output is deterministic.  Explicit ROWS frames
+# (DuckDB's default RANGE frame treats order ties differently); cents
+# are integers so every sum is exact; run-edge lag/lead nulls coalesce
+# to -1 on both sides.
+SQL_WINDOW_FNS_EVENTS = """
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events)
+SELECT event_id, ts, user_id, value_cents,
+       row_number() OVER w AS rn,
+       coalesce(lag(value_cents) OVER w, -1) AS lag_cents,
+       coalesce(lead(value_cents) OVER w, -1) AS lead_cents,
+       CAST(sum(value_cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS cum_cents,
+       CAST(sum(value_cents) OVER (w ROWS BETWEEN 3 PRECEDING
+            AND CURRENT ROW) AS BIGINT) AS roll4_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
 # n-gram Jaccard set-similarity join (ml/ngram_join.py): exact word
 # 3-gram set Jaccard over docs2.  Grams are DISTINCT per doc; docs
 # with <3 tokens contribute their whole token sequence as ONE gram

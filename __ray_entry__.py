@@ -543,6 +543,36 @@ def _q_window_fns_events(sf_dir: str):
                            batch_size=None)
 
 
+def _q_top_terms_docs(sf_dir: str):
+    """Distinctive-term extraction (ml/vocab.py): top-3 terms per doc
+    ranked (tf DESC, df ASC, token ASC) — per-block C-speed tf
+    (documents never straddle rows, zero exchange), one small shuffle
+    for df over the collapsed tf table, df broadcast via ray.put and
+    hash-joined per batch, per-doc top-k through the sorted-run rank.
+    Pure-integer ranking, bit-exact vs the SQL window oracle."""
+    import ray.data as rd
+
+    from vector_ray.ml.vocab import top_terms
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return top_terms(docs, k=3)
+
+
+def _q_token_counts_docs(sf_dir: str):
+    """Corpus word count (ml/vocab.py): map-side combine (per-block
+    value_counts) then ONE groupby-sum shuffle over per-block
+    vocabularies; top-100 with deterministic (cnt DESC, token ASC)
+    tie-break."""
+    import ray.data as rd
+
+    from vector_ray.ml.vocab import token_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return token_counts(docs, top_n=100)
+
+
 def _q_ngram_jaccard_pairs_docs(sf_dir: str):
     """Standalone n-gram Jaccard set-similarity join (AllPairs prefix
     filter, ml/ngram_join.py): exact word-3-gram Jaccard >= 0.5 over
@@ -1328,6 +1358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_consistency_docs": _q_lang_id_consistency_docs,
         "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
         "media_consistency": _q_media_consistency,
+        "top_terms_docs": _q_top_terms_docs,
         # ================= driver window ends here (50) =================
         # Variants of families already checked above, plus declared
         # rows-only queries (thresholded/heuristic results that are not
@@ -1341,6 +1372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "agg_mean_events": _q_agg_mean_events,
         "agg_count_events": _q_agg_count_events,
         "hash_docs": _q_hash_docs,
+        "token_counts_docs": _q_token_counts_docs,
         # ANN keeps its strongest rep (brute-force ann_topk) in-window;
         # the IVF/LSH variants share its oracle and stay locally swept
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -1423,6 +1455,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": oracle.SQL_ASOF_JOIN_EVENTS,
         "interval_join_events": oracle.SQL_INTERVAL_JOIN_EVENTS,
         "window_fns_events": oracle.SQL_WINDOW_FNS_EVENTS,
+        "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
+        "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,
         "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,
         "training_pipeline_docs": oracle.SQL_TRAINING_PIPELINE_DOCS,
         "orders_mktsegment_join": oracle.SQL_ORDERS_MKTSEGMENT_JOIN,

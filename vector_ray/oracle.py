@@ -558,6 +558,31 @@ FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+# vocabulary family (ml/vocab.py).  Tokenization is string_split on a
+# literal space on both sides; ranking is pure-integer (tf DESC,
+# df ASC, token ASC) so no float boundary can flip the hash.
+SQL_TOP_TERMS_DOCS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*)::BIGINT AS tf
+  FROM tok WHERE token <> '' GROUP BY 1, 2),
+df AS (SELECT token, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT doc_id, token, tf, df, rank FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df, tf.token) AS rank
+  FROM tf JOIN df USING (token))
+WHERE rank <= 3
+"""
+
+SQL_TOKEN_COUNTS_DOCS = """
+SELECT token, count(*)::BIGINT AS cnt FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token ORDER BY cnt DESC, token LIMIT 100
+"""
+
 # n-gram Jaccard set-similarity join (ml/ngram_join.py): exact word
 # 3-gram set Jaccard over docs2.  Grams are DISTINCT per doc; docs
 # with <3 tokens contribute their whole token sequence as ONE gram

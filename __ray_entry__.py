@@ -573,6 +573,29 @@ def _q_token_counts_docs(sf_dir: str):
     return token_counts(docs, top_n=100)
 
 
+def _q_decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination (ml/decontam.py): every 13th doc
+    plays the eval set; corpus docs sharing any word-3-gram with it
+    drop.  Bench gram hashes collapse per-block, gather once on the
+    driver, broadcast via ray.put; the corpus side is one streaming
+    map_batches (np.isin + segmented count) — no shuffle anywhere."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.ml.decontam import decontaminate
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    def every_13th(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 13 == 0))
+
+    bench = docs.map_batches(every_13th, batch_format="pyarrow",
+                             batch_size=None)
+    clean = decontaminate(docs, bench, n=3)
+    return clean.select_columns(["doc_id"])
+
+
 def _q_ngram_jaccard_pairs_docs(sf_dir: str):
     """Standalone n-gram Jaccard set-similarity join (AllPairs prefix
     filter, ml/ngram_join.py): exact word-3-gram Jaccard >= 0.5 over
@@ -1309,7 +1332,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remap_dropped": _q_remap_dropped,
         "route_rows_all": _q_route_rows_all,  # route + exclusive_route rows
         "agg_summary_events": _q_agg_summary_events,  # sum+count+mean, 1 pass
-        "latest_events": _q_latest_events,
         "diff_events": _q_diff_events,
         "throttle_events": _q_throttle_events,
         "dedupe_events": _q_dedupe_events,
@@ -1359,7 +1381,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
         "media_consistency": _q_media_consistency,
         "top_terms_docs": _q_top_terms_docs,
+        "decontaminate_docs": _q_decontaminate_docs,
         # ================= driver window ends here (50) =================
+        # aggregate keeps summary + diff in-window; latest shares their
+        # two-phase partial machinery and stays locally oracle-swept
+        "latest_events": _q_latest_events,
         # Variants of families already checked above, plus declared
         # rows-only queries (thresholded/heuristic results that are not
         # SQL-expressible).  Registered for breadth; locally verifiable
@@ -1455,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_join_events": oracle.SQL_ASOF_JOIN_EVENTS,
         "interval_join_events": oracle.SQL_INTERVAL_JOIN_EVENTS,
         "window_fns_events": oracle.SQL_WINDOW_FNS_EVENTS,
+        "decontaminate_docs": oracle.SQL_DECONTAMINATE_DOCS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,
         "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,

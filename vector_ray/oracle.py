@@ -583,6 +583,36 @@ WHERE token <> ''
 GROUP BY token ORDER BY cnt DESC, token LIMIT 100
 """
 
+# benchmark decontamination (ml/decontam.py): docs sharing any word
+# 3-gram with the every-13th-doc benchmark set drop.  Gram semantics
+# replay ml/hashing.shingle_hashes: \\w+ lowercase tokens, docs with
+# 1-2 tokens contribute their whole sequence as ONE gram, empty docs
+# contribute (and match) nothing.  Ray compares 64-bit gram hashes,
+# SQL the gram strings — equal sets absent a hash collision (none on
+# this data; a collision only over-drops, the conservative direction).
+SQL_DECONTAMINATE_DOCS = r"""
+WITH tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM tl),
+grams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  UNION ALL
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS g
+  FROM toks GROUP BY doc_id HAVING count(*) < 3),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 13 = 0),
+dirty AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE g IN (SELECT g FROM bench))
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM dirty)
+"""
+
 # n-gram Jaccard set-similarity join (ml/ngram_join.py): exact word
 # 3-gram set Jaccard over docs2.  Grams are DISTINCT per doc; docs
 # with <3 tokens contribute their whole token sequence as ONE gram

@@ -596,6 +596,20 @@ def _q_decontaminate_docs(sf_dir: str):
     return clean.select_columns(["doc_id"])
 
 
+def _q_stratified_sample_events(sf_dir: str):
+    """Exact-fraction stratified sampling (stages/sample.py): keep
+    ceil(n/10) events per event_type, rows chosen by the Knuth
+    multiplicative hash of event_id (SQL-replayable) — stratum sizes
+    via per-block counts merged on the driver, ranks via the
+    sorted-run rank, filter against the broadcast size map."""
+    from vector_ray.stages.sample import stratified_sample
+
+    ds = _events(sf_dir,
+                 columns=["event_id", "ts", "user_id", "event_type"])
+    return stratified_sample(ds, keys=["event_type"], frac=(1, 10),
+                             id_col="event_id")
+
+
 def _q_ngram_jaccard_pairs_docs(sf_dir: str):
     """Standalone n-gram Jaccard set-similarity join (AllPairs prefix
     filter, ml/ngram_join.py): exact word-3-gram Jaccard >= 0.5 over
@@ -1411,6 +1425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         "sample_hash_events": _q_sample_hash_events,
+        "stratified_sample_events": _q_stratified_sample_events,
         # stdev/histogram: displaced past the driver window by the
         # round-3 join/sketch additions; aggregate keeps 3 in-window
         # reps (summary/latest/diff), these stay locally oracle-swept
@@ -1482,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "interval_join_events": oracle.SQL_INTERVAL_JOIN_EVENTS,
         "window_fns_events": oracle.SQL_WINDOW_FNS_EVENTS,
         "decontaminate_docs": oracle.SQL_DECONTAMINATE_DOCS,
+        "stratified_sample_events": oracle.SQL_STRATIFIED_SAMPLE_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,
         "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,

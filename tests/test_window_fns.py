@@ -73,3 +73,35 @@ def test_rolling_window_1_is_identity(ray_session):
     })
     got = _run(df, 1, 2)
     assert got["roll_value"].tolist() == got["v"].tolist()
+
+
+# --- stratified sampling (stages/sample.stratified_sample) ---------------
+
+def test_stratified_sample_exact_ceil(ray_session):
+    import pandas as pd
+    from vector_ray.stages.sample import stratified_sample
+
+    df = pd.DataFrame({
+        "id": np.arange(103),
+        "grp": ["a"] * 50 + ["b"] * 31 + ["c"] * 21 + ["d"] * 1,
+    })
+    out = stratified_sample(
+        rd.from_pandas(df).repartition(4), keys=["grp"], frac=(1, 4),
+        id_col="id").to_pandas()
+    got = out.groupby("grp").size().to_dict()
+    assert got == {"a": 13, "b": 8, "c": 6, "d": 1}  # ceil(n/4), min 1
+    # deterministic: same rows every run
+    out2 = stratified_sample(
+        rd.from_pandas(df).repartition(9), keys=["grp"], frac=(1, 4),
+        id_col="id").to_pandas()
+    assert sorted(out["id"]) == sorted(out2["id"])
+
+
+def test_stratified_sample_full_fraction(ray_session):
+    import pandas as pd
+    from vector_ray.stages.sample import stratified_sample
+
+    df = pd.DataFrame({"id": np.arange(20), "grp": ["x"] * 20})
+    out = stratified_sample(rd.from_pandas(df), keys=["grp"],
+                            frac=(1, 1), id_col="id").to_pandas()
+    assert sorted(out["id"]) == list(range(20))

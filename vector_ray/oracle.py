@@ -583,6 +583,22 @@ WHERE token <> ''
 GROUP BY token ORDER BY cnt DESC, token LIMIT 100
 """
 
+# stratified sampling (stages/sample.stratified_sample): ceil(n/10)
+# per event_type, ordered by the Knuth multiplicative hash — pure
+# integer on both sides.
+SQL_STRATIFIED_SAMPLE_EVENTS = """
+WITH h AS (
+  SELECT event_id, ts, user_id, event_type,
+         (event_id * 2654435761) % 4294967296 AS hh
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY hh, event_id) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM h)
+SELECT event_id, ts, user_id, event_type FROM r WHERE rn <= (n + 9) // 10
+"""
+
 # benchmark decontamination (ml/decontam.py): docs sharing any word
 # 3-gram with the every-13th-doc benchmark set drop.  Gram semantics
 # replay ml/hashing.shingle_hashes: \\w+ lowercase tokens, docs with

@@ -138,3 +138,86 @@ def sample_modulo(
 
     marked = ds.map_batches(mark, batch_format="pyarrow", batch_size=None)
     return marked.groupby(group_cols).map_groups(pick, batch_format="pandas")
+
+
+def stratified_sample(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    frac: tuple[int, int],
+    id_col: str,
+    hash_mult: int = 2654435761,
+) -> Dataset:
+    """Exact-fraction stratified sampling: keep ``ceil(frac * n_g)``
+    rows from every stratum ``g`` (no reference counterpart — the
+    reference samples at a fixed 1-in-rate; exact per-stratum
+    fractions need group sizes, a gained relational op).
+
+    ``frac`` is a rational ``(num, den)`` so the keep count is pure
+    integer math; row choice is deterministic — strata order rows by
+    the multiplicative hash ``(id * hash_mult) mod 2^32`` (Knuth; an
+    SQL engine replays it in one expression) with ``id_col`` breaking
+    ties, and the first ``ceil`` ranks win.
+
+    Scale shape: stratum SIZES are a tiny per-block ``value_counts``
+    combine on the driver (strata are low-cardinality by definition —
+    never a groupby shuffle for a handful of rows); ranking is the
+    sorted-run rank (O(blocks) Python calls); the filter is a
+    vectorized lookup against the broadcast size map.
+    """
+    import ray
+
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+    num, den = int(frac[0]), int(frac[1])
+    if not (0 < num <= den):
+        raise ValueError("frac must be a rational in (0, 1]")
+    keys = list(keys)
+    _H = "__strat_h"
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(hash_mult)) & np.uint64(0xFFFFFFFF)
+        return t.append_column(_H, pa.array(h.astype(np.int64)))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow",
+                            batch_size=None).materialize()
+
+    # stratum sizes: per-block C-speed counts, merged on the driver
+    def sizes(t: pa.Table):
+        if t.num_rows == 0:
+            return {}
+        g = t.group_by(keys).aggregate([([], "count_all")])
+        key_cols = [g[k].to_pylist() for k in keys]
+        cnts = g["count_all"].to_pylist()
+        return dict(zip(zip(*key_cols), cnts))
+
+    @ray.remote
+    def block_sizes(t):
+        return sizes(t)
+
+    totals: dict = {}
+    for part in ray.get([block_sizes.remote(r)
+                         for r in hashed.to_arrow_refs()]):
+        for k, v in part.items():
+            totals[k] = totals.get(k, 0) + v
+    keep_n = {k: (v * num + den - 1) // den for k, v in totals.items()}
+    keep_ref = ray.put(keep_n)
+
+    ranked = add_group_rank(hashed, keys, [_H, id_col])
+
+    def pick(t: pa.Table) -> pa.Table:
+        lookup = ray.get(keep_ref)
+        if t.num_rows == 0:
+            return t.drop_columns([c for c in (RANK_COL, _H)
+                                   if c in t.column_names])
+        key_cols = [t[k].to_pylist() for k in keys]
+        limits = np.fromiter(
+            (lookup.get(k, 0) for k in zip(*key_cols)),
+            dtype=np.int64, count=t.num_rows)
+        rank = t[RANK_COL].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(rank < limits)).drop_columns(
+            [RANK_COL, _H])
+
+    return ranked.map_batches(pick, batch_format="pyarrow",
+                              batch_size=None)

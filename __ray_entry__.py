@@ -596,6 +596,46 @@ def _q_decontaminate_docs(sf_dir: str):
     return clean.select_columns(["doc_id"])
 
 
+def _q_kmeans_assign_embeddings(sf_dir: str):
+    """Vector-quantization assignment (ml/kmeans.py): every embedding
+    labeled with its nearest of 4 fixed centroids (the vec_id<4
+    vectors) — one broadcast + one matmul argmin per batch; distance
+    ties break toward the lowest cluster id on both engines."""
+    import ray.data as rd
+
+    from vector_ray.ml.kmeans import kmeans_assign, seed_centroids
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+    cents = seed_centroids(ds, 4)
+    return kmeans_assign(ds, cents)
+
+
+def _q_kmeans_clusters_embeddings(sf_dir: str):
+    """Full Lloyd k-means (k=10, 5 iterations, deterministic integer-
+    quantized centroid updates): cluster sizes.  Iterative float
+    argmin is not SQL-expressible — rows-only; determinism and
+    convergence are pinned by tests/test_kmeans.py."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vector_ray.ml.kmeans import kmeans
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    labeled, _ = kmeans(ds, 10, n_iter=5)
+    sizes: dict[int, int] = {}
+    for t in labeled.select_columns(["cluster"]).iter_batches(
+            batch_format="pyarrow", batch_size=None):
+        for c, n in zip(*np.unique(
+                t["cluster"].to_numpy(zero_copy_only=False),
+                return_counts=True)):
+            sizes[int(c)] = sizes.get(int(c), 0) + int(n)
+    return pd.DataFrame(
+        {"cluster": sorted(sizes), "n": [sizes[c] for c in sorted(sizes)]})
+
+
 def _q_stratified_sample_events(sf_dir: str):
     """Exact-fraction stratified sampling (stages/sample.py): keep
     ceil(n/10) events per event_type, rows chosen by the Knuth
@@ -1426,6 +1466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         "sample_hash_events": _q_sample_hash_events,
         "stratified_sample_events": _q_stratified_sample_events,
+        "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
+        "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
         # round-3 join/sketch additions; aggregate keeps 3 in-window
         # reps (summary/latest/diff), these stay locally oracle-swept
@@ -1498,6 +1540,7 @@ def oracle_sql() -> dict[str, str]:
         "window_fns_events": oracle.SQL_WINDOW_FNS_EVENTS,
         "decontaminate_docs": oracle.SQL_DECONTAMINATE_DOCS,
         "stratified_sample_events": oracle.SQL_STRATIFIED_SAMPLE_EVENTS,
+        "kmeans_assign_embeddings": oracle.SQL_KMEANS_ASSIGN_EMBEDDINGS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,
         "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,

@@ -23,8 +23,12 @@ from ray.data import Dataset
 
 
 def _as_matrix(col) -> np.ndarray:
-    """list<float> column → (n, d) float32 matrix, zero-copy-ish."""
+    """list<float> (or Ray tensor-extension) column → (n, d) float32
+    matrix, zero-copy-ish."""
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if isinstance(arr, pa.ExtensionArray):  # ArrowTensorArray et al.
+        return np.asarray(arr.to_numpy(zero_copy_only=False),
+                          dtype=np.float32)
     flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float32)
     n = len(arr)
     return flat.reshape(n, -1)

@@ -1,0 +1,146 @@
+"""Distributed k-means over an embedding column — the clustering pass
+training-data pipelines use for semantic curation (SemDeDup-style
+cluster-then-prune, topic balancing, diversity sampling).
+
+No reference counterpart (the reference has no vector ops at all);
+gained operator beside ANN (ml/ann.py), sharing its list<float> →
+(n, d) zero-copy matrix path.
+
+Scale + determinism design:
+- The dataset materializes ONCE; every Lloyd iteration is a round of
+  raw Ray tasks over the SAME block refs (no chain re-execution), each
+  returning a (k, d) int64 partial sum + (k,) count — tiny, so the
+  driver combine is O(blocks · k · d) adds, never a shuffle.
+- Centroid updates are ORDER-INDEPENDENT: vectors are quantized once
+  to int64 (round(x · 2^quant_bits)); integer partial sums commute, so
+  the result is bit-identical at any parallelism/block structure —
+  float partial sums would drift with block order and flip near-tie
+  assignments between runs (the repo-wide integer-quantization rule,
+  BASELINE.md).
+- Assignments are vectorized: argmin over ‖v‖² − 2 v·C + ‖C‖² per
+  batch (one matmul against the broadcast centroid matrix); numpy
+  argmin breaks distance ties toward the lowest cluster id, matching
+  the SQL oracle's ORDER BY dist, cid.
+- Empty clusters keep their previous centroid (deterministic, no
+  reseeding randomness).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from vector_ray.ml.ann import _as_matrix
+
+
+def seed_centroids(
+    ds: Dataset, k: int, *, vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """The vectors of the ``k`` smallest ids — a deterministic,
+    shuffle-free init (per-block k-smallest candidates, driver merge)."""
+
+    @ray.remote
+    def block_top(t: pa.Table):
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return None
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        take = np.argsort(ids, kind="stable")[:k]
+        return (ids[take], _as_matrix(t[vec_col])[take])
+
+    parts = [p for p in ray.get([block_top.remote(r)
+                                 for r in ds.to_arrow_refs()])
+             if p is not None]
+    if not parts:
+        raise ValueError("empty dataset")
+    ids = np.concatenate([p[0] for p in parts])
+    vecs = np.concatenate([p[1] for p in parts])
+    take = np.argsort(ids, kind="stable")[:k]
+    if take.size < k:
+        raise ValueError(f"need >= {k} rows, have {take.size}")
+    return vecs[take].astype(np.float64)
+
+
+def _assign(mat: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """Nearest centroid per row (squared L2, ties → lowest cluster)."""
+    m = mat.astype(np.float64)
+    d2 = (np.einsum("ij,ij->i", m, m)[:, None]
+          - 2.0 * (m @ cents.T)
+          + np.einsum("ij,ij->i", cents, cents)[None, :])
+    return np.argmin(d2, axis=1)
+
+
+def kmeans(
+    ds: Dataset,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 10,
+    quant_bits: int = 16,
+    init: np.ndarray | None = None,
+) -> tuple[Dataset, np.ndarray]:
+    """Lloyd's k-means. Returns ``(assignments, centroids)`` where
+    assignments is a Dataset of the input rows minus ``vec_col`` plus
+    int64 ``cluster``, and centroids a (k, d) float64 array."""
+    mat_ds = ds.materialize()
+    refs = mat_ds.to_arrow_refs()
+    cents = (init.astype(np.float64) if init is not None
+             else seed_centroids(mat_ds, k, vec_col=vec_col,
+                                 id_col=id_col))
+    scale = float(1 << quant_bits)
+
+    @ray.remote
+    def partial(t: pa.Table, cents: np.ndarray):
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return None
+        mat = _as_matrix(t[vec_col])
+        lab = _assign(mat, cents)
+        q = np.round(mat.astype(np.float64) * scale).astype(np.int64)
+        d = q.shape[1]
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, lab, q)
+        counts = np.bincount(lab, minlength=k).astype(np.int64)
+        return sums, counts
+
+    for _ in range(max(0, int(n_iter))):
+        parts = [p for p in ray.get(
+            [partial.remote(r, cents) for r in refs]) if p is not None]
+        tot = np.sum([p[0] for p in parts], axis=0)
+        cnt = np.sum([p[1] for p in parts], axis=0)
+        nz = cnt > 0
+        new = cents.copy()
+        new[nz] = tot[nz] / (cnt[nz, None] * scale)
+        cents = new
+
+    cents_ref = ray.put(cents)
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        lab = _assign(_as_matrix(t[vec_col]), c)
+        return t.drop_columns([vec_col]).append_column(
+            "cluster", pa.array(lab.astype(np.int64)))
+
+    out = mat_ds.map_batches(label, batch_format="pyarrow",
+                             batch_size=None)
+    return out, cents
+
+
+def kmeans_assign(
+    ds: Dataset,
+    centroids: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """One assignment pass against fixed centroids (broadcast once)."""
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def label(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        lab = _assign(_as_matrix(t[vec_col]), c)
+        return t.drop_columns([vec_col]).append_column(
+            "cluster", pa.array(lab.astype(np.int64)))
+
+    return ds.map_batches(label, batch_format="pyarrow", batch_size=None)

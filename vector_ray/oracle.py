@@ -583,6 +583,23 @@ WHERE token <> ''
 GROUP BY token ORDER BY cnt DESC, token LIMIT 100
 """
 
+# k-means assignment (ml/kmeans.py): nearest of the 4 vec_id<4
+# centroid vectors per embedding, L2, ties toward the lowest cluster
+# id (row_number ORDER BY dist, cid == numpy argmin first-min).
+SQL_KMEANS_ASSIGN_EMBEDDINGS = """
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM embeddings WHERE vec_id < 4),
+d AS (
+  SELECT e.vec_id, c.cid, list_distance(e.embedding, c.cv) AS dist
+  FROM embeddings e CROSS JOIN c),
+r AS (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d)
+SELECT vec_id, cid AS cluster FROM r WHERE rn = 1
+"""
+
 # stratified sampling (stages/sample.stratified_sample): ceil(n/10)
 # per event_type, ordered by the Knuth multiplicative hash — pure
 # integer on both sides.

@@ -636,6 +636,20 @@ def _q_kmeans_clusters_embeddings(sf_dir: str):
         {"cluster": sorted(sizes), "n": [sizes[c] for c in sorted(sizes)]})
 
 
+def _q_semantic_dedup_pairs(sf_dir: str):
+    """SemDeDup composed pipeline (ml/kmeans.semantic_dedup_pairs):
+    assign the dup-synthesized embeddings to 4 fixed centroids
+    (vec_id<4 vectors, same as the kmeans_assign oracle), then find
+    cosine>=0.9 pairs ONLY within clusters — k-means bounds the
+    quadratic compare to cluster-sized groups.  Exact copies land in
+    the same cluster with cosine exactly 1.0 (boundary-safe)."""
+    from vector_ray.ml.kmeans import seed_centroids, semantic_dedup_pairs
+
+    emb = _emb_with_dups(sf_dir).materialize()
+    cents = seed_centroids(emb, 4)
+    return semantic_dedup_pairs(emb, cents, threshold=0.9)
+
+
 def _q_stratified_sample_events(sf_dir: str):
     """Exact-fraction stratified sampling (stages/sample.py): keep
     ceil(n/10) events per event_type, rows chosen by the Knuth
@@ -1467,6 +1481,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash_events": _q_sample_hash_events,
         "stratified_sample_events": _q_stratified_sample_events,
         "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
+        "semantic_dedup_pairs": _q_semantic_dedup_pairs,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
         # round-3 join/sketch additions; aggregate keeps 3 in-window
@@ -1541,6 +1556,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": oracle.SQL_DECONTAMINATE_DOCS,
         "stratified_sample_events": oracle.SQL_STRATIFIED_SAMPLE_EVENTS,
         "kmeans_assign_embeddings": oracle.SQL_KMEANS_ASSIGN_EMBEDDINGS,
+        "semantic_dedup_pairs": oracle.SQL_SEMANTIC_DEDUP_PAIRS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,
         "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,

@@ -73,3 +73,23 @@ def test_empty_cluster_keeps_previous_centroid(ray_session):
     far = np.array([[0.0, 0.0], [100.0, 100.0]])
     _, cents = kmeans(rd.from_pandas(df), 2, n_iter=3, init=far)
     assert np.allclose(cents[1], [100.0, 100.0])
+
+
+def test_semantic_dedup_pairs_within_cluster_only(ray_session):
+    from vector_ray.ml.kmeans import semantic_dedup_pairs
+
+    # two far-apart blobs; one exact copy inside each blob, plus a
+    # cross-blob identical pair that must NOT pair (different clusters)
+    base = np.array([[0.0, 1.0], [0.1, 1.0],      # blob A (ids 0,1)
+                     [10.0, 0.0], [10.0, 0.1]],   # blob B (ids 2,3)
+                    dtype=np.float32)
+    vecs = np.concatenate([base, base[[0, 2]]])   # ids 4,5 = copies
+    df = pd.DataFrame({"vec_id": np.arange(6), "embedding": list(vecs)})
+    cents = np.array([[0.0, 1.0], [10.0, 0.0]])
+    got = semantic_dedup_pairs(
+        rd.from_pandas(df).repartition(3), cents,
+        threshold=0.999).to_pandas()
+    pairs = set(zip(got["a"], got["b"]))
+    assert (0, 4) in pairs and (2, 5) in pairs
+    # 0 and 2 are in different clusters: never compared
+    assert all(not (a in (0, 1, 4) and b in (2, 3, 5)) for a, b in pairs)

@@ -144,3 +144,58 @@ def kmeans_assign(
             "cluster", pa.array(lab.astype(np.int64)))
 
     return ds.map_batches(label, batch_format="pyarrow", batch_size=None)
+
+
+def semantic_dedup_pairs(
+    ds: Dataset,
+    centroids: np.ndarray,
+    *,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> Dataset:
+    """SemDeDup-style near-duplicate pairs: assign every vector to its
+    nearest centroid, then compare ONLY within clusters (Abbas et al.
+    2023's trick — k-means bounds the quadratic cosine comparison to
+    cluster-sized blocks instead of the whole corpus).
+
+    Returns ``(cluster, a, b)`` with ``a < b`` and cosine ≥ threshold.
+    Partitioning assumption: pick ``k`` so the largest cluster fits a
+    worker (SemDeDup uses k in the tens of thousands at corpus scale);
+    the per-cluster ``map_groups`` is bounded by that choice, the same
+    safety argument as the 2^nbits LSH buckets in
+    ml/dedup.embedding_cosine_dedup."""
+    # like kmeans_assign but KEEPING vec_col for the in-cluster compare
+    cref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def label_keep(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        lab = _assign(_as_matrix(t[vec_col]), c)
+        return t.append_column("cluster", pa.array(lab.astype(np.int64)))
+
+    labeled = ds.select_columns([id_col, vec_col]).map_batches(
+        label_keep, batch_format="pyarrow", batch_size=None)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        empty = pa.table({"cluster": pa.array([], pa.int64()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64())})
+        if t.num_rows < 2:
+            return empty
+        m = _as_matrix(t[vec_col]).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ (m / norms).T
+        i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+        if not i.size:
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        a, b = ids[i], ids[j]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        clu = t["cluster"].to_numpy(zero_copy_only=False)[i]
+        return pa.table({"cluster": pa.array(clu.astype(np.int64)),
+                         "a": pa.array(lo.astype(np.int64)),
+                         "b": pa.array(hi.astype(np.int64))})
+
+    return labeled.groupby("cluster").map_groups(
+        pairs, batch_format="pyarrow")

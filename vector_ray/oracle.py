@@ -600,6 +600,28 @@ r AS (
 SELECT vec_id, cid AS cluster FROM r WHERE rn = 1
 """
 
+# SemDeDup pairs (ml/kmeans.semantic_dedup_pairs): nearest of the 4
+# vec_id<4 centroids over the dup-synthesized embeddings, cosine
+# pairs within clusters only.
+SQL_SEMANTIC_DEDUP_PAIRS = f"""
+WITH {{emb_with_dups}},
+c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS cv
+  FROM emb2 WHERE vec_id < 4),
+d AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+         list_distance(e.embedding, c.cv) AS dist
+  FROM emb2 e CROSS JOIN c),
+r AS (
+  SELECT vec_id, embedding, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM d),
+asg AS (SELECT vec_id, embedding, cid FROM r WHERE rn = 1)
+SELECT e1.cid AS cluster, e1.vec_id AS a, e2.vec_id AS b
+FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
+WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
+""".format(emb_with_dups=_EMB_WITH_DUPS)
+
 # stratified sampling (stages/sample.stratified_sample): ceil(n/10)
 # per event_type, ordered by the Knuth multiplicative hash — pure
 # integer on both sides.

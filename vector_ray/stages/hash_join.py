@@ -1,0 +1,208 @@
+"""Hash-partition equality join — union-shuffle + per-partition acero.
+
+``Dataset.join`` (Ray's JoinOperator) is aggregator-actor based and
+measured ~17× slower than this repo's sort paths on the same data
+(BASELINE.md: 24M-fixture interval join 514 s through JoinOperator vs
+29 s for the asof sort path).  This implements the classic
+hash-partition join with primitives that are already fast here:
+
+  1. both sides map to ONE superschema (other side's payload columns
+     as typed nulls) + a ``__side`` tag — vectorized, zero-copy
+     appends;
+  2. ``__part = mix64(keys) % P`` with P sized to the cluster
+     (bounded, so the per-partition Python call count is O(P), never
+     O(keys));
+  3. ``union`` → ``groupby(__part).map_groups`` — Ray's ONE
+     sort-exchange co-locates both sides of every partition;
+  4. inside each partition: split by side and run **pyarrow acero**
+     ``Table.join`` (C++ hash join) — Python never touches rows.
+
+Supported: ``inner`` and ``left_anti`` (what the band join needs).
+Key hashing: integer keys mix via splitmix64 (vectorized); any other
+type combines to strings through the sorted-run key builder and hashes
+via ml/hashing.hash_strings.
+
+Skew note: a single hot KEY still lands in one partition — the same
+caveat as any hash join; salt upstream (state/partitioning.py) when a
+key's rows exceed a worker.  Hot-PARTITION imbalance from few distinct
+keys is avoided by hashing the full key tuple.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from vector_ray.ml.hashing import hash_strings, splitmix64
+from vector_ray.stages.blocks import drop_empty_blocks
+
+_PART = "__hj_part"
+_SIDE = "__hj_side"
+
+
+def _col_hash(t: pa.Table, k: str) -> np.ndarray:
+    """uint64 hash of one key column.  Null keys never match (SQL
+    semantics) but still need a deterministic partition → hash 0."""
+    typ = t.schema.field(k).type
+    if pa.types.is_integer(typ) or pa.types.is_timestamp(typ):
+        col = pc.fill_null(pc.cast(t[k], pa.int64()), 0)
+        return splitmix64(col.to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+    # strings: hash only the block's DISTINCT values (dictionary
+    # encode), then gather — 7M rows with 3M uniques hash 3M strings,
+    # and Python materialization is bounded by the dictionary
+    col = t[k]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = pc.dictionary_encode(pc.cast(col, pa.string()))
+    uniq = d.dictionary.to_pylist()
+    hu = (hash_strings(np.asarray(uniq, dtype=np.str_))
+          if uniq else np.empty(0, dtype=np.uint64))
+    idx = d.indices
+    mask = idx.is_valid().to_numpy(zero_copy_only=False)
+    codes = idx.fill_null(0).to_numpy(zero_copy_only=False).astype(np.int64)
+    out = np.where(mask, hu[codes] if len(hu) else np.uint64(0),
+                   np.uint64(0))
+    return out.astype(np.uint64)
+
+
+def _key_hash(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
+    """Vectorized uint64 hash of the key tuple (per-column hashes
+    mixed through splitmix64)."""
+    out = None
+    for k in keys:
+        h = _col_hash(t, k)
+        out = h if out is None else splitmix64(out ^ h)
+    return out
+
+
+_PY_PA = {int: pa.int64(), float: pa.float64(), str: pa.string(),
+          bool: pa.bool_(), bytes: pa.binary()}
+
+
+def _pa_type(t) -> pa.DataType:
+    if isinstance(t, pa.DataType):
+        return t
+    if isinstance(t, type) and t in _PY_PA:  # pandas-backed Schema
+        return _PY_PA[t]
+    dt = np.dtype(t)
+    if dt.kind in ("O", "U", "S"):  # pandas object/str columns
+        return pa.string()
+    return pa.from_numpy_dtype(dt)
+
+
+def _schema_of(ds: Dataset) -> pa.Schema | None:
+    s = ds.schema()
+    if s is None:  # empty dataset — no schema to know
+        return None
+    base = getattr(s, "base_schema", s)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema([(n, _pa_type(t)) for n, t in zip(s.names, s.types)])
+
+
+def hash_partition_join(
+    left: Dataset,
+    right: Dataset,
+    *,
+    on: Sequence[str],
+    how: str = "inner",
+    right_suffix: str = "_r",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Equality-join ``left`` with ``right`` on ``on``.
+
+    ``how``: ``inner`` (left cols + right payload cols, key columns
+    once) or ``left_anti`` (left rows with no right match, left cols
+    only).  Right payload columns clashing with left names get
+    ``right_suffix``."""
+    if how not in ("inner", "left_anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    keys = list(on)
+    if num_partitions is None:
+        from vector_ray.ml.dedup import _join_partitions
+
+        num_partitions = _join_partitions(cap=64)
+    P = int(num_partitions)
+
+    lsch, rsch = _schema_of(left), _schema_of(right)
+    if rsch is None:
+        # schema-less (empty) right side: anti keeps everything, inner
+        # keeps nothing — payload columns are unknowable either way
+        return left if how == "left_anti" else left.limit(0)
+    if lsch is None:
+        return left
+    lnames = list(lsch.names)
+    rpay = [(n, (n + right_suffix if n in lnames else n),
+             rsch.field(n).type) for n in rsch.names if n not in keys]
+    out_pay = [] if how == "left_anti" else [n2 for _, n2, _ in rpay]
+    out_names = lnames + out_pay
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        h = _key_hash(t, keys)
+        part = (h % np.uint64(P)).astype(np.int64)
+        for _, n2, typ in rpay:
+            t = t.append_column(n2, pa.nulls(t.num_rows, typ))
+        return (t.append_column(_SIDE, pa.array(
+            np.zeros(t.num_rows, dtype=np.int8)))
+            .append_column(_PART, pa.array(part))
+            .select(out_names_full))
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        h = _key_hash(t, keys)
+        part = (h % np.uint64(P)).astype(np.int64)
+        # rename payload, null-fill left-only columns
+        cols = {}
+        for n in keys:
+            cols[n] = t[n]
+        for n, n2, _ in rpay:
+            cols[n2] = t[n]
+        out = pa.table(cols) if cols else pa.table({})
+        for n in lnames:
+            if n not in keys:
+                out = out.append_column(
+                    n, pa.nulls(t.num_rows, lsch.field(n).type))
+        return (out.append_column(_SIDE, pa.array(
+            np.ones(t.num_rows, dtype=np.int8)))
+            .append_column(_PART, pa.array(part))
+            .select(out_names_full))
+
+    pay_names = [n2 for _, n2, _ in rpay]
+    out_names_full = lnames + pay_names + [_SIDE, _PART]
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow",
+                          batch_size=None)
+    rt = right.map_batches(prep_right, batch_format="pyarrow",
+                           batch_size=None)
+
+    def _empty() -> pa.Table:
+        cols = {n: pa.array([], lsch.field(n).type) for n in lnames}
+        for _, n2, typ in rpay:
+            cols[n2] = pa.array([], typ)
+        return pa.table(cols).select(out_names)
+
+    def merge(t: pa.Table) -> pa.Table:
+        side = t[_SIDE].to_numpy(zero_copy_only=False)
+        lmask = side == 0
+        ltab = t.filter(pa.array(lmask)).select(lnames)
+        rtab = t.filter(pa.array(~lmask)).select(keys + pay_names)
+        if how == "left_anti":
+            if rtab.num_rows == 0 or ltab.num_rows == 0:
+                return ltab
+            rkeys = rtab.select(keys).group_by(keys).aggregate([])
+            return ltab.join(rkeys, keys=keys, join_type="left anti")
+        if ltab.num_rows == 0 or rtab.num_rows == 0:
+            return _empty()
+        res = ltab.join(rtab, keys=keys, join_type="inner")
+        return res.select(out_names)
+
+    # Ray maps pass empty blocks through un-UDF'd with their stale
+    # input schema (stages/blocks.drop_empty_blocks) — they would
+    # poison the union/groupby schema
+    both = drop_empty_blocks(lt).union(drop_empty_blocks(rt))
+    return both.groupby(_PART).map_groups(merge, batch_format="pyarrow")

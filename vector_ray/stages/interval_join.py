@@ -78,6 +78,7 @@ def interval_join(
     sample_rows: int = 100_000,
     suffix: str = "_r",
     assume_disjoint: bool = False,
+    engine: str = "hash_partition",
 ) -> Dataset:
     """Join each point row to every interval containing it (inclusive
     on both ends), matching ``by`` keys exactly.
@@ -206,8 +207,18 @@ def interval_join(
                                      batch_format="pyarrow",
                                      batch_size=None)
     parts = _join_partitions()
-    joined = tagged.join(expanded, "inner", parts,
-                         on=tuple([_CHUNK] + by), right_suffix=suffix)
+    if engine == "hash_partition":
+        # union-shuffle + per-partition acero (stages/hash_join.py) —
+        # measured ~2x Dataset.join at 4M x 4M and far more at the 24M
+        # fixture where JoinOperator was the bound (BASELINE.md)
+        from vector_ray.stages.hash_join import hash_partition_join
+
+        joined = hash_partition_join(
+            tagged, expanded, on=[_CHUNK] + by, how="inner",
+            right_suffix=suffix)
+    else:
+        joined = tagged.join(expanded, "inner", parts,
+                             on=tuple([_CHUNK] + by), right_suffix=suffix)
 
     start_out = start_col + suffix if start_col in points.columns() \
         else start_col
@@ -244,9 +255,17 @@ def interval_join(
     if matched.count() == 0:
         return points.map_batches(null_payload, batch_format="pyarrow",
                                   batch_size=None)
-    missing = drop_empty_blocks(points).join(
-        drop_empty_blocks(matched.select_columns([point_id_col])),
-        "left_anti", parts, on=(point_id_col,))
+    if engine == "hash_partition":
+        from vector_ray.stages.hash_join import hash_partition_join
+
+        missing = hash_partition_join(
+            drop_empty_blocks(points),
+            drop_empty_blocks(matched.select_columns([point_id_col])),
+            on=[point_id_col], how="left_anti")
+    else:
+        missing = drop_empty_blocks(points).join(
+            drop_empty_blocks(matched.select_columns([point_id_col])),
+            "left_anti", parts, on=(point_id_col,))
     filled = missing.map_batches(null_payload, batch_format="pyarrow",
                                  batch_size=None)
     return matched.union(filled)

@@ -79,3 +79,32 @@ def test_null_keys_never_match(ray_session):
     got = hash_partition_join(_ds(L, 2), _ds(R, 1), on=["k"],
                               how="inner", num_partitions=2).to_pandas()
     assert got[["v", "w"]].values.tolist() == [[3, 9]]
+
+
+def test_left_outer_and_semi(ray_session, sides):
+    L, R = sides
+    outer = hash_partition_join(
+        _ds(L, 4), _ds(R, 3), on=["k", "c"], how="left_outer",
+        num_partitions=6).to_pandas()
+    exp = L.merge(R, on=["k", "c"], how="left", suffixes=("", "_r"))
+    assert len(outer) == len(exp)
+    assert sorted(outer["lx"]) == sorted(exp["lx"])
+    assert int(outer["ry"].isna().sum()) == int(exp["ry"].isna().sum())
+
+    semi = hash_partition_join(
+        _ds(L, 4), _ds(R, 3), on=["k", "c"], how="left_semi",
+        num_partitions=6).to_pandas()
+    matched = L.merge(R[["k", "c"]].drop_duplicates(), on=["k", "c"])
+    assert sorted(semi["lx"]) == sorted(matched["lx"])
+    assert list(semi.columns) == list(L.columns)
+
+
+def test_right_on_different_key_names(ray_session):
+    L = pd.DataFrame({"a": [1, 2, 3, 4], "v": list("wxyz")})
+    R = pd.DataFrame({"b": [2, 4, 4], "w": [20, 40, 41]})
+    got = hash_partition_join(
+        _ds(L, 2), _ds(R, 2), on=["a"], right_on=["b"], how="inner",
+        num_partitions=3).to_pandas().sort_values(["a", "w"])
+    assert got[["a", "v", "w"]].values.tolist() == [
+        [2, "x", 20], [4, "z", 40], [4, "z", 41]]
+    assert "b" not in got.columns

@@ -319,13 +319,17 @@ def _verify_pairs_join(
             return t.set_column(i, col_to, t[col_from])
         return f
 
-    j1 = pairs.join(docs, "inner", parts, on=("a",), right_on=(id_col,),
-                    right_suffix="_r")
+    from vector_ray.stages.hash_join import hash_partition_join
+
+    j1 = hash_partition_join(pairs, docs, on=["a"], right_on=[id_col],
+                             how="inner", right_suffix="_r",
+                             num_partitions=parts)
     j1 = drop_empty_blocks(j1.map_batches(
         _rename(text_col, "_text_a"), batch_format="pyarrow",
         batch_size=None))
-    j2 = j1.join(docs, "inner", parts, on=("b",), right_on=(id_col,),
-                 right_suffix="_r")
+    j2 = hash_partition_join(j1, docs, on=["b"], right_on=[id_col],
+                             how="inner", right_suffix="_r",
+                             num_partitions=parts)
     j2 = j2.map_batches(_rename(text_col, "_text_b"),
                         batch_format="pyarrow", batch_size=None)
 
@@ -571,9 +575,12 @@ def minhash_lsh_dedup(
 
         dropped = labels.map_batches(only_dups, batch_format="pyarrow",
                                      batch_size=None)
-        survivors = ds.join(dropped.select_columns(["node"]), "left_anti",
-                            _join_partitions(), on=(id_col,),
-                            right_on=("node",))
+        from vector_ray.stages.hash_join import hash_partition_join
+
+        survivors = hash_partition_join(
+            ds, dropped.select_columns(["node"]), on=[id_col],
+            right_on=["node"], how="left_anti",
+            num_partitions=_join_partitions())
         cl = labels.to_pandas()
         clusters = pd.DataFrame({id_col: cl["node"],
                                  "cluster": cl["label"]})             .sort_values(id_col).reset_index(drop=True)

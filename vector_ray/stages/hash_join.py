@@ -1,9 +1,9 @@
 """Hash-partition equality join — union-shuffle + per-partition acero.
 
 ``Dataset.join`` (Ray's JoinOperator) is aggregator-actor based and
-measured ~17× slower than this repo's sort paths on the same data
-(BASELINE.md: 24M-fixture interval join 514 s through JoinOperator vs
-29 s for the asof sort path).  This implements the classic
+measured 1.5-3.4x slower than this path in every interleaved pairing
+(BASELINE.md round-3 table; at the 24M fixture JoinOperator was the
+interval join's whole bound).  This implements the classic
 hash-partition join with primitives that are already fast here:
 
   1. both sides map to ONE superschema (other side's payload columns
@@ -17,10 +17,12 @@ hash-partition join with primitives that are already fast here:
   4. inside each partition: split by side and run **pyarrow acero**
      ``Table.join`` (C++ hash join) — Python never touches rows.
 
-Supported: ``inner`` and ``left_anti`` (what the band join needs).
-Key hashing: integer keys mix via splitmix64 (vectorized); any other
-type combines to strings through the sorted-run key builder and hashes
-via ml/hashing.hash_strings.
+Supported ``how``: ``inner``, ``left_outer``, ``left_semi``,
+``left_anti``.  ``right_on`` joins differently-named key columns
+(output keeps the LEFT names, like ``Dataset.join``).  Key hashing:
+integer/timestamp keys mix via splitmix64 (vectorized); string keys
+hash only each block's DICTIONARY (distinct values) and gather — the
+per-block Python materialization is bounded by cardinality, not rows.
 
 Skew note: a single hot KEY still lands in one partition — the same
 caveat as any hash join; salt upstream (state/partitioning.py) when a
@@ -44,13 +46,24 @@ from vector_ray.stages.blocks import drop_empty_blocks
 _PART = "__hj_part"
 _SIDE = "__hj_side"
 
+_ACERO_HOW = {"inner": "inner", "left_outer": "left outer",
+              "left_semi": "left semi", "left_anti": "left anti"}
+
 
 def _col_hash(t: pa.Table, k: str) -> np.ndarray:
     """uint64 hash of one key column.  Null keys never match (SQL
     semantics) but still need a deterministic partition → hash 0."""
     typ = t.schema.field(k).type
-    if pa.types.is_integer(typ) or pa.types.is_timestamp(typ):
+    if pa.types.is_timestamp(typ):
         col = pc.fill_null(pc.cast(t[k], pa.int64()), 0)
+        return splitmix64(col.to_numpy(zero_copy_only=False)
+                          .astype(np.uint64))
+    if pa.types.is_integer(typ):
+        # keep the native width — casting uint64 hash keys to int64
+        # overflows; astype(uint64) wraps negatives deterministically
+        col = pc.fill_null(t[k], 0)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
         return splitmix64(col.to_numpy(zero_copy_only=False)
                           .astype(np.uint64))
     # strings: hash only the block's DISTINCT values (dictionary
@@ -111,19 +124,26 @@ def hash_partition_join(
     right: Dataset,
     *,
     on: Sequence[str],
+    right_on: Sequence[str] | None = None,
     how: str = "inner",
     right_suffix: str = "_r",
     num_partitions: int | None = None,
 ) -> Dataset:
-    """Equality-join ``left`` with ``right`` on ``on``.
+    """Equality-join ``left`` with ``right`` on ``on`` (right side's
+    key columns named ``right_on`` if they differ; output keeps the
+    left names).
 
-    ``how``: ``inner`` (left cols + right payload cols, key columns
-    once) or ``left_anti`` (left rows with no right match, left cols
-    only).  Right payload columns clashing with left names get
-    ``right_suffix``."""
-    if how not in ("inner", "left_anti"):
+    ``how``: ``inner`` / ``left_outer`` (left cols + right payload
+    cols, key columns once), ``left_semi`` / ``left_anti`` (left rows
+    with ≥1 / no right match, left cols only).  Right payload columns
+    clashing with left names get ``right_suffix``."""
+    if how not in _ACERO_HOW:
         raise ValueError(f"unsupported how={how!r}")
     keys = list(on)
+    rkeys_in = list(right_on) if right_on is not None else keys
+    if len(rkeys_in) != len(keys):
+        raise ValueError("right_on length must match on")
+    semi_anti = how in ("left_semi", "left_anti")
     if num_partitions is None:
         from vector_ray.ml.dedup import _join_partitions
 
@@ -132,16 +152,19 @@ def hash_partition_join(
 
     lsch, rsch = _schema_of(left), _schema_of(right)
     if rsch is None:
-        # schema-less (empty) right side: anti keeps everything, inner
-        # keeps nothing — payload columns are unknowable either way
-        return left if how == "left_anti" else left.limit(0)
+        # schema-less (empty) right side: anti keeps everything,
+        # semi/inner keep nothing, outer keeps left (payload unknowable)
+        if how in ("left_anti", "left_outer"):
+            return left
+        return left.limit(0)
     if lsch is None:
         return left
     lnames = list(lsch.names)
     rpay = [(n, (n + right_suffix if n in lnames else n),
-             rsch.field(n).type) for n in rsch.names if n not in keys]
-    out_pay = [] if how == "left_anti" else [n2 for _, n2, _ in rpay]
-    out_names = lnames + out_pay
+             rsch.field(n).type) for n in rsch.names if n not in rkeys_in]
+    pay_names = [n2 for _, n2, _ in rpay]
+    out_names = lnames + ([] if semi_anti else pay_names)
+    out_names_full = lnames + pay_names + [_SIDE, _PART]
 
     def prep_left(t: pa.Table) -> pa.Table:
         h = _key_hash(t, keys)
@@ -154,15 +177,16 @@ def hash_partition_join(
             .select(out_names_full))
 
     def prep_right(t: pa.Table) -> pa.Table:
-        h = _key_hash(t, keys)
+        h = _key_hash(t, rkeys_in)
         part = (h % np.uint64(P)).astype(np.int64)
-        # rename payload, null-fill left-only columns
+        # right keys presented under the LEFT names; payload renamed;
+        # left-only columns null-filled
         cols = {}
-        for n in keys:
-            cols[n] = t[n]
+        for lk, rk in zip(keys, rkeys_in):
+            cols[lk] = t[rk]
         for n, n2, _ in rpay:
             cols[n2] = t[n]
-        out = pa.table(cols) if cols else pa.table({})
+        out = pa.table(cols)
         for n in lnames:
             if n not in keys:
                 out = out.append_column(
@@ -171,9 +195,6 @@ def hash_partition_join(
             np.ones(t.num_rows, dtype=np.int8)))
             .append_column(_PART, pa.array(part))
             .select(out_names_full))
-
-    pay_names = [n2 for _, n2, _ in rpay]
-    out_names_full = lnames + pay_names + [_SIDE, _PART]
 
     lt = left.map_batches(prep_left, batch_format="pyarrow",
                           batch_size=None)
@@ -186,19 +207,29 @@ def hash_partition_join(
             cols[n2] = pa.array([], typ)
         return pa.table(cols).select(out_names)
 
+    def _null_pad(ltab: pa.Table) -> pa.Table:
+        for _, n2, typ in rpay:
+            ltab = ltab.append_column(n2, pa.nulls(ltab.num_rows, typ))
+        return ltab.select(out_names)
+
     def merge(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         lmask = side == 0
         ltab = t.filter(pa.array(lmask)).select(lnames)
         rtab = t.filter(pa.array(~lmask)).select(keys + pay_names)
-        if how == "left_anti":
-            if rtab.num_rows == 0 or ltab.num_rows == 0:
+        if ltab.num_rows == 0:
+            return ltab if semi_anti else _empty()
+        if rtab.num_rows == 0:
+            if how == "left_anti":
                 return ltab
+            if how == "left_outer":
+                return _null_pad(ltab)
+            return ltab.slice(0, 0) if semi_anti else _empty()
+        if semi_anti:
             rkeys = rtab.select(keys).group_by(keys).aggregate([])
-            return ltab.join(rkeys, keys=keys, join_type="left anti")
-        if ltab.num_rows == 0 or rtab.num_rows == 0:
-            return _empty()
-        res = ltab.join(rtab, keys=keys, join_type="inner")
+            return ltab.join(rkeys, keys=keys,
+                             join_type=_ACERO_HOW[how])
+        res = ltab.join(rtab, keys=keys, join_type=_ACERO_HOW[how])
         return res.select(out_names)
 
     # Ray maps pass empty blocks through un-UDF'd with their stale

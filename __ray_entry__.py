@@ -650,6 +650,22 @@ def _q_semantic_dedup_pairs(sf_dir: str):
     return semantic_dedup_pairs(emb, cents, threshold=0.9)
 
 
+def _q_exact_quantiles_events(sf_dir: str):
+    """Exact grouped quantiles (stages/quantile_exact.py): p50/p90 of
+    the cent value per event_type — one sorted run + sorted-run rank,
+    group sizes merged on the driver (bounded by the output size),
+    vectorized target-rank pick.  quantile_disc semantics: the value
+    at ceil(q*n), integers stay integers (bit-exact oracle); the
+    DDSketch stage is the approximate counterpart."""
+    from vector_ray.stages.quantile_exact import grouped_quantiles
+
+    ds = _cents(_events(sf_dir, columns=["event_id", "event_type",
+                                         "value"]))
+    return grouped_quantiles(
+        ds, keys=["event_type"], value_col="value_cents",
+        qs={"p50_cents": (1, 2), "p90_cents": (9, 10)})
+
+
 def _q_stratified_sample_events(sf_dir: str):
     """Exact-fraction stratified sampling (stages/sample.py): keep
     ceil(n/10) events per event_type, rows chosen by the Knuth
@@ -1482,6 +1498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample_events": _q_stratified_sample_events,
         "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
         "semantic_dedup_pairs": _q_semantic_dedup_pairs,
+        "exact_quantiles_events": _q_exact_quantiles_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
         # round-3 join/sketch additions; aggregate keeps 3 in-window
@@ -1557,6 +1574,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample_events": oracle.SQL_STRATIFIED_SAMPLE_EVENTS,
         "kmeans_assign_embeddings": oracle.SQL_KMEANS_ASSIGN_EMBEDDINGS,
         "semantic_dedup_pairs": oracle.SQL_SEMANTIC_DEDUP_PAIRS,
+        "exact_quantiles_events": oracle.SQL_EXACT_QUANTILES_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,
         "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,

@@ -105,3 +105,41 @@ def test_stratified_sample_full_fraction(ray_session):
     out = stratified_sample(rd.from_pandas(df), keys=["grp"],
                             frac=(1, 1), id_col="id").to_pandas()
     assert sorted(out["id"]) == list(range(20))
+
+
+# --- exact grouped quantiles (stages/quantile_exact.py) ------------------
+
+def test_grouped_quantiles_match_numpy(ray_session):
+    import pandas as pd
+    from vector_ray.stages.quantile_exact import grouped_quantiles
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": rng.choice(list("abc"), 500),
+        "v": rng.integers(-1000, 1000, 500),
+    })
+    got = grouped_quantiles(
+        rd.from_pandas(df).repartition(7), keys=["g"], value_col="v",
+        qs={"p25": (1, 4), "p50": (1, 2), "p99": (99, 100)})
+    for _, row in got.iterrows():
+        vals = np.sort(df[df["g"] == row["g"]]["v"].to_numpy())
+        n = len(vals)
+        assert row["n"] == n
+        for name, (num, den) in (("p25", (1, 4)), ("p50", (1, 2)),
+                                 ("p99", (99, 100))):
+            idx = -(-num * n // den) - 1  # ceil(q*n) - 1
+            assert row[name] == vals[idx], (row["g"], name)
+
+
+def test_grouped_quantiles_singleton_and_ties(ray_session):
+    import pandas as pd
+    from vector_ray.stages.quantile_exact import grouped_quantiles
+
+    df = pd.DataFrame({"g": ["x"] * 6 + ["solo"],
+                       "v": [5, 5, 5, 1, 9, 5, 42]})
+    got = grouped_quantiles(
+        rd.from_pandas(df).repartition(3), keys=["g"], value_col="v",
+        qs={"p50": (1, 2)}).set_index("g")
+    assert got.loc["x", "p50"] == 5      # ties collapse to the value
+    assert got.loc["solo", "p50"] == 42
+    assert got.loc["solo", "n"] == 1

@@ -622,6 +622,19 @@ FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
 """.format(emb_with_dups=_EMB_WITH_DUPS)
 
+# exact grouped quantiles (stages/quantile_exact.py): quantile_disc
+# picks the value at 1-based index ceil(q*n) — integer cents, no
+# interpolation, bit-exact.
+SQL_EXACT_QUANTILES_EVENTS = """
+SELECT event_type,
+       quantile_disc(value_cents, 0.5) AS p50_cents,
+       quantile_disc(value_cents, 0.9) AS p90_cents,
+       count(*)::BIGINT AS n
+FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+GROUP BY event_type
+"""
+
 # stratified sampling (stages/sample.stratified_sample): ceil(n/10)
 # per event_type, ordered by the Knuth multiplicative hash — pure
 # integer on both sides.

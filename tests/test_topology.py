@@ -416,3 +416,84 @@ sinks:
     out = res.outputs["deduped"].to_pandas()
     assert 0 < len(out)
     assert out["text"].is_unique  # near-dup removal implies exact too
+
+
+def test_window_fns_and_stratified_yaml_components(tmp_path):
+    """Round-3 late gains as YAML components: per-user window functions
+    feeding an exact-fraction stratified sample."""
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(f"""
+sources:
+  events:
+    type: parquet
+    path: /root/testdata/sf0.001/events.parquet
+    columns: [event_id, ts, user_id, event_type, value]
+transforms:
+  windowed:
+    type: window_functions
+    inputs: [events]
+    keys: [user_id]
+    order_by: [ts, event_id]
+    value_col: value
+    rolling_window: 3
+  sampled:
+    type: stratified_sample
+    inputs: [windowed]
+    keys: [event_type]
+    frac: [1, 5]
+    id_col: event_id
+sinks:
+  out:
+    type: parquet
+    inputs: [sampled]
+    path: "{tmp_path}/win"
+""")
+    res = run_topology(topo)
+    import ray.data as rd
+
+    out = rd.read_parquet(str(tmp_path / "win")).to_pandas()
+    assert res.sink_counts["out"] == len(out) > 0
+    assert {"rn", "lag_value", "lead_value", "cum_value",
+            "roll_value"} <= set(out.columns)
+    sizes = out.groupby("event_type").size()
+    # ceil(n/5) per stratum of the 1000-row events table
+    assert (sizes <= 1000 // 5 + 1).all()
+
+
+def test_decontaminate_yaml_two_input(tmp_path):
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(f"""
+sources:
+  corpus:
+    type: parquet
+    path: /root/testdata/sf0.001/documents.parquet
+    columns: [doc_id, text]
+  bench:
+    type: parquet
+    path: /root/testdata/sf0.001/documents.parquet
+    columns: [doc_id, text]
+transforms:
+  bench_only:
+    type: filter
+    inputs: [bench]
+    condition: '.doc_id < 3'
+  clean:
+    type: decontaminate
+    inputs: [corpus, bench_only]
+    n: 3
+sinks:
+  out:
+    type: parquet
+    inputs: [clean]
+    path: "{tmp_path}/clean"
+""")
+    res = run_topology(topo)
+    import ray.data as rd
+
+    out = rd.read_parquet(str(tmp_path / "clean")).to_pandas()
+    assert res.sink_counts["out"] == len(out)
+    # the benchmark docs themselves are removed (self-overlap)
+    assert not (out["doc_id"] < 3).any()
+    assert len(out) > 0

@@ -186,7 +186,8 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
 
 # transforms consuming their 2 inputs as distinct (left, right) sides
 # instead of the reference's union-of-inputs stream semantics
-_TWO_INPUT_TRANSFORMS = frozenset({"asof_join", "interval_join"})
+_TWO_INPUT_TRANSFORMS = frozenset(
+    {"asof_join", "interval_join", "decontaminate"})
 
 
 def _build_transform(
@@ -195,6 +196,18 @@ def _build_transform(
 ) -> dict[str, Dataset]:
     c = spec.config
     t = spec.type
+    if t == "decontaminate":
+        # two-input: inputs[0] = corpus, inputs[1] = benchmark set
+        if ins_list is None or len(ins_list) != 2:
+            raise ConfigError(
+                f"decontaminate component {spec.name!r} needs exactly "
+                f"2 inputs (corpus, benchmark); got {len(ins_list or [])}")
+        from vector_ray.ml.decontam import decontaminate
+
+        return {"": decontaminate(
+            ins_list[0], ins_list[1],
+            text_col=c.get("text_col", "text"), n=c.get("n", 3),
+            seed=c.get("seed", 0), annotate=c.get("annotate", False))}
     if t in ("asof_join", "interval_join"):
         # two-input components: inputs[0] is the left/points side,
         # inputs[1] the right/intervals side (every other transform
@@ -419,6 +432,41 @@ def _build_transform(
         if t == "doc_fingerprint" and "window" in c:
             kw["window"] = c["window"]
         return {"": fn(ds, **kw)}
+    if t == "window_functions":
+        from vector_ray.stages.window_fns import window_functions
+
+        return {"": window_functions(
+            ds, keys=c["keys"], order_by=c["order_by"],
+            value_col=c["value_col"],
+            rolling_window=c.get("rolling_window", 4))}
+    if t == "stratified_sample":
+        from vector_ray.stages.sample import stratified_sample
+
+        return {"": stratified_sample(
+            ds, keys=c["keys"], frac=tuple(c.get("frac", (1, 10))),
+            id_col=c["id_col"])}
+    if t == "token_counts":
+        from vector_ray.ml.vocab import token_counts
+
+        return {"": token_counts(
+            ds, c.get("text_col", "text"),
+            pattern=c.get("pattern", " "),
+            min_count=c.get("min_count", 1), top_n=c.get("top_n"))}
+    if t == "top_terms":
+        from vector_ray.ml.vocab import top_terms
+
+        return {"": top_terms(
+            ds, text_col=c.get("text_col", "text"),
+            id_col=c.get("id_col", "doc_id"), k=c.get("k", 3),
+            pattern=c.get("pattern", " "))}
+    if t == "kmeans":
+        from vector_ray.ml.kmeans import kmeans
+
+        labeled, _cents = kmeans(
+            ds, c["k"], vec_col=c.get("vec_col", "embedding"),
+            id_col=c.get("id_col", "vec_id"),
+            n_iter=c.get("n_iter", 10))
+        return {"": labeled}
     raise ConfigError(f"unknown transform type {t!r}")
 
 

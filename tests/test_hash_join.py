@@ -108,3 +108,18 @@ def test_right_on_different_key_names(ray_session):
     assert got[["a", "v", "w"]].values.tolist() == [
         [2, "x", 20], [4, "z", 40], [4, "z", 41]]
     assert "b" not in got.columns
+
+
+def test_full_outer_matches_pandas(ray_session, sides):
+    L, R = sides
+    got = hash_partition_join(
+        _ds(L, 4), _ds(R, 3), on=["k", "c"], how="full_outer",
+        num_partitions=6).to_pandas()
+    exp = L.merge(R, on=["k", "c"], how="outer", suffixes=("", "_r"))
+    assert len(got) == len(exp)
+    # left rows all present; right-only rows carry keys + payload
+    assert sorted(got["lx"].dropna()) == sorted(exp["lx"].dropna())
+    assert int(got["lx"].isna().sum()) == int(exp["lx"].isna().sum())
+    assert int(got["ry"].isna().sum()) == int(exp["ry"].isna().sum())
+    ronly = got[got["lx"].isna()]
+    assert ronly["k"].notna().all()  # full-outer keys coalesce

@@ -47,6 +47,7 @@ _PART = "__hj_part"
 _SIDE = "__hj_side"
 
 _ACERO_HOW = {"inner": "inner", "left_outer": "left outer",
+              "full_outer": "full outer",
               "left_semi": "left semi", "left_anti": "left anti"}
 
 
@@ -133,10 +134,11 @@ def hash_partition_join(
     key columns named ``right_on`` if they differ; output keeps the
     left names).
 
-    ``how``: ``inner`` / ``left_outer`` (left cols + right payload
-    cols, key columns once), ``left_semi`` / ``left_anti`` (left rows
-    with ≥1 / no right match, left cols only).  Right payload columns
-    clashing with left names get ``right_suffix``."""
+    ``how``: ``inner`` / ``left_outer`` / ``full_outer`` (left cols +
+    right payload cols, key columns once — full-outer keys coalesce),
+    ``left_semi`` / ``left_anti`` (left rows with ≥1 / no right match,
+    left cols only).  Right payload columns clashing with left names
+    get ``right_suffix``."""
     if how not in _ACERO_HOW:
         raise ValueError(f"unsupported how={how!r}")
     keys = list(on)
@@ -154,7 +156,7 @@ def hash_partition_join(
     if rsch is None:
         # schema-less (empty) right side: anti keeps everything,
         # semi/inner keep nothing, outer keeps left (payload unknowable)
-        if how in ("left_anti", "left_outer"):
+        if how in ("left_anti", "left_outer", "full_outer"):
             return left
         return left.limit(0)
     if lsch is None:
@@ -212,17 +214,30 @@ def hash_partition_join(
             ltab = ltab.append_column(n2, pa.nulls(ltab.num_rows, typ))
         return ltab.select(out_names)
 
+    def _right_only(rtab: pa.Table) -> pa.Table:
+        # full-outer rows with no left match: keys from the right,
+        # left non-key columns null
+        cols = {}
+        for n in lnames:
+            cols[n] = (rtab[n] if n in keys
+                       else pa.nulls(rtab.num_rows, lsch.field(n).type))
+        for n2 in pay_names:
+            cols[n2] = rtab[n2]
+        return pa.table(cols).select(out_names)
+
     def merge(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         lmask = side == 0
         ltab = t.filter(pa.array(lmask)).select(lnames)
         rtab = t.filter(pa.array(~lmask)).select(keys + pay_names)
         if ltab.num_rows == 0:
+            if how == "full_outer":
+                return _right_only(rtab)
             return ltab if semi_anti else _empty()
         if rtab.num_rows == 0:
             if how == "left_anti":
                 return ltab
-            if how == "left_outer":
+            if how in ("left_outer", "full_outer"):
                 return _null_pad(ltab)
             return ltab.slice(0, 0) if semi_anti else _empty()
         if semi_anti:

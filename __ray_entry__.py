@@ -650,6 +650,25 @@ def _q_semantic_dedup_pairs(sf_dir: str):
     return semantic_dedup_pairs(emb, cents, threshold=0.9)
 
 
+def _q_time_range_sum_events(sf_dir: str):
+    """Event-time RANGE-frame rolling sum (stages/window_fns.
+    time_range_sum): per-user cent sum over the trailing hour,
+    peer-inclusive (exact SQL RANGE semantics) — composed from the
+    gained primitives: running sum (one sorted run) + per-(key, ts)
+    peer max + backward as-of self-join at ts - 1h - 1µs.  Cost is
+    independent of window row count (prefix-sum difference, no
+    window re-scan)."""
+    from vector_ray.stages.window_fns import time_range_sum
+
+    ds = _cents(_events(
+        sf_dir, columns=["event_id", "ts", "user_id", "value"]))
+    out = time_range_sum(
+        ds, keys=["user_id"], ts_col="ts", value_col="value_cents",
+        preceding=3_600_000_000, out_col="hour_cents")
+    return out.select_columns(["event_id", "ts", "user_id",
+                               "value_cents", "hour_cents"])
+
+
 def _q_exact_quantiles_events(sf_dir: str):
     """Exact grouped quantiles (stages/quantile_exact.py): p50/p90 of
     the cent value per event_type — one sorted run + sorted-run rank,
@@ -1499,6 +1518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
         "semantic_dedup_pairs": _q_semantic_dedup_pairs,
         "exact_quantiles_events": _q_exact_quantiles_events,
+        "time_range_sum_events": _q_time_range_sum_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
         # round-3 join/sketch additions; aggregate keeps 3 in-window
@@ -1575,6 +1595,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign_embeddings": oracle.SQL_KMEANS_ASSIGN_EMBEDDINGS,
         "semantic_dedup_pairs": oracle.SQL_SEMANTIC_DEDUP_PAIRS,
         "exact_quantiles_events": oracle.SQL_EXACT_QUANTILES_EVENTS,
+        "time_range_sum_events": oracle.SQL_TIME_RANGE_SUM_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,
         "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,

@@ -143,3 +143,49 @@ def test_grouped_quantiles_singleton_and_ties(ray_session):
     assert got.loc["x", "p50"] == 5      # ties collapse to the value
     assert got.loc["solo", "p50"] == 42
     assert got.loc["solo", "n"] == 1
+
+
+# --- event-time RANGE-frame rolling sum ----------------------------------
+
+def test_time_range_sum_with_peers(ray_session):
+    import pandas as pd
+    from vector_ray.stages.window_fns import time_range_sum
+
+    # key x: ts 0,10,10,15,30 with window 10 — peers at ts=10 must get
+    # the SAME sum (RANGE includes all peers of the current ts)
+    df = pd.DataFrame({
+        "k": ["x"] * 5 + ["y"] * 2,
+        "ts": [0, 10, 10, 15, 30, 5, 100],
+        "id": range(7),
+        "v": [1, 2, 4, 8, 16, 32, 64],
+    })
+    got = time_range_sum(
+        rd.from_pandas(df).repartition(3), keys=["k"], ts_col="ts",
+        value_col="v", preceding=10, tiebreak="id",
+    ).to_pandas().sort_values("id")
+    # x: ts0 -> 1; ts10 peers -> 1+2+4=7 BOTH; ts15 -> 2+4+8=14
+    # (ts0 out: 15-10=5 > 0); ts30 -> 16; y: 32, 64
+    assert got["range_sum"].tolist() == [1, 7, 7, 14, 16, 32, 64]
+
+
+def test_time_range_sum_matches_pandas_rolling(ray_session):
+    import pandas as pd
+    from vector_ray.stages.window_fns import time_range_sum
+
+    rng = np.random.default_rng(17)
+    n = 300
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, n),
+        "ts": rng.integers(0, 2000, n),
+        "id": np.arange(n),
+        "v": rng.integers(1, 100, n),
+    })
+    got = time_range_sum(
+        rd.from_pandas(df).repartition(5), keys=["k"], ts_col="ts",
+        value_col="v", preceding=50, tiebreak="id",
+    ).to_pandas()
+    m = got.set_index("id")["range_sum"].to_dict()
+    for _, r in df.iterrows():
+        win = df[(df["k"] == r["k"]) & (df["ts"] >= r["ts"] - 50)
+                 & (df["ts"] <= r["ts"])]
+        assert m[r["id"]] == win["v"].sum(), r["id"]

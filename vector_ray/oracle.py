@@ -622,6 +622,21 @@ FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
 """.format(emb_with_dups=_EMB_WITH_DUPS)
 
+# event-time RANGE-frame rolling sum (stages/window_fns.
+# time_range_sum): trailing-hour cent sum per user, peers included.
+SQL_TIME_RANGE_SUM_EVENTS = """
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events)
+SELECT event_id, ts, user_id, value_cents,
+       CAST(sum(value_cents) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+       AS BIGINT) AS hour_cents
+FROM e
+"""
+
 # exact grouped quantiles (stages/quantile_exact.py): quantile_disc
 # picks the value at 1-based index ceil(q*n) — integer cents, no
 # interpolation, bit-exact.

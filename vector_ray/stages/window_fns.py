@@ -210,3 +210,83 @@ def window_functions(
 
     out_refs = [apply.remote(r, fwd[i], bwd[i]) for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)
+
+
+def time_range_sum(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    preceding: int,
+    tiebreak: str | None = None,
+    out_col: str = "range_sum",
+) -> Dataset:
+    """Event-time RANGE-frame rolling sum: for every row, the sum of
+    ``value_col`` over rows of the same ``keys`` partition whose
+    ``ts_col`` lies in ``[ts - preceding, ts]`` — SQL ``RANGE BETWEEN
+    preceding PRECEDING AND CURRENT ROW`` semantics including PEERS
+    (rows sharing the exact ts get the same sum).  ``preceding`` is in
+    the int64 units of ``ts_col`` (µs for timestamps).
+
+    Composed from the gained primitives, all distributed:
+      1. running sum per partition (``window_functions`` — one sort);
+      2. per-(key, ts) peer-group max of the running sum (Ray native
+         groupby-max: the frame END includes all ts peers);
+      3. frame START via a backward **as-of self-join** against the
+         peer table at probe ``ts - preceding - 1`` (the last row
+         strictly before the window), ``stages/asof.py``;
+      4. ``sum = cum_at_peers - coalesce(cum_before_window, 0)`` —
+         exact for integer values, no re-scan of window rows, so the
+         cost is independent of how many rows a window spans (a
+         carry-the-window approach degrades on hot keys).
+    """
+    from vector_ray.stages.asof import asof_join
+    from vector_ray.stages.hash_join import hash_partition_join
+
+    keys = list(keys)
+    _TS, _CUM, _HI, _LO, _PROBE = ("__trs_ts", "__trs_cum",
+                                   "__trs_hi", "__trs_lo", "__trs_probe")
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(t[ts_col], pa.int64()), pa.int64())
+        return t.append_column(_TS, ts)
+
+    base = ds.map_batches(to_i64, batch_format="pyarrow",
+                          batch_size=None)
+    order = [_TS] + ([tiebreak] if tiebreak else [])
+    w = window_functions(
+        base, keys=keys, order_by=order, value_col=value_col,
+        cum_col=_CUM, rn_col="__trs_rn", lag_col="__trs_lag",
+        lead_col="__trs_lead", roll_col="__trs_roll", rolling_window=1,
+    ).drop_columns(["__trs_rn", "__trs_lag", "__trs_lead",
+                    "__trs_roll"])
+
+    # frame end: every ts peer shares the LAST peer's running sum
+    peers = (w.select_columns(keys + [_TS, _CUM])
+             .groupby(keys + [_TS]).max(_CUM)
+             .rename_columns({f"max({_CUM})": _HI}))
+
+    withhi = hash_partition_join(
+        w.drop_columns([_CUM]), peers, on=keys + [_TS], how="inner")
+
+    # frame start: last running sum strictly BEFORE ts - preceding
+    def add_probe(t: pa.Table) -> pa.Table:
+        probe = pc.subtract(t[_TS], pa.scalar(preceding + 1, pa.int64()))
+        return t.append_column(_PROBE, probe)
+
+    probed = withhi.map_batches(add_probe, batch_format="pyarrow",
+                                batch_size=None)
+    right = peers.rename_columns({_HI: _LO, _TS: _PROBE})
+    joined = asof_join(probed, right, on=_PROBE, by=keys,
+                       strategy="backward", how="left")
+
+    def finish(t: pa.Table) -> pa.Table:
+        lo_col = _LO if _LO in t.column_names else _LO + "_r"
+        lo = pc.fill_null(t[lo_col], 0)
+        s = pc.subtract(t[_HI], lo)
+        drop = [c for c in t.column_names if c.startswith("__trs_")]
+        return t.drop_columns(drop).append_column(out_col, s)
+
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              batch_size=None)

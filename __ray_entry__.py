@@ -669,6 +669,33 @@ def _q_time_range_sum_events(sf_dir: str):
                                "value_cents", "hour_cents"])
 
 
+def _q_pivot_events(sf_dir: str):
+    """Pivot long→wide (stages/pivot.py): per-user cent sums, one
+    column per declared event_type — two native exchanges, zero
+    per-group Python (partial wide rows of a straddling group cover
+    disjoint columns, so a final groupby-sum reconstructs exactly)."""
+    from vector_ray.stages.pivot import pivot
+
+    ds = _cents(_events(sf_dir,
+                        columns=["user_id", "event_type", "value"]))
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return pivot(ds, keys=["user_id"], pivot_col="event_type",
+                 value_col="value_cents", columns=kinds, agg="sum")
+
+
+def _q_unpivot_events(sf_dir: str):
+    """Unpivot wide→long (stages/pivot.py): melt the pivoted per-user
+    table back to (user_id, event_type, cents) rows — pure streaming
+    map, vectorized tile/repeat.  Roundtrip-style oracle: equals the
+    grouped sums with zero-filled absent combinations."""
+    from vector_ray.stages.pivot import unpivot
+
+    wide = _q_pivot_events(sf_dir)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return unpivot(wide, keys=["user_id"], value_cols=kinds,
+                   var_col="event_type", value_col="cents")
+
+
 def _q_exact_quantiles_events(sf_dir: str):
     """Exact grouped quantiles (stages/quantile_exact.py): p50/p90 of
     the cent value per event_type — one sorted run + sorted-run rank,
@@ -1519,6 +1546,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup_pairs": _q_semantic_dedup_pairs,
         "exact_quantiles_events": _q_exact_quantiles_events,
         "time_range_sum_events": _q_time_range_sum_events,
+        "pivot_events": _q_pivot_events,
+        "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
         # round-3 join/sketch additions; aggregate keeps 3 in-window
@@ -1596,6 +1625,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_pairs": oracle.SQL_SEMANTIC_DEDUP_PAIRS,
         "exact_quantiles_events": oracle.SQL_EXACT_QUANTILES_EVENTS,
         "time_range_sum_events": oracle.SQL_TIME_RANGE_SUM_EVENTS,
+        "pivot_events": oracle.SQL_PIVOT_EVENTS,
+        "unpivot_events": oracle.SQL_UNPIVOT_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,
         "approx_distinct_users": oracle.SQL_APPROX_DISTINCT_USERS,

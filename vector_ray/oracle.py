@@ -622,6 +622,42 @@ FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
 """.format(emb_with_dups=_EMB_WITH_DUPS)
 
+# pivot / unpivot (stages/pivot.py): per-user cent sums, one column
+# per declared event_type (CASE-WHEN sums name columns exactly like
+# the Ray side; absent combinations are 0, SQL PIVOT IN semantics).
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN value_cents ELSE 0 END)
+         AS click,
+       sum(CASE WHEN event_type = 'error' THEN value_cents ELSE 0 END)
+         AS error,
+       sum(CASE WHEN event_type = 'purchase' THEN value_cents ELSE 0 END)
+         AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN value_cents ELSE 0 END)
+         AS signup,
+       sum(CASE WHEN event_type = 'view' THEN value_cents ELSE 0 END)
+         AS view
+FROM (SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+GROUP BY user_id
+"""
+
+SQL_UNPIVOT_EVENTS = """
+WITH kinds AS (
+  SELECT unnest(['click', 'error', 'purchase', 'signup', 'view'])
+    AS event_type),
+e AS (SELECT user_id, event_type,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+SELECT u.user_id, k.event_type,
+       coalesce(sum(e.value_cents), 0)::BIGINT AS cents
+FROM (SELECT DISTINCT user_id FROM e) u
+CROSS JOIN kinds k
+LEFT JOIN e ON e.user_id = u.user_id AND e.event_type = k.event_type
+GROUP BY u.user_id, k.event_type
+"""
+
 # event-time RANGE-frame rolling sum (stages/window_fns.
 # time_range_sum): trailing-hour cent sum per user, peers included.
 SQL_TIME_RANGE_SUM_EVENTS = """

@@ -696,6 +696,20 @@ def _q_unpivot_events(sf_dir: str):
                    var_col="event_type", value_col="cents")
 
 
+def _q_rollup_events(sf_dir: str):
+    """GROUP BY ROLLUP (stages/pivot.rollup): cent sums at
+    (event_type, user_id), (event_type) and grand-total levels — ONE
+    shuffle at the finest level, coarser levels re-aggregate the
+    collapsed result; rolled-up key cells hold '__all__' and key
+    columns are strings at every level so the union has one schema."""
+    from vector_ray.stages.pivot import rollup
+
+    ds = _cents(_events(sf_dir,
+                        columns=["event_type", "user_id", "value"]))
+    return rollup(ds, keys=["event_type", "user_id"],
+                  value_col="value_cents")
+
+
 def _q_exact_quantiles_events(sf_dir: str):
     """Exact grouped quantiles (stages/quantile_exact.py): p50/p90 of
     the cent value per event_type — one sorted run + sorted-run rank,
@@ -1547,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_quantiles_events": _q_exact_quantiles_events,
         "time_range_sum_events": _q_time_range_sum_events,
         "pivot_events": _q_pivot_events,
+        "rollup_events": _q_rollup_events,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
@@ -1626,6 +1641,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_quantiles_events": oracle.SQL_EXACT_QUANTILES_EVENTS,
         "time_range_sum_events": oracle.SQL_TIME_RANGE_SUM_EVENTS,
         "pivot_events": oracle.SQL_PIVOT_EVENTS,
+        "rollup_events": oracle.SQL_ROLLUP_EVENTS,
         "unpivot_events": oracle.SQL_UNPIVOT_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,

@@ -71,3 +71,25 @@ def test_unpivot_roundtrip(ray_session, long_df):
     m["v_exp"] = m["v_exp"].fillna(0)
     assert (m["v"] == m["v_exp"]).all()
     assert len(back) == wide.count() * 4
+
+
+def test_rollup_levels(ray_session, long_df):
+    from vector_ray.stages.pivot import rollup
+
+    got = rollup(rd.from_pandas(long_df).repartition(4),
+                 keys=["cat", "g"], value_col="v").to_pandas()
+    total = long_df["v"].sum()
+    # grand total
+    gt = got[got["grouping_level"] == 2]
+    assert len(gt) == 1 and gt["v"].iloc[0] == total
+    assert (gt[["cat", "g"]].values == "__all__").all()
+    # per-cat level sums to the total
+    l1 = got[got["grouping_level"] == 1]
+    assert l1["v"].sum() == total and (l1["g"] == "__all__").all()
+    exp_cat = long_df.groupby("cat")["v"].sum()
+    assert dict(zip(l1["cat"], l1["v"])) == exp_cat.to_dict()
+    # finest level matches pandas groupby (keys stringified)
+    l0 = got[got["grouping_level"] == 0]
+    exp0 = long_df.groupby(["cat", "g"])["v"].sum().reset_index()
+    m = {(r["cat"], str(r["g"])): r["v"] for _, r in exp0.iterrows()}
+    assert dict(zip(zip(l0["cat"], l0["g"]), l0["v"])) == m

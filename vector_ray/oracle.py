@@ -622,6 +622,21 @@ FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
 """.format(emb_with_dups=_EMB_WITH_DUPS)
 
+# rollup (stages/pivot.rollup): ROLLUP(event_type, user_id) cent sums;
+# rolled-up cells coalesce to '__all__', keys cast to VARCHAR to match
+# the engine's one-schema union; GROUPING() counts rolled keys.
+SQL_ROLLUP_EVENTS = """
+SELECT coalesce(CAST(event_type AS VARCHAR), '__all__') AS event_type,
+       coalesce(CAST(user_id AS VARCHAR), '__all__') AS user_id,
+       CAST(sum(value_cents) AS BIGINT) AS value_cents,
+       CAST(grouping(event_type) + grouping(user_id) AS BIGINT)
+         AS grouping_level
+FROM (SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+GROUP BY ROLLUP (event_type, user_id)
+"""
+
 # pivot / unpivot (stages/pivot.py): per-user cent sums, one column
 # per declared event_type (CASE-WHEN sums name columns exactly like
 # the Ray side; absent combinations are 0, SQL PIVOT IN semantics).

@@ -152,3 +152,94 @@ def unpivot(
         return pa.table(cols)
 
     return ds.map_batches(melt, batch_format="pyarrow", batch_size=None)
+
+
+def rollup(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    total_marker: str = "__all__",
+) -> Dataset:
+    """``GROUP BY ROLLUP(keys)``: sums at every prefix level of
+    ``keys`` — (k1, k2, ..., kn), (k1, ..., k(n-1)), ..., (k1), ()
+    — with rolled-up key columns set to ``total_marker`` and an int64
+    ``grouping_level`` (0 = finest, len(keys) = grand total).
+
+    Scale shape: ONE shuffle at the finest level; every coarser level
+    re-aggregates the COLLAPSED result (≤ |finest groups| rows), so
+    super-aggregate passes are near-free — never n shuffles over the
+    raw input.  Sums must be integers/floats (no avg — partial means
+    don't combine)."""
+    keys = list(keys)
+
+    finest = (ds.groupby(keys).sum(value_col)
+              .materialize())  # feeds every level once
+    sum_col = f"sum({value_col})"
+
+    def level_table(level: int) -> Dataset:
+        kept = keys[: len(keys) - level]
+
+        def mark(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            t = t.rename_columns(
+                [value_col if c in (sum_col, f"sum({sum_col})") else c
+                 for c in t.column_names])
+            # key columns become strings at EVERY level so the union
+            # of levels has one schema (rolled-up cells hold the marker)
+            for k in kept:
+                i = t.column_names.index(k)
+                t = t.set_column(i, k, pc.cast(t[k], pa.string()))
+            for k in keys[len(keys) - level:]:
+                i = (t.column_names.index(k) if k in t.column_names
+                     else None)
+                marker = pa.array([total_marker] * t.num_rows,
+                                  pa.string())
+                t = (t.set_column(i, k, marker) if i is not None
+                     else t.append_column(k, marker))
+            return (t.append_column(
+                "grouping_level",
+                pa.array(np.full(t.num_rows, level, dtype=np.int64)))
+                .select(keys + [value_col, "grouping_level"]))
+
+        if level == 0:
+            return finest.map_batches(mark, batch_format="pyarrow",
+                                      batch_size=None)
+        if kept:
+            lvl = finest.groupby(kept).sum(sum_col)
+            # column rename ("sum(sum(v))" → value) rides inside mark:
+            # Dataset.rename_columns breaks on pandas-backed blocks
+            return lvl.map_batches(mark, batch_format="pyarrow",
+                                   batch_size=None)
+        # grand total: tiny driver combine (never a groupby for 1 row)
+        import ray as _ray
+
+        total = sum(
+            part
+            for part in _ray.get([
+                _grand_total.remote(r, sum_col)
+                for r in finest.to_arrow_refs()]))
+        import ray.data as rd
+
+        one = pa.table({value_col: pa.array([total])})
+        return rd.from_arrow(one).map_batches(
+            lambda t: mark(t.rename_columns([sum_col])),
+            batch_format="pyarrow", batch_size=None)
+
+    import ray.data as rd
+
+    out = level_table(0)
+    for lvl in range(1, len(keys) + 1):
+        out = out.union(level_table(lvl))
+    return out
+
+
+import ray as _ray_mod
+
+
+@_ray_mod.remote
+def _grand_total(t, sum_col: str):
+    import pyarrow.compute as _pc
+
+    return _pc.sum(t[sum_col]).as_py() or 0

@@ -710,6 +710,83 @@ def _q_rollup_events(sf_dir: str):
                   value_col="value_cents")
 
 
+def _q_nation_revenue(sf_dir: str):
+    """TPC-H-Q5-style 4-table chain: revenue per nation — the
+    scale-shaped plan, not the naive join order: lineitem PRE-AGGREGATES
+    per order (map-side combine collapses the big table before any
+    join), one hash-partition join to orders (stages/hash_join.py),
+    then the small sides (customer, nation) broadcast once via ray.put
+    and resolve inside map_batches; the 25-row final sum combines on
+    the driver.  Revenue is integer ticks (cents x discount-pct) —
+    order-independent, bit-exact vs SQL."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from vector_ray.stages.hash_join import hash_partition_join
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def ticks(t: pa.Table) -> pa.Table:
+        price = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                             100.0)), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "revenue_ticks": rev})
+
+    per_order = (li.map_batches(ticks, batch_format="pyarrow",
+                                batch_size=None)
+                 .groupby("l_orderkey").sum("revenue_ticks"))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    j = hash_partition_join(orders, per_order, on=["o_orderkey"],
+                            right_on=["l_orderkey"], how="inner")
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    c2n = dict(zip(cust["c_custkey"],
+                   cust["c_nationkey"].map(
+                       dict(zip(nat["n_nationkey"], nat["n_name"])))))
+    c2n_ref = ray.put(c2n)
+
+    def per_block(t: pa.Table):
+        # groupby().map_groups emits zero-column empty blocks for
+        # group-less partitions — skip them
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return {}
+        lookup = ray.get(c2n_ref)
+        names = pd.Series(t["o_custkey"].to_numpy(
+            zero_copy_only=False)).map(lookup)
+        rev = t["sum(revenue_ticks)"].to_numpy(zero_copy_only=False)
+        return pd.Series(rev).groupby(names.values).sum().to_dict()
+
+    totals: dict = {}
+    mat = j.materialize()
+
+    @ray.remote
+    def block_sum(t):
+        return per_block(t)
+
+    for part in ray.get([block_sum.remote(r)
+                         for r in mat.to_arrow_refs()]):
+        for k, v in part.items():
+            totals[k] = totals.get(k, 0) + int(v)
+    return pd.DataFrame(
+        {"n_name": sorted(totals),
+         "revenue_ticks": [totals[k] for k in sorted(totals)]})
+
+
 def _q_exact_quantiles_events(sf_dir: str):
     """Exact grouped quantiles (stages/quantile_exact.py): p50/p90 of
     the cent value per event_type — one sorted run + sorted-run rank,
@@ -1562,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_range_sum_events": _q_time_range_sum_events,
         "pivot_events": _q_pivot_events,
         "rollup_events": _q_rollup_events,
+        "nation_revenue": _q_nation_revenue,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
@@ -1642,6 +1720,7 @@ def oracle_sql() -> dict[str, str]:
         "time_range_sum_events": oracle.SQL_TIME_RANGE_SUM_EVENTS,
         "pivot_events": oracle.SQL_PIVOT_EVENTS,
         "rollup_events": oracle.SQL_ROLLUP_EVENTS,
+        "nation_revenue": oracle.SQL_NATION_REVENUE,
         "unpivot_events": oracle.SQL_UNPIVOT_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,

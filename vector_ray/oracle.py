@@ -622,6 +622,20 @@ FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
 """.format(emb_with_dups=_EMB_WITH_DUPS)
 
+# TPC-H-Q5-style nation revenue: 4-table chain, integer tick revenue
+# (cents x (100 - discount-pct)) so summation order cannot matter.
+SQL_NATION_REVENUE = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_ticks
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
 # rollup (stages/pivot.rollup): ROLLUP(event_type, user_id) cent sums;
 # rolled-up cells coalesce to '__all__', keys cast to VARCHAR to match
 # the engine's one-schema union; GROUPING() counts rolled keys.

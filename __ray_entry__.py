@@ -787,6 +787,24 @@ def _q_nation_revenue(sf_dir: str):
          "revenue_ticks": [totals[k] for k in sorted(totals)]})
 
 
+def _q_count_min_users(sf_dir: str):
+    """Count-Min sketch (stages/sketch.py): estimated event count per
+    user through a 4x256 counter grid — per-block grids sum on the
+    driver (d*w ints per block at any scale); estimates = min over
+    rows.  At ~1000 users over 256 buckets collisions are REAL and the
+    estimates exceed truth — the SQL oracle replays the md5 bucketing
+    bit-exactly, collisions included."""
+    from vector_ray.stages.sketch import count_min_estimates
+
+    ds = _events(sf_dir, columns=["user_id"]).materialize()
+    import ray
+
+    users = sorted({u for t in ds.to_arrow_refs()
+                    for u in ray.get(t)["user_id"].to_pylist()})
+    return count_min_estimates(ds, "user_id", users, w=256, d=4,
+                               hash="md5")
+
+
 def _q_exact_quantiles_events(sf_dir: str):
     """Exact grouped quantiles (stages/quantile_exact.py): p50/p90 of
     the cent value per event_type — one sorted run + sorted-run rank,
@@ -1640,6 +1658,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "rollup_events": _q_rollup_events,
         "nation_revenue": _q_nation_revenue,
+        "count_min_users": _q_count_min_users,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
@@ -1721,6 +1740,7 @@ def oracle_sql() -> dict[str, str]:
         "pivot_events": oracle.SQL_PIVOT_EVENTS,
         "rollup_events": oracle.SQL_ROLLUP_EVENTS,
         "nation_revenue": oracle.SQL_NATION_REVENUE,
+        "count_min_users": oracle.SQL_COUNT_MIN_USERS,
         "unpivot_events": oracle.SQL_UNPIVOT_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,

@@ -65,3 +65,29 @@ def test_partials_are_tiny_and_mergeable(ray_session):
     # merged register table is bounded by m rows regardless of input
     assert len(regs) <= 256
     assert regs["__rho"].min() >= 1
+
+
+# --- Count-Min sketch (stages/sketch.count_min_*) -------------------------
+
+def test_count_min_never_undercounts(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from vector_ray.stages.sketch import count_min_estimates
+
+    rng = np.random.default_rng(29)
+    items = rng.zipf(1.5, 5000) % 300          # skewed, heavy hitters
+    ds = rd.from_pandas(pd.DataFrame({"x": items})).repartition(6)
+    truth = pd.Series(items).value_counts()
+    got = count_min_estimates(ds, "x", truth.index.tolist(),
+                              w=64, d=4).set_index("x")["est"]
+    assert (got >= truth).all()                 # CMS one-sided error
+    # top heavy hitter is estimated within the collision mass bound
+    top = truth.index[0]
+    assert got[top] <= truth[top] + len(items) // 16
+    # mergeable: block structure must not change the grid
+    ds2 = rd.from_pandas(pd.DataFrame({"x": items})).repartition(17)
+    got2 = count_min_estimates(ds2, "x", truth.index.tolist(),
+                               w=64, d=4).set_index("x")["est"]
+    assert (got == got2).all()

@@ -622,6 +622,28 @@ FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
 """.format(emb_with_dups=_EMB_WITH_DUPS)
 
+# Count-Min sketch (stages/sketch.count_min_*): SQL replays the md5
+# bucketing bit-exactly — estimates match INCLUDING collision error.
+SQL_COUNT_MIN_USERS = """
+WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+h AS (
+  SELECT user_id, seed,
+         (('0x' || substr(md5(seed || ':' || user_id), 1, 16))::UBIGINT
+          % 256)::BIGINT AS bucket
+  FROM events CROSS JOIN seeds),
+counts AS (SELECT seed, bucket, count(*)::BIGINT AS c
+           FROM h GROUP BY 1, 2),
+items AS (SELECT DISTINCT user_id FROM events),
+ib AS (
+  SELECT user_id, seed,
+         (('0x' || substr(md5(seed || ':' || user_id), 1, 16))::UBIGINT
+          % 256)::BIGINT AS bucket
+  FROM items CROSS JOIN seeds)
+SELECT ib.user_id, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+FROM ib LEFT JOIN counts USING (seed, bucket)
+GROUP BY ib.user_id
+"""
+
 # TPC-H-Q5-style nation revenue: 4-table chain, integer tick revenue
 # (cents x (100 - discount-pct)) so summation order cannot matter.
 SQL_NATION_REVENUE = """

@@ -287,3 +287,85 @@ def approx_distinct(
     out = pd.DataFrame(rows).sort_values(gk).reset_index(drop=True)
     out[estimate_col] = out[estimate_col].astype("int64")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable heavy-hitter / frequency estimation
+# ---------------------------------------------------------------------------
+
+def _cms_bucket(values, seed: int, w: int, hash: str) -> np.ndarray:
+    """Bucket of each value under hash row ``seed``.  ``md5`` replays
+    in SQL: ('0x' || substr(md5(seed || ':' || v), 1, 16))::UBIGINT % w
+    (the same hex-cast trick as the HLL oracle); ``fast`` mixes the
+    vectorized 64-bit kernels with the seed."""
+    if hash == "md5":
+        import hashlib
+
+        return np.fromiter(
+            (int(hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:16],
+                 16) % w for v in values),
+            dtype=np.int64, count=len(values))
+    from vector_ray.ml.hashing import hash_strings, splitmix64
+
+    arr = np.asarray(values)
+    if arr.dtype.kind in "iu":
+        h = splitmix64(arr.astype(np.uint64)
+                       ^ np.uint64(seed * 2654435761 + 1))
+    else:
+        h = splitmix64(hash_strings([str(v) for v in values])
+                       ^ np.uint64(seed * 2654435761 + 1))
+    return (h % np.uint64(w)).astype(np.int64)
+
+
+def count_min_sketch(
+    ds: Dataset,
+    item_col: str,
+    *,
+    w: int = 256,
+    d: int = 4,
+    hash: str = "fast",
+) -> np.ndarray:
+    """The merged ``(d, w)`` int64 Count-Min counter grid.
+
+    Each block collapses to its OWN fixed-size grid (``np.add.at`` —
+    C-speed scatter), and grids SUM on the driver: ``d*w`` ints per
+    block regardless of scale, the canonical mergeable-sketch shape
+    (like hll_partials above; Cormode & Muthukrishnan 2005)."""
+    import ray as _r
+
+    @_r.remote
+    def partial(t: pa.Table):
+        if t.num_rows == 0 or item_col not in t.column_names:
+            return None
+        vals = t[item_col].to_pylist()
+        grid = np.zeros((d, w), dtype=np.int64)
+        for s in range(d):
+            np.add.at(grid[s], _cms_bucket(vals, s, w, hash), 1)
+        return grid
+
+    mat = ds.materialize()
+    grids = [g for g in _r.get([partial.remote(r)
+                                for r in mat.to_arrow_refs()])
+             if g is not None]
+    return (np.sum(grids, axis=0) if grids
+            else np.zeros((d, w), dtype=np.int64))
+
+
+def count_min_estimates(
+    ds: Dataset,
+    item_col: str,
+    items,
+    *,
+    w: int = 256,
+    d: int = 4,
+    hash: str = "fast",
+) -> "pd.DataFrame":
+    """Estimated frequency of each queried item: ``min`` over the
+    ``d`` rows of its counters — never under the true count, over by
+    at most the collision mass (eps = e/w with prob 1 - e^-d)."""
+    grid = count_min_sketch(ds, item_col, w=w, d=d, hash=hash)
+    items = list(items)
+    est = np.full(len(items), np.iinfo(np.int64).max, dtype=np.int64)
+    for s in range(d):
+        est = np.minimum(est, grid[s][_cms_bucket(items, s, w, hash)])
+    return pd.DataFrame({item_col: items, "est": est})

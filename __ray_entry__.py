@@ -805,6 +805,43 @@ def _q_count_min_users(sf_dir: str):
                                hash="md5")
 
 
+def _q_connected_components_docs(sf_dir: str):
+    """Distributed connected components (ml/dedup.distributed_
+    components — min-label propagation with pointer jumping) exposed
+    as its own oracle row: edges = exact-text duplicate pairs of the
+    dup-synthesized docs (self hash-partition join on the text key),
+    output = (node, label=component min).  SQL replays with a
+    recursive reachability closure."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.ml.dedup import distributed_components
+    from vector_ray.stages.blocks import drop_empty_blocks
+    from vector_ray.stages.hash_join import hash_partition_join
+
+    docs = _docs_with_dups(sf_dir).select_columns(
+        ["doc_id", "text"]).materialize()
+
+    def as_right(t: pa.Table) -> pa.Table:
+        return pa.table({"b": t["doc_id"], "text": t["text"]})
+
+    right = docs.map_batches(as_right, batch_format="pyarrow",
+                             batch_size=None)
+    j = hash_partition_join(docs, right, on=["text"], how="inner")
+
+    def lt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        t = t.filter(pc.less(t["doc_id"], t["b"]))
+        return pa.table({"a": t["doc_id"], "b": t["b"]})
+
+    pairs = drop_empty_blocks(j.map_batches(lt, batch_format="pyarrow",
+                                            batch_size=None))
+    labels = distributed_components(pairs)
+    return labels.select_columns(["node", "label"])
+
+
 def _q_exact_quantiles_events(sf_dir: str):
     """Exact grouped quantiles (stages/quantile_exact.py): p50/p90 of
     the cent value per event_type — one sorted run + sorted-run rank,
@@ -1659,6 +1696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_events": _q_rollup_events,
         "nation_revenue": _q_nation_revenue,
         "count_min_users": _q_count_min_users,
+        "connected_components_docs": _q_connected_components_docs,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
@@ -1741,6 +1779,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": oracle.SQL_ROLLUP_EVENTS,
         "nation_revenue": oracle.SQL_NATION_REVENUE,
         "count_min_users": oracle.SQL_COUNT_MIN_USERS,
+        "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "unpivot_events": oracle.SQL_UNPIVOT_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,

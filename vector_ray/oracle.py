@@ -622,6 +622,23 @@ FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
 """.format(emb_with_dups=_EMB_WITH_DUPS)
 
+# distributed connected components (ml/dedup.distributed_components):
+# edges = exact-text dup pairs over docs2; SQL computes component
+# min-labels through a recursive reachability closure.
+SQL_CONNECTED_COMPONENTS_DOCS = f"""
+WITH RECURSIVE {_DOCS_WITH_DUPS},
+pairs AS (
+  SELECT d1.doc_id AS a, d2.doc_id AS b
+  FROM docs2 d1 JOIN docs2 d2
+    ON d1.text = d2.text AND d1.doc_id < d2.doc_id),
+edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+reach(node, r) AS (
+  SELECT a AS node, b AS r FROM edges
+  UNION
+  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a)
+SELECT node, least(node, min(r)) AS label FROM reach GROUP BY node
+"""
+
 # Count-Min sketch (stages/sketch.count_min_*): SQL replays the md5
 # bucketing bit-exactly — estimates match INCLUDING collision error.
 SQL_COUNT_MIN_USERS = """

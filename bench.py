@@ -91,11 +91,16 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
 
         for name in ("dedupe_events", "agg_sum_events", "throttle_events",
                      # round-3 gained joins (stages/asof.py,
-                     # stages/interval_join.py)
-                     "asof_join_events", "interval_join_events"):
+                     # stages/interval_join.py — hash_partition engine)
+                     "asof_join_events", "interval_join_events",
+                     # late round-3 gains: windows, reshape, curation
+                     "window_fns_events", "time_range_sum_events",
+                     "pivot_events", "top_terms_docs",
+                     "decontaminate_docs", "nation_revenue"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
-            res.count()
+            if hasattr(res, "count"):
+                res.count()
             queries[name] = round(time.perf_counter() - t0, 3)
 
         # sorted-run scale paths at conversation cardinality (~31k keys)

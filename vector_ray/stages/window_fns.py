@@ -51,6 +51,7 @@ def window_functions(
     lead_col: str = "lead_value",
     cum_col: str = "cum_value",
     roll_col: str = "roll_value",
+    peer_hi_col: str | None = None,
 ) -> Dataset:
     """Annotate every row with row_number / lag / lead / running sum /
     rolling sum of ``value_col`` within its ``keys`` partition ordered
@@ -60,11 +61,20 @@ def window_functions(
     Integer ``value_col`` stays integer (int64 sums — exact, order
     independent); floats stay float64.  Output keeps every input
     column and appends the five window columns.
+
+    ``peer_hi_col``: additionally emit the running sum AT THE LAST PEER
+    — peers are rows sharing (keys, order_by[0]); this is the SQL
+    RANGE-frame end (``sum ... RANGE ... AND CURRENT ROW`` includes all
+    order-ties).  Computed in the SAME pass: a reverse segmented tail
+    sum per block plus one backward driver chain carrying each peer
+    group's continuation sum — no extra exchange.
     """
     keys = list(keys)
     w = int(rolling_window)
     if w < 1:
         raise ValueError("rolling_window must be >= 1")
+    peer = peer_hi_col is not None
+    peer_col = order_by[0] if order_by else None
 
     def add_key(t: pa.Table) -> pa.Table:
         return t.append_column(_KEY_COL, _combined_key(t, keys))
@@ -88,18 +98,45 @@ def window_functions(
             arr = arr.combine_chunks()
         return arr.to_numpy(zero_copy_only=False)
 
+    def _key_col(t: pa.Table) -> pa.Array:
+        col = t[_KEY_COL]
+        return (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col)
+
+    def _new_run(kcol: pa.Array, n: int) -> np.ndarray:
+        # adjacent-inequality via the C string kernel — an object-array
+        # compare materializes n PyStrings per block and dominated the
+        # 24M-row run
+        out = np.ones(n, dtype=bool)
+        if n > 1:
+            out[1:] = pc.not_equal(
+                kcol.slice(1), kcol.slice(0, n - 1)
+            ).to_numpy(zero_copy_only=False)
+        return out
+
+    def _peer_arr(t: pa.Table) -> pa.Array:
+        col = t[peer_col]
+        return (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col)
+
     @ray.remote
     def summary(t: pa.Table):
         n = t.num_rows
         if n == 0:
             return None
-        kn = _np(t, _KEY_COL, pa.large_string())
+        kcol = _key_col(t)
         val = _np(t, value_col, pa_val_t)
-        first_k, last_k = kn[0], kn[-1]
+        first_k, last_k = kcol[0].as_py(), kcol[-1].as_py()
         single = first_k == last_k
-        last_start = 0 if single else n - int(np.argmax(kn[::-1] != last_k))
+        if single:
+            last_start = 0
+        else:
+            ne = pc.not_equal(kcol, pa.scalar(last_k)).to_numpy(
+                zero_copy_only=False)
+            # trailing stretch equal to last_k (ne has a True: not single)
+            last_start = n - int(np.argmax(ne[::-1]))
         run = val[last_start:]
-        return {
+        out = {
             "first_key": first_k,
             "last_key": last_k,
             "single": single,
@@ -109,6 +146,23 @@ def window_functions(
             "tail": run[-(w - 1):] if w > 1 else run[:0],
             "last": val[-1],
         }
+        if peer:
+            pcol = _peer_arr(t)
+            first_p, last_p = pcol[0].as_py(), pcol[-1].as_py()
+            np_ = _new_run(kcol, n)
+            if n > 1:
+                np_[1:] |= pc.not_equal(
+                    pcol.slice(1), pcol.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+            lead_end = n if not np_[1:].any() else 1 + int(
+                np.argmax(np_[1:]))
+            out.update({
+                "first_peer": (first_k, first_p),
+                "last_peer": (last_k, last_p),
+                "peer_single": single and first_p == last_p,
+                "leading_peer_sum": val[:lead_end].sum(),
+            })
+        return out
 
     sums = ray.get([summary.remote(r) for r in refs])
 
@@ -140,8 +194,26 @@ def window_functions(
         if sums[i] is not None:
             nxt = sums[i]["first_row"]
 
+    # backward peer chain: continuation sum of each block's trailing
+    # (keys, order_by[0]) peer group in LATER blocks
+    peer_cont = [np_dtype(0)] * len(sums)
+    if peer:
+        e_next, fp_next = None, None
+        for i in range(len(sums) - 1, -1, -1):
+            s = sums[i]
+            if s is None:
+                continue
+            if fp_next is not None and fp_next == s["last_peer"]:
+                peer_cont[i] = e_next
+            e_i = s["leading_peer_sum"]
+            if (s["peer_single"] and fp_next is not None
+                    and fp_next == s["first_peer"]):
+                e_i = e_i + e_next
+            e_next, fp_next = e_i, s["first_peer"]
+
     @ray.remote
-    def apply(t: pa.Table, carry_in: dict | None, lead_in: tuple | None):
+    def apply(t: pa.Table, carry_in: dict | None, lead_in: tuple | None,
+              pcont_in=None):
         n = t.num_rows
         if n == 0:
             out = t.drop_columns([_KEY_COL])
@@ -149,16 +221,18 @@ def window_functions(
                               (lead_col, pa_val_t), (cum_col, pa_val_t),
                               (roll_col, pa_val_t)):
                 out = out.append_column(name, pa.array([], typ))
+            if peer:
+                out = out.append_column(peer_hi_col,
+                                        pa.array([], pa_val_t))
             return out
-        kn = _np(t, _KEY_COL, pa.large_string())
+        kcol = _key_col(t)
         val = _np(t, value_col, pa_val_t)
 
-        new_run = np.ones(n, dtype=bool)
-        new_run[1:] = kn[1:] != kn[:-1]
+        new_run = _new_run(kcol, n)
         run_id = np.cumsum(new_run) - 1
         run_start = np.nonzero(new_run)[0]
 
-        cont = carry_in is not None and carry_in["key"] == kn[0]
+        cont = carry_in is not None and carry_in["key"] == kcol[0].as_py()
         off_cnt = carry_in["count"] if cont else 0
         off_sum = carry_in["sum"] if cont else np_dtype(0)
         prev_tail = carry_in["tail"] if cont and w > 1 else val[:0]
@@ -180,7 +254,7 @@ def window_functions(
         lead[:-1] = val[1:]
         lead_valid = np.zeros(n, dtype=bool)
         lead_valid[:-1] = ~new_run[1:]
-        if lead_in is not None and lead_in[0] == kn[-1]:
+        if lead_in is not None and lead_in[0] == kcol[-1].as_py():
             lead[-1] = lead_in[1]
             lead_valid[-1] = True
 
@@ -206,9 +280,27 @@ def window_functions(
                                                    mask=~lead_valid))
         out = out.append_column(cum_col, pa.array(cum, pa_val_t))
         out = out.append_column(roll_col, pa.array(roll, pa_val_t))
+        if peer:
+            pcol = _peer_arr(t)
+            new_peer = new_run.copy()
+            if n > 1:
+                new_peer[1:] |= pc.not_equal(
+                    pcol.slice(1), pcol.slice(0, n - 1)
+                ).to_numpy(zero_copy_only=False)
+            pr_id = np.cumsum(new_peer) - 1
+            pr_start = np.nonzero(new_peer)[0]
+            pr_last = np.append(pr_start[1:], n) - 1
+            hi = cum[pr_last[pr_id]]
+            if pcont_in:
+                # only the trailing peer run continues past the block;
+                # the chain already verified key+peer equality
+                hi = hi.copy()
+                hi[pr_id == pr_id[-1]] += pcont_in
+            out = out.append_column(peer_hi_col, pa.array(hi, pa_val_t))
         return out
 
-    out_refs = [apply.remote(r, fwd[i], bwd[i]) for i, r in enumerate(refs)]
+    out_refs = [apply.remote(r, fwd[i], bwd[i], peer_cont[i])
+                for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)
 
 
@@ -229,24 +321,23 @@ def time_range_sum(
     (rows sharing the exact ts get the same sum).  ``preceding`` is in
     the int64 units of ``ts_col`` (µs for timestamps).
 
-    Composed from the gained primitives, all distributed:
-      1. running sum per partition (``window_functions`` — one sort);
-      2. per-(key, ts) peer-group max of the running sum (Ray native
-         groupby-max: the frame END includes all ts peers);
-      3. frame START via a backward **as-of self-join** against the
-         peer table at probe ``ts - preceding - 1`` (the last row
-         strictly before the window), ``stages/asof.py``;
-      4. ``sum = cum_at_peers - coalesce(cum_before_window, 0)`` —
-         exact for integer values, no re-scan of window rows, so the
-         cost is independent of how many rows a window spans (a
-         carry-the-window approach degrades on hot keys).
+    Two exchanges total, both sort-shaped:
+      1. ``window_functions(..., peer_hi_col=...)`` — ONE sorted run
+         emitting, per row, the running sum at its last ts-PEER (the
+         RANGE frame end), computed in-pass via reverse segmented tail
+         sums + a backward driver chain (no groupby, no equality join);
+      2. frame START via a backward **as-of self-join** at probe
+         ``ts - preceding - 1`` (stages/asof.py — the last row strictly
+         before the window; its peer-end sum is the prefix to subtract).
+    ``sum = hi(self) - coalesce(hi(before-window), 0)`` — exact for
+    integer values and independent of how many rows a window spans
+    (carry-the-window approaches degrade on hot keys).
     """
     from vector_ray.stages.asof import asof_join
-    from vector_ray.stages.hash_join import hash_partition_join
 
     keys = list(keys)
-    _TS, _CUM, _HI, _LO, _PROBE = ("__trs_ts", "__trs_cum",
-                                   "__trs_hi", "__trs_lo", "__trs_probe")
+    _TS, _HI, _LO, _PROBE = ("__trs_ts", "__trs_hi", "__trs_lo",
+                             "__trs_probe")
 
     def to_i64(t: pa.Table) -> pa.Table:
         ts = pc.cast(pc.cast(t[ts_col], pa.int64()), pa.int64())
@@ -257,27 +348,30 @@ def time_range_sum(
     order = [_TS] + ([tiebreak] if tiebreak else [])
     w = window_functions(
         base, keys=keys, order_by=order, value_col=value_col,
-        cum_col=_CUM, rn_col="__trs_rn", lag_col="__trs_lag",
+        cum_col="__trs_cum", rn_col="__trs_rn", lag_col="__trs_lag",
         lead_col="__trs_lead", roll_col="__trs_roll", rolling_window=1,
+        peer_hi_col=_HI,
     ).drop_columns(["__trs_rn", "__trs_lag", "__trs_lead",
-                    "__trs_roll"])
+                    "__trs_roll", "__trs_cum"]).materialize()
 
-    # frame end: every ts peer shares the LAST peer's running sum
-    peers = (w.select_columns(keys + [_TS, _CUM])
-             .groupby(keys + [_TS]).max(_CUM)
-             .rename_columns({f"max({_CUM})": _HI}))
-
-    withhi = hash_partition_join(
-        w.drop_columns([_CUM]), peers, on=keys + [_TS], how="inner")
-
-    # frame start: last running sum strictly BEFORE ts - preceding
     def add_probe(t: pa.Table) -> pa.Table:
         probe = pc.subtract(t[_TS], pa.scalar(preceding + 1, pa.int64()))
         return t.append_column(_PROBE, probe)
 
-    probed = withhi.map_batches(add_probe, batch_format="pyarrow",
-                                batch_size=None)
-    right = peers.rename_columns({_HI: _LO, _TS: _PROBE})
+    probed = w.map_batches(add_probe, batch_format="pyarrow",
+                           batch_size=None)
+
+    def as_right(t: pa.Table) -> pa.Table:
+        # ts under the probe name, peer-end sum under _LO; ties all
+        # carry the SAME _LO (that is what peer_hi_col guarantees), so
+        # whichever tied row the asof backward fill lands on is exact
+        cols = {k: t[k] for k in keys}
+        cols[_PROBE] = t[_TS]
+        cols[_LO] = t[_HI]
+        return pa.table(cols)
+
+    right = w.map_batches(as_right, batch_format="pyarrow",
+                          batch_size=None)
     joined = asof_join(probed, right, on=_PROBE, by=keys,
                        strategy="backward", how="left")
 

@@ -34,6 +34,36 @@ RANK_COL = "__rank"
 _KEY_COL = "__run_key"
 
 
+def _key_arr(t: pa.Table, col: str = None) -> pa.Array:
+    c = t[col or _KEY_COL]
+    return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+
+def _adj_new_run(kcol: pa.Array, n: int) -> np.ndarray:
+    """True at run starts — adjacent inequality via the arrow C string
+    kernel.  NEVER compare numpy object arrays of strings here: that
+    materializes n PyStrings per block and measured >20x slower at the
+    24M fixture (see stages/window_fns.py)."""
+    out = np.ones(n, dtype=bool)
+    if n > 1:
+        out[1:] = pc.not_equal(
+            kcol.slice(1), kcol.slice(0, n - 1)
+        ).to_numpy(zero_copy_only=False)
+    return out
+
+
+def _run_bounds(kcol: pa.Array, n: int,
+                first_k, last_k) -> tuple[int, int]:
+    """(first_run_end, last_run_start) via vectorized scalar compares."""
+    if first_k == last_k:
+        return n, 0
+    ne_first = pc.not_equal(kcol, pa.scalar(first_k)).to_numpy(
+        zero_copy_only=False)
+    ne_last = pc.not_equal(kcol, pa.scalar(last_k)).to_numpy(
+        zero_copy_only=False)
+    return int(np.argmax(ne_first)), n - int(np.argmax(ne_last[::-1]))
+
+
 def _combined_key(t: pa.Table, keys: Sequence[str]) -> pa.Array:
     parts = []
     for k in keys:
@@ -89,9 +119,8 @@ def add_group_rank(
             cnt = counted.to_numpy(zero_copy_only=False)
         else:
             cnt = np.ones(n, dtype=bool)
-        kn = key.to_numpy(zero_copy_only=False)
-        first_run_end = n if first_k == last_k else int(np.argmax(kn != first_k))
-        last_run_start = 0 if first_k == last_k else n - int(np.argmax(kn[::-1] != last_k))
+        first_run_end, last_run_start = _run_bounds(key, n,
+                                                    first_k, last_k)
         return {
             "first_key": first_k,
             "last_key": last_k,
@@ -125,12 +154,7 @@ def add_group_rank(
         n = t.num_rows
         if n == 0:
             return t.append_column(RANK_COL, pa.array([], pa.int64()))
-        key = t[_KEY_COL]
-        if isinstance(key, pa.ChunkedArray):
-            key = key.combine_chunks()
-        kn = key.to_numpy(zero_copy_only=False)
-        new_run = np.ones(n, dtype=bool)
-        new_run[1:] = kn[1:] != kn[:-1]
+        new_run = _adj_new_run(_key_arr(t), n)
         if count_mask_col is not None:
             counted_col = pc.fill_null(pc.cast(t[count_mask_col], pa.bool_()), False)
             if isinstance(counted_col, pa.ChunkedArray):
@@ -479,18 +503,16 @@ def sessionize_sorted(
         n = t.num_rows
         if n == 0:
             return None
-        kn = t[_KEY_COL].combine_chunks().to_numpy(zero_copy_only=False) \
-            if isinstance(t[_KEY_COL], pa.ChunkedArray) else t[_KEY_COL].to_numpy(zero_copy_only=False)
+        kcol = _key_arr(t)
         ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
-        new_key = np.ones(n, dtype=bool)
-        new_key[1:] = kn[1:] != kn[:-1]
+        new_key = _adj_new_run(kcol, n)
         new_sess = new_key.copy()
         new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
         # session starts in the FIRST run (excluding row 0's deferred
         # decision) and in the LAST run
-        first_k, last_k = kn[0], kn[-1]
-        first_run_end = n if first_k == last_k else int(np.argmax(kn != first_k))
-        last_run_start = 0 if first_k == last_k else n - int(np.argmax(kn[::-1] != last_k))
+        first_k, last_k = kcol[0].as_py(), kcol[-1].as_py()
+        first_run_end, last_run_start = _run_bounds(kcol, n,
+                                                    first_k, last_k)
         return {
             "first_key": first_k, "last_key": last_k,
             "first_ts": int(ts[0]), "last_ts": int(ts[-1]),
@@ -531,11 +553,8 @@ def sessionize_sorted(
         if n == 0:
             return t.drop_columns([_KEY_COL]).append_column(
                 out_col, pa.array([], pa.int64()))
-        kn = t[_KEY_COL].combine_chunks().to_numpy(zero_copy_only=False) \
-            if isinstance(t[_KEY_COL], pa.ChunkedArray) else t[_KEY_COL].to_numpy(zero_copy_only=False)
         ts = pc.cast(t[ts_col], pa.int64()).to_numpy(zero_copy_only=False)
-        new_key = np.ones(n, dtype=bool)
-        new_key[1:] = kn[1:] != kn[:-1]
+        new_key = _adj_new_run(_key_arr(t), n)
         new_sess = new_key.copy()
         new_sess[1:] |= (ts[1:] - ts[:-1]) > gap_us
         new_sess[0] = first_new
@@ -591,14 +610,11 @@ def sessionize_by_condition_sorted(
 
     def _marks(t: pa.Table):
         n = t.num_rows
-        kn = t[_KEY_COL]
-        kn = (kn.combine_chunks() if isinstance(kn, pa.ChunkedArray) else kn) \
-            .to_numpy(zero_copy_only=False)
+        kcol = _key_arr(t)
         m = t["__sess_match"]
         m = (m.combine_chunks() if isinstance(m, pa.ChunkedArray) else m) \
             .to_numpy(zero_copy_only=False).astype(bool)
-        new_key = np.ones(n, dtype=bool)
-        new_key[1:] = kn[1:] != kn[:-1]
+        new_key = _adj_new_run(kcol, n)
         raw = np.empty(n, dtype=bool)
         if shift:
             raw[0] = False  # deferred to the driver chain
@@ -606,17 +622,17 @@ def sessionize_by_condition_sorted(
         else:
             raw = m.copy()
         start = new_key | raw
-        return kn, m, start
+        return kcol, m, start, new_key
 
     @ray.remote
     def summary(t: pa.Table):
         n = t.num_rows
         if n == 0:
             return None
-        kn, m, start = _marks(t)
-        first_k, last_k = kn[0], kn[-1]
-        first_run_end = n if first_k == last_k else int(np.argmax(kn != first_k))
-        last_run_start = 0 if first_k == last_k else n - int(np.argmax(kn[::-1] != last_k))
+        kcol, m, start, _nk = _marks(t)
+        first_k, last_k = kcol[0].as_py(), kcol[-1].as_py()
+        first_run_end, last_run_start = _run_bounds(kcol, n,
+                                                    first_k, last_k)
         return {
             "first_key": first_k, "last_key": last_k,
             "single_run": first_k == last_k,
@@ -658,9 +674,7 @@ def sessionize_by_condition_sorted(
         if n == 0:
             return t.drop_columns(drop).append_column(
                 out_col, pa.array([], pa.int64()))
-        kn, _m, start = _marks(t)
-        new_key = np.ones(n, dtype=bool)
-        new_key[1:] = kn[1:] != kn[:-1]
+        _kcol, _m, start, new_key = _marks(t)
         start[0] = first_new
         run_id = np.cumsum(new_key) - 1
         c = np.cumsum(start)
@@ -706,20 +720,13 @@ def segmented_diff_sorted(
     )
     refs = sorted_ds.to_arrow_refs()
 
-    def _keys_np(t: pa.Table) -> np.ndarray:
-        col = t[_KEY_COL]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        return col.to_numpy(zero_copy_only=False)
-
     @ray.remote
     def summary(t: pa.Table):
         if t.num_rows == 0:
             return None
-        kn = _keys_np(t)
         val = pc.cast(t[value_col], pa.float64()).to_numpy(
             zero_copy_only=False)
-        return (kn[-1], float(val[-1]))
+        return (_key_arr(t)[-1].as_py(), float(val[-1]))
 
     sums = ray.get([summary.remote(r) for r in refs])
     carries, carry = [], None  # carry = (last key, last value) so far
@@ -736,14 +743,13 @@ def segmented_diff_sorted(
         if n == 0:
             return t.select(keep_cols).append_column(
                 out_col, pa.array([], pa.float64()))
-        kn = _keys_np(t)
+        kcol = _key_arr(t)
         val = pc.cast(t[value_col], pa.float64()).to_numpy(
             zero_copy_only=False)
         prev = np.empty(n, dtype=np.float64)
         prev[1:] = val[:-1]
-        same = np.empty(n, dtype=bool)
-        same[1:] = kn[1:] == kn[:-1]
-        if carry is not None and carry[0] == kn[0]:
+        same = ~_adj_new_run(kcol, n)
+        if carry is not None and carry[0] == kcol[0].as_py():
             same[0] = True
             prev[0] = carry[1]
         else:

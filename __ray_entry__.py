@@ -842,6 +842,21 @@ def _q_connected_components_docs(sf_dir: str):
     return labels.select_columns(["node", "label"])
 
 
+def _q_lm_score_docs(sf_dir: str):
+    """Bigram-LM document scoring (ml/lm_score.py): per-doc
+    log-likelihood under the corpus-trained ML bigram model — the
+    CCNet/Gopher-style perplexity quality signal.  Counts flow through
+    hash-partition joins (web-scale vocab, no broadcast); per-doc sums
+    micro-quantized on BOTH engines after the reduction."""
+    import ray.data as rd
+
+    from vector_ray.ml.lm_score import lm_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return lm_score(docs)
+
+
 def _q_exact_quantiles_events(sf_dir: str):
     """Exact grouped quantiles (stages/quantile_exact.py): p50/p90 of
     the cent value per event_type — one sorted run + sorted-run rank,
@@ -1697,6 +1712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": _q_nation_revenue,
         "count_min_users": _q_count_min_users,
         "connected_components_docs": _q_connected_components_docs,
+        "lm_score_docs": _q_lm_score_docs,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
@@ -1780,6 +1796,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": oracle.SQL_NATION_REVENUE,
         "count_min_users": oracle.SQL_COUNT_MIN_USERS,
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
+        "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,
         "unpivot_events": oracle.SQL_UNPIVOT_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,

@@ -90,3 +90,35 @@ def test_tf_idf_scores(ray_session, docs_df):
     assert np.allclose(got["tfidf"], expect)
     solo = got[got["token"] == "solo"]
     assert len(solo) == 1 and solo["df"].iloc[0] == 1
+
+
+# --- bigram LM scoring (ml/lm_score.py) -----------------------------------
+
+def test_lm_score_matches_reference(ray_session):
+    from math import log
+
+    from vector_ray.ml.lm_score import lm_score
+
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["a b a b c", "a b", "c c c", "solo"],
+    })
+    got = lm_score(rd.from_pandas(docs).repartition(3),
+                   micro=False).to_pandas().set_index("doc_id")
+
+    # reference counts over the whole corpus
+    pairs = []
+    for t in docs["text"]:
+        ws = t.split(" ")
+        pairs += list(zip(ws, ws[1:]))
+    from collections import Counter
+    cb, cu = Counter(pairs), Counter(p[0] for p in pairs)
+
+    def ref(t):
+        ws = t.split(" ")
+        return sum(log(cb[(a, b)] / cu[a]) for a, b in zip(ws, ws[1:]))
+
+    for d in (0, 1, 2):
+        assert np.isclose(got.loc[d, "logprob"], ref(docs.loc[d, "text"]))
+        assert got.loc[d, "n_bigrams"] == len(docs.loc[d, "text"].split()) - 1
+    assert 3 not in got.index          # single-token doc: no bigram

@@ -622,6 +622,26 @@ FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
 """.format(emb_with_dups=_EMB_WITH_DUPS)
 
+# bigram-LM document scoring (ml/lm_score.py): ML bigram model trained
+# on the corpus itself; per-doc sum of ln(c(w1w2)) - ln(c(w1·)),
+# micro-quantized after the sum on both engines.
+SQL_LM_SCORE_DOCS = """
+WITH tl AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+toks AS (
+  SELECT doc_id, unnest(ws) AS w, generate_subscripts(ws, 1) AS pos
+  FROM tl),
+pairs AS (
+  SELECT a.doc_id, a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+big AS (SELECT w1, w2, count(*)::DOUBLE AS cb FROM pairs GROUP BY 1, 2),
+uni AS (SELECT w1, count(*)::DOUBLE AS cu FROM pairs GROUP BY 1)
+SELECT p.doc_id, count(*)::BIGINT AS n_bigrams,
+       CAST(round(sum(ln(cb) - ln(cu)) * 1000000) AS BIGINT)
+         AS logprob_micro
+FROM pairs p JOIN big USING (w1, w2) JOIN uni USING (w1)
+GROUP BY p.doc_id
+"""
+
 # distributed connected components (ml/dedup.distributed_components):
 # edges = exact-text dup pairs over docs2; SQL computes component
 # min-labels through a recursive reachability closure.

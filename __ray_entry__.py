@@ -1647,11 +1647,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- enrichment (§2.3) ---
         "cidr_enrich_events": _q_cidr_enrich_events,
         "snapshot_enrich_events": _q_snapshot_enrich_events,
-        "role_enrich": _q_role_enrich,
+        # (role_enrich: 4th enrichment rep, moved past the window)
         # --- relational / sketches (§2.9) ---
         "lineitem_pricing": _q_lineitem_pricing,
         "events_semi_join": _q_events_semi_join,
-        "events_anti_join": _q_events_anti_join,
+        # (events_anti_join: semi rep covers the family, moved past 50)
         "top2_per_type": _q_top2_per_type,
         "orders_mktsegment_join": _q_orders_mktsegment_join,
         "asof_join_events": _q_asof_join_events,
@@ -1673,7 +1673,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_consistency": _q_media_consistency,
         "top_terms_docs": _q_top_terms_docs,
         "decontaminate_docs": _q_decontaminate_docs,
+        "pivot_events": _q_pivot_events,
+        "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
         # ================= driver window ends here (50) =================
+        "role_enrich": _q_role_enrich,
+        "events_anti_join": _q_events_anti_join,
         # aggregate keeps summary + diff in-window; latest shares their
         # two-phase partial machinery and stays locally oracle-swept
         "latest_events": _q_latest_events,
@@ -1703,11 +1707,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         "sample_hash_events": _q_sample_hash_events,
         "stratified_sample_events": _q_stratified_sample_events,
-        "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
         "semantic_dedup_pairs": _q_semantic_dedup_pairs,
         "exact_quantiles_events": _q_exact_quantiles_events,
         "time_range_sum_events": _q_time_range_sum_events,
-        "pivot_events": _q_pivot_events,
         "rollup_events": _q_rollup_events,
         "nation_revenue": _q_nation_revenue,
         "count_min_users": _q_count_min_users,

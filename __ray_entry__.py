@@ -742,9 +742,13 @@ def _q_nation_revenue(sf_dir: str):
         return pa.table({"l_orderkey": t["l_orderkey"],
                          "revenue_ticks": rev})
 
+    # materialize the collapsed table ONCE: hash_partition_join reads
+    # schema() up front, which would execute a lazy groupby chain, and
+    # the join exchange would then execute it a second time
     per_order = (li.map_batches(ticks, batch_format="pyarrow",
                                 batch_size=None)
-                 .groupby("l_orderkey").sum("revenue_ticks"))
+                 .groupby("l_orderkey").sum("revenue_ticks")
+                 .materialize())
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])

@@ -87,8 +87,10 @@ def lm_score(
     pairs = doc_bigrams(ds, text_col, id_col, pattern=pattern
                         ).materialize()
 
-    big = pairs.groupby(["w1", "w2"]).count()        # c(w1 w2)
-    uni = pairs.groupby("w1").count()                # c(w1 ·)
+    # materialized ONCE — the join reads schema() up front, which
+    # executes lazy groupby chains; unmaterialized they would run twice
+    big = pairs.groupby(["w1", "w2"]).count().materialize()  # c(w1 w2)
+    uni = pairs.groupby("w1").count().materialize()          # c(w1 ·)
 
     j1 = hash_partition_join(pairs, big, on=["w1", "w2"], how="inner",
                              right_suffix="_b")

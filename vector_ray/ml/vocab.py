@@ -149,8 +149,11 @@ def top_terms(
     Output: ``(id, token, tf, df, rank)`` with rank 1-based."""
     tf = doc_term_freq(docs, text_col, id_col, pattern=pattern)
     tf = tf.materialize()            # feeds df AND the join below once
-    df_tbl = doc_freq(tf).to_arrow_refs()
-    df_pd = pa.concat_tables(ray.get(df_tbl)).to_pandas()
+    # groupby emits zero-column empty blocks for group-less partitions
+    parts = [p for p in ray.get(doc_freq(tf).to_arrow_refs())
+             if p.num_rows and "token" in p.column_names]
+    df_pd = (pa.concat_tables(parts).to_pandas() if parts
+             else pd.DataFrame({"token": [], "df": []}))
     df_ref = ray.put(df_pd)          # broadcast once, read per task
 
     def attach_df(t: pa.Table) -> pa.Table:
@@ -190,8 +193,10 @@ def tf_idf(
     n_docs = docs.count()
     tf = doc_term_freq(docs, text_col, id_col, pattern=pattern)
     tf = tf.materialize()
-    df_pd = pa.concat_tables(ray.get(doc_freq(tf).to_arrow_refs())
-                             ).to_pandas()
+    parts = [p for p in ray.get(doc_freq(tf).to_arrow_refs())
+             if p.num_rows and "token" in p.column_names]
+    df_pd = (pa.concat_tables(parts).to_pandas() if parts
+             else pd.DataFrame({"token": [], "df": []}))
     df_ref = ray.put(df_pd)
 
     def score(t: pa.Table) -> pa.Table:

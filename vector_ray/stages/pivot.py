@@ -55,8 +55,9 @@ def pivot(
         collapsed = gb.count()
         ren = {"count()": "__pv"}
     elif agg == "mean":
-        s = gb.sum(value_col)
-        c = ds.groupby(keys + [pivot_col]).count()
+        s = gb.sum(value_col).materialize()   # schema() + join would
+        c = (ds.groupby(keys + [pivot_col])   # execute lazy chains twice
+             .count().materialize())
         from vector_ray.stages.hash_join import hash_partition_join
 
         collapsed = hash_partition_join(

@@ -846,6 +846,23 @@ def _q_connected_components_docs(sf_dir: str):
     return labels.select_columns(["node", "label"])
 
 
+def _q_sft_pairs_transcripts(sf_dir: str):
+    """Transcripts → SFT training pairs (ml/sft.conversation_pairs):
+    every assistant turn with prior context becomes (context, target)
+    — one (conv, turn) sort, per-block pass with a driver carry of the
+    trailing conversation's turns (bounded by conversation length).
+    The terminal training-data stage over the north-rule table."""
+    import ray.data as rd
+
+    from vector_ray.data.transcripts import ensure_transcripts
+    from vector_ray.ml.sft import conversation_pairs
+
+    path = ensure_transcripts(sf_dir)
+    ds = rd.read_parquet(path,
+                         columns=["conv_id", "turn_idx", "role", "text"])
+    return conversation_pairs(ds)
+
+
 def _q_lm_score_docs(sf_dir: str):
     """Bigram-LM document scoring (ml/lm_score.py): per-doc
     log-likelihood under the corpus-trained ML bigram model — the
@@ -1719,6 +1736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "count_min_users": _q_count_min_users,
         "connected_components_docs": _q_connected_components_docs,
         "lm_score_docs": _q_lm_score_docs,
+        "sft_pairs_transcripts": _q_sft_pairs_transcripts,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
@@ -1803,6 +1821,7 @@ def oracle_sql() -> dict[str, str]:
         "count_min_users": oracle.SQL_COUNT_MIN_USERS,
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,
+        "sft_pairs_transcripts": oracle.sql_sft_pairs(tpath),
         "unpivot_events": oracle.SQL_UNPIVOT_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,

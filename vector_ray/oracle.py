@@ -1086,3 +1086,22 @@ SELECT payload_md5 AS th, CAST(1 AS BIGINT) AS n_distinct_features,
        count(*)::BIGINT AS n_media
 FROM read_parquet('{media_path}') GROUP BY 1
 """
+
+
+def sql_sft_pairs(transcripts_path: str) -> str:
+    """SFT pair explosion (ml/sft.conversation_pairs): every assistant
+    turn with >=1 prior turn becomes (context = prior turns joined by
+    newline, target)."""
+    return f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM read_parquet('{transcripts_path}/*.parquet')),
+w AS (
+  SELECT conv_id, turn_idx, role, text,
+         string_agg(text, chr(10)) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS context
+  FROM t)
+SELECT conv_id, turn_idx, context, text AS target
+FROM w WHERE role = 'assistant' AND context IS NOT NULL
+"""

@@ -33,6 +33,7 @@ def _oracle_sqls():
             "exclusive_route_rows": oracle.sql_exclusive_route_rows(tpath),
             "role_enrich": oracle.sql_role_enrich(
                 tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),
+            "sft_pairs_transcripts": oracle.sql_sft_pairs(tpath),
         }
     )
     return sqls

@@ -863,6 +863,37 @@ def _q_sft_pairs_transcripts(sf_dir: str):
     return conversation_pairs(ds)
 
 
+def _q_mode_per_user(sf_dir: str):
+    """Grouped MODE — each user's most frequent event_type, ties to
+    the lexicographically smallest — composed entirely from existing
+    machinery: one native groupby-count collapse, then the sorted-run
+    rank over the collapsed table (cnt DESC, value ASC), rank 0 wins.
+    SQL replays with a row_number window (DuckDB's own mode() has an
+    unspecified tie-break, so the deterministic ordering is explicit
+    on both sides)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+    counts = (_events(sf_dir, columns=["user_id", "event_type"])
+              .groupby(["user_id", "event_type"]).count())
+    ranked = add_group_rank(counts, ["user_id"],
+                            ["count()", "event_type"],
+                            descending=[True, False])
+    top = ranked.filter(expr=f"{RANK_COL} == 0")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "mode_event_type": t["event_type"],
+            "n": pc.cast(t["count()"], pa.int64()),
+        })
+
+    return top.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _q_lm_score_docs(sf_dir: str):
     """Bigram-LM document scoring (ml/lm_score.py): per-doc
     log-likelihood under the corpus-trained ML bigram model — the
@@ -1737,6 +1768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components_docs": _q_connected_components_docs,
         "lm_score_docs": _q_lm_score_docs,
         "sft_pairs_transcripts": _q_sft_pairs_transcripts,
+        "mode_per_user": _q_mode_per_user,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
@@ -1822,6 +1854,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,
         "sft_pairs_transcripts": oracle.sql_sft_pairs(tpath),
+        "mode_per_user": oracle.SQL_MODE_PER_USER,
         "unpivot_events": oracle.SQL_UNPIVOT_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,
         "token_counts_docs": oracle.SQL_TOKEN_COUNTS_DOCS,

@@ -622,6 +622,17 @@ FROM asg e1 JOIN asg e2 ON e1.cid = e2.cid AND e1.vec_id < e2.vec_id
 WHERE list_cosine_similarity(e1.embedding, e2.embedding) >= 0.9
 """.format(emb_with_dups=_EMB_WITH_DUPS)
 
+# grouped mode: most frequent event_type per user, deterministic
+# (cnt DESC, value ASC) tie-break on both engines.
+SQL_MODE_PER_USER = """
+SELECT user_id, event_type AS mode_event_type, n FROM (
+  SELECT user_id, event_type, count(*)::BIGINT AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type) AS rn
+  FROM events GROUP BY user_id, event_type)
+WHERE rn = 1
+"""
+
 # bigram-LM document scoring (ml/lm_score.py): ML bigram model trained
 # on the corpus itself; per-doc sum of ln(c(w1w2)) - ln(c(w1·)),
 # micro-quantized after the sum on both engines.

@@ -93,3 +93,47 @@ def test_rollup_levels(ray_session, long_df):
     exp0 = long_df.groupby(["cat", "g"])["v"].sum().reset_index()
     m = {(r["cat"], str(r["g"])): r["v"] for _, r in exp0.iterrows()}
     assert dict(zip(zip(l0["cat"], l0["g"]), l0["v"])) == m
+
+
+def test_pivot_layout_sweep_strict_vs_duckdb(ray_session):
+    """Driver-faithful compare (value hash over name-sorted columns,
+    dtype-sensitive) across block layouts — guards the round-3 driver
+    red row: DuckDB sum(BIGINT) is HUGEINT (float64 in .df()) unless
+    the oracle casts, and pandas pivot_table promoted int64→float64
+    whenever a block's cell grid had holes (layout-dependent)."""
+    import duckdb
+    import hashlib
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{path}')")
+    from vector_ray import oracle
+
+    want = con.sql(oracle.SQL_PIVOT_EVENTS).df()
+
+    def vhash(df):
+        df = (df.reindex(sorted(df.columns), axis=1)
+              .sort_values(sorted(df.columns)).reset_index(drop=True))
+        return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
+
+    assert all(str(want[c].dtype) == "int64" for c in want.columns)
+    kinds = ["click", "error", "purchase", "signup", "view"]
+
+    def cents(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "value_cents",
+            pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                    pa.int64()))
+
+    for nb in (1, 7, 64):
+        ds = rd.read_parquet(
+            path, columns=["user_id", "event_type", "value"],
+            override_num_blocks=nb,
+        ).map_batches(cents, batch_format="pyarrow", batch_size=None)
+        got = pivot(ds, keys=["user_id"], pivot_col="event_type",
+                    value_col="value_cents", columns=kinds).to_pandas()
+        assert all(str(got[c].dtype) == "int64" for c in got.columns), nb
+        assert vhash(got) == vhash(want), nb

@@ -726,16 +726,16 @@ GROUP BY ROLLUP (event_type, user_id)
 # the Ray side; absent combinations are 0, SQL PIVOT IN semantics).
 SQL_PIVOT_EVENTS = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN value_cents ELSE 0 END)
-         AS click,
-       sum(CASE WHEN event_type = 'error' THEN value_cents ELSE 0 END)
-         AS error,
-       sum(CASE WHEN event_type = 'purchase' THEN value_cents ELSE 0 END)
-         AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN value_cents ELSE 0 END)
-         AS signup,
-       sum(CASE WHEN event_type = 'view' THEN value_cents ELSE 0 END)
-         AS view
+       CAST(sum(CASE WHEN event_type = 'click' THEN value_cents
+                ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN value_cents
+                ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN value_cents
+                ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN value_cents
+                ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN value_cents
+                ELSE 0 END) AS BIGINT) AS view
 FROM (SELECT user_id, event_type,
              CAST(round(value * 100) AS BIGINT) AS value_cents
       FROM events)

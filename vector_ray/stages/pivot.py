@@ -26,7 +26,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
 
@@ -74,28 +73,32 @@ def pivot(
 
     collapsed = drop_empty_blocks(collapsed)
 
+    inv = {v: src for src, v in ren.items()}
+
     def widen(t: pa.Table) -> pa.Table:
-        pdf = t.to_pandas().rename(columns=ren)
-        pdf = pdf[pdf[pivot_col].isin(columns)]
-        if pdf.empty:  # block held only non-declared pivot values
-            cols = {k: pdf[k] for k in keys}
-            for v in val_cols:
-                for c in columns:
-                    cols[f"{c}{v}" if agg == "mean" else c] = (
-                        pd.Series(dtype=pdf[v].dtype))
-            return pa.Table.from_pandas(pd.DataFrame(cols),
-                                        preserve_index=False)
-        frames = []
+        # pure Arrow: each collapsed (key, pivot) row becomes one wide
+        # PARTIAL row with its value in the matching declared column
+        # and 0 elsewhere; the final groupby-sum reconstructs exactly
+        # (each cell is non-zero in exactly one partial row).  No
+        # pandas pivot_table — its unstack promotes int64 to float64
+        # whenever a block's cell grid has holes (layout-dependent
+        # dtype!) and its dropna default drops null-keyed groups.
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.is_in(t[pivot_col],
+                              value_set=pa.array(columns)))
+        cols = {k: t[k] for k in keys}
         for v in val_cols:
-            wide = pdf.pivot_table(index=keys, columns=pivot_col,
-                                   values=v, aggfunc="sum",
-                                   fill_value=0)
-            wide = wide.reindex(columns=columns, fill_value=0)
-            if agg == "mean":
-                wide.columns = [f"{c}{v}" for c in columns]
-            frames.append(wide)
-        out = pd.concat(frames, axis=1).reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
+            pv = t[inv[v]]
+            dt = (pa.int64() if pa.types.is_integer(pv.type)
+                  else pa.float64())
+            pv = pc.fill_null(pc.cast(pv, dt), pa.scalar(0, dt))
+            zero = pa.scalar(0, dt)
+            for c in columns:
+                m = pc.equal(t[pivot_col], c)
+                cols[f"{c}{v}" if agg == "mean" else c] = (
+                    pc.if_else(m, pv, zero))
+        return pa.table(cols)
 
     partial = collapsed.map_batches(widen, batch_format="pyarrow",
                                     batch_size=None)
@@ -104,9 +107,20 @@ def pivot(
     final = partial.groupby(keys).sum(wide_cols)
 
     def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         t = t.rename_columns(
             [c[4:-1] if c.startswith("sum(") else c
              for c in t.column_names])
+        # harden every wide column: no layout may leak a null or a
+        # promoted dtype (int64 for integer sums, float64 otherwise)
+        for c in (wide_cols if agg == "mean" else columns):
+            i = t.column_names.index(c)
+            dt = (pa.int64() if pa.types.is_integer(t[c].type)
+                  else pa.float64())
+            t = t.set_column(
+                i, c, pc.fill_null(pc.cast(t[c], dt),
+                                   pa.scalar(0, dt)))
         if agg != "mean":
             return t
         cols = {k: t[k] for k in keys}

@@ -73,3 +73,35 @@ def test_compact_blocks_merges_tiny_and_keeps_healthy(ray_session):
     healthy = rd.from_arrow(pa.table({"x": list(range(1000))})) \
         .repartition(2).materialize()
     assert compact_blocks(healthy, min_rows=100) is healthy  # no-op
+
+
+def test_auto_partitions_scale_with_bytes(monkeypatch, ray_session):
+    """hash_partition_join partition count grows with INPUT BYTES: each
+    partition is one in-memory acero table in merge, so a fixed cap
+    would put terabytes in one worker at 100-TB joins (round-3 verdict
+    item #3).  CPU floor below the byte threshold; no upper cap."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.hash_join import _auto_partitions
+
+    _fake_cpus(monkeypatch, 32)
+    left = rd.from_arrow(pa.table({"k": [1, 2], "v": [1.0, 2.0]})) \
+        .materialize()
+    right = rd.from_arrow(pa.table({"k": [1, 2], "w": [3.0, 4.0]})) \
+        .materialize()
+    # tiny inputs: CPU floor
+    assert _auto_partitions(left, right) == 16
+    # fake big materialized inputs: P follows bytes past any cap
+    gib = 1 << 30
+    monkeypatch.setattr(type(left), "size_bytes",
+                        lambda self: 512 * gib, raising=True)
+    p_512g = _auto_partitions(left, right)     # 1 TiB total
+    assert p_512g == (1024 * gib) // (256 << 20)  # 4096 partitions
+    monkeypatch.setattr(type(left), "size_bytes",
+                        lambda self: 2048 * gib, raising=True)
+    assert _auto_partitions(left, right) > p_512g  # monotone in bytes
+    # lazy inputs contribute nothing (size would execute the plan)
+    lazy = left.map_batches(lambda t: t, batch_format="pyarrow",
+                            batch_size=None)
+    assert _auto_partitions(lazy) == 16

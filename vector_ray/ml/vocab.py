@@ -17,8 +17,11 @@ Scale shape:
   so the whole tf table is computed with zero exchange via
   ``pa.Table.group_by`` inside each block.
 - ``top_terms``: tf → df (one small shuffle over the collapsed tf
-  table) → df broadcast once via ``ray.put`` and hash-joined inside
-  each batch (pandas merge, C-speed) → per-doc top-k through the
+  table) → tf JOINS df on token through the hash-partition engine
+  (stages/hash_join.py) — the df table is the corpus VOCABULARY
+  (billions of tokens at web scale: a driver gather + broadcast OOMs
+  the driver and re-ships GBs per task), so it flows through a
+  vocabulary-sized exchange instead → per-doc top-k through the
   sorted-run rank (stages/sorted_ops.add_group_rank, O(blocks) Python
   calls).  Ranking is pure-integer (tf DESC, df ASC, token ASC) so an
   SQL oracle replays it bit-exactly; ``tf_idf`` adds the float score
@@ -32,12 +35,11 @@ DuckDB ``string_split(text, ' ')`` for oracle parity); pass
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray
 from ray.data import Dataset
 
+from vector_ray.stages.hash_join import hash_partition_join
 from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
 
 
@@ -128,9 +130,23 @@ def doc_term_freq(
 def doc_freq(tf: Dataset) -> Dataset:
     """``(token, df)`` — number of documents containing each token,
     from a ``doc_term_freq`` result (rows are distinct (doc, token)
-    pairs, so a count is a distinct-doc count)."""
-    return tf.groupby("token").count().rename_columns(
-        {"count()": "df"})
+    pairs, so a count is a distinct-doc count).  Map-side combine:
+    each block collapses to its own vocabulary via ``value_counts``
+    before the shuffle, so the exchange moves per-block vocabularies,
+    never the (doc, token) stream."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["token"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        vc = pc.value_counts(col)
+        return pa.table({"token": vc.field("values"),
+                         "df": pc.cast(vc.field("counts"), pa.int64())})
+
+    partials = tf.map_batches(partial, batch_format="pyarrow",
+                              batch_size=None)
+    return partials.groupby("token").sum("df").rename_columns(
+        {"sum(df)": "df"})
 
 
 def top_terms(
@@ -149,22 +165,14 @@ def top_terms(
     Output: ``(id, token, tf, df, rank)`` with rank 1-based."""
     tf = doc_term_freq(docs, text_col, id_col, pattern=pattern)
     tf = tf.materialize()            # feeds df AND the join below once
-    # groupby emits zero-column empty blocks for group-less partitions
-    parts = [p for p in ray.get(doc_freq(tf).to_arrow_refs())
-             if p.num_rows and "token" in p.column_names]
-    df_pd = (pa.concat_tables(parts).to_pandas() if parts
-             else pd.DataFrame({"token": [], "df": []}))
-    df_ref = ray.put(df_pd)          # broadcast once, read per task
+    # df is the corpus VOCABULARY — billions of tokens at web scale, so
+    # it flows through the hash-partition join (vocabulary-sized
+    # exchange), never a driver gather + ray.put broadcast
+    df = doc_freq(tf).materialize()
+    from vector_ray.stages.blocks import drop_empty_blocks
 
-    def attach_df(t: pa.Table) -> pa.Table:
-        lookup = ray.get(df_ref)
-        pdf = t.to_pandas()
-        return pa.Table.from_pandas(pdf.merge(lookup, on="token",
-                                              how="left"),
-                                    preserve_index=False)
-
-    with_df = tf.map_batches(attach_df, batch_format="pyarrow",
-                             batch_size=None)
+    with_df = drop_empty_blocks(
+        hash_partition_join(tf, df, on=["token"], how="inner"))
     ranked = add_group_rank(with_df, [id_col],
                             ["tf", "df", "token"],
                             descending=[True, False, False])
@@ -193,16 +201,24 @@ def tf_idf(
     n_docs = docs.count()
     tf = doc_term_freq(docs, text_col, id_col, pattern=pattern)
     tf = tf.materialize()
-    parts = [p for p in ray.get(doc_freq(tf).to_arrow_refs())
-             if p.num_rows and "token" in p.column_names]
-    df_pd = (pa.concat_tables(parts).to_pandas() if parts
-             else pd.DataFrame({"token": [], "df": []}))
-    df_ref = ray.put(df_pd)
+    df = doc_freq(tf).materialize()  # vocabulary-sized join, no broadcast
+    from vector_ray.stages.blocks import drop_empty_blocks
+
+    with_df = drop_empty_blocks(
+        hash_partition_join(tf, df, on=["token"], how="inner"))
 
     def score(t: pa.Table) -> pa.Table:
-        lookup = ray.get(df_ref)
-        pdf = t.to_pandas().merge(lookup, on="token", how="left")
-        pdf["tfidf"] = pdf["tf"] * np.log(n_docs / pdf["df"])
-        return pa.Table.from_pandas(pdf, preserve_index=False)
+        if t.num_rows == 0 or "tf" not in t.column_names:
+            # map_groups emits zero-column blocks for group-less parts
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "tfidf": pa.array([], pa.float64())})
+        tfv = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column("tfidf",
+                               pa.array(tfv * np.log(n_docs / dfv)))
 
-    return tf.map_batches(score, batch_format="pyarrow", batch_size=None)
+    return with_df.map_batches(score, batch_format="pyarrow",
+                               batch_size=None)

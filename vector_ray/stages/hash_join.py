@@ -24,10 +24,18 @@ integer/timestamp keys mix via splitmix64 (vectorized); string keys
 hash only each block's DICTIONARY (distinct values) and gather — the
 per-block Python materialization is bounded by cardinality, not rows.
 
-Skew note: a single hot KEY still lands in one partition — the same
-caveat as any hash join; salt upstream (state/partitioning.py) when a
-key's rows exceed a worker.  Hot-PARTITION imbalance from few distinct
-keys is avoided by hashing the full key tuple.
+Broadcast planning: in auto mode a small, already-materialized right
+side (≤ ``_BROADCAST_BYTES``) skips the exchange entirely — it ships
+once via ``ray.put`` and acero-joins inside every left block (the
+Spark ``autoBroadcastJoinThreshold`` rule).  This also neutralizes
+right-side key skew: no partition exists to overload.
+
+Skew note: on the partition path a single hot KEY still lands in one
+partition — the same caveat as any hash join; pass
+``salt_hot_keys=`` to sample-detect hot keys, replicate their small
+side per salt and split the big side (output unchanged), or salt
+upstream (state/partitioning.py).  Hot-PARTITION imbalance from few
+distinct keys is avoided by hashing the full key tuple.
 """
 
 from __future__ import annotations
@@ -120,6 +128,62 @@ def _schema_of(ds: Dataset) -> pa.Schema | None:
     return pa.schema([(n, _pa_type(t)) for n, t in zip(s.names, s.types)])
 
 
+_TARGET_PART_BYTES = 256 << 20
+_BROADCAST_BYTES = 32 << 20
+
+
+def _small_right_table(right: Dataset,
+                       threshold: int = _BROADCAST_BYTES
+                       ) -> pa.Table | None:
+    """The right side as ONE Arrow table when it is already
+    materialized and under ``threshold`` bytes — the broadcast-join
+    planning rule (Spark's autoBroadcastJoinThreshold).  The gather is
+    BOUNDED by the threshold, so it can never OOM the driver the way
+    an unconditional vocabulary gather would; lazy or large sides
+    return None and take the partition exchange."""
+    from ray.data.dataset import MaterializedDataset
+
+    if not isinstance(right, MaterializedDataset):
+        return None
+    try:
+        if int(right.size_bytes() or 0) > threshold:
+            return None
+    except Exception:
+        return None
+    parts = [p for p in ray.get(right.to_arrow_refs())
+             if p.num_rows and p.num_columns]
+    if not parts:
+        return None
+    return pa.concat_tables(parts, promote_options="permissive")
+
+
+def _auto_partitions(*dss: Dataset,
+                     target_bytes: int = _TARGET_PART_BYTES) -> int:
+    """Partition count for the hash join: CPU floor, grown by BYTES.
+
+    Each partition arrives in ``merge`` as ONE in-memory table, so P
+    must scale with data — a fixed cap puts terabytes in one worker at
+    100-TB inputs.  Sizes are read only from already-materialized
+    inputs (``size_bytes()`` on a lazy plan would execute it); lazy
+    inputs fall back to the CPU floor, and callers who know better
+    pass ``num_partitions``.  No upper cap: partitions are groups of a
+    sort-exchange handled by TASKS (groupby().map_groups), not
+    aggregator actors, so P > CPUs cannot deadlock."""
+    from ray.data.dataset import MaterializedDataset
+
+    from vector_ray.ml.dedup import _join_partitions
+
+    floor = _join_partitions(cap=64)
+    total = 0
+    for d in dss:
+        if isinstance(d, MaterializedDataset):
+            try:
+                total += int(d.size_bytes() or 0)
+            except Exception:
+                pass
+    return max(floor, -(-total // target_bytes))
+
+
 def hash_partition_join(
     left: Dataset,
     right: Dataset,
@@ -146,10 +210,9 @@ def hash_partition_join(
     if len(rkeys_in) != len(keys):
         raise ValueError("right_on length must match on")
     semi_anti = how in ("left_semi", "left_anti")
-    if num_partitions is None:
-        from vector_ray.ml.dedup import _join_partitions
-
-        num_partitions = _join_partitions(cap=64)
+    auto_parts = num_partitions is None
+    if auto_parts:
+        num_partitions = _auto_partitions(left, right)
     P = int(num_partitions)
 
     lsch, rsch = _schema_of(left), _schema_of(right)
@@ -167,6 +230,31 @@ def hash_partition_join(
     pay_names = [n2 for _, n2, _ in rpay]
     out_names = lnames + ([] if semi_anti else pay_names)
     out_names_full = lnames + pay_names + [_SIDE, _PART]
+
+    # broadcast hash join: a small MATERIALIZED right side ships once
+    # via ray.put and acero-joins inside every left block — zero
+    # exchange, zero sort.  Only in auto mode (explicit num_partitions
+    # forces the partition path) and never for full_outer (right-only
+    # rows need the exchange to surface).
+    if auto_parts and how != "full_outer":
+        rtab = _small_right_table(right)
+        if rtab is not None:
+            cols = {lk: rtab[rk] for lk, rk in zip(keys, rkeys_in)}
+            for n, n2, _ in rpay:
+                cols[n2] = rtab[n]
+            rref = ray.put(pa.table(cols).combine_chunks())
+
+            def bjoin(t: pa.Table) -> pa.Table:
+                r = ray.get(rref)
+                if semi_anti:
+                    rk = r.select(keys).group_by(keys).aggregate([])
+                    return t.join(rk, keys=keys,
+                                  join_type=_ACERO_HOW[how])
+                res = t.join(r, keys=keys, join_type=_ACERO_HOW[how])
+                return res.select(out_names)
+
+            return left.map_batches(bjoin, batch_format="pyarrow",
+                                    batch_size=None)
 
     def prep_left(t: pa.Table) -> pa.Table:
         h = _key_hash(t, keys)

@@ -111,7 +111,8 @@ def _q_agg_sum_events(sf_dir: str):
     from vector_ray.stages.aggregate import aggregate_stage
 
     return aggregate_stage(
-        _cents(_events(sf_dir)), series_keys=["event_type"],
+        _cents(_events(sf_dir, columns=["event_type", "ts", "value"])),
+        series_keys=["event_type"],
         value_col="value_cents", interval_ms=3_600_000, mode="sum",
     ).rename_columns({"value": "value_cents"})
 
@@ -123,7 +124,8 @@ def _q_agg_mean_events(sf_dir: str):
     from vector_ray.stages.aggregate import aggregate_stage
 
     mean = aggregate_stage(
-        _cents(_events(sf_dir)), series_keys=["event_type"],
+        _cents(_events(sf_dir, columns=["event_type", "ts", "value"])),
+        series_keys=["event_type"],
         value_col="value_cents", interval_ms=3_600_000, mode="mean",
     )
 
@@ -267,7 +269,8 @@ def _q_ann_topk(sf_dir: str):
 
     from vector_ray.ml.ann import ann_brute_force
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
     queries_m = np.stack(qtab["embedding"].to_pylist())
     out = ann_brute_force(emb, queries_m, k=5, dtype=np.float64)
@@ -320,7 +323,8 @@ def _q_ann_ivf_topk(sf_dir: str):
 
     from vector_ray.ml.ann import ann_ivf
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
     queries_m = np.stack(qtab["embedding"].to_pylist())
     out = ann_ivf(emb, queries_m, k=5, nlist=8, nprobe=8, dtype=np.float64)
@@ -336,7 +340,8 @@ def _q_ann_lsh_topk(sf_dir: str):
 
     from vector_ray.ml.ann import ann_lsh
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 3)
     queries_m = np.stack(qtab["embedding"].to_pylist())
     out = ann_lsh(emb, queries_m, k=5, nbits=2, probe_hamming=2,
@@ -376,7 +381,8 @@ def _emb_with_dups(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data as rd
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding", "label"])
 
     def shift(t: pa.Table) -> pa.Table:
         t = t.filter(pc.equal(
@@ -755,25 +761,33 @@ def _q_nation_revenue(sf_dir: str):
     j = hash_partition_join(orders, per_order, on=["o_orderkey"],
                             right_on=["l_orderkey"], how="inner")
 
+    # customer→nation as two SORTED numpy int arrays broadcast once
+    # (zero-copy plasma read per task + vectorized searchsorted) —
+    # never a Python dict (15M PyObject entries at sf100, one
+    # deserialize per task; round-3 verdict item #6).  The hot path
+    # groups by nationkey INTs; names resolve on the 25-row driver
+    # result only.
     cust = pd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_nationkey"])
-    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
-                          columns=["n_nationkey", "n_name"])
-    c2n = dict(zip(cust["c_custkey"],
-                   cust["c_nationkey"].map(
-                       dict(zip(nat["n_nationkey"], nat["n_name"])))))
-    c2n_ref = ray.put(c2n)
+    ck = cust["c_custkey"].to_numpy()
+    cnk = cust["c_nationkey"].to_numpy()
+    order = np.argsort(ck)
+    c2n_ref = ray.put((ck[order], cnk[order]))
 
     def per_block(t: pa.Table):
         # groupby().map_groups emits zero-column empty blocks for
         # group-less partitions — skip them
         if t.num_rows == 0 or "o_custkey" not in t.column_names:
             return {}
-        lookup = ray.get(c2n_ref)
-        names = pd.Series(t["o_custkey"].to_numpy(
-            zero_copy_only=False)).map(lookup)
+        ck_s, cnk_s = ray.get(c2n_ref)
+        pos = np.searchsorted(ck_s, t["o_custkey"].to_numpy(
+            zero_copy_only=False))
+        nkey = cnk_s[pos]
         rev = t["sum(revenue_ticks)"].to_numpy(zero_copy_only=False)
-        return pd.Series(rev).groupby(names.values).sum().to_dict()
+        uniq, inv = np.unique(nkey, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, rev)  # int64 accumulate (bincount is f64)
+        return dict(zip(uniq.tolist(), sums.tolist()))
 
     totals: dict = {}
     mat = j.materialize()
@@ -786,9 +800,14 @@ def _q_nation_revenue(sf_dir: str):
                          for r in mat.to_arrow_refs()]):
         for k, v in part.items():
             totals[k] = totals.get(k, 0) + int(v)
+    nat = pd.read_parquet(f"{sf_dir}/nation.parquet",
+                          columns=["n_nationkey", "n_name"])
+    key2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    names = sorted(key2name[k] for k in totals)
+    by_name = {key2name[k]: v for k, v in totals.items()}
     return pd.DataFrame(
-        {"n_name": sorted(totals),
-         "revenue_ticks": [totals[k] for k in sorted(totals)]})
+        {"n_name": names,
+         "revenue_ticks": [by_name[n] for n in names]})
 
 
 def _q_count_min_users(sf_dir: str):
@@ -1260,7 +1279,8 @@ def _q_agg_summary_events(sf_dir: str):
     from vector_ray.stages.aggregate import aggregate_stage
 
     out = aggregate_stage(
-        _cents(_events(sf_dir)), series_keys=["event_type"],
+        _cents(_events(sf_dir, columns=["event_type", "ts", "value"])),
+        series_keys=["event_type"],
         value_col="value_cents", interval_ms=3_600_000, mode="summary",
     )
 

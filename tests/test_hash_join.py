@@ -123,3 +123,91 @@ def test_full_outer_matches_pandas(ray_session, sides):
     assert int(got["ry"].isna().sum()) == int(exp["ry"].isna().sum())
     ronly = got[got["lx"].isna()]
     assert ronly["k"].notna().all()  # full-outer keys coalesce
+
+
+def test_salt_hot_keys_identical_output_and_spread(ray_session):
+    """One key holding 50% of left rows: salting must keep the join
+    output IDENTICAL while no partition holds the hot key's full row
+    set (round-3 verdict item #4)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.ml.hashing import splitmix64
+    from vector_ray.stages.hash_join import (_hot_key_hashes, _key_hash,
+                                             hash_partition_join)
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    k = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 500, n))
+    left = rd.from_arrow(pa.table({
+        "k": k.astype(np.int64),
+        "x": np.arange(n, dtype=np.int64)})).repartition(8)
+    right = rd.from_arrow(pa.table({
+        "k": np.arange(500, dtype=np.int64),
+        "y": np.arange(500, dtype=np.int64) * 10}))
+
+    def run(**kw):
+        out = hash_partition_join(left, right, on=["k"], how="inner",
+                                  **kw).to_pandas()
+        return out.sort_values(["k", "x"]).reset_index(drop=True)
+
+    # force the partition path on both sides of the comparison
+    # (explicit num_partitions disables the broadcast fast path)
+    plain = run(num_partitions=16)
+    salted = run(num_partitions=16, salt_hot_keys=8)
+    pd.testing.assert_frame_equal(plain, salted)
+    assert len(plain) == n  # every left row matched exactly once
+
+    # detection finds the hot key...
+    lmat = left.materialize()
+    hot = _hot_key_hashes(lmat, ["k"], 16)
+    hot_hash = _key_hash(pa.table({"k": pa.array([0], pa.int64())}),
+                         ["k"])[0]
+    assert hot_hash in set(hot.tolist())
+
+    # ...and the salted partition histogram of the LEFT side is flat:
+    # max partition < 2x median (replay of prep_left's assignment)
+    h = _key_hash(pa.table({"k": pa.array(k, pa.int64())}), ["k"])
+    m = np.isin(h, hot)
+    salt = np.zeros(n, dtype=np.uint64)
+    salt[m] = (np.arange(int(m.sum()), dtype=np.uint64) % 8) + 1
+    hs = np.where(m, splitmix64(h ^ salt), h)
+    counts = np.bincount((hs % np.uint64(16)).astype(np.int64),
+                         minlength=16)
+    nz = counts[counts > 0]
+    assert nz.max() < 2 * np.median(nz), counts
+    # unsalted histogram IS skewed (the test would be vacuous otherwise)
+    counts0 = np.bincount((h % np.uint64(16)).astype(np.int64),
+                          minlength=16)
+    assert counts0.max() >= n // 2
+
+
+def test_salt_hot_keys_semi_anti_and_outer(ray_session):
+    """Salted semi/anti/left_outer keep exact semantics: the salt
+    rides as a join key so colliding replica sets never double-match;
+    anti drops hot keys present on the right, outer null-pads misses."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.hash_join import hash_partition_join
+
+    k = np.array([0] * 1000 + [1, 2, 3] * 10, dtype=np.int64)
+    left = rd.from_arrow(pa.table({
+        "k": k, "x": np.arange(len(k), dtype=np.int64)}))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([0, 1], pa.int64()),
+        "y": pa.array([7, 8], pa.int64())}))
+    for how, want in (("left_semi", 1010), ("left_anti", 20),
+                      ("left_outer", len(k))):
+        out = hash_partition_join(
+            left, right, on=["k"], how=how, num_partitions=8,
+            salt_hot_keys=4).to_pandas()
+        assert len(out) == want, how
+        if how == "left_outer":
+            miss = out[out["k"].isin([2, 3])]
+            assert miss["y"].isna().all()
+            hit = out[out["k"] == 0]
+            assert (hit["y"] == 7).all() and len(hit) == 1000

@@ -53,6 +53,7 @@ from vector_ray.stages.blocks import drop_empty_blocks
 
 _PART = "__hj_part"
 _SIDE = "__hj_side"
+_SALT = "__hj_salt"
 
 _ACERO_HOW = {"inner": "inner", "left_outer": "left outer",
               "full_outer": "full outer",
@@ -184,6 +185,41 @@ def _auto_partitions(*dss: Dataset,
     return max(floor, -(-total // target_bytes))
 
 
+def _hot_key_hashes(ds: Dataset, keys: Sequence[str], P: int, *,
+                    topk: int = 8, min_share: float | None = None,
+                    cap: int = 256) -> np.ndarray:
+    """uint64 key-tuple hashes whose row share exceeds twice a
+    partition's fair share (``max(2/P, 0.01)``) — sampled as each
+    block's ``topk`` most frequent key hashes, combined on the driver
+    (bounded: ``topk`` rows per block, never the key space).  A key
+    hot enough to matter tops nearly every block it dominates, so the
+    per-block cutoff cannot hide it."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = _key_hash(t, keys)
+        vals, cnts = np.unique(h, return_counts=True)
+        top = np.argsort(cnts)[::-1][:topk]
+        return pa.table({"h": pa.array(vals[top]),
+                         "c": pa.array(cnts[top].astype(np.int64))})
+
+    parts = [p for p in ray.get(
+        ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=None).to_arrow_refs())
+        if p.num_rows and "h" in p.column_names]
+    if not parts:
+        return np.empty(0, np.uint64)
+    tab = pa.concat_tables(parts).group_by("h").aggregate([("c", "sum")])
+    total = max(1, ds.count())
+    share = min_share if min_share is not None else max(2.0 / P, 0.01)
+    c = tab["c_sum"].to_numpy(zero_copy_only=False)
+    h = tab["h"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    sel = c >= share * total
+    if int(sel.sum()) > cap:
+        order = np.argsort(c[sel])[::-1][:cap]
+        return h[sel][order]
+    return h[sel]
+
+
 def hash_partition_join(
     left: Dataset,
     right: Dataset,
@@ -193,6 +229,7 @@ def hash_partition_join(
     how: str = "inner",
     right_suffix: str = "_r",
     num_partitions: int | None = None,
+    salt_hot_keys: int | None = None,
 ) -> Dataset:
     """Equality-join ``left`` with ``right`` on ``on`` (right side's
     key columns named ``right_on`` if they differ; output keeps the
@@ -202,9 +239,22 @@ def hash_partition_join(
     right payload cols, key columns once — full-outer keys coalesce),
     ``left_semi`` / ``left_anti`` (left rows with ≥1 / no right match,
     left cols only).  Right payload columns clashing with left names
-    get ``right_suffix``."""
+    get ``right_suffix``.
+
+    ``salt_hot_keys=N``: opt-in skew handling.  Hot keys are DETECTED
+    from per-block top-count samples of the left side (driver combine
+    bounded at 8 rows/block), their left rows split across N salts and
+    their right rows replicated once per salt — each left row meets
+    exactly one replica set, so the join output is IDENTICAL while no
+    single partition holds a hot key's full row set.  Detection works
+    on key HASHES, so a false positive merely salts a cold key (still
+    correct).  Materializes the left side (the detection pass must not
+    re-execute a lazy chain).  Not supported for ``full_outer`` (the
+    unmatched-right replicas would duplicate)."""
     if how not in _ACERO_HOW:
         raise ValueError(f"unsupported how={how!r}")
+    if salt_hot_keys is not None and how == "full_outer":
+        raise ValueError("salt_hot_keys does not support full_outer")
     keys = list(on)
     rkeys_in = list(right_on) if right_on is not None else keys
     if len(rkeys_in) != len(keys):
@@ -256,8 +306,35 @@ def hash_partition_join(
             return left.map_batches(bjoin, batch_format="pyarrow",
                                     batch_size=None)
 
+    hot: np.ndarray | None = None
+    NSALT = int(salt_hot_keys or 0)
+    if NSALT > 1:
+        from ray.data.dataset import MaterializedDataset
+
+        if not isinstance(left, MaterializedDataset):
+            left = left.materialize()  # detection pass must not
+        hot = _hot_key_hashes(left, keys, P)  # re-execute a lazy chain
+        if len(hot) == 0:
+            hot = None
+    salted = hot is not None
+    if salted:
+        out_names_full = out_names_full + [_SALT]
+    jkeys = keys + ([_SALT] if salted else [])
+
     def prep_left(t: pa.Table) -> pa.Table:
         h = _key_hash(t, keys)
+        if salted:
+            m = np.isin(h, hot)
+            salt = np.zeros(len(h), dtype=np.uint64)
+            if m.any():
+                # round-robin within the block: any assignment is
+                # correct (each left row meets exactly the replica set
+                # of its salt); round-robin spreads evenly
+                salt[m] = (np.arange(int(m.sum()), dtype=np.uint64)
+                           % np.uint64(NSALT)) + 1
+                h = np.where(m, splitmix64(h ^ salt), h)
+            t = t.append_column(_SALT, pa.array(
+                salt.astype(np.int64)))
         part = (h % np.uint64(P)).astype(np.int64)
         for _, n2, typ in rpay:
             t = t.append_column(n2, pa.nulls(t.num_rows, typ))
@@ -268,7 +345,6 @@ def hash_partition_join(
 
     def prep_right(t: pa.Table) -> pa.Table:
         h = _key_hash(t, rkeys_in)
-        part = (h % np.uint64(P)).astype(np.int64)
         # right keys presented under the LEFT names; payload renamed;
         # left-only columns null-filled
         cols = {}
@@ -281,8 +357,24 @@ def hash_partition_join(
             if n not in keys:
                 out = out.append_column(
                     n, pa.nulls(t.num_rows, lsch.field(n).type))
+        if salted:
+            m = np.isin(h, hot)
+            nh = np.flatnonzero(~m)
+            hh = np.flatnonzero(m)
+            # hot right rows exist once per salt; cold rows salt 0
+            idx = np.concatenate([nh, np.repeat(hh, NSALT)])
+            out = out.take(pa.array(idx))
+            salt = np.concatenate([
+                np.zeros(len(nh), dtype=np.uint64),
+                np.tile(np.arange(1, NSALT + 1, dtype=np.uint64),
+                        len(hh))])
+            h = h[idx]
+            h = np.where(salt > 0, splitmix64(h ^ salt), h)
+            out = out.append_column(_SALT, pa.array(
+                salt.astype(np.int64)))
+        part = (h % np.uint64(P)).astype(np.int64)
         return (out.append_column(_SIDE, pa.array(
-            np.ones(t.num_rows, dtype=np.int8)))
+            np.ones(out.num_rows, dtype=np.int8)))
             .append_column(_PART, pa.array(part))
             .select(out_names_full))
 
@@ -313,26 +405,33 @@ def hash_partition_join(
             cols[n2] = rtab[n2]
         return pa.table(cols).select(out_names)
 
+    extra = [_SALT] if salted else []
+
     def merge(t: pa.Table) -> pa.Table:
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         lmask = side == 0
-        ltab = t.filter(pa.array(lmask)).select(lnames)
-        rtab = t.filter(pa.array(~lmask)).select(keys + pay_names)
+        ltab = t.filter(pa.array(lmask)).select(lnames + extra)
+        rtab = t.filter(pa.array(~lmask)).select(
+            keys + extra + pay_names)
         if ltab.num_rows == 0:
             if how == "full_outer":
                 return _right_only(rtab)
-            return ltab if semi_anti else _empty()
+            return ltab.select(lnames) if semi_anti else _empty()
         if rtab.num_rows == 0:
             if how == "left_anti":
-                return ltab
+                return ltab.select(lnames)
             if how in ("left_outer", "full_outer"):
-                return _null_pad(ltab)
-            return ltab.slice(0, 0) if semi_anti else _empty()
+                return _null_pad(ltab.select(lnames))
+            return (ltab.select(lnames).slice(0, 0) if semi_anti
+                    else _empty())
         if semi_anti:
-            rkeys = rtab.select(keys).group_by(keys).aggregate([])
-            return ltab.join(rkeys, keys=keys,
-                             join_type=_ACERO_HOW[how])
-        res = ltab.join(rtab, keys=keys, join_type=_ACERO_HOW[how])
+            # the salt rides as a join key: two salts of one hot key
+            # may share a partition (mod P), and without it a left row
+            # would match EVERY colliding replica set
+            rkeys = rtab.select(jkeys).group_by(jkeys).aggregate([])
+            return ltab.join(rkeys, keys=jkeys,
+                             join_type=_ACERO_HOW[how]).select(lnames)
+        res = ltab.join(rtab, keys=jkeys, join_type=_ACERO_HOW[how])
         return res.select(out_names)
 
     # Ray maps pass empty blocks through un-UDF'd with their stale

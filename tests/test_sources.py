@@ -103,3 +103,29 @@ def test_checkpointed_read_truncation(tmp_path):
     f.write_text(head)
     ds2, _ = read_log_lines_checkpointed([str(f)], checkpoint_dir=cp)
     assert ds2.to_pandas()["text"].tolist() == [head.rstrip("\n")]
+
+
+def test_checkpoint_from_end_never_commits_mid_line(ray_session, tmp_path):
+    """read_from='end' over a file whose tail is a PARTIAL line: the
+    committed position must be the last complete-line boundary, not
+    raw size — otherwise the next run starts mid-line and emits a
+    torn fragment once the line completes (round-3 ADVICE item)."""
+    from vector_ray.sources.text import (
+        commit_checkpoints, read_log_lines_checkpointed)
+
+    f = tmp_path / "app.log"
+    f.write_bytes(b"old complete\npartial tail")  # no trailing newline
+    cp = str(tmp_path / "cp")
+    ds, pos = read_log_lines_checkpointed([str(f)], checkpoint_dir=cp,
+                                          read_from="end")
+    assert ds.count() == 0                       # skip existing content
+    assert list(pos.values()) == [len(b"old complete\n")]  # boundary
+    commit_checkpoints(cp, pos)
+
+    # the partial line completes and one more line lands
+    with open(f, "ab") as fh:
+        fh.write(b" now done\nnext\n")
+    ds2, pos2 = read_log_lines_checkpointed([str(f)], checkpoint_dir=cp,
+                                            read_from="end")
+    texts = sorted(r["text"] for r in ds2.take_all())
+    assert texts == ["next", "partial tail now done"]  # no torn fragment

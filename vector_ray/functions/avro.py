@@ -302,6 +302,8 @@ def decode_datum(data: bytes, schema, registry=None, pos: int = 0,
                     _, pos = _decode_long(data, pos)
                 for _ in range(n):
                     ln, pos = _decode_long(data, pos)
+                    if pos + ln > len(data):
+                        raise ValueError("truncated map key")
                     k = data[pos:pos + ln].decode()
                     pos += ln
                     m[k], pos = decode_datum(data, schema["values"],
@@ -321,6 +323,8 @@ def decode_datum(data: bytes, schema, registry=None, pos: int = 0,
         return struct.unpack_from("<d", data, pos)[0], pos + 8
     if schema == "string":
         n, pos = _decode_long(data, pos)
+        if pos + n > len(data):
+            raise ValueError("truncated string")
         return data[pos:pos + n].decode("utf-8", errors="replace"), pos + n
     if schema == "bytes":
         n, pos = _decode_long(data, pos)

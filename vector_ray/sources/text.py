@@ -134,10 +134,16 @@ def plan_checkpointed_read(
                 offset = 0
         else:
             offset = 0 if read_from == "beginning" else size
-        end = _complete_through(path, size) if size else 0
-        end = max(end, offset)
+        ct = _complete_through(path, size) if size else 0
+        end = max(ct, offset)
         windows.append({"path": path, "offset": offset, "end": end})
-        positions[fp] = end
+        # commit the LINE BOUNDARY, never raw size: with read_from=
+        # 'end' (or any tail past the last newline) offset can sit
+        # mid-line; committing it would make the next run emit a torn
+        # fragment once the line completes.  When offset is past ct
+        # this window is empty and the next run re-plans from ct,
+        # emitting the completed line whole.
+        positions[fp] = ct
     return windows, positions
 
 

@@ -219,7 +219,21 @@ def asof_join(
         key = t[_KEY]
         if isinstance(key, pa.ChunkedArray):
             key = key.combine_chunks()
-        kn = key.to_numpy(zero_copy_only=False)
+
+        # key-equality masks via arrow C kernels — a numpy OBJECT
+        # compare on string keys materializes n PyStrings per block
+        # (>20x slower at the 24M fixture; the sorted_ops lesson).
+        # Null keys never match (SQL semantics): equal() propagates
+        # null, filled to False.
+        def keq_at(idx_np: np.ndarray) -> np.ndarray:
+            taken = key.take(pa.array(idx_np, pa.int64()))
+            return pc.fill_null(pc.equal(taken, key), False) \
+                .to_numpy(zero_copy_only=False)
+
+        def keq_scalar(v) -> np.ndarray:
+            return pc.fill_null(
+                pc.equal(key, pa.scalar(v, key.type)), False) \
+                .to_numpy(zero_copy_only=False)
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         ats = t[_ATS].to_numpy(zero_copy_only=False)
         is_left = side == 1
@@ -228,7 +242,7 @@ def asof_join(
         ridx = np.where(side == 0, np.arange(n), -1)
         fill = np.maximum.accumulate(ridx)
         safe = np.maximum(fill, 0)
-        matched = (fill >= 0) & (kn[safe] == kn) & is_left
+        matched = (fill >= 0) & keq_at(safe) & is_left
         if tol_units is not None:
             dt = ats - ats[safe]
             matched &= dt <= tol_units
@@ -236,7 +250,7 @@ def asof_join(
         from_carry = np.zeros(n, dtype=bool)
         if carry is not None:
             ck, cats, _ = carry
-            from_carry = is_left & ~matched & (fill < 0) & (kn == ck)
+            from_carry = is_left & ~matched & (fill < 0) & keq_scalar(ck)
             # (fill >= 0 but key-mismatched rows belong to keys whose
             # right rows, if any, would be in this block — never carry)
             if tol_units is not None:
@@ -259,7 +273,8 @@ def asof_join(
             nxt = np.minimum.accumulate(
                 np.where(side == 0, np.arange(n), n)[::-1])[::-1]
             nxt_safe = np.minimum(nxt, n - 1)
-            has_f = (nxt < n) & (kn[nxt_safe] == kn) & is_left
+            keq_nxt = keq_at(nxt_safe)
+            has_f = (nxt < n) & keq_nxt & is_left
             dt_f = np.where(has_f, ats[nxt_safe] - ats, BIG)
             if tol_units is not None:
                 has_f &= dt_f <= tol_units
@@ -268,8 +283,8 @@ def asof_join(
             dt_fc = np.full(n, BIG)
             if carry_f is not None:
                 fk, fats, _ = carry_f
-                no_inblock = (nxt >= n) | (kn[nxt_safe] != kn)
-                fc = is_left & no_inblock & (kn == fk)
+                no_inblock = (nxt >= n) | ~keq_nxt
+                fc = is_left & no_inblock & keq_scalar(fk)
                 dt_fc = np.where(fc, fats - ats, BIG)
                 if tol_units is not None:
                     fc &= dt_fc <= tol_units

@@ -291,7 +291,7 @@ def window_functions(
             pr_start = np.nonzero(new_peer)[0]
             pr_last = np.append(pr_start[1:], n) - 1
             hi = cum[pr_last[pr_id]]
-            if pcont_in:
+            if pcont_in is not None and pcont_in != 0:
                 # only the trailing peer run continues past the block;
                 # the chain already verified key+peer equality
                 hi = hi.copy()

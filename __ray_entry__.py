@@ -987,9 +987,25 @@ def _q_simhash_exact_pairs_docs(sf_dir: str):
 
 
 def _q_doc_fingerprint(sf_dir: str):
+    """Rolling-hash fingerprints, value-oracled: SQL_DOC_FINGERPRINT
+    replays the Rabin-Karp window-8 min (base 257 mod 2^61-1,
+    including the uint64 wrap) via lead-window HUGEINT arithmetic —
+    graduated from rows-only in round 4.  Values are < 2^61 so the
+    int64 cast is lossless and matches the oracle's BIGINT."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from vector_ray.ml.text import doc_fingerprint
 
-    return doc_fingerprint(_docs(sf_dir)).select_columns(["doc_id", "fingerprint"])
+    out = doc_fingerprint(_docs(sf_dir)).select_columns(
+        ["doc_id", "fingerprint"])
+
+    def i64(t: pa.Table) -> pa.Table:
+        i = t.column_names.index("fingerprint")
+        return t.set_column(i, "fingerprint",
+                            pc.cast(t["fingerprint"], pa.int64()))
+
+    return out.map_batches(i64, batch_format="pyarrow", batch_size=None)
 
 
 def _consistency_counts(ds, value_col: str, n_col: str):
@@ -1125,15 +1141,28 @@ def _q_lang_id_consistency_docs(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    """Multimodal plumbing (rows-only): deterministic synthesized media
-    table -> actor-pool decode stage (fake deterministic kernel; the
-    real codec boundary is a declared stub) -> fixed-dim features."""
+    """Multimodal decode plumbing, value-oracled (graduated from
+    rows-only in round 4): the fixture parquet is SQL-visible, so
+    id/kind passthrough, payload byte counts and the fixed feature
+    dimensionality are value-compared (sql_media_features); the
+    feature VALUES stay pinned by the media_consistency oracle —
+    DuckDB has no blake2b to replay them."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data as rd
 
-    from vector_ray.ml.multimodal import decode_media, synthesize_media
+    from vector_ray.ml.multimodal import decode_media, ensure_media_fixture
 
-    media = rd.from_arrow(synthesize_media(512, seed=42))
-    return decode_media(media).select_columns(["media_id", "kind", "n_bytes"])
+    media = rd.read_parquet(ensure_media_fixture())
+    out = decode_media(media)
+
+    def nfeat(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.list_value_length(t["features"]), pa.int64())
+        return (t.select(["media_id", "kind", "n_bytes"])
+                .append_column("n_feat", n))
+
+    return out.map_batches(nfeat, batch_format="pyarrow",
+                           batch_size=None)
 
 
 def _q_media_consistency(sf_dir: str):
@@ -1695,7 +1724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remap_dropped": _q_remap_dropped,
         "route_rows_all": _q_route_rows_all,  # route + exclusive_route rows
         "agg_summary_events": _q_agg_summary_events,  # sum+count+mean, 1 pass
-        "diff_events": _q_diff_events,
+        "mode_per_user": _q_mode_per_user,
         "throttle_events": _q_throttle_events,
         "dedupe_events": _q_dedupe_events,
         "reduce_events": _q_reduce_events,
@@ -1710,7 +1739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": _q_sliding_window_events,
         "distinct_users_events": _q_distinct_users_events,
         # --- conditions, parsers, codecs (§2.2, §2.6, §2.7) ---
-        "props_extract_events": _q_props_extract_events,
+        "lm_score_docs": _q_lm_score_docs,
         "vrl_conditional_events": _q_vrl_conditional_events,
         "filter_events": _q_filter_events,
         "dd_filter_events": _q_dd_filter_events,
@@ -1721,7 +1750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_enrich_events": _q_snapshot_enrich_events,
         # (role_enrich: 4th enrichment rep, moved past the window)
         # --- relational / sketches (§2.9) ---
-        "lineitem_pricing": _q_lineitem_pricing,
+        "exact_quantiles_events": _q_exact_quantiles_events,
         "events_semi_join": _q_events_semi_join,
         # (events_anti_join: semi rep covers the family, moved past 50)
         "top2_per_type": _q_top2_per_type,
@@ -1730,7 +1759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_events": _q_interval_join_events,
         "window_fns_events": _q_window_fns_events,
         "quantile_sketch_events": _q_quantile_sketch_events,
-        "approx_distinct_users": _q_approx_distinct_users,
+        "count_min_users": _q_count_min_users,
         # --- ML / training-data family ---
         "doc_quality": _q_doc_quality,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -1739,9 +1768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "ngram_jaccard_pairs_docs": _q_ngram_jaccard_pairs_docs,
-        "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
+        "doc_fingerprint": _q_doc_fingerprint,
         "lang_id_consistency_docs": _q_lang_id_consistency_docs,
-        "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
+        "rollup_events": _q_rollup_events,
         "media_consistency": _q_media_consistency,
         "top_terms_docs": _q_top_terms_docs,
         "decontaminate_docs": _q_decontaminate_docs,
@@ -1774,21 +1803,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _q_lang_id_docs,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
-        "doc_fingerprint": _q_doc_fingerprint,
+        "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
         "media_features": _q_media_features,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         "sample_hash_events": _q_sample_hash_events,
         "stratified_sample_events": _q_stratified_sample_events,
         "semantic_dedup_pairs": _q_semantic_dedup_pairs,
-        "exact_quantiles_events": _q_exact_quantiles_events,
+        "lineitem_pricing": _q_lineitem_pricing,
         "time_range_sum_events": _q_time_range_sum_events,
-        "rollup_events": _q_rollup_events,
+        "simhash_exact_pairs_docs": _q_simhash_exact_pairs_docs,
         "nation_revenue": _q_nation_revenue,
-        "count_min_users": _q_count_min_users,
+        "approx_distinct_users": _q_approx_distinct_users,
         "connected_components_docs": _q_connected_components_docs,
-        "lm_score_docs": _q_lm_score_docs,
+        "props_extract_events": _q_props_extract_events,
         "sft_pairs_transcripts": _q_sft_pairs_transcripts,
-        "mode_per_user": _q_mode_per_user,
+        "diff_events": _q_diff_events,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # stdev/histogram: displaced past the driver window by the
@@ -1828,8 +1857,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracle.SQL_ANN_TOPK,
         "ann_ivf_topk": oracle.SQL_ANN_TOPK,
         "ann_lsh_topk": oracle.SQL_ANN_TOPK,
-        # lang_id_docs / minhash_dedup_docs / simhash_pairs_docs /
-        # doc_fingerprint intentionally omitted -> rows-only check
+        # lang_id_docs / minhash_dedup_docs / simhash_pairs_docs
+        # intentionally omitted -> rows-only check (threshold
+        # heuristics; doc_fingerprint + media_features graduated to
+        # value oracles in round 4)
         "session_stats_events": oracle.SQL_SESSION_STATS_EVENTS,
         "sliding_window_events": oracle.SQL_SLIDING_WINDOW_EVENTS,
         "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
@@ -1888,6 +1919,10 @@ def oracle_sql() -> dict[str, str]:
         "role_enrich": oracle.sql_role_enrich(
             tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),
         "media_consistency": oracle.sql_media_consistency(
+            _ensure_media_fixture_path()),
+        # round-4 graduations from rows-only
+        "doc_fingerprint": oracle.SQL_DOC_FINGERPRINT,
+        "media_features": oracle.sql_media_features(
             _ensure_media_fixture_path()),
     }
 

@@ -1087,6 +1087,55 @@ FROM events GROUP BY 1, 2
 """
 
 
+# rolling-hash document fingerprint (ml/text.doc_fingerprint): min of
+# Rabin-Karp window-8 hashes, base 257 mod 2^61-1, over the UTF-8
+# bytes.  The SQL replays it bit-exactly: lead() builds each window's
+# 8 code points (== bytes — the corpus is pure ASCII, pinned by the
+# octet_length guard), HUGEINT arithmetic replays the numpy kernel's
+# WRAP-then-mod (uint64 accumulation wraps at 2^64 before the final
+# % M, so the oracle must apply % 2^64 first).  Docs shorter than the
+# window would take the Horner path (none exist at any test sf).
+SQL_DOC_FINGERPRINT = """
+WITH pos AS (
+  SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS i
+  FROM documents
+  WHERE length(text) >= 8 AND length(text) = octet_length(encode(text))),
+b AS (
+  SELECT doc_id, ord(substr(text, i, 1))::HUGEINT AS b0,
+         ord(substr(text, i + 1, 1))::HUGEINT AS b1,
+         ord(substr(text, i + 2, 1))::HUGEINT AS b2,
+         ord(substr(text, i + 3, 1))::HUGEINT AS b3,
+         ord(substr(text, i + 4, 1))::HUGEINT AS b4,
+         ord(substr(text, i + 5, 1))::HUGEINT AS b5,
+         ord(substr(text, i + 6, 1))::HUGEINT AS b6,
+         ord(substr(text, i + 7, 1))::HUGEINT AS b7
+  FROM pos),
+win AS (
+  SELECT doc_id,
+         ((b0 * 74051159531521793 + b1 * 288136807515649 +
+           b2 * 1121154893057 + b3 * 4362470401 +
+           b4 * 16974593 + b5 * 66049 + b6 * 257 + b7)
+          % 18446744073709551616) % 2305843009213693951 AS h
+  FROM b)
+SELECT doc_id, CAST(min(h) AS BIGINT) AS fingerprint
+FROM win GROUP BY doc_id
+"""
+
+
+def sql_media_features(media_path: str) -> str:
+    """Value oracle for the multimodal decode stage's SQL-derivable
+    surface: id/kind passthrough, payload byte counts and the fixed
+    feature dimensionality all survive the actor pool (the feature
+    VALUES are pinned by the media_consistency constancy oracle — SQL
+    has no blake2b to replay them)."""
+    return f"""
+SELECT media_id, kind,
+       CAST(octet_length(payload) AS BIGINT) AS n_bytes,
+       CAST(16 AS BIGINT) AS n_feat
+FROM read_parquet('{media_path}')
+"""
+
+
 def sql_media_consistency(media_path: str) -> str:
     """Consistency oracle for the multimodal actor-pool stage: group
     sizes come from the fixture parquet (SQL-derivable); the constancy

@@ -189,3 +189,49 @@ def test_time_range_sum_matches_pandas_rolling(ray_session):
         win = df[(df["k"] == r["k"]) & (df["ts"] >= r["ts"] - 50)
                  & (df["ts"] <= r["ts"])]
         assert m[r["id"]] == win["v"].sum(), r["id"]
+
+
+def test_time_range_sum_fused_equals_asof_hostile_layouts(ray_session):
+    """Fused frame-start (one exchange, carry-chained searchsorted)
+    must equal the asof fallback exactly — including a hot key
+    spanning many blocks, exact-ts peers, and windows crossing block
+    boundaries."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import time_range_sum
+
+    rng = np.random.default_rng(11)
+    n = 30_000
+    # one hot key = 50% of rows; ts with many exact-duplicate peers
+    k = np.where(rng.random(n) < 0.5, 0, rng.integers(1, 40, n))
+    ts = rng.integers(0, 5_000, n) * 10  # peers guaranteed
+    v = rng.integers(-5, 100, n)
+    tbl = pa.table({
+        "k": pa.array(k.astype(np.int64)),
+        "ts": pa.array(ts.astype(np.int64)),
+        "v": pa.array(v.astype(np.int64)),
+        "rid": pa.array(np.arange(n, dtype=np.int64)),
+    })
+    for nb in (1, 3, 17, 64):
+        ds = rd.from_arrow(tbl).repartition(nb)
+        out = {}
+        for impl in ("fused", "asof"):
+            r = time_range_sum(ds, keys=["k"], ts_col="ts",
+                               value_col="v", preceding=500,
+                               out_col="s", impl=impl).to_pandas()
+            out[impl] = (r[["rid", "s"]].sort_values("rid")
+                         .reset_index(drop=True))
+        pd.testing.assert_frame_equal(out["fused"], out["asof"]), nb
+    # brute-force truth on a small slice
+    small = tbl.slice(0, 800).to_pandas()
+    got = time_range_sum(rd.from_arrow(tbl.slice(0, 800)).repartition(5),
+                         keys=["k"], ts_col="ts", value_col="v",
+                         preceding=500, out_col="s").to_pandas()
+    got = got.set_index("rid")["s"]
+    for _, row in small.sample(60, random_state=0).iterrows():
+        m = (small["k"] == row["k"]) & (small["ts"] <= row["ts"]) \
+            & (small["ts"] >= row["ts"] - 500)
+        assert got[row["rid"]] == small.loc[m, "v"].sum()

@@ -1165,6 +1165,52 @@ def _q_media_features(sf_dir: str):
                            batch_size=None)
 
 
+def _q_media_decode_real(sf_dir: str):
+    """REAL media decode (round-4: ml/codecs_media.py — pure
+    stdlib+numpy PNG and WAV codecs behind decode_fn='codec'): the
+    fixture payloads are actual encoded files whose generator metadata
+    is stored beside them, so the value oracle checks that dimensions
+    DECODED from the bytes equal the recorded ground truth (width/
+    height from the PNG pixel array, duration from WAV frame count ÷
+    rate).  Feature scaling is power-of-2 so the int roundtrip is
+    float32-exact."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.ml.multimodal import (decode_media,
+                                          ensure_real_media_fixture)
+
+    path = ensure_real_media_fixture()
+    out = decode_media(rd.read_parquet(path), decode_fn="codec",
+                       batch_size=32)
+
+    def dims(t: pa.Table) -> pa.Table:
+        kinds = np.asarray(t["kind"].to_pylist())
+        f = np.stack([np.asarray(v, dtype=np.float32)
+                      for v in t["features"].to_pylist()])
+        img = kinds == "image"
+        w = np.where(img, np.round(f[:, 0] * 4096).astype(np.int64), 0)
+        h = np.where(img, np.round(f[:, 1] * 4096).astype(np.int64), 0)
+        rate = f[:, 0] * 65536
+        frames = f[:, 1] * 65536
+        dur = np.where(~img, np.round(frames * 1000 / np.maximum(
+            rate, 1)).astype(np.int64), 0)
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "width": pa.array(np.where(img, w, None).tolist(),
+                              pa.int64()),
+            "height": pa.array(np.where(img, h, None).tolist(),
+                               pa.int64()),
+            "duration_ms": pa.array(
+                np.where(~img, dur, None).tolist(), pa.int64()),
+        })
+
+    return out.map_batches(dims, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _q_media_consistency(sf_dir: str):
     """Value-checked oracle for the multimodal actor-pool plumbing: the
     fixture replicates every payload 3x under shifted ids, so identical
@@ -1771,7 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id_consistency_docs": _q_lang_id_consistency_docs,
         "rollup_events": _q_rollup_events,
-        "media_consistency": _q_media_consistency,
+        "media_decode_real": _q_media_decode_real,
         "top_terms_docs": _q_top_terms_docs,
         "decontaminate_docs": _q_decontaminate_docs,
         "pivot_events": _q_pivot_events,
@@ -1805,6 +1851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_consistency_docs": _q_fingerprint_consistency_docs,
         "media_features": _q_media_features,
+        "media_consistency": _q_media_consistency,
         "embedding_dedup_lsh": _q_embedding_dedup_lsh,
         "sample_hash_events": _q_sample_hash_events,
         "stratified_sample_events": _q_stratified_sample_events,
@@ -1924,6 +1971,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": oracle.SQL_DOC_FINGERPRINT,
         "media_features": oracle.sql_media_features(
             _ensure_media_fixture_path()),
+        "media_decode_real": oracle.sql_media_real_decode(
+            _ensure_real_media_fixture_path()),
     }
 
 
@@ -1931,3 +1980,9 @@ def _ensure_media_fixture_path() -> str:
     from vector_ray.ml.multimodal import ensure_media_fixture
 
     return ensure_media_fixture()
+
+
+def _ensure_real_media_fixture_path() -> str:
+    from vector_ray.ml.multimodal import ensure_real_media_fixture
+
+    return ensure_real_media_fixture()

@@ -68,6 +68,12 @@ class MediaDecodeStage:
     def __init__(self, *, decode_fn: str | None = "fake"):
         if decode_fn == "fake":
             self._decode = self._fake_decode
+        elif decode_fn == "codec":
+            # REAL decoders (ml/codecs_media.py: pure stdlib+numpy PNG
+            # and WAV); jpeg/mp4 stay the honest NotImplementedError
+            # boundary.  Per-actor init cost is import-only here; a
+            # libjpeg/CLIP deployment loads its handles in this spot.
+            self._decode = self._codec_decode
         elif decode_fn is None:
             self._decode = self._not_implemented
         else:
@@ -79,6 +85,39 @@ class MediaDecodeStage:
             "real media decode requires image/audio libs not present in "
             "this container; plug a decoder in here"
         )
+
+    @staticmethod
+    def _codec_decode(payload: bytes, kind: str) -> np.ndarray:
+        """16-dim features from DECODED content (not payload bytes):
+        image → dims + channel stats of the pixel array; audio →
+        rate/frames + amplitude stats.  Deterministic and
+        row-order-independent."""
+        from vector_ray.ml.codecs_media import decode_png, decode_wav
+
+        f = np.zeros(MediaDecodeStage.FEATURE_DIM, dtype=np.float32)
+        if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+            arr = decode_png(payload).astype(np.float32)
+            h, w, c = arr.shape
+            f[0:3] = (w, h, c)
+            f[3] = arr.mean()
+            f[4] = arr.std()
+            f[5] = arr.min()
+            f[6] = arr.max()
+            means = arr.reshape(-1, c).mean(axis=0)
+            f[7:7 + min(c, 4)] = means[:4]
+            return f / np.float32(4096.0)
+        if kind == "audio" and payload[:4] == b"RIFF":
+            s, rate = decode_wav(payload)
+            n, ch = s.shape
+            f[0:3] = (rate, n, ch)
+            f[3] = float(np.sqrt(np.mean(np.square(s))))  # RMS
+            f[4] = float(np.abs(s).max(initial=0.0))
+            sign = s[:, 0] >= 0
+            f[5] = float(np.count_nonzero(sign[1:] != sign[:-1]))
+            return f / np.float32(65536.0)
+        raise NotImplementedError(
+            f"real decode for kind={kind!r} needs codecs not in this "
+            "container (PNG/WAV are the implemented real formats)")
 
     @staticmethod
     def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
@@ -115,6 +154,54 @@ def decode_media(
     )
 
 
+def synthesize_real_media(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic media table whose payloads are REAL encoded files
+    (PNG images, 16-bit PCM WAV clips — ml/codecs_media.py): the
+    metadata columns record the generator's ground truth, so a decode
+    stage can be VALUE-oracled against them (decoded dims must equal
+    the recorded dims).  Durations divide the sample rate exactly so
+    frames→ms is integer-exact on both sides."""
+    from vector_ray.ml.codecs_media import encode_png, encode_wav
+
+    rng = np.random.default_rng(seed)
+    rows = {"media_id": [], "kind": [], "payload": [], "mime": [],
+            "width": [], "height": [], "duration_ms": []}
+    rate = 8000
+    for i in range(n):
+        if i % 2 == 0:
+            w = int(rng.integers(4, 64))
+            h = int(rng.integers(4, 64))
+            c = int(rng.choice([1, 3, 4]))
+            arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            rows["payload"].append(encode_png(arr))
+            rows["kind"].append("image")
+            rows["mime"].append("image/png")
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["duration_ms"].append(None)
+        else:
+            dur_ms = int(rng.integers(1, 50)) * 10  # exact at 8 kHz
+            frames = rate * dur_ms // 1000
+            ch = int(rng.choice([1, 2]))
+            s = rng.uniform(-0.9, 0.9, size=(frames, ch))
+            rows["payload"].append(encode_wav(s, rate))
+            rows["kind"].append("audio")
+            rows["mime"].append("audio/wav")
+            rows["width"].append(None)
+            rows["height"].append(None)
+            rows["duration_ms"].append(dur_ms)
+        rows["media_id"].append(i)
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.large_binary()),
+        "mime": pa.array(rows["mime"], pa.string()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "duration_ms": pa.array(rows["duration_ms"], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+
+
 class ImageResizeStage:
     """Actor-pool image resize.
 
@@ -130,10 +217,25 @@ class ImageResizeStage:
         self.target_w, self.target_h = int(target_w), int(target_h)
         if resize_fn == "fake":
             self._resize = self._fake_resize
+        elif resize_fn == "codec":
+            # real path for PNG: decode → nearest-neighbor resample →
+            # re-encode (ml/codecs_media.py); other image formats stay
+            # the honest boundary
+            self._resize = self._codec_resize
         elif resize_fn is None:
             self._resize = self._not_implemented
         else:
             raise ValueError(resize_fn)
+
+    def _codec_resize(self, payload: bytes) -> bytes:
+        from vector_ray.ml.codecs_media import (decode_png, encode_png,
+                                                resize_nearest)
+
+        if payload[:8] != b"\x89PNG\r\n\x1a\n":
+            raise NotImplementedError(
+                "real resize implemented for PNG only in this container")
+        return encode_png(resize_nearest(decode_png(payload),
+                                         self.target_w, self.target_h))
 
     def _not_implemented(self, payload: bytes) -> bytes:
         raise NotImplementedError(
@@ -277,6 +379,29 @@ def ensure_media_fixture(n: int = 400, copies: int = 3,
     md5s = [hashlib.md5(p).hexdigest()
             for p in table["payload"].to_pylist()]
     table = table.append_column("payload_md5", pa.array(md5s, pa.string()))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+def ensure_real_media_fixture(n: int = 300, seed: int = 42) -> str:
+    """Parquet fixture of REAL PNG/WAV payloads with generator
+    ground-truth metadata (synthesize_real_media), cached so Ray and
+    DuckDB read the same file."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from vector_ray.model import scratch_dir
+
+    path = os.path.join(
+        scratch_dir(), f"media_v{MEDIA_FIXTURE_VERSION}",
+        f"real_media_{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    table = synthesize_real_media(n, seed=seed)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
     pq.write_table(table, tmp)

@@ -1136,6 +1136,19 @@ FROM read_parquet('{media_path}')
 """
 
 
+def sql_media_real_decode(media_path: str) -> str:
+    """Ground-truth oracle for the REAL PNG/WAV decoders: the fixture
+    stores the generator's metadata next to the encoded payloads; the
+    Ray side must re-derive it by actually decoding the bytes."""
+    return f"""
+SELECT media_id, kind,
+       CAST(width AS BIGINT) AS width,
+       CAST(height AS BIGINT) AS height,
+       CAST(duration_ms AS BIGINT) AS duration_ms
+FROM read_parquet('{media_path}')
+"""
+
+
 def sql_media_consistency(media_path: str) -> str:
     """Consistency oracle for the multimodal actor-pool stage: group
     sizes come from the fixture parquet (SQL-derivable); the constancy

@@ -1904,10 +1904,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oracle.SQL_ANN_TOPK,
         "ann_ivf_topk": oracle.SQL_ANN_TOPK,
         "ann_lsh_topk": oracle.SQL_ANN_TOPK,
-        # lang_id_docs / minhash_dedup_docs / simhash_pairs_docs
-        # intentionally omitted -> rows-only check (threshold
-        # heuristics; doc_fingerprint + media_features graduated to
-        # value oracles in round 4)
+        # minhash_dedup_docs / simhash_pairs_docs intentionally
+        # omitted -> rows-only check (near-dup threshold heuristics;
+        # their *_exact_* variants are value-oracled).  Round 4
+        # graduated doc_fingerprint, media_features and lang_id_docs
+        # to value oracles.
         "session_stats_events": oracle.SQL_SESSION_STATS_EVENTS,
         "sliding_window_events": oracle.SQL_SLIDING_WINDOW_EVENTS,
         "salted_reduce_transcripts": oracle.sql_salted_reduce(tpath),
@@ -1969,6 +1970,7 @@ def oracle_sql() -> dict[str, str]:
             _ensure_media_fixture_path()),
         # round-4 graduations from rows-only
         "doc_fingerprint": oracle.SQL_DOC_FINGERPRINT,
+        "lang_id_docs": oracle.sql_lang_id_docs(),
         "media_features": oracle.sql_media_features(
             _ensure_media_fixture_path()),
         "media_decode_real": oracle.sql_media_real_decode(

@@ -1136,6 +1136,54 @@ FROM read_parquet('{media_path}')
 """
 
 
+def sql_lang_id_docs() -> str:
+    """Bit-exact replay of the heuristic language ID (ml/text.LangId):
+    floats collapse to integers — the per-doc score denominator is
+    constant, so the strict argmax over stopword hit-rates equals an
+    integer argmax over hit counts with dict-order tie-break, and the
+    0.05 / 0.1 thresholds become ``20*h > n`` / ``10*cjk > chars``.
+    The stopword tables ride as a VALUES list in dict iteration order
+    (= the kernel's first-wins priority)."""
+    from vector_ray.ml.text import _STOPWORDS
+
+    sw_rows = ", ".join(
+        f"('{lang}', {i + 1}, '{w}')"
+        for i, (lang, sws) in enumerate(_STOPWORDS.items())
+        for w in sorted(sws))
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, length(text) AS nchars,
+         length(regexp_replace(text,
+            '[^一-鿿぀-ヿ가-힯]', '', 'g')) AS cjk_n
+  FROM documents),
+words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text),
+                                        '[^a-zà-ÿ]+')) AS w
+    FROM documents WHERE text IS NOT NULL AND text <> '')
+  WHERE w <> ''),
+wc AS (SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id),
+sw(lang, pri, w) AS (VALUES {sw_rows}),
+hits AS (SELECT words.doc_id, sw.lang, sw.pri, count(*) AS h
+         FROM words JOIN sw USING (w) GROUP BY 1, 2, 3),
+top AS (SELECT doc_id, lang, h FROM (
+          SELECT doc_id, lang, h,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY h DESC, pri) AS rn
+          FROM hits) WHERE rn = 1)
+SELECT b.doc_id,
+       CASE WHEN b.text IS NULL OR b.text = '' THEN NULL
+            WHEN 10 * b.cjk_n > b.nchars THEN 'zh'
+            WHEN coalesce(wc.n, 0) = 0 THEN 'unknown'
+            WHEN coalesce(top.h, 0) * 20 <= wc.n THEN 'unknown'
+            ELSE top.lang END AS lang_pred
+FROM base b
+LEFT JOIN wc USING (doc_id)
+LEFT JOIN top USING (doc_id)
+"""
+
+
 def sql_media_real_decode(media_path: str) -> str:
     """Ground-truth oracle for the REAL PNG/WAV decoders: the fixture
     stores the generator's metadata next to the encoded payloads; the

@@ -822,8 +822,16 @@ def _q_count_min_users(sf_dir: str):
     ds = _events(sf_dir, columns=["user_id"]).materialize()
     import ray
 
-    users = sorted({u for t in ds.to_arrow_refs()
-                    for u in ray.get(t)["user_id"].to_pylist()})
+    @ray.remote
+    def _uniq(t):
+        import pyarrow.compute as _pc
+
+        # per-block distinct: the driver gather is bounded by
+        # (#distinct × blocks), never the row stream
+        return _pc.unique(t["user_id"]).to_pylist()
+
+    users = sorted(set().union(*[set(u) for u in ray.get(
+        [_uniq.remote(r) for r in ds.to_arrow_refs()])]))
     return count_min_estimates(ds, "user_id", users, w=256, d=4,
                                hash="md5")
 

@@ -1,12 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-The decode/resample kernels themselves are STUBBED (the image/audio
-libraries are not in this container) — ``decode_fn="fake"`` installs a
-deterministic fake so the Ray-side plumbing (schema, batch sizing,
-actor signature, output layout) is real and tested; ``decode_fn=None``
-raises NotImplementedError at the stub boundary, marking exactly where
-a real libjpeg/ffmpeg kernel plugs in.
+Decode kernels: ``decode_fn="codec"`` installs REAL decoders for PNG
+and WAV (ml/codecs_media.py — pure stdlib + numpy, round 4); JPEG and
+MP4 remain honest ``NotImplementedError`` boundaries (their codecs are
+not in this container).  ``decode_fn="fake"`` keeps the deterministic
+fake used by the cross-actor consistency oracle; ``decode_fn=None``
+raises at the boundary, marking exactly where a libjpeg/ffmpeg kernel
+plugs in.
 
 Scale notes: binary payloads dominate block size — callers should give
 these stages a SMALL ``batch_size`` (payload bytes × batch_size ×

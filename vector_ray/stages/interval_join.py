@@ -211,8 +211,21 @@ def interval_join(
         # union-shuffle + per-partition acero (stages/hash_join.py) —
         # measured ~2x Dataset.join at 4M x 4M and far more at the 24M
         # fixture where JoinOperator was the bound (BASELINE.md)
-        from vector_ray.stages.hash_join import hash_partition_join
+        from vector_ray.stages.hash_join import (_BROADCAST_BYTES,
+                                                 hash_partition_join)
 
+        try:
+            iv_small = (intervals.size_bytes() or 0) \
+                <= _BROADCAST_BYTES // 2
+        except Exception:
+            iv_small = False
+        if iv_small:
+            # a small interval table: materialize the expanded side so
+            # the engine's broadcast fast path can see its size and
+            # skip the exchange entirely (it re-checks the POST-
+            # expansion bytes, so a blow-up still takes the partition
+            # path)
+            expanded = expanded.materialize()
         joined = hash_partition_join(
             tagged, expanded, on=[_CHUNK] + by, how="inner",
             right_suffix=suffix)

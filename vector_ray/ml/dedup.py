@@ -306,10 +306,7 @@ def _verify_pairs_join(
         # UDF on them — see stages/blocks.drop_empty_blocks) and break
         # acero key resolution inside the hash join
         pairs = drop_empty_blocks(pairs_df)
-        parts = _join_partitions()
     else:
-        parts = min(_join_partitions(64),
-                    max(2, len(pairs_df) // 250_000 + 2))
         pairs = rd.from_pandas(pairs_df)
     docs = drop_empty_blocks(ds.select_columns([id_col, text_col]))
 
@@ -321,15 +318,15 @@ def _verify_pairs_join(
 
     from vector_ray.stages.hash_join import hash_partition_join
 
+    # auto partitioning: byte-sized partition count on big sides, the
+    # broadcast fast path when the docs table is small and materialized
     j1 = hash_partition_join(pairs, docs, on=["a"], right_on=[id_col],
-                             how="inner", right_suffix="_r",
-                             num_partitions=parts)
+                             how="inner", right_suffix="_r")
     j1 = drop_empty_blocks(j1.map_batches(
         _rename(text_col, "_text_a"), batch_format="pyarrow",
         batch_size=None))
     j2 = hash_partition_join(j1, docs, on=["b"], right_on=[id_col],
-                             how="inner", right_suffix="_r",
-                             num_partitions=parts)
+                             how="inner", right_suffix="_r")
     j2 = j2.map_batches(_rename(text_col, "_text_b"),
                         batch_format="pyarrow", batch_size=None)
 
@@ -579,8 +576,7 @@ def minhash_lsh_dedup(
 
         survivors = hash_partition_join(
             ds, dropped.select_columns(["node"]), on=[id_col],
-            right_on=["node"], how="left_anti",
-            num_partitions=_join_partitions())
+            right_on=["node"], how="left_anti")
         cl = labels.to_pandas()
         clusters = pd.DataFrame({id_col: cl["node"],
                                  "cluster": cl["label"]})             .sort_values(id_col).reset_index(drop=True)

@@ -48,7 +48,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from vector_ray.ml.dedup import _TOKEN_SEED, _join_partitions
+from vector_ray.ml.dedup import _TOKEN_SEED
 from vector_ray.ml.hashing import hash_strings, shingle_hashes, tokenize_batch
 from vector_ray.stages.hash_join import hash_partition_join
 from vector_ray.stages.blocks import drop_empty_blocks
@@ -199,11 +199,11 @@ def ngram_jaccard_pairs(
         _rename(id_col, "a"), batch_format="pyarrow", batch_size=None))
     right = drop_empty_blocks(prefixes.map_batches(
         _rename(id_col, "b"), batch_format="pyarrow", batch_size=None))
-    parts = _join_partitions()
     # union-shuffle + per-partition acero (stages/hash_join.py) —
-    # measured 1.5-3.4x over Dataset.join (BASELINE.md round-3 table)
+    # measured 1.5-3.4x over Dataset.join (BASELINE.md round-3 table);
+    # auto mode sizes partitions by bytes and broadcasts small sides
     cand = hash_partition_join(left, right, on=["token"], how="inner",
-                               right_suffix="_r", num_partitions=parts)
+                               right_suffix="_r")
 
     def keep_lt(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less(t["a"], t["b"]))
@@ -235,14 +235,12 @@ def ngram_jaccard_pairs(
     # candidate texts), exact Jaccard with per-unique-text memoization.
     docs = drop_empty_blocks(ds.select_columns([id_col, text_col]))
     j1 = hash_partition_join(cand, docs, on=["a"], right_on=[id_col],
-                             how="inner", right_suffix="_r",
-                             num_partitions=parts)
+                             how="inner", right_suffix="_r")
     j1 = drop_empty_blocks(j1.map_batches(
         _rename(text_col, "_text_a"), batch_format="pyarrow",
         batch_size=None))
     j2 = hash_partition_join(j1, docs, on=["b"], right_on=[id_col],
-                             how="inner", right_suffix="_r",
-                             num_partitions=parts)
+                             how="inner", right_suffix="_r")
     j2 = j2.map_batches(_rename(text_col, "_text_b"),
                         batch_format="pyarrow", batch_size=None)
 

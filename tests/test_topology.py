@@ -497,3 +497,148 @@ sinks:
     # the benchmark docs themselves are removed (self-overlap)
     assert not (out["doc_id"] < 3).any()
     assert len(out) > 0
+
+
+def test_round4_reshape_window_yaml_types(tmp_path):
+    """pivot / unpivot / rollup / time_range_sum / exact_quantiles /
+    lm_score / sft_pairs as YAML transform types."""
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(f"""
+sources:
+  events:
+    type: parquet
+    path: /root/testdata/sf0.001/events.parquet
+    columns: [user_id, event_type, ts, value]
+transforms:
+  wide:
+    type: pivot
+    inputs: [events]
+    keys: [user_id]
+    pivot_col: event_type
+    value_col: value
+    columns: [click, view]
+    agg: count
+  long:
+    type: unpivot
+    inputs: [wide]
+    keys: [user_id]
+    value_cols: [click, view]
+    var_col: event_type
+    value_col: n
+  rolled:
+    type: rollup
+    inputs: [long]
+    keys: [event_type]
+    value_col: n
+  hour:
+    type: time_range_sum
+    inputs: [events]
+    keys: [user_id]
+    ts_col: ts
+    value_col: value
+    preceding: 3600000000
+    out_col: hour_value
+  q:
+    type: exact_quantiles
+    inputs: [events]
+    keys: [event_type]
+    value_col: value
+    qs:
+      p50: [1, 2]
+sinks:
+  rolled_out:
+    type: parquet
+    inputs: [rolled]
+    path: "{tmp_path}/rolled"
+  hour_out:
+    type: parquet
+    inputs: [hour]
+    path: "{tmp_path}/hour"
+  q_out:
+    type: parquet
+    inputs: [q]
+    path: "{tmp_path}/q"
+""")
+    res = run_topology(topo)
+    import ray.data as rd
+
+    rolled = rd.read_parquet(str(tmp_path / "rolled")).to_pandas()
+    assert set(rolled["grouping_level"]) == {0, 1}
+    hour = rd.read_parquet(str(tmp_path / "hour")).to_pandas()
+    assert res.sink_counts["hour_out"] == len(hour) == 1000
+    assert "hour_value" in hour.columns
+    q = rd.read_parquet(str(tmp_path / "q")).to_pandas()
+    assert "p50" in q.columns and len(q) == 5
+
+
+def test_round4_ml_media_yaml_types(tmp_path):
+    """lm_score / sft_pairs / media_decode / image_resize YAML types."""
+    import pyarrow.parquet as pq
+
+    from vector_ray.ml.multimodal import ensure_real_media_fixture
+    from vector_ray.topology import Topology, run_topology
+
+    media_path = ensure_real_media_fixture(n=20, seed=3)
+    from vector_ray.data.transcripts import ensure_transcripts
+
+    tpath = ensure_transcripts("/root/testdata/sf0.001")
+    topo = Topology.from_yaml(f"""
+sources:
+  docs:
+    type: parquet
+    path: /root/testdata/sf0.001/documents.parquet
+    columns: [doc_id, text]
+  turns:
+    type: parquet
+    path: {tpath}
+    columns: [conv_id, turn_idx, role, text]
+  media:
+    type: parquet
+    path: {media_path}
+transforms:
+  scored:
+    type: lm_score
+    inputs: [docs]
+  pairs:
+    type: sft_pairs
+    inputs: [turns]
+  feats:
+    type: media_decode
+    inputs: [media]
+    decode_fn: codec
+    batch_size: 8
+  thumbs:
+    type: image_resize
+    inputs: [media]
+    target_w: 8
+    target_h: 8
+    resize_fn: codec
+    batch_size: 8
+sinks:
+  scored_out:
+    type: parquet
+    inputs: [scored]
+    path: "{tmp_path}/scored"
+  pairs_out:
+    type: parquet
+    inputs: [pairs]
+    path: "{tmp_path}/pairs"
+  feats_out:
+    type: parquet
+    inputs: [feats]
+    path: "{tmp_path}/feats"
+  thumbs_out:
+    type: parquet
+    inputs: [thumbs]
+    path: "{tmp_path}/thumbs"
+""")
+    res = run_topology(topo)
+    assert res.sink_counts["scored_out"] == 500
+    assert res.sink_counts["pairs_out"] > 0
+    assert res.sink_counts["feats_out"] == 20
+    feats = pq.read_table(str(tmp_path / "feats"))
+    assert "features" in feats.column_names
+    thumbs = pq.read_table(str(tmp_path / "thumbs")).to_pandas()
+    img = thumbs[thumbs["kind"] == "image"]
+    assert (img["width"] == 8).all() and (img["height"] == 8).all()

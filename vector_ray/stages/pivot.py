@@ -257,4 +257,7 @@ import ray as _ray_mod
 def _grand_total(t, sum_col: str):
     import pyarrow.compute as _pc
 
+    # groupby emits zero-column EMPTY blocks for group-less partitions
+    if t.num_rows == 0 or sum_col not in t.column_names:
+        return 0
     return _pc.sum(t[sum_col]).as_py() or 0

@@ -467,6 +467,74 @@ def _build_transform(
             id_col=c.get("id_col", "vec_id"),
             n_iter=c.get("n_iter", 10))
         return {"": labeled}
+    if t == "pivot":
+        from vector_ray.stages.pivot import pivot
+
+        return {"": pivot(ds, keys=c["keys"], pivot_col=c["pivot_col"],
+                          value_col=c["value_col"],
+                          columns=c["columns"],
+                          agg=c.get("agg", "sum"))}
+    if t == "unpivot":
+        from vector_ray.stages.pivot import unpivot
+
+        return {"": unpivot(ds, keys=c["keys"],
+                            value_cols=c["value_cols"],
+                            var_col=c.get("var_col", "variable"),
+                            value_col=c.get("value_col", "value"))}
+    if t == "rollup":
+        from vector_ray.stages.pivot import rollup
+
+        return {"": rollup(ds, keys=c["keys"],
+                           value_col=c["value_col"],
+                           total_marker=c.get("total_marker",
+                                              "__all__"))}
+    if t == "time_range_sum":
+        from vector_ray.stages.window_fns import time_range_sum
+
+        return {"": time_range_sum(
+            ds, keys=c["keys"], ts_col=c["ts_col"],
+            value_col=c["value_col"], preceding=int(c["preceding"]),
+            out_col=c.get("out_col", "range_sum"),
+            impl=c.get("impl", "fused"))}
+    if t == "exact_quantiles":
+        import ray.data as _rd
+
+        from vector_ray.stages.quantile_exact import grouped_quantiles
+
+        qs = {name: (int(nd[0]), int(nd[1]))
+              for name, nd in c.get("qs", {"p50": (1, 2)}).items()}
+        out_df = grouped_quantiles(ds, keys=c["keys"],
+                                   value_col=c["value_col"], qs=qs)
+        return {"": _rd.from_pandas(out_df)}
+    if t == "lm_score":
+        from vector_ray.ml.lm_score import lm_score
+
+        return {"": lm_score(ds, c.get("text_col", "text"),
+                             c.get("id_col", "doc_id"),
+                             pattern=c.get("pattern", " "))}
+    if t == "sft_pairs":
+        from vector_ray.ml.sft import conversation_pairs
+
+        return {"": conversation_pairs(
+            ds, conv_col=c.get("conv_col", "conv_id"),
+            turn_col=c.get("turn_col", "turn_idx"),
+            role_col=c.get("role_col", "role"),
+            text_col=c.get("text_col", "text"),
+            target_role=c.get("target_role", "assistant"))}
+    if t == "media_decode":
+        from vector_ray.ml.multimodal import decode_media
+
+        return {"": decode_media(
+            ds, decode_fn=c.get("decode_fn", "codec"),
+            batch_size=c.get("batch_size", 64))}
+    if t == "image_resize":
+        from vector_ray.ml.multimodal import resize_images
+
+        return {"": resize_images(
+            ds, target_w=c.get("target_w", 224),
+            target_h=c.get("target_h", 224),
+            resize_fn=c.get("resize_fn", "codec"),
+            batch_size=c.get("batch_size", 64))}
     raise ConfigError(f"unknown transform type {t!r}")
 
 

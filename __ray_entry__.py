@@ -1173,6 +1173,30 @@ def _q_media_features(sf_dir: str):
                            batch_size=None)
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Context-window chunking (ml/chunking.py): window-64/stride-32
+    overlapping token chunks per document — a pure streaming flat-map
+    (row explosion inside each block, zero exchange); SQL replays the
+    slices with list_filter + list_slice + generate ranges."""
+    from vector_ray.ml.chunking import chunk_documents
+
+    return chunk_documents(
+        _docs(sf_dir), text_col="text", id_col="doc_id",
+        window=64, stride=32)
+
+
+def _q_pack_docs(sf_dir: str):
+    """Sequence packing (ml/packing.py): concatenate-and-cut 512-token
+    bins in doc_id order — bin = running-tokens-before // budget, ONE
+    sorted run (associative running sum; a strict greedy fold would
+    not compose and would serialize at scale); SQL window replays
+    bit-exactly."""
+    from vector_ray.ml.packing import pack_documents
+
+    return pack_documents(_docs(sf_dir), text_col="text",
+                          id_col="doc_id", budget=512)
+
+
 def _q_media_decode_real(sf_dir: str):
     """REAL media decode (round-4: ml/codecs_media.py — pure
     stdlib+numpy PNG and WAV codecs behind decode_fn='codec'): the
@@ -1875,6 +1899,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_events": _q_diff_events,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
+        "chunk_docs": _q_chunk_docs,
+        "pack_docs": _q_pack_docs,
         # stdev/histogram: displaced past the driver window by the
         # round-3 join/sketch additions; aggregate keeps 3 in-window
         # reps (summary/latest/diff), these stay locally oracle-swept
@@ -1983,6 +2009,8 @@ def oracle_sql() -> dict[str, str]:
             _ensure_media_fixture_path()),
         "media_decode_real": oracle.sql_media_real_decode(
             _ensure_real_media_fixture_path()),
+        "chunk_docs": oracle.SQL_CHUNK_DOCS,
+        "pack_docs": oracle.SQL_PACK_DOCS,
     }
 
 

@@ -1136,6 +1136,49 @@ FROM read_parquet('{media_path}')
 """
 
 
+# context-window chunking (ml/chunking.py): window-64/stride-32 token
+# chunks per document; tokens = non-empty space splits on both sides,
+# chunk text rebuilt with list_slice/array_to_string.
+SQL_CHUNK_DOCS = """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS ts
+  FROM documents),
+n AS (SELECT doc_id, ts, len(ts) AS n FROM tok),
+c AS (
+  SELECT doc_id, ts, n,
+         unnest(range(0, CASE WHEN n > 0
+           THEN (greatest(n - 64, 0) + 31) // 32 + 1 ELSE 0 END)) AS i
+  FROM n)
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       CAST(least(i * 32 + 64, n) - i * 32 AS BIGINT) AS n_tokens,
+       array_to_string(ts[i * 32 + 1 : least(i * 32 + 64, n)], ' ')
+         AS chunk
+FROM c
+"""
+
+# sequence packing (ml/packing.py): concatenate-and-cut bins — the
+# bin id is the integer quotient of the running token count BEFORE
+# each document, an exact SQL window.
+SQL_PACK_DOCS = """
+WITH n AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x <> ''))
+           AS n_tokens
+  FROM documents),
+w AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS before
+  FROM n)
+SELECT doc_id, n_tokens,
+       CAST(before // 512 AS BIGINT) AS bin,
+       CAST(before % 512 AS BIGINT) AS bin_offset
+FROM w
+"""
+
+
 def sql_lang_id_docs() -> str:
     """Bit-exact replay of the heuristic language ID (ml/text.LangId):
     floats collapse to integers — the per-doc score denominator is

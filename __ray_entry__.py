@@ -873,6 +873,50 @@ def _q_connected_components_docs(sf_dir: str):
     return labels.select_columns(["node", "label"])
 
 
+def _q_conv_dedup_transcripts(sf_dir: str):
+    """Conversation-level exact dedup over the north-rule transcripts
+    (ml/dedup.conv_exact_dedup): identical ORDERED (role, text) turn
+    sequences collapse to the min conv_id — reduce_sorted concat
+    content key + the standard min-id survivor rank.  The fixture has
+    no natural whole-conversation duplicates at sf0.01, so dup
+    pressure is synthesized identically on both sides: every
+    conversation whose md5 starts with '0' gains a '~dup'-suffixed
+    exact copy ('~' sorts after alphanumerics, so the original always
+    survives and the copies must all vanish)."""
+    import hashlib as _hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vector_ray.data.transcripts import ensure_transcripts
+    from vector_ray.ml.dedup import conv_exact_dedup
+
+    ds = rd.read_parquet(ensure_transcripts(sf_dir),
+                         columns=["conv_id", "turn_idx", "role",
+                                  "text"])
+
+    def dup_copy(t: pa.Table) -> pa.Table:
+        conv = t["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        d = pc.dictionary_encode(conv)
+        uniq = d.dictionary.to_pylist()
+        sel = np.array([_hashlib.md5(u.encode()).hexdigest()[0] == "0"
+                        for u in uniq], dtype=bool)
+        codes = d.indices.to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(sel[codes]))
+        conv2 = pc.binary_join_element_wise(
+            pc.cast(t["conv_id"], pa.string()), "~dup", "")
+        return t.set_column(t.column_names.index("conv_id"),
+                            "conv_id", conv2)
+
+    copies = ds.map_batches(dup_copy, batch_format="pyarrow",
+                            batch_size=None)
+    return conv_exact_dedup(ds.union(copies))
+
+
 def _q_sft_pairs_transcripts(sf_dir: str):
     """Transcripts → SFT training pairs (ml/sft.conversation_pairs):
     every assistant turn with prior context becomes (context, target)
@@ -1901,6 +1945,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         "chunk_docs": _q_chunk_docs,
         "pack_docs": _q_pack_docs,
+        "conv_dedup_transcripts": _q_conv_dedup_transcripts,
         # stdev/histogram: displaced past the driver window by the
         # round-3 join/sketch additions; aggregate keeps 3 in-window
         # reps (summary/latest/diff), these stay locally oracle-swept
@@ -1987,6 +2032,7 @@ def oracle_sql() -> dict[str, str]:
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,
         "sft_pairs_transcripts": oracle.sql_sft_pairs(tpath),
+        "conv_dedup_transcripts": oracle.sql_conv_dedup(tpath),
         "mode_per_user": oracle.SQL_MODE_PER_USER,
         "unpivot_events": oracle.SQL_UNPIVOT_EVENTS,
         "top_terms_docs": oracle.SQL_TOP_TERMS_DOCS,

@@ -34,6 +34,7 @@ def _oracle_sqls():
             "role_enrich": oracle.sql_role_enrich(
                 tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),
             "sft_pairs_transcripts": oracle.sql_sft_pairs(tpath),
+            "conv_dedup_transcripts": oracle.sql_conv_dedup(tpath),
         }
     )
     return sqls

@@ -1005,3 +1005,45 @@ def embedding_cosine_dedup(
 
     return (ds.map_batches(remove_dups, batch_format="pyarrow",
                            batch_size=None), pairs)
+
+
+def conv_exact_dedup(
+    ds: "Dataset",
+    *,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+) -> "Dataset":
+    """Conversation-level exact dedup over a transcripts table: two
+    conversations are duplicates when their ORDERED (role, text) turn
+    sequences are identical; the min ``conv_col`` survives.
+
+    Composition of existing scale paths — each conversation collapses
+    to one ordered content string through ``reduce_sorted`` (one sort,
+    per-block run collapse, driver chain bounded by one conversation
+    per block boundary), keyed with md5 for SQL-oracle parity, then
+    the standard min-id survivor rank.  Returns ``(conv_col,)`` rows,
+    one per surviving conversation."""
+    import pyarrow.compute as _pc
+
+    from vector_ray.stages.sorted_ops import reduce_sorted
+
+    def rep(t: pa.Table) -> pa.Table:
+        r = _pc.binary_join_element_wise(
+            _pc.cast(t[role_col], pa.string()),
+            _pc.cast(t[text_col], pa.string()), "\x1f")
+        return pa.table({conv_col: t[conv_col],
+                         turn_col: t[turn_col],
+                         "turn_repr": r})
+
+    turns = ds.map_batches(rep, batch_format="pyarrow",
+                           batch_size=None)
+    reduced = reduce_sorted(
+        turns, group_by=[conv_col],
+        merge_strategies={"turn_repr": "concat_newline"},
+        order_by=[turn_col], timestamp_fields=())
+    survivors = exact_dedup_docs(
+        reduced.select_columns([conv_col, "turn_repr"]),
+        text_col="turn_repr", id_col=conv_col, hash="md5")
+    return survivors.select_columns([conv_col])

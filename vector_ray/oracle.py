@@ -1252,6 +1252,31 @@ FROM read_parquet('{media_path}') GROUP BY 1
 """
 
 
+def sql_conv_dedup(transcripts_path: str) -> str:
+    """Conversation-level exact dedup (ml/dedup.conv_exact_dedup):
+    min conv_id per identical ORDERED (role, text) turn sequence —
+    SQL replays the reduce-concat content key exactly
+    (role || US || text joined by newline in turn order, md5-keyed)."""
+    return f"""
+WITH base AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM read_parquet('{transcripts_path}/*.parquet')),
+with_dups AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT conv_id || '~dup' AS conv_id, turn_idx, role, text
+  FROM base WHERE substr(md5(conv_id), 1, 1) = '0'),
+conv AS (
+  SELECT conv_id,
+         md5(string_agg(role || chr(31) || text, chr(10)
+                        ORDER BY turn_idx)) AS key
+  FROM with_dups GROUP BY conv_id),
+m AS (SELECT conv_id, min(conv_id) OVER (PARTITION BY key) AS keep
+      FROM conv)
+SELECT conv_id FROM m WHERE conv_id = keep
+"""
+
+
 def sql_sft_pairs(transcripts_path: str) -> str:
     """SFT pair explosion (ml/sft.conversation_pairs): every assistant
     turn with >=1 prior turn becomes (context = prior turns joined by

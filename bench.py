@@ -96,7 +96,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      # late round-3 gains: windows, reshape, curation
                      "window_fns_events", "time_range_sum_events",
                      "pivot_events", "top_terms_docs",
-                     "decontaminate_docs", "nation_revenue"):
+                     "decontaminate_docs", "nation_revenue",
+                     # round-4 gained training-data ops
+                     "chunk_docs", "pack_docs",
+                     "conv_dedup_transcripts"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -642,3 +642,51 @@ sinks:
     thumbs = pq.read_table(str(tmp_path / "thumbs")).to_pandas()
     img = thumbs[thumbs["kind"] == "image"]
     assert (img["width"] == 8).all() and (img["height"] == 8).all()
+
+
+def test_round4_chunk_pack_convdedup_yaml_types(tmp_path):
+    from vector_ray.data.transcripts import ensure_transcripts
+    from vector_ray.topology import Topology, run_topology
+
+    tpath = ensure_transcripts("/root/testdata/sf0.001")
+    topo = Topology.from_yaml(f"""
+sources:
+  docs:
+    type: parquet
+    path: /root/testdata/sf0.001/documents.parquet
+    columns: [doc_id, text]
+  turns:
+    type: parquet
+    path: {tpath}
+    columns: [conv_id, turn_idx, role, text]
+transforms:
+  chunks:
+    type: chunk_documents
+    inputs: [docs]
+    window: 32
+    stride: 16
+  bins:
+    type: pack_documents
+    inputs: [docs]
+    budget: 256
+  convs:
+    type: conv_dedup
+    inputs: [turns]
+sinks:
+  chunks_out:
+    type: parquet
+    inputs: [chunks]
+    path: "{tmp_path}/chunks"
+  bins_out:
+    type: parquet
+    inputs: [bins]
+    path: "{tmp_path}/bins"
+  convs_out:
+    type: parquet
+    inputs: [convs]
+    path: "{tmp_path}/convs"
+""")
+    res = run_topology(topo)
+    assert res.sink_counts["bins_out"] == 500
+    assert res.sink_counts["chunks_out"] > 500   # overlap explodes rows
+    assert 0 < res.sink_counts["convs_out"] <= 500

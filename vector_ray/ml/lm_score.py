@@ -87,10 +87,29 @@ def lm_score(
     pairs = doc_bigrams(ds, text_col, id_col, pattern=pattern
                         ).materialize()
 
+    # map-side combine before each count exchange: bigram occurrences
+    # repeat heavily inside a block, so per-block group_by collapses
+    # the stream to block vocabularies before the shuffle
+    def part_big(t: pa.Table) -> pa.Table:
+        g = t.select(["w1", "w2"]).group_by(["w1", "w2"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["w1", "w2", "c"])
+
+    def part_uni(t: pa.Table) -> pa.Table:
+        g = t.select(["w1"]).group_by("w1").aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["w1", "c"])
+
     # materialized ONCE — the join reads schema() up front, which
     # executes lazy groupby chains; unmaterialized they would run twice
-    big = pairs.groupby(["w1", "w2"]).count().materialize()  # c(w1 w2)
-    uni = pairs.groupby("w1").count().materialize()          # c(w1 ·)
+    big = (pairs.map_batches(part_big, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby(["w1", "w2"]).sum("c")
+           .rename_columns({"sum(c)": "count()"}).materialize())
+    uni = (pairs.map_batches(part_uni, batch_format="pyarrow",
+                             batch_size=None)
+           .groupby("w1").sum("c")
+           .rename_columns({"sum(c)": "count()"}).materialize())
 
     j1 = hash_partition_join(pairs, big, on=["w1", "w2"], how="inner",
                              right_suffix="_b")

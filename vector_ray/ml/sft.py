@@ -102,30 +102,53 @@ def conversation_pairs(
                           "target": pa.array([], pa.string())})
         if n == 0:
             return empty
+        import pyarrow.compute as pc
+
         kcol = _key_arr(t, conv_col)
         new_run = _adj_new_run(kcol, n)
-        texts = t[text_col].to_pylist()
-        roles = t[role_col].to_pylist()
+        # contexts are per-run PREFIXES, so each target's context is
+        # ONE contiguous range over (carry ++ block texts) — built
+        # fully in Arrow C via a range gather + binary_join; the old
+        # per-row Python loop materialized every text as a PyString
+        run_id = np.cumsum(new_run) - 1
+        rs = np.flatnonzero(new_run)[run_id]
         cont = (carry_texts is not None
                 and carry_key == kcol[0].as_py())
-        out_idx, out_ctx = [], []
-        prior: list = list(carry_texts) if cont else []
-        for i in range(n):
-            if new_run[i] and i > 0:
-                prior = []
-            elif new_run[i] and not cont:
-                prior = []
-            if roles[i] == target_role and prior:
-                out_idx.append(i)
-                out_ctx.append(sep.join(prior))
-            prior.append(texts[i])
-        idx = pa.array(out_idx, pa.int64())
+        clen = len(carry_texts) if cont else 0
+        base = np.where((run_id == 0) & cont, 0, clen + rs)
+        end = clen + np.arange(n, dtype=np.int64)
+        is_t = pc.fill_null(pc.equal(
+            pc.cast(t[role_col], pa.string()), target_role), False)
+        sel = is_t.to_numpy(zero_copy_only=False) & (end > base)
+        tgt = np.flatnonzero(sel)
+        ctx_len = (end - base)[tgt]
+        offs = np.zeros(len(tgt) + 1, dtype=np.int64)
+        np.cumsum(ctx_len, out=offs[1:])
+        gidx = (np.arange(offs[-1], dtype=np.int64)
+                - np.repeat(offs[:-1], ctx_len)
+                + np.repeat(base[tgt], ctx_len))
+        text_a = t[text_col]
+        if isinstance(text_a, pa.ChunkedArray):
+            text_a = text_a.combine_chunks()
+        text_a = pc.cast(text_a, pa.string())
+        if isinstance(text_a, pa.ChunkedArray):
+            text_a = text_a.combine_chunks()
+        vals = (pa.concat_arrays(
+            [pa.array(list(carry_texts), pa.string()), text_a])
+            if clen else text_a)
+        gathered = vals.take(pa.array(gidx))
+        if isinstance(gathered, pa.ChunkedArray):
+            gathered = gathered.combine_chunks()
+        assert offs[-1] < (1 << 31), "block too large for sft gather"
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()),
+                                         gathered)
+        idx = pa.array(tgt, pa.int64())
         return pa.table({
             conv_col: t[conv_col].take(idx),
             turn_col: t[turn_col].take(idx),
-            "context": pa.array(out_ctx, pa.string()),
-            "target": pa.array([texts[i] for i in out_idx],
+            "context": pc.cast(pc.binary_join(lists, sep),
                                pa.string()),
+            "target": text_a.take(idx),
         })
 
     out_refs = [apply.remote(r, carry_keys[i], carries[i])

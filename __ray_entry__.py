@@ -1247,6 +1247,23 @@ def _q_pack_docs(sf_dir: str):
                           id_col="doc_id", budget=512)
 
 
+def _q_repetition_docs(sf_dir: str):
+    """Gopher repetition filters (ml/repetition.py): per-doc most-
+    common-2-gram and duplicated-5-gram character coverage plus the
+    Table-A1 keep decision — a pure streaming per-block pass (stats
+    are per-document, zero exchange); Arrow-C n-gram counting via
+    group_by over binary_join_element_wise gram strings.  Every output
+    is an integer (the keep flag compares cross-multiplied integers),
+    so the SQL oracle replays bit-exactly."""
+    import ray.data as rd
+
+    from vector_ray.ml.repetition import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return repetition_stats(docs, text_col="text", id_col="doc_id")
+
+
 def _q_media_decode_real(sf_dir: str):
     """REAL media decode (round-4: ml/codecs_media.py — pure
     stdlib+numpy PNG and WAV codecs behind decode_fn='codec'): the
@@ -1949,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_events": _q_diff_events,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
+        "repetition_docs": _q_repetition_docs,
         "chunk_docs": _q_chunk_docs,
         "pack_docs": _q_pack_docs,
         "conv_dedup_transcripts": _q_conv_dedup_transcripts,
@@ -2061,6 +2079,7 @@ def oracle_sql() -> dict[str, str]:
             _ensure_media_fixture_path()),
         "media_decode_real": oracle.sql_media_real_decode(
             _ensure_real_media_fixture_path()),
+        "repetition_docs": oracle.SQL_REPETITION_DOCS,
         "chunk_docs": oracle.SQL_CHUNK_DOCS,
         "pack_docs": oracle.SQL_PACK_DOCS,
     }

@@ -1178,6 +1178,51 @@ SELECT doc_id, n_tokens,
 FROM w
 """
 
+# Gopher repetition filters (ml/repetition.py): every statistic is an
+# integer and the keep flag compares cross-multiplied integers, so the
+# SQL replays bit-exactly; the most-common-2-gram tie-break is pinned
+# (count DESC, gram length DESC, gram ASC) on both engines.
+SQL_REPETITION_DOCS = """
+WITH tl AS (SELECT doc_id, string_split(text, ' ') AS ws,
+            len(text)::BIGINT AS total_chars FROM documents),
+toks AS (SELECT doc_id, unnest(ws) AS w,
+                generate_subscripts(ws, 1) AS pos FROM tl),
+g2 AS (SELECT a.doc_id, a.w || ' ' || b.w AS g
+       FROM toks a JOIN toks b
+         ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+c2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY 1, 2),
+t2 AS (SELECT doc_id, c, len(g)::BIGINT AS gl,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY c DESC, len(g) DESC, g) AS rn
+       FROM c2),
+g5 AS (SELECT a.doc_id,
+              a.w || ' ' || b.w || ' ' || c.w || ' ' || d.w || ' '
+                  || e.w AS g
+       FROM toks a
+       JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+       JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+       JOIN toks d ON d.doc_id = a.doc_id AND d.pos = a.pos + 3
+       JOIN toks e ON e.doc_id = a.doc_id AND e.pos = a.pos + 4),
+c5 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g5 GROUP BY 1, 2),
+d5 AS (SELECT doc_id,
+              CAST(sum(CASE WHEN c > 1 THEN c * len(g) ELSE 0 END)
+                   AS BIGINT) AS dup5_chars
+       FROM c5 GROUP BY 1)
+SELECT tl.doc_id,
+       CAST(len(tl.ws) AS BIGINT) AS n_tokens,
+       tl.total_chars,
+       CAST(coalesce(t2.c, 0) AS BIGINT) AS top2_cnt,
+       CAST(coalesce(t2.gl, 0) AS BIGINT) AS top2_chars,
+       CAST(coalesce(d5.dup5_chars, 0) AS BIGINT) AS dup5_chars,
+       (NOT (5 * coalesce(t2.c, 0) * coalesce(t2.gl, 0)
+               > tl.total_chars)
+        AND NOT (20 * coalesce(d5.dup5_chars, 0) > 3 * tl.total_chars))
+         AS rep_keep
+FROM tl
+LEFT JOIN t2 ON t2.doc_id = tl.doc_id AND t2.rn = 1
+LEFT JOIN d5 ON d5.doc_id = tl.doc_id
+"""
+
 
 def sql_lang_id_docs() -> str:
     """Bit-exact replay of the heuristic language ID (ml/text.LangId):

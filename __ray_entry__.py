@@ -1247,6 +1247,17 @@ def _q_pack_docs(sf_dir: str):
                           id_col="doc_id", budget=512)
 
 
+def _q_span_dedup_docs(sf_dir: str):
+    """Span-level exact dedup (ml/span_dedup.py): C4/RefinedWeb-style
+    corpus-wide removal of repeated 32-token spans — streaming chunk
+    flat-map, first-occurrence rank on the 128-bit span hash (16-byte
+    sort key), reduce_sorted reassembly; dup coverage synthesized via
+    the shifted-copy union used by the exact-dedup family."""
+    from vector_ray.ml.span_dedup import span_dedup
+
+    return span_dedup(_docs_with_dups(sf_dir), window=32)
+
+
 def _q_repetition_docs(sf_dir: str):
     """Gopher repetition filters (ml/repetition.py): per-doc most-
     common-2-gram and duplicated-5-gram character coverage plus the
@@ -1967,6 +1978,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         "repetition_docs": _q_repetition_docs,
+        "span_dedup_docs": _q_span_dedup_docs,
         "chunk_docs": _q_chunk_docs,
         "pack_docs": _q_pack_docs,
         "conv_dedup_transcripts": _q_conv_dedup_transcripts,
@@ -2080,6 +2092,7 @@ def oracle_sql() -> dict[str, str]:
         "media_decode_real": oracle.sql_media_real_decode(
             _ensure_real_media_fixture_path()),
         "repetition_docs": oracle.SQL_REPETITION_DOCS,
+        "span_dedup_docs": oracle.SQL_SPAN_DEDUP_DOCS,
         "chunk_docs": oracle.SQL_CHUNK_DOCS,
         "pack_docs": oracle.SQL_PACK_DOCS,
     }

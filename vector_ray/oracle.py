@@ -1178,6 +1178,36 @@ SELECT doc_id, n_tokens,
 FROM w
 """
 
+# span-level exact dedup (ml/span_dedup.py): C4/RefinedWeb-style —
+# disjoint 32-token spans, first occurrence by (doc_id, chunk_idx)
+# survives corpus-wide, documents rebuilt from surviving spans (docs
+# losing every span vanish).  Dup coverage synthesized via docs2.
+SQL_SPAN_DEDUP_DOCS = f"""
+WITH {_DOCS_WITH_DUPS},
+tok AS (SELECT doc_id,
+        list_filter(string_split(text, ' '), x -> x <> '') AS ts
+        FROM docs2),
+n AS (SELECT doc_id, ts, len(ts) AS n FROM tok),
+c AS (SELECT doc_id, ts, n,
+      unnest(range(0, CASE WHEN n > 0
+        THEN (greatest(n - 32, 0) + 31) // 32 + 1 ELSE 0 END)) AS i
+      FROM n),
+spans AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          CAST(least(i * 32 + 32, n) - i * 32 AS BIGINT) AS n_tokens,
+          array_to_string(ts[i * 32 + 1 : least(i * 32 + 32, n)], ' ')
+            AS chunk
+          FROM c),
+kept AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY chunk
+                               ORDER BY doc_id, chunk_idx) AS rn
+  FROM spans) WHERE rn = 1)
+SELECT doc_id,
+       string_agg(chunk, ' ' ORDER BY chunk_idx) AS text,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       count(*)::BIGINT AS spans_kept
+FROM kept GROUP BY doc_id
+"""
+
 # Gopher repetition filters (ml/repetition.py): every statistic is an
 # integer and the keep flag compares cross-multiplied integers, so the
 # SQL replays bit-exactly; the most-common-2-gram tie-break is pinned

@@ -1247,6 +1247,51 @@ def _q_pack_docs(sf_dir: str):
                           id_col="doc_id", budget=512)
 
 
+def _q_pii_redact_docs(sf_dir: str):
+    """PII redaction over the VRL `redact` kernel (functions/strings.py
+    — pc.replace_substring_regex, i.e. RE2, the same engine DuckDB's
+    regexp_replace uses, so the oracle replays the scrub byte-exactly):
+    the fixture has no natural PII, so deterministic emails + IPv4s are
+    injected from doc_id identically on both sides, then counted
+    (count_substring_regex vs len(regexp_extract_all)) and redacted.
+    Pure streaming per-block pass, zero exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vector_ray.functions.strings import redact
+    from vector_ray.oracle import PII_EMAIL as _PII_EMAIL
+    from vector_ray.oracle import PII_IPV4 as _PII_IPV4
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+
+    def scrub(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        idn = ids.to_numpy(zero_copy_only=False)
+        inj = pc.binary_join_element_wise(
+            pc.cast(t["text"], pa.string()),
+            " contact user", pc.cast(ids, pa.string()),
+            "@mail.example.com from 10.",
+            pc.cast(pa.array(idn % 256), pa.string()), ".0.",
+            pc.cast(pa.array(idn % 100), pa.string()), "")
+        n_email = pc.cast(pc.count_substring_regex(
+            inj, pattern=_PII_EMAIL), pa.int64())
+        n_ipv4 = pc.cast(pc.count_substring_regex(
+            inj, pattern=_PII_IPV4), pa.int64())
+        red = redact(redact(inj, [_PII_EMAIL], replacement="<EMAIL>"),
+                     [_PII_IPV4], replacement="<IP>")
+        return pa.table({"doc_id": ids, "n_email": n_email,
+                         "n_ipv4": n_ipv4,
+                         "redacted": pc.cast(red, pa.string())})
+
+    return docs.map_batches(scrub, batch_format="pyarrow",
+                            batch_size=None)
+
+
 def _q_span_dedup_docs(sf_dir: str):
     """Span-level exact dedup (ml/span_dedup.py): C4/RefinedWeb-style
     corpus-wide removal of repeated 32-token spans — streaming chunk
@@ -1979,6 +2024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         "repetition_docs": _q_repetition_docs,
         "span_dedup_docs": _q_span_dedup_docs,
+        "pii_redact_docs": _q_pii_redact_docs,
         "chunk_docs": _q_chunk_docs,
         "pack_docs": _q_pack_docs,
         "conv_dedup_transcripts": _q_conv_dedup_transcripts,
@@ -2093,6 +2139,7 @@ def oracle_sql() -> dict[str, str]:
             _ensure_real_media_fixture_path()),
         "repetition_docs": oracle.SQL_REPETITION_DOCS,
         "span_dedup_docs": oracle.SQL_SPAN_DEDUP_DOCS,
+        "pii_redact_docs": oracle.SQL_PII_REDACT_DOCS,
         "chunk_docs": oracle.SQL_CHUNK_DOCS,
         "pack_docs": oracle.SQL_PACK_DOCS,
     }

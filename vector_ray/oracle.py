@@ -1178,6 +1178,31 @@ SELECT doc_id, n_tokens,
 FROM w
 """
 
+# PII redaction (VRL redact kernel = pc.replace_substring_regex = RE2,
+# the same regex engine DuckDB uses, so the scrub replays byte-exactly;
+# counts are taken BEFORE redaction on both sides).  The single-quoted
+# SQL strings pass backslashes through literally.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+SQL_PII_REDACT_DOCS = f"""
+WITH inj AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id
+              || '@mail.example.com from 10.' || (doc_id % 256)
+              || '.0.' || (doc_id % 100) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT)
+         AS n_email,
+       CAST(len(regexp_extract_all(t, '{PII_IPV4}')) AS BIGINT)
+         AS n_ipv4,
+       regexp_replace(
+         regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g'),
+         '{PII_IPV4}', '<IP>', 'g') AS redacted
+FROM inj
+"""
+
 # span-level exact dedup (ml/span_dedup.py): C4/RefinedWeb-style —
 # disjoint 32-token spans, first occurrence by (doc_id, chunk_idx)
 # survives corpus-wide, documents rebuilt from surviving spans (docs

@@ -1937,7 +1937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_transcripts": _q_sample_transcripts,
         # --- windows / sessions (§2.8) ---
         "session_stats_events": _q_session_stats_events,
-        "sliding_window_events": _q_sliding_window_events,
+        "repetition_docs": _q_repetition_docs,
         "distinct_users_events": _q_distinct_users_events,
         # --- conditions, parsers, codecs (§2.2, §2.6, §2.7) ---
         "lm_score_docs": _q_lm_score_docs,
@@ -1967,7 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_pipeline_docs": _q_training_pipeline_docs,
         "ann_topk": _q_ann_topk,
         "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
-        "embedding_dedup_pairs": _q_embedding_dedup_pairs,
+        "span_dedup_docs": _q_span_dedup_docs,
         "ngram_jaccard_pairs_docs": _q_ngram_jaccard_pairs_docs,
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id_consistency_docs": _q_lang_id_consistency_docs,
@@ -2022,8 +2022,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diff_events": _q_diff_events,
         "unpivot_events": _q_unpivot_events,
         "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
-        "repetition_docs": _q_repetition_docs,
-        "span_dedup_docs": _q_span_dedup_docs,
+        "sliding_window_events": _q_sliding_window_events,
+        "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "pii_redact_docs": _q_pii_redact_docs,
         "chunk_docs": _q_chunk_docs,
         "pack_docs": _q_pack_docs,

@@ -99,7 +99,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      "decontaminate_docs", "nation_revenue",
                      # round-4 gained training-data ops
                      "chunk_docs", "pack_docs",
-                     "conv_dedup_transcripts"):
+                     "conv_dedup_transcripts",
+                     # round-4 late: Gopher repetition + span dedup
+                     "repetition_docs", "span_dedup_docs"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

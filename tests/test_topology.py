@@ -690,3 +690,47 @@ sinks:
     assert res.sink_counts["bins_out"] == 500
     assert res.sink_counts["chunks_out"] > 500   # overlap explodes rows
     assert 0 < res.sink_counts["convs_out"] <= 500
+
+
+def test_round4_repetition_span_dedup_yaml_types(tmp_path):
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(f"""
+sources:
+  docs:
+    type: parquet
+    path: /root/testdata/sf0.001/documents.parquet
+    columns: [doc_id, text]
+transforms:
+  rep_stats:
+    type: repetition_filter
+    inputs: [docs]
+    stats_only: true
+  rep_kept:
+    type: repetition_filter
+    inputs: [docs]
+  deduped:
+    type: span_dedup
+    inputs: [docs]
+    window: 16
+sinks:
+  stats_out:
+    type: parquet
+    inputs: [rep_stats]
+    path: "{tmp_path}/stats"
+  kept_out:
+    type: parquet
+    inputs: [rep_kept]
+    path: "{tmp_path}/kept"
+  dedup_out:
+    type: parquet
+    inputs: [deduped]
+    path: "{tmp_path}/dedup"
+""")
+    res = run_topology(topo)
+    n_docs = res.sink_counts["stats_out"]
+    assert n_docs > 0
+    assert 0 < res.sink_counts["kept_out"] <= n_docs
+    # the fixture has no cross-doc duplicate spans at sf0.001 — every
+    # doc survives span dedup intact
+    assert res.sink_counts["dedup_out"] == n_docs

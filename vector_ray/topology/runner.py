@@ -529,6 +529,22 @@ def _build_transform(
             id_col=c.get("id_col", "doc_id"),
             window=c.get("window", 64), stride=c.get("stride"),
             sep=c.get("sep", " "))}
+    if t == "repetition_filter":
+        from vector_ray.ml.repetition import (repetition_filter,
+                                              repetition_stats)
+
+        fn = (repetition_stats if c.get("stats_only")
+              else repetition_filter)
+        return {"": fn(
+            ds, text_col=c.get("text_col", "text"),
+            id_col=c.get("id_col", "doc_id"), sep=c.get("sep", " "))}
+    if t == "span_dedup":
+        from vector_ray.ml.span_dedup import span_dedup
+
+        return {"": span_dedup(
+            ds, text_col=c.get("text_col", "text"),
+            id_col=c.get("id_col", "doc_id"),
+            window=c.get("window", 32), sep=c.get("sep", " "))}
     if t == "pack_documents":
         from vector_ray.ml.packing import pack_documents
 

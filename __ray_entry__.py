@@ -716,6 +716,20 @@ def _q_rollup_events(sf_dir: str):
                   value_col="value_cents")
 
 
+def _q_cube_events(sf_dir: str):
+    """GROUP BY CUBE (stages/pivot.cube, on the generalized
+    grouping_sets engine): cent sums at all four (event_type, user_id)
+    subsets — ONE shuffle at the finest level, the other three sets
+    re-aggregate the collapsed result; grouping_id replays DuckDB's
+    GROUPING bitmask (first key = MSB)."""
+    from vector_ray.stages.pivot import cube
+
+    ds = _cents(_events(sf_dir,
+                        columns=["event_type", "user_id", "value"]))
+    return cube(ds, keys=["event_type", "user_id"],
+                value_col="value_cents")
+
+
 def _q_nation_revenue(sf_dir: str):
     """TPC-H-Q5-style 4-table chain: revenue per nation — the
     scale-shaped plan, not the naive join order: lineitem PRE-AGGREGATES
@@ -2025,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": _q_sliding_window_events,
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "pii_redact_docs": _q_pii_redact_docs,
+        "cube_events": _q_cube_events,
         "chunk_docs": _q_chunk_docs,
         "pack_docs": _q_pack_docs,
         "conv_dedup_transcripts": _q_conv_dedup_transcripts,
@@ -2140,6 +2155,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": oracle.SQL_REPETITION_DOCS,
         "span_dedup_docs": oracle.SQL_SPAN_DEDUP_DOCS,
         "pii_redact_docs": oracle.SQL_PII_REDACT_DOCS,
+        "cube_events": oracle.SQL_CUBE_EVENTS,
         "chunk_docs": oracle.SQL_CHUNK_DOCS,
         "pack_docs": oracle.SQL_PACK_DOCS,
     }

@@ -137,3 +137,34 @@ def test_pivot_layout_sweep_strict_vs_duckdb(ray_session):
                     value_col="value_cents", columns=kinds).to_pandas()
         assert all(str(got[c].dtype) == "int64" for c in got.columns), nb
         assert vhash(got) == vhash(want), nb
+
+
+def test_cube_and_grouping_sets(ray_session):
+    import pyarrow as pa
+
+    from vector_ray.stages.pivot import cube, grouping_sets
+
+    t = pa.table({
+        "a": pa.array(["x", "x", "y"]),
+        "b": pa.array(["p", "q", "p"]),
+        "v": pa.array([1, 2, 4], pa.int64()),
+    })
+    out = (cube(rd.from_arrow(t), keys=["a", "b"], value_col="v")
+           .to_pandas().sort_values(["grouping_id", "a", "b"])
+           .reset_index(drop=True))
+    want = pd.DataFrame({
+        "a": ["x", "x", "y", "x", "y", "__all__", "__all__", "__all__"],
+        "b": ["p", "q", "p", "__all__", "__all__", "p", "q", "__all__"],
+        "v": [1, 2, 4, 3, 4, 5, 2, 7],
+        "grouping_id": [0, 0, 0, 1, 1, 2, 2, 3],
+    })
+    assert out.astype(object).equals(want.astype(object))
+
+    # GROUPING SETS ((a, b), ()) — just the two requested sets
+    gs = (grouping_sets(rd.from_arrow(t), keys=["a", "b"],
+                        value_col="v", masks=[0, 3])
+          .to_pandas().sort_values(["grouping_id", "a", "b"])
+          .reset_index(drop=True))
+    assert list(gs.grouping_id.unique()) == [0, 3]
+    assert len(gs) == 4
+    assert gs[gs.grouping_id == 3].v.iloc[0] == 7

@@ -721,6 +721,20 @@ FROM (SELECT event_type, user_id,
 GROUP BY ROLLUP (event_type, user_id)
 """
 
+# GROUP BY CUBE (stages/pivot.cube → grouping_sets): every subset of
+# the key list from ONE finest-level shuffle; grouping_id replays
+# DuckDB's GROUPING(k1, k2) bitmask (first key = most significant bit).
+SQL_CUBE_EVENTS = """
+SELECT coalesce(CAST(event_type AS VARCHAR), '__all__') AS event_type,
+       coalesce(CAST(user_id AS VARCHAR), '__all__') AS user_id,
+       CAST(sum(value_cents) AS BIGINT) AS value_cents,
+       CAST(grouping(event_type, user_id) AS BIGINT) AS grouping_id
+FROM (SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS value_cents
+      FROM events)
+GROUP BY CUBE (event_type, user_id)
+"""
+
 # pivot / unpivot (stages/pivot.py): per-user cent sums, one column
 # per declared event_type (CASE-WHEN sums name columns exactly like
 # the Ray side; absent combinations are 0, SQL PIVOT IN semantics).

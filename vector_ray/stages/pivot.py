@@ -185,15 +185,52 @@ def rollup(
     re-aggregates the COLLAPSED result (≤ |finest groups| rows), so
     super-aggregate passes are near-free — never n shuffles over the
     raw input.  Sums must be integers/floats (no avg — partial means
-    don't combine)."""
-    keys = list(keys)
+    don't combine).  The prefix-mask specialization of
+    ``grouping_sets`` (level l = low-l-bits mask, label = popcount)."""
+    n = len(list(keys))
+    return grouping_sets(
+        ds, keys=keys, value_col=value_col,
+        masks=[(1 << lvl) - 1 for lvl in range(n + 1)],
+        total_marker=total_marker, label_col="grouping_level",
+        label_fn=lambda m: bin(m).count("1"))
 
-    finest = (ds.groupby(keys).sum(value_col)
-              .materialize())  # feeds every level once
+
+def grouping_sets(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    masks: Sequence[int],
+    total_marker: str = "__all__",
+    label_col: str = "grouping_id",
+    label_fn=None,
+) -> Dataset:
+    """``GROUP BY GROUPING SETS``: one sum table per subset mask.
+
+    A mask is the SQL ``GROUPING(k1, ..., kn)`` bitmask — bit
+    ``n-1-i`` set means ``keys[i]`` is ROLLED UP in that set (first
+    key = most significant bit, 0 = the finest level, 2^n - 1 = the
+    grand total).  ``label_fn(mask) -> int`` computes the emitted
+    ``label_col`` (default: the mask itself).
+
+    Scale shape (same as rollup's): ONE shuffle at the finest level;
+    every other set re-aggregates the COLLAPSED finest result
+    (≤ |finest groups| rows), so super-aggregate passes are near-free
+    — never |masks| shuffles over raw input.  Requires mask 0 when
+    any other mask is present (the finest table feeds them); sums
+    must be ints/floats (partial means don't combine)."""
+    keys = list(keys)
+    n = len(keys)
+    masks = list(masks)
+    label_fn = label_fn if label_fn is not None else (lambda m: m)
+
+    finest = ds.groupby(keys).sum(value_col).materialize()
     sum_col = f"sum({value_col})"
 
-    def level_table(level: int) -> Dataset:
-        kept = keys[: len(keys) - level]
+    def set_table(mask: int) -> Dataset:
+        kept = [k for i, k in enumerate(keys)
+                if not (mask >> (n - 1 - i)) & 1]
+        label = int(label_fn(mask))
 
         def mark(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -201,12 +238,14 @@ def rollup(
             t = t.rename_columns(
                 [value_col if c in (sum_col, f"sum({sum_col})") else c
                  for c in t.column_names])
-            # key columns become strings at EVERY level so the union
-            # of levels has one schema (rolled-up cells hold the marker)
+            # key columns become strings at EVERY set so the union of
+            # sets carries one schema (rolled-up cells hold the marker)
             for k in kept:
                 i = t.column_names.index(k)
                 t = t.set_column(i, k, pc.cast(t[k], pa.string()))
-            for k in keys[len(keys) - level:]:
+            for k in keys:
+                if k in kept:
+                    continue
                 i = (t.column_names.index(k) if k in t.column_names
                      else None)
                 marker = pa.array([total_marker] * t.num_rows,
@@ -214,25 +253,21 @@ def rollup(
                 t = (t.set_column(i, k, marker) if i is not None
                      else t.append_column(k, marker))
             return (t.append_column(
-                "grouping_level",
-                pa.array(np.full(t.num_rows, level, dtype=np.int64)))
-                .select(keys + [value_col, "grouping_level"]))
+                label_col,
+                pa.array(np.full(t.num_rows, label, dtype=np.int64)))
+                .select(keys + [value_col, label_col]))
 
-        if level == 0:
+        if mask == 0:
             return finest.map_batches(mark, batch_format="pyarrow",
                                       batch_size=None)
         if kept:
-            lvl = finest.groupby(kept).sum(sum_col)
-            # column rename ("sum(sum(v))" → value) rides inside mark:
-            # Dataset.rename_columns breaks on pandas-backed blocks
-            return lvl.map_batches(mark, batch_format="pyarrow",
-                                   batch_size=None)
+            return (finest.groupby(kept).sum(sum_col)
+                    .map_batches(mark, batch_format="pyarrow",
+                                 batch_size=None))
         # grand total: tiny driver combine (never a groupby for 1 row)
-        import ray as _ray
-
         total = sum(
             part
-            for part in _ray.get([
+            for part in _ray_mod.get([
                 _grand_total.remote(r, sum_col)
                 for r in finest.to_arrow_refs()]))
         import ray.data as rd
@@ -242,12 +277,27 @@ def rollup(
             lambda t: mark(t.rename_columns([sum_col])),
             batch_format="pyarrow", batch_size=None)
 
-    import ray.data as rd
-
-    out = level_table(0)
-    for lvl in range(1, len(keys) + 1):
-        out = out.union(level_table(lvl))
+    out = set_table(masks[0])
+    for m in masks[1:]:
+        out = out.union(set_table(m))
     return out
+
+
+def cube(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+    total_marker: str = "__all__",
+) -> Dataset:
+    """``GROUP BY CUBE(keys)``: sums at every SUBSET of ``keys`` with
+    an int64 ``grouping_id`` equal to SQL ``GROUPING(k1, ..., kn)``
+    (bit set = column rolled up, first key = most significant bit).
+    One shuffle total — see ``grouping_sets``."""
+    n = len(list(keys))
+    return grouping_sets(ds, keys=keys, value_col=value_col,
+                         masks=range(1 << n),
+                         total_marker=total_marker)
 
 
 import ray as _ray_mod

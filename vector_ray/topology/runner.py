@@ -488,6 +488,21 @@ def _build_transform(
                            value_col=c["value_col"],
                            total_marker=c.get("total_marker",
                                               "__all__"))}
+    if t == "cube":
+        from vector_ray.stages.pivot import cube
+
+        return {"": cube(ds, keys=c["keys"],
+                         value_col=c["value_col"],
+                         total_marker=c.get("total_marker",
+                                            "__all__"))}
+    if t == "grouping_sets":
+        from vector_ray.stages.pivot import grouping_sets
+
+        return {"": grouping_sets(ds, keys=c["keys"],
+                                  value_col=c["value_col"],
+                                  masks=c["masks"],
+                                  total_marker=c.get("total_marker",
+                                                     "__all__"))}
     if t == "time_range_sum":
         from vector_ray.stages.window_fns import time_range_sum
 

@@ -216,8 +216,8 @@ def grouping_sets(
     Scale shape (same as rollup's): ONE shuffle at the finest level;
     every other set re-aggregates the COLLAPSED finest result
     (≤ |finest groups| rows), so super-aggregate passes are near-free
-    — never |masks| shuffles over raw input.  Requires mask 0 when
-    any other mask is present (the finest table feeds them); sums
+    — never |masks| shuffles over raw input (the finest collapse runs
+    even when mask 0 isn't requested; it feeds the others).  Sums
     must be ints/floats (partial means don't combine)."""
     keys = list(keys)
     n = len(keys)

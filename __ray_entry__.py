@@ -716,6 +716,40 @@ def _q_rollup_events(sf_dir: str):
                   value_col="value_cents")
 
 
+def _q_rank_fns_events(sf_dir: str):
+    """SQL rank()/dense_rank() with REAL tie groups (stages/
+    window_fns.py rank_col/dense_rank_col): the order key is the cent
+    value mod 7, so every user partition is dominated by ties — tie
+    groups straddle sorted blocks and exercise the carried
+    tie-group-start/dense-count chain; same ONE sorted pass as the
+    other window functions."""
+    import numpy as np
+    import pyarrow as pa
+
+    from vector_ray.stages.window_fns import window_functions
+
+    ds = _cents(_events(
+        sf_dir, columns=["event_id", "user_id", "value"]))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = t["value_cents"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        b = v.to_numpy(zero_copy_only=False) % 7
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    out = window_functions(
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=None),
+        keys=["user_id"], order_by=["bucket"], value_col="bucket",
+        rank_col="rnk", dense_rank_col="drk")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.select(["event_id", "user_id", "bucket", "rnk", "drk"])
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _q_cube_events(sf_dir: str):
     """GROUP BY CUBE (stages/pivot.cube, on the generalized
     grouping_sets engine): cent sums at all four (event_type, user_id)
@@ -2040,6 +2074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "pii_redact_docs": _q_pii_redact_docs,
         "cube_events": _q_cube_events,
+        "rank_fns_events": _q_rank_fns_events,
         "chunk_docs": _q_chunk_docs,
         "pack_docs": _q_pack_docs,
         "conv_dedup_transcripts": _q_conv_dedup_transcripts,
@@ -2156,6 +2191,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_docs": oracle.SQL_SPAN_DEDUP_DOCS,
         "pii_redact_docs": oracle.SQL_PII_REDACT_DOCS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
+        "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "chunk_docs": oracle.SQL_CHUNK_DOCS,
         "pack_docs": oracle.SQL_PACK_DOCS,
     }

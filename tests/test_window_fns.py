@@ -235,3 +235,67 @@ def test_time_range_sum_fused_equals_asof_hostile_layouts(ray_session):
         m = (small["k"] == row["k"]) & (small["ts"] <= row["ts"]) \
             & (small["ts"] >= row["ts"] - 500)
         assert got[row["rid"]] == small.loc[m, "v"].sum()
+
+
+def test_rank_dense_rank_vs_duckdb_hostile_layouts(ray_session):
+    """rank()/dense_rank() with a hot key and heavy ties: tie groups
+    straddle sorted blocks, exercising the carried tie-group-start and
+    dense-count chain."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    rng = np.random.default_rng(42)
+    n = 5000
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "hot"],
+                                 p=[0.25, 0.25, 0.5], size=n)),
+        "o": pa.array(rng.integers(0, 40, size=n)),
+        "v": pa.array(rng.integers(0, 100, size=n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT k, o, rank() OVER w AS rnk, dense_rank() OVER w AS drk"
+        " FROM t WINDOW w AS (PARTITION BY k ORDER BY o)").df()
+    wg = (want.groupby(["k", "o"])
+          .agg(rnk=("rnk", "first"), drk=("drk", "first")).reset_index())
+
+    for blocks in (1, 3, 17, 64):
+        out = window_functions(
+            rd.from_arrow(t).repartition(blocks), keys=["k"],
+            order_by=["o"], value_col="v",
+            rank_col="rnk", dense_rank_col="drk").to_pandas()
+        og = (out.groupby(["k", "o"])
+              .agg(rnk=("rnk", "first"), drk=("drk", "first"),
+                   rmax=("rnk", "max"), dmax=("drk", "max"))
+              .reset_index())
+        # rank constant within a tie group regardless of layout
+        assert (og.rnk == og.rmax).all() and (og.drk == og.dmax).all()
+        m = og.merge(wg, on=["k", "o"], suffixes=("_g", "_w"))
+        assert (m.rnk_g == m.rnk_w).all(), blocks
+        assert (m.drk_g == m.drk_w).all(), blocks
+
+
+def test_rank_nulls_are_peers(ray_session):
+    """SQL ORDER BY peers: NULL order values tie with each other and
+    sort last (Ray sort + DuckDB default agree)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    t = pa.table({
+        "k": pa.array(["a"] * 6),
+        "o": pa.array([None, None, 1, 1, 2, None], pa.int64()),
+        "v": pa.array([1] * 6, pa.int64()),
+    })
+    out = window_functions(
+        rd.from_arrow(t).repartition(3), keys=["k"], order_by=["o"],
+        value_col="v", rank_col="rnk", dense_rank_col="drk").to_pandas()
+    by_o = out.sort_values("o", na_position="last")
+    assert list(by_o.rnk) == [1, 1, 3, 4, 4, 4]
+    assert list(by_o.drk) == [1, 1, 2, 3, 3, 3]

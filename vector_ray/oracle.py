@@ -558,6 +558,21 @@ FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
+# rank()/dense_rank() with heavy ties (window_fns rank_col/
+# dense_rank_col): the mod-7 bucket gives every user partition large
+# tie groups; positive cents make SQL % and numpy % agree.
+SQL_RANK_FNS_EVENTS = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) % 7 AS bucket
+  FROM events)
+SELECT event_id, user_id, bucket,
+       CAST(rank() OVER w AS BIGINT) AS rnk,
+       CAST(dense_rank() OVER w AS BIGINT) AS drk
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
+"""
+
 # vocabulary family (ml/vocab.py).  Tokenization is string_split on a
 # literal space on both sides; ranking is pure-integer (tf DESC,
 # df ASC, token ASC) so no float boundary can flip the hash.

@@ -52,6 +52,8 @@ def window_functions(
     cum_col: str = "cum_value",
     roll_col: str = "roll_value",
     peer_hi_col: str | None = None,
+    rank_col: str | None = None,
+    dense_rank_col: str | None = None,
 ) -> Dataset:
     """Annotate every row with row_number / lag / lead / running sum /
     rolling sum of ``value_col`` within its ``keys`` partition ordered
@@ -68,6 +70,15 @@ def window_functions(
     order-ties).  Computed in the SAME pass: a reverse segmented tail
     sum per block plus one backward driver chain carrying each peer
     group's continuation sum — no extra exchange.
+
+    ``rank_col`` / ``dense_rank_col``: SQL ``rank()`` (gaps after tie
+    groups) and ``dense_rank()`` over the FULL ``order_by`` tuple —
+    when these are requested, ``order_by`` need NOT be a total order
+    inside partitions (ties are the point).  Same pass: tie groups are
+    adjacent after the sort, so the per-block peer boundaries come
+    from the arrow adjacent-inequality kernels and the forward chain
+    additionally carries the trailing tie group's start position and
+    the run's dense count (nulls compare equal, SQL ORDER BY peers).
     """
     keys = list(keys)
     w = int(rolling_window)
@@ -75,6 +86,7 @@ def window_functions(
         raise ValueError("rolling_window must be >= 1")
     peer = peer_hi_col is not None
     peer_col = order_by[0] if order_by else None
+    want_rank = rank_col is not None or dense_rank_col is not None
 
     def add_key(t: pa.Table) -> pa.Table:
         return t.append_column(_KEY_COL, _combined_key(t, keys))
@@ -119,6 +131,28 @@ def window_functions(
         return (col.combine_chunks() if isinstance(col, pa.ChunkedArray)
                 else col)
 
+    def _order_changed(t: pa.Table, n: int) -> np.ndarray:
+        """True where ANY order_by column differs from the previous
+        row ([0] always False).  Nulls compare EQUAL (SQL ORDER BY
+        peers: NULLs sort together and tie)."""
+        changed = np.zeros(n, dtype=bool)
+        if n <= 1:
+            return changed
+        for c in order_by:
+            col = t[c]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            a, b = col.slice(1), col.slice(0, n - 1)
+            ne = pc.fill_null(pc.not_equal(a, b), False).to_numpy(
+                zero_copy_only=False)
+            vd = pc.not_equal(pc.is_null(a), pc.is_null(b)).to_numpy(
+                zero_copy_only=False)
+            changed[1:] |= ne | vd
+        return changed
+
+    def _order_tuple(t: pa.Table, i: int) -> tuple:
+        return tuple(t[c][i].as_py() for c in order_by)
+
     @ray.remote
     def summary(t: pa.Table):
         n = t.num_rows
@@ -146,6 +180,15 @@ def window_functions(
             "tail": run[-(w - 1):] if w > 1 else run[:0],
             "last": val[-1],
         }
+        if want_rank:
+            oc = _order_changed(t, n)
+            trail = oc[last_start + 1:]
+            out["dense_trail"] = 1 + int(trail.sum())
+            nz = np.flatnonzero(trail)
+            # 0-based start of the trailing tie group WITHIN its run
+            out["trail_peer_start"] = int(nz[-1]) + 1 if len(nz) else 0
+            out["first_order"] = _order_tuple(t, 0)
+            out["last_order"] = _order_tuple(t, n - 1)
         if peer:
             pcol = _peer_arr(t)
             first_p, last_p = pcol[0].as_py(), pcol[-1].as_py()
@@ -174,7 +217,7 @@ def window_functions(
         if s is None:
             continue
         if carry is not None and carry["key"] == s["first_key"] and s["single"]:
-            carry = {
+            merged = {
                 "key": carry["key"],
                 "count": carry["count"] + s["count"],
                 "sum": carry["sum"] + s["sum"],
@@ -182,9 +225,28 @@ def window_functions(
                 if w > 1 else s["tail"],
                 "last": s["last"],
             }
+            if want_rank:
+                # does the block's first tie group continue carry's
+                # trailing one?
+                same = carry["last_order"] == s["first_order"]
+                merged["dense"] = (carry["dense"] + s["dense_trail"]
+                                   - (1 if same else 0))
+                if same and s["dense_trail"] == 1:
+                    merged["peer_start"] = carry["peer_start"]
+                else:
+                    merged["peer_start"] = (carry["count"]
+                                            + s["trail_peer_start"])
+                merged["last_order"] = s["last_order"]
+            carry = merged
         else:
             carry = {"key": s["last_key"], "count": s["count"],
                      "sum": s["sum"], "tail": s["tail"], "last": s["last"]}
+            if want_rank:
+                carry.update({
+                    "dense": s["dense_trail"],
+                    "peer_start": s["trail_peer_start"],
+                    "last_order": s["last_order"],
+                })
 
     # backward chain: first (key, value) of the nearest following block
     bwd: list[tuple | None] = [None] * len(sums)
@@ -216,7 +278,10 @@ def window_functions(
               pcont_in=None):
         n = t.num_rows
         if n == 0:
-            out = t.drop_columns([_KEY_COL])
+            # Ray passes empty blocks through un-UDF'd with stale
+            # schemas — the key column may never have been added
+            out = (t.drop_columns([_KEY_COL])
+                   if _KEY_COL in t.column_names else t)
             for name, typ in ((rn_col, pa.int64()), (lag_col, pa_val_t),
                               (lead_col, pa_val_t), (cum_col, pa_val_t),
                               (roll_col, pa_val_t)):
@@ -224,6 +289,11 @@ def window_functions(
             if peer:
                 out = out.append_column(peer_hi_col,
                                         pa.array([], pa_val_t))
+            if rank_col is not None:
+                out = out.append_column(rank_col, pa.array([], pa.int64()))
+            if dense_rank_col is not None:
+                out = out.append_column(dense_rank_col,
+                                        pa.array([], pa.int64()))
             return out
         kcol = _key_col(t)
         val = _np(t, value_col, pa_val_t)
@@ -280,6 +350,30 @@ def window_functions(
                                                    mask=~lead_valid))
         out = out.append_column(cum_col, pa.array(cum, pa_val_t))
         out = out.append_column(roll_col, pa.array(roll, pa_val_t))
+        if want_rank:
+            oc = _order_changed(t, n)
+            new_peer2 = new_run | oc
+            pid = np.cumsum(new_peer2) - 1
+            pstart = np.nonzero(new_peer2)[0]
+            rank = (pstart[pid] - run_start[run_id] + 1).astype(np.int64)
+            fp = pid[run_start]                  # first tie group per run
+            dense = (pid - fp[run_id] + 1).astype(np.int64)
+            if cont:
+                first_run = run_id == 0
+                rank[first_run] += off_cnt
+                if carry_in["last_order"] == _order_tuple(t, 0):
+                    # the first tie group continues the carried one:
+                    # its rank is the carried group's start position,
+                    # and the block double-counts it in dense
+                    dense[first_run] += carry_in["dense"] - 1
+                    rank[first_run & (pid == 0)] = (
+                        carry_in["peer_start"] + 1)
+                else:
+                    dense[first_run] += carry_in["dense"]
+            if rank_col is not None:
+                out = out.append_column(rank_col, pa.array(rank))
+            if dense_rank_col is not None:
+                out = out.append_column(dense_rank_col, pa.array(dense))
         if peer:
             pcol = _peer_arr(t)
             new_peer = new_run.copy()

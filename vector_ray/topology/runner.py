@@ -438,7 +438,9 @@ def _build_transform(
         return {"": window_functions(
             ds, keys=c["keys"], order_by=c["order_by"],
             value_col=c["value_col"],
-            rolling_window=c.get("rolling_window", 4))}
+            rolling_window=c.get("rolling_window", 4),
+            rank_col=c.get("rank_col"),
+            dense_rank_col=c.get("dense_rank_col"))}
     if t == "stratified_sample":
         from vector_ray.stages.sample import stratified_sample
 

@@ -750,6 +750,54 @@ def _q_rank_fns_events(sf_dir: str):
                            batch_size=None)
 
 
+def _q_ntile_events(sf_dir: str):
+    """ntile(5) + percent_rank() (stages/window_fns.py): partition
+    totals come from the BACKWARD run-continuation chain (no prefix
+    pass knows its partition's total).  ntile orders by the total
+    (bucket, event_id) order — SQL ntile on ties is engine-dependent;
+    percent_rank orders by the tie-heavy bucket alone and handles ties
+    exactly; micro-quantized AFTER the window on both sides (the
+    double division (rank-1)/(total-1) is IEEE-identical)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.window_fns import window_functions
+
+    ds = _cents(_events(
+        sf_dir, columns=["event_id", "user_id", "value"]))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        v = t["value_cents"]
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        b = v.to_numpy(zero_copy_only=False) % 7
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    o1 = window_functions(
+        ds.map_batches(bucket, batch_format="pyarrow", batch_size=None),
+        keys=["user_id"], order_by=["bucket", "event_id"],
+        value_col="bucket", ntile=5, ntile_col="nt")
+    o2 = window_functions(
+        o1, keys=["user_id"], order_by=["bucket"], value_col="bucket",
+        rn_col="__rn2", lag_col="__lag2", lead_col="__lead2",
+        cum_col="__cum2", roll_col="__roll2",
+        rank_col="__rnk2", percent_rank_col="pr")
+
+    def finish(t: pa.Table) -> pa.Table:
+        pr = t["pr"]
+        if isinstance(pr, pa.ChunkedArray):
+            pr = pr.combine_chunks()
+        micro = pc.cast(pc.round(pc.multiply(pr, 1000000.0)), pa.int64())
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "bucket": t["bucket"], "nt": pc.cast(t["nt"], pa.int64()),
+            "pr_micro": micro})
+
+    return o2.map_batches(finish, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def _q_cube_events(sf_dir: str):
     """GROUP BY CUBE (stages/pivot.cube, on the generalized
     grouping_sets engine): cent sums at all four (event_type, user_id)
@@ -2075,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": _q_pii_redact_docs,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
+        "ntile_events": _q_ntile_events,
         "chunk_docs": _q_chunk_docs,
         "pack_docs": _q_pack_docs,
         "conv_dedup_transcripts": _q_conv_dedup_transcripts,
@@ -2192,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_docs": oracle.SQL_PII_REDACT_DOCS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
+        "ntile_events": oracle.SQL_NTILE_EVENTS,
         "chunk_docs": oracle.SQL_CHUNK_DOCS,
         "pack_docs": oracle.SQL_PACK_DOCS,
     }

@@ -299,3 +299,64 @@ def test_rank_nulls_are_peers(ray_session):
     by_o = out.sort_values("o", na_position="last")
     assert list(by_o.rnk) == [1, 1, 3, 4, 4, 4]
     assert list(by_o.drk) == [1, 1, 2, 3, 3, 3]
+
+
+def test_ntile_percent_rank_vs_duckdb(ray_session):
+    """Partition totals via the backward run-continuation chain: ntile
+    over a total order, percent_rank over heavy ties, all layouts."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "hot"],
+                                 p=[0.2, 0.2, 0.6], size=n)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "b": pa.array(rng.integers(0, 25, size=n)),
+        "v": pa.array(rng.integers(0, 100, size=n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT k, o, ntile(5) OVER (PARTITION BY k ORDER BY o) nt,"
+        " round(percent_rank() OVER (PARTITION BY k ORDER BY b)"
+        "       * 1000000) pr"
+        " FROM t").df().sort_values(["k", "o"]).reset_index(drop=True)
+    for blocks in (1, 3, 17):
+        o1 = window_functions(
+            rd.from_arrow(t).repartition(blocks), keys=["k"],
+            order_by=["o"], value_col="v", ntile=5)
+        o2 = window_functions(
+            o1, keys=["k"], order_by=["b"], value_col="v",
+            rn_col="rn2", lag_col="lag2", lead_col="lead2",
+            cum_col="cum2", roll_col="roll2",
+            rank_col="r2", percent_rank_col="pr")
+        got = (o2.to_pandas().sort_values(["k", "o"])
+               .reset_index(drop=True))
+        assert (got.ntile == want.nt).all(), blocks
+        assert ((got.pr * 1000000).round() == want.pr).all(), blocks
+
+
+def test_ntile_single_and_small_partitions(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    # T < N: every row its own tile; T == 1: percent_rank is 0
+    t = pa.table({
+        "k": pa.array(["a", "a", "b"]),
+        "o": pa.array([1, 2, 5], pa.int64()),
+        "v": pa.array([10, 20, 30], pa.int64()),
+    })
+    out = (window_functions(
+        rd.from_arrow(t).repartition(2), keys=["k"], order_by=["o"],
+        value_col="v", ntile=5, percent_rank_col="pr", rank_col="r")
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+    assert list(out.ntile) == [1, 2, 1]
+    assert list(out.pr) == [0.0, 1.0, 0.0]

@@ -573,6 +573,24 @@ FROM e
 WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
 """
 
+# ntile + percent_rank (window_fns): ntile over a TOTAL order (ties
+# are engine-dependent), percent_rank over the tie-heavy bucket;
+# micro-quantized after the window ((rank-1)/(total-1) is one IEEE
+# double division — identical operands, identical bits).
+SQL_NTILE_EVENTS = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) % 7 AS bucket
+  FROM events)
+SELECT event_id, user_id, bucket,
+       CAST(ntile(5) OVER (PARTITION BY user_id
+                           ORDER BY bucket, event_id) AS BIGINT) AS nt,
+       CAST(round(percent_rank() OVER (PARTITION BY user_id
+                                       ORDER BY bucket) * 1000000)
+            AS BIGINT) AS pr_micro
+FROM e
+"""
+
 # vocabulary family (ml/vocab.py).  Tokenization is string_split on a
 # literal space on both sides; ranking is pure-integer (tf DESC,
 # df ASC, token ASC) so no float boundary can flip the hash.

@@ -54,6 +54,9 @@ def window_functions(
     peer_hi_col: str | None = None,
     rank_col: str | None = None,
     dense_rank_col: str | None = None,
+    ntile: int | None = None,
+    ntile_col: str = "ntile",
+    percent_rank_col: str | None = None,
 ) -> Dataset:
     """Annotate every row with row_number / lag / lead / running sum /
     rolling sum of ``value_col`` within its ``keys`` partition ordered
@@ -79,6 +82,15 @@ def window_functions(
     from the arrow adjacent-inequality kernels and the forward chain
     additionally carries the trailing tie group's start position and
     the run's dense count (nulls compare equal, SQL ORDER BY peers).
+
+    ``ntile=N`` / ``percent_rank_col``: SQL ``ntile(N)`` and
+    ``percent_rank()``.  Both need each partition's TOTAL row count,
+    which no prefix pass knows — a second, BACKWARD driver chain
+    carries each block's trailing-run continuation count (O(blocks)
+    driver work, still one exchange).  ``ntile`` additionally requires
+    ``order_by`` to be a total order inside partitions (SQL ntile on
+    ties is engine-dependent); ``percent_rank`` handles ties exactly
+    (it is (rank-1)/(total-1), 0 for single-row partitions).
     """
     keys = list(keys)
     w = int(rolling_window)
@@ -86,7 +98,11 @@ def window_functions(
         raise ValueError("rolling_window must be >= 1")
     peer = peer_hi_col is not None
     peer_col = order_by[0] if order_by else None
-    want_rank = rank_col is not None or dense_rank_col is not None
+    want_rank = (rank_col is not None or dense_rank_col is not None
+                 or percent_rank_col is not None)
+    want_tot = ntile is not None or percent_rank_col is not None
+    if ntile is not None and ntile < 1:
+        raise ValueError("ntile must be >= 1")
 
     def add_key(t: pa.Table) -> pa.Table:
         return t.append_column(_KEY_COL, _combined_key(t, keys))
@@ -164,11 +180,15 @@ def window_functions(
         single = first_k == last_k
         if single:
             last_start = 0
+            first_run_count = n
         else:
             ne = pc.not_equal(kcol, pa.scalar(last_k)).to_numpy(
                 zero_copy_only=False)
             # trailing stretch equal to last_k (ne has a True: not single)
             last_start = n - int(np.argmax(ne[::-1]))
+            nf = pc.not_equal(kcol, pa.scalar(first_k)).to_numpy(
+                zero_copy_only=False)
+            first_run_count = int(np.argmax(nf))
         run = val[last_start:]
         out = {
             "first_key": first_k,
@@ -176,6 +196,7 @@ def window_functions(
             "single": single,
             "first_row": (first_k, val[0]),          # for the lead chain
             "count": int(n - last_start),
+            "first_run_count": first_run_count,
             "sum": run.sum(),
             "tail": run[-(w - 1):] if w > 1 else run[:0],
             "last": val[-1],
@@ -248,6 +269,21 @@ def window_functions(
                     "last_order": s["last_order"],
                 })
 
+    # backward totals chain: rows of each block's LAST key appearing in
+    # LATER blocks (feeds partition totals for ntile / percent_rank)
+    run_cont = [0] * len(sums)
+    if want_tot:
+        nk, nc = None, 0
+        for i in range(len(sums) - 1, -1, -1):
+            s = sums[i]
+            if s is None:
+                continue
+            run_cont[i] = nc if nk == s["last_key"] else 0
+            f = s["first_run_count"]
+            if s["single"] and nk == s["first_key"]:
+                f += nc
+            nk, nc = s["first_key"], f
+
     # backward chain: first (key, value) of the nearest following block
     bwd: list[tuple | None] = [None] * len(sums)
     nxt: tuple | None = None
@@ -275,7 +311,7 @@ def window_functions(
 
     @ray.remote
     def apply(t: pa.Table, carry_in: dict | None, lead_in: tuple | None,
-              pcont_in=None):
+              pcont_in=None, rcont_in=0):
         n = t.num_rows
         if n == 0:
             # Ray passes empty blocks through un-UDF'd with stale
@@ -294,6 +330,12 @@ def window_functions(
             if dense_rank_col is not None:
                 out = out.append_column(dense_rank_col,
                                         pa.array([], pa.int64()))
+            if ntile is not None:
+                out = out.append_column(ntile_col,
+                                        pa.array([], pa.int64()))
+            if percent_rank_col is not None:
+                out = out.append_column(percent_rank_col,
+                                        pa.array([], pa.float64()))
             return out
         kcol = _key_col(t)
         val = _np(t, value_col, pa_val_t)
@@ -374,6 +416,28 @@ def window_functions(
                 out = out.append_column(rank_col, pa.array(rank))
             if dense_rank_col is not None:
                 out = out.append_column(dense_rank_col, pa.array(dense))
+        if want_tot:
+            bounds = np.append(run_start, n)
+            tot = (bounds[1:] - bounds[:-1]).astype(np.int64)  # per run
+            if cont:
+                tot[0] += off_cnt
+            if rcont_in:
+                tot[-1] += rcont_in
+            T = tot[run_id]
+            if ntile is not None:
+                q, r = T // ntile, T % ntile
+                big = q + 1
+                p0 = rn - 1
+                cut = r * big
+                tile = np.where(p0 < cut, p0 // big,
+                                r + (p0 - cut) // np.maximum(q, 1)) + 1
+                out = out.append_column(
+                    ntile_col, pa.array(tile.astype(np.int64)))
+            if percent_rank_col is not None:
+                pr = np.where(T > 1,
+                              (rank - 1) / np.maximum(T - 1, 1), 0.0)
+                out = out.append_column(percent_rank_col,
+                                        pa.array(pr, pa.float64()))
         if peer:
             pcol = _peer_arr(t)
             new_peer = new_run.copy()
@@ -393,7 +457,8 @@ def window_functions(
             out = out.append_column(peer_hi_col, pa.array(hi, pa_val_t))
         return out
 
-    out_refs = [apply.remote(r, fwd[i], bwd[i], peer_cont[i])
+    out_refs = [apply.remote(r, fwd[i], bwd[i], peer_cont[i],
+                             run_cont[i])
                 for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)
 

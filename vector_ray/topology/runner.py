@@ -440,7 +440,10 @@ def _build_transform(
             value_col=c["value_col"],
             rolling_window=c.get("rolling_window", 4),
             rank_col=c.get("rank_col"),
-            dense_rank_col=c.get("dense_rank_col"))}
+            dense_rank_col=c.get("dense_rank_col"),
+            ntile=c.get("ntile"),
+            ntile_col=c.get("ntile_col", "ntile"),
+            percent_rank_col=c.get("percent_rank_col"))}
     if t == "stratified_sample":
         from vector_ray.stages.sample import stratified_sample
 

@@ -777,22 +777,28 @@ def _q_ntile_events(sf_dir: str):
     o1 = window_functions(
         ds.map_batches(bucket, batch_format="pyarrow", batch_size=None),
         keys=["user_id"], order_by=["bucket", "event_id"],
-        value_col="bucket", ntile=5, ntile_col="nt")
+        value_col="value_cents", ntile=5, ntile_col="nt",
+        first_value_col="fv")
     o2 = window_functions(
         o1, keys=["user_id"], order_by=["bucket"], value_col="bucket",
         rn_col="__rn2", lag_col="__lag2", lead_col="__lead2",
         cum_col="__cum2", roll_col="__roll2",
-        rank_col="__rnk2", percent_rank_col="pr")
+        rank_col="__rnk2", percent_rank_col="pr",
+        cume_dist_col="cd")
 
     def finish(t: pa.Table) -> pa.Table:
-        pr = t["pr"]
-        if isinstance(pr, pa.ChunkedArray):
-            pr = pr.combine_chunks()
-        micro = pc.cast(pc.round(pc.multiply(pr, 1000000.0)), pa.int64())
+        def micro(c):
+            a = t[c]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            return pc.cast(pc.round(pc.multiply(a, 1000000.0)),
+                           pa.int64())
+
         return pa.table({
             "event_id": t["event_id"], "user_id": t["user_id"],
             "bucket": t["bucket"], "nt": pc.cast(t["nt"], pa.int64()),
-            "pr_micro": micro})
+            "pr_micro": micro("pr"), "cd_micro": micro("cd"),
+            "fv": pc.cast(t["fv"], pa.int64())})
 
     return o2.map_batches(finish, batch_format="pyarrow",
                           batch_size=None)

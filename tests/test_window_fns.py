@@ -360,3 +360,48 @@ def test_ntile_single_and_small_partitions(ray_session):
         .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
     assert list(out.ntile) == [1, 2, 1]
     assert list(out.pr) == [0.0, 1.0, 0.0]
+
+
+def test_cume_dist_first_value_vs_duckdb(ray_session):
+    """cume_dist bit-matches under heavy ties (third backward chain:
+    leading-tie-group counts); first_value is partition-constant and
+    comes from the first tie group."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "hot"],
+                                 p=[0.2, 0.2, 0.6], size=n)),
+        "b": pa.array(rng.integers(0, 25, size=n)),
+        "v": pa.array(rng.integers(0, 100, size=n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT k, b, round(cume_dist() OVER w * 1000000) cd FROM t"
+        " WINDOW w AS (PARTITION BY k ORDER BY b)").df()
+    wg = want.groupby(["k", "b"]).agg(cd=("cd", "first")).reset_index()
+    fg = (t.to_pandas().groupby("k")
+          .apply(lambda d: set(d[d.b == d.b.min()].v),
+                 include_groups=False).to_dict())
+    for blocks in (1, 3, 17):
+        out = window_functions(
+            rd.from_arrow(t).repartition(blocks), keys=["k"],
+            order_by=["b"], value_col="v", rank_col="r",
+            cume_dist_col="cd", first_value_col="fv").to_pandas()
+        og = (out.groupby(["k", "b"])
+              .agg(cd=("cd", "first"), cmin=("cd", "min"),
+                   cmax=("cd", "max")).reset_index())
+        assert ((og.cmax - og.cmin).abs() < 1e-12).all()
+        og["cdm"] = (og.cd * 1000000).round()
+        m = og.merge(wg, on=["k", "b"], suffixes=("_g", "_w"))
+        assert (m.cdm == m.cd_w).all(), blocks
+        assert (out.groupby("k").fv.nunique() == 1).all()
+        assert all(r.fv in fg[r.k]
+                   for r in out.drop_duplicates("k").itertuples())

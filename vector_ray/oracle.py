@@ -580,6 +580,7 @@ WINDOW w AS (PARTITION BY user_id ORDER BY bucket)
 SQL_NTILE_EVENTS = """
 WITH e AS (
   SELECT event_id, user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents,
          CAST(round(value * 100) AS BIGINT) % 7 AS bucket
   FROM events)
 SELECT event_id, user_id, bucket,
@@ -587,7 +588,13 @@ SELECT event_id, user_id, bucket,
                            ORDER BY bucket, event_id) AS BIGINT) AS nt,
        CAST(round(percent_rank() OVER (PARTITION BY user_id
                                        ORDER BY bucket) * 1000000)
-            AS BIGINT) AS pr_micro
+            AS BIGINT) AS pr_micro,
+       CAST(round(cume_dist() OVER (PARTITION BY user_id
+                                    ORDER BY bucket) * 1000000)
+            AS BIGINT) AS cd_micro,
+       CAST(first_value(value_cents) OVER (PARTITION BY user_id
+                                           ORDER BY bucket, event_id)
+            AS BIGINT) AS fv
 FROM e
 """
 

@@ -57,6 +57,8 @@ def window_functions(
     ntile: int | None = None,
     ntile_col: str = "ntile",
     percent_rank_col: str | None = None,
+    cume_dist_col: str | None = None,
+    first_value_col: str | None = None,
 ) -> Dataset:
     """Annotate every row with row_number / lag / lead / running sum /
     rolling sum of ``value_col`` within its ``keys`` partition ordered
@@ -91,6 +93,12 @@ def window_functions(
     ``order_by`` to be a total order inside partitions (SQL ntile on
     ties is engine-dependent); ``percent_rank`` handles ties exactly
     (it is (rank-1)/(total-1), 0 for single-row partitions).
+
+    ``cume_dist_col``: SQL ``cume_dist()`` — (position of the LAST
+    peer) / total; the trailing tie group's end may live blocks later,
+    so a third backward chain carries each block's leading-tie-group
+    row count.  ``first_value_col``: ``first_value(value_col)`` over
+    the default frame (the run's first value, carried forward).
     """
     keys = list(keys)
     w = int(rolling_window)
@@ -98,9 +106,11 @@ def window_functions(
         raise ValueError("rolling_window must be >= 1")
     peer = peer_hi_col is not None
     peer_col = order_by[0] if order_by else None
+    want_cume = cume_dist_col is not None
     want_rank = (rank_col is not None or dense_rank_col is not None
-                 or percent_rank_col is not None)
-    want_tot = ntile is not None or percent_rank_col is not None
+                 or percent_rank_col is not None or want_cume)
+    want_tot = (ntile is not None or percent_rank_col is not None
+                or want_cume)
     if ntile is not None and ntile < 1:
         raise ValueError("ntile must be >= 1")
 
@@ -201,6 +211,7 @@ def window_functions(
             "tail": run[-(w - 1):] if w > 1 else run[:0],
             "last": val[-1],
         }
+        out["run_first"] = val[last_start]   # trailing run's first value
         if want_rank:
             oc = _order_changed(t, n)
             trail = oc[last_start + 1:]
@@ -210,6 +221,14 @@ def window_functions(
             out["trail_peer_start"] = int(nz[-1]) + 1 if len(nz) else 0
             out["first_order"] = _order_tuple(t, 0)
             out["last_order"] = _order_tuple(t, n - 1)
+            if want_cume:
+                npf = _new_run(kcol, n) | oc
+                npf[0] = False
+                nz0 = np.flatnonzero(npf)
+                # rows in the block's FIRST tie group
+                out["leading_peer_count"] = (int(nz0[0]) if len(nz0)
+                                             else n)
+                out["peer_single_full"] = len(nz0) == 0
         if peer:
             pcol = _peer_arr(t)
             first_p, last_p = pcol[0].as_py(), pcol[-1].as_py()
@@ -245,6 +264,7 @@ def window_functions(
                 "tail": np.concatenate([carry["tail"], s["tail"]])[-(w - 1):]
                 if w > 1 else s["tail"],
                 "last": s["last"],
+                "run_first": carry["run_first"],
             }
             if want_rank:
                 # does the block's first tie group continue carry's
@@ -261,7 +281,8 @@ def window_functions(
             carry = merged
         else:
             carry = {"key": s["last_key"], "count": s["count"],
-                     "sum": s["sum"], "tail": s["tail"], "last": s["last"]}
+                     "sum": s["sum"], "tail": s["tail"],
+                     "last": s["last"], "run_first": s["run_first"]}
             if want_rank:
                 carry.update({
                     "dense": s["dense_trail"],
@@ -283,6 +304,23 @@ def window_functions(
             if s["single"] and nk == s["first_key"]:
                 f += nc
             nk, nc = s["first_key"], f
+
+    # backward cume chain: rows of LATER blocks still inside each
+    # block's trailing TIE GROUP (full (key, order-tuple) identity)
+    cume_cont = [0] * len(sums)
+    if want_cume:
+        nko, ncnt = None, 0
+        for i in range(len(sums) - 1, -1, -1):
+            s = sums[i]
+            if s is None:
+                continue
+            cume_cont[i] = (ncnt if nko == (s["last_key"],
+                                            s["last_order"]) else 0)
+            lead_cnt = s["leading_peer_count"]
+            if s["peer_single_full"] and nko == (s["first_key"],
+                                                 s["first_order"]):
+                lead_cnt += ncnt
+            nko, ncnt = (s["first_key"], s["first_order"]), lead_cnt
 
     # backward chain: first (key, value) of the nearest following block
     bwd: list[tuple | None] = [None] * len(sums)
@@ -311,7 +349,7 @@ def window_functions(
 
     @ray.remote
     def apply(t: pa.Table, carry_in: dict | None, lead_in: tuple | None,
-              pcont_in=None, rcont_in=0):
+              pcont_in=None, rcont_in=0, ccont_in=0):
         n = t.num_rows
         if n == 0:
             # Ray passes empty blocks through un-UDF'd with stale
@@ -336,6 +374,12 @@ def window_functions(
             if percent_rank_col is not None:
                 out = out.append_column(percent_rank_col,
                                         pa.array([], pa.float64()))
+            if cume_dist_col is not None:
+                out = out.append_column(cume_dist_col,
+                                        pa.array([], pa.float64()))
+            if first_value_col is not None:
+                out = out.append_column(first_value_col,
+                                        pa.array([], pa_val_t))
             return out
         kcol = _key_col(t)
         val = _np(t, value_col, pa_val_t)
@@ -438,6 +482,21 @@ def window_functions(
                               (rank - 1) / np.maximum(T - 1, 1), 0.0)
                 out = out.append_column(percent_rank_col,
                                         pa.array(pr, pa.float64()))
+            if want_cume:
+                pr_last2 = np.append(pstart[1:], n) - 1
+                endpos = rn[pr_last2[pid]].astype(np.int64)
+                if ccont_in:
+                    endpos[pid == pid[-1]] += ccont_in
+                out = out.append_column(cume_dist_col,
+                                        pa.array(endpos / T,
+                                                 pa.float64()))
+        if first_value_col is not None:
+            fv = val[run_start[run_id]]
+            if cont:
+                fv = fv.copy()
+                fv[run_id == 0] = carry_in["run_first"]
+            out = out.append_column(first_value_col,
+                                    pa.array(fv, pa_val_t))
         if peer:
             pcol = _peer_arr(t)
             new_peer = new_run.copy()
@@ -458,7 +517,7 @@ def window_functions(
         return out
 
     out_refs = [apply.remote(r, fwd[i], bwd[i], peer_cont[i],
-                             run_cont[i])
+                             run_cont[i], cume_cont[i])
                 for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)
 

@@ -443,7 +443,9 @@ def _build_transform(
             dense_rank_col=c.get("dense_rank_col"),
             ntile=c.get("ntile"),
             ntile_col=c.get("ntile_col", "ntile"),
-            percent_rank_col=c.get("percent_rank_col"))}
+            percent_rank_col=c.get("percent_rank_col"),
+            cume_dist_col=c.get("cume_dist_col"),
+            first_value_col=c.get("first_value_col"))}
     if t == "stratified_sample":
         from vector_ray.stages.sample import stratified_sample
 

@@ -171,6 +171,15 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
         return rd.read_csv(spec.config["path"].format(**variables))
     if spec.type == "json":
         return rd.read_json(spec.config["path"].format(**variables))
+    if spec.type == "avro":
+        import glob as _glob
+
+        from vector_ray.sources.avro import read_avro
+
+        path = spec.config["path"].format(**variables)
+        paths = sorted(_glob.glob(path)) if any(
+            ch in path for ch in "*?[") else path
+        return read_avro(paths, columns=spec.config.get("columns"))
     if spec.type == "demo_logs":
         from vector_ray.sources.demo_logs import demo_logs
 

@@ -1349,6 +1349,23 @@ def _q_pack_docs(sf_dir: str):
                           id_col="doc_id", budget=512)
 
 
+def _q_mix_sources_docs(sf_dir: str):
+    """Deterministic source mixing (ml/mixing.py): Pile/Dolma-style
+    target proportions 3:2:1 over three sources — per-source counts
+    via per-block remote count tasks + driver combine (never a
+    groupby for a 20-row result), then ONE streaming hash-threshold
+    filter; all-integer thresholds so the SQL replays membership
+    bit-for-bit.  The binding source is fully consumed."""
+    import ray.data as rd
+
+    from vector_ray.ml.mixing import mix_sources
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return mix_sources(docs,
+                       weights={"src0": 3, "src1": 2, "src2": 1})
+
+
 def _q_pii_redact_docs(sf_dir: str):
     """PII redaction over the VRL `redact` kernel (functions/strings.py
     — pc.replace_substring_regex, i.e. RE2, the same engine DuckDB's
@@ -2127,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_events": _q_sliding_window_events,
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "pii_redact_docs": _q_pii_redact_docs,
+        "mix_sources_docs": _q_mix_sources_docs,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2245,6 +2263,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": oracle.SQL_REPETITION_DOCS,
         "span_dedup_docs": oracle.SQL_SPAN_DEDUP_DOCS,
         "pii_redact_docs": oracle.SQL_PII_REDACT_DOCS,
+        "mix_sources_docs": oracle.SQL_MIX_SOURCES_DOCS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

@@ -1,0 +1,104 @@
+"""Deterministic source mixing — subsample a multi-source corpus to
+target proportions (the Pile / Dolma "data mixing" step: given weight
+w_s per source, emit the largest mix where source s contributes a
+w_s fraction, bounded by each source's availability).
+
+No reference counterpart (SURVEY §2.9 gained family — training-data
+curation).  Semantics (all-integer, SQL-replayable):
+
+- ``weights`` are integer parts; W = sum(parts); the achievable mix
+  total is ``T = min_s floor(n_s * W / part_s)`` over weighted
+  sources (the binding source is fully consumed);
+- each source keeps rows whose id-hash lands under the integer
+  threshold ``floor(denom * part_s * T / (W * n_s))`` of ``denom``
+  buckets — hash-threshold selection is how production samplers stay
+  deterministic and resumable, so contributions are proportional in
+  expectation with exact, reproducible row membership (the oracle
+  replays the md5 threshold bit-for-bit).
+
+Scale shape: per-source counts come from per-block remote count tasks
+combined on the driver (a groupby for a |sources|-row result is the
+documented anti-pattern), then ONE streaming filter pass — zero
+exchange.  ``hash="fast"`` swaps the per-row md5 for the vectorized
+splitmix64 kernel (production path; md5 is the oracle-parity path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+
+@ray.remote
+def _block_counts(t: pa.Table, source_col: str) -> dict:
+    if t.num_rows == 0 or source_col not in t.column_names:
+        return {}
+    vc = pc.value_counts(pc.cast(t[source_col], pa.string()))
+    return {d["values"]: d["counts"] for d in vc.to_pylist()}
+
+
+def mix_sources(
+    ds: Dataset,
+    *,
+    weights: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    denom: int = 1_000_000,
+    hash: str = "md5",
+) -> Dataset:
+    """Rows surviving the mix (all input columns), deterministically
+    selected per the module docstring.  Sources absent from
+    ``weights`` are dropped; a weighted source with zero rows makes
+    the mix empty (it can never reach its share)."""
+    parts = {s: int(p) for s, p in weights.items() if int(p) > 0}
+    if not parts:
+        raise ValueError("weights must contain a positive part")
+    W = sum(parts.values())
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    counts: dict[str, int] = {}
+    for d in ray.get([_block_counts.remote(r, source_col)
+                      for r in refs]):
+        for s, c in d.items():
+            counts[s] = counts.get(s, 0) + c
+
+    T = min((counts.get(s, 0) * W) // p for s, p in parts.items())
+    thr = {s: (denom * p * T) // (W * counts[s])
+           for s, p in parts.items() if counts.get(s, 0) > 0}
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        src = pc.cast(t[source_col], pa.string())
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        # thresholds expand per UNIQUE source (low cardinality), not
+        # per row
+        uniq = pc.unique(src)
+        tvals = pa.array([thr.get(u.as_py(), 0) for u in uniq],
+                         pa.int64())
+        tv = tvals.take(pc.index_in(src, value_set=uniq)).to_numpy(
+            zero_copy_only=False)
+        ids = pc.cast(t[id_col], pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        if hash == "md5":
+            h = np.fromiter(
+                (int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+                 for v in ids.to_pylist()),
+                dtype=np.int64, count=t.num_rows)
+        else:
+            from vector_ray.ml.hashing import hash_strings
+
+            h = hash_strings(ids.to_pylist()).astype(np.int64) \
+                & 0x7FFFFFFFFFFFFFFF
+        return t.filter(pa.array(h % denom < tv))
+
+    return mat.map_batches(keep, batch_format="pyarrow",
+                           batch_size=None)

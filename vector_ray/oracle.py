@@ -1232,6 +1232,24 @@ SELECT doc_id, n_tokens,
 FROM w
 """
 
+# source mixing (ml/mixing.py): target-proportion subsampling — the
+# achievable total T = min_s floor(n_s*W/part_s), per-source keep
+# threshold floor(denom*part*T/(W*n)) over the md5 id-hash; all
+# integer arithmetic, replayed exactly.
+SQL_MIX_SOURCES_DOCS = """
+WITH cnt AS (SELECT source, count(*)::BIGINT AS n
+             FROM documents GROUP BY 1),
+w(source, part) AS (VALUES ('src0', 3), ('src1', 2), ('src2', 1)),
+tt AS (SELECT min(n * 6 // part)::BIGINT AS t
+       FROM cnt JOIN w USING (source)),
+thr AS (SELECT cnt.source, (1000000 * part * t) // (6 * n) AS thr
+        FROM cnt JOIN w USING (source) CROSS JOIN tt)
+SELECT d.doc_id, d.source
+FROM documents d JOIN thr ON d.source = thr.source
+WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+      % 1000000 < thr
+"""
+
 # PII redaction (VRL redact kernel = pc.replace_substring_regex = RE2,
 # the same regex engine DuckDB uses, so the scrub replays byte-exactly;
 # counts are taken BEFORE redaction on both sides).  The single-quoted

@@ -569,6 +569,14 @@ def _build_transform(
         return {"": fn(
             ds, text_col=c.get("text_col", "text"),
             id_col=c.get("id_col", "doc_id"), sep=c.get("sep", " "))}
+    if t == "mix_sources":
+        from vector_ray.ml.mixing import mix_sources
+
+        return {"": mix_sources(
+            ds, weights={k: int(v) for k, v in c["weights"].items()},
+            source_col=c.get("source_col", "source"),
+            id_col=c.get("id_col", "doc_id"),
+            hash=c.get("hash", "md5"))}
     if t == "span_dedup":
         from vector_ray.ml.span_dedup import span_dedup
 

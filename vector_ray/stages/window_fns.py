@@ -196,9 +196,11 @@ def window_functions(
                 zero_copy_only=False)
             # trailing stretch equal to last_k (ne has a True: not single)
             last_start = n - int(np.argmax(ne[::-1]))
-            nf = pc.not_equal(kcol, pa.scalar(first_k)).to_numpy(
-                zero_copy_only=False)
-            first_run_count = int(np.argmax(nf))
+            first_run_count = n  # placeholder; scanned only when needed
+            if want_tot:
+                nf = pc.not_equal(kcol, pa.scalar(first_k)).to_numpy(
+                    zero_copy_only=False)
+                first_run_count = int(np.argmax(nf))
         run = val[last_start:]
         out = {
             "first_key": first_k,

@@ -734,3 +734,18 @@ sinks:
     # the fixture has no cross-doc duplicate spans at sf0.001 — every
     # doc survives span dedup intact
     assert res.sink_counts["dedup_out"] == n_docs
+
+
+def test_curation_pipeline_yaml(tmp_path):
+    """The shipped pipelines/curation.yaml runs end to end."""
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(open("pipelines/curation.yaml").read())
+    res = run_topology(topo, variables={
+        "docs": "/root/testdata/sf0.001/documents.parquet",
+        "out": str(tmp_path)})
+    sc = res.sink_counts
+    assert sc["stats_out"] == 500
+    assert 0 < sc["survivors_out"] <= 500
+    assert 0 < sc["mixed_out"] < 500         # 3:2:1 over 3 of 20 sources
+    assert sc["chunks_out"] >= 500           # stride overlap explodes

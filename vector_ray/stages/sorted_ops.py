@@ -406,23 +406,32 @@ def reduce_sorted(
             __runkey=df.groupby(_KEY_COL, sort=False).size().index
         )
 
-    @ray.remote
+    @ray.remote(num_returns=3)
     def partials(t: pa.Table):
+        # three returns so the INTERIOR collapsed rows never touch the
+        # driver: only the ≤2 boundary partial rows per block are
+        # ray.get'd for the chain; the interior ref feeds
+        # from_pandas_refs directly (output is bounded by #groups —
+        # at web scale that is far beyond driver memory)
         if t.num_rows == 0:
-            return None, None, None
+            empty = None
+            return empty, None, None
         df = t.to_pandas()
         out = collapse(df)
         first = out.iloc[[0]]
         last = out.iloc[[-1]]
         interior = out.iloc[1:-1] if len(out) > 2 else out.iloc[0:0]
-        return interior, first, last
+        return interior.drop(columns=["__runkey"]), first, last
 
-    got = ray.get([partials.remote(r) for r in refs])
+    triple_refs = [partials.remote(r) for r in refs]
+    interior_refs = [tr[0] for tr in triple_refs]
+    got = list(zip(
+        ray.get([tr[1] for tr in triple_refs]),
+        ray.get([tr[2] for tr in triple_refs]),
+    ))
 
     # chain merge boundary rows on the driver
-    value_cols = None
     chains: list[pd.DataFrame] = []       # merged boundary outputs
-    interiors = []
     open_piece = None                      # pd.Series of the open run
 
     def merge_rows(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -441,10 +450,9 @@ def reduce_sorted(
                 out[c] = _merge_partials(a[c], b[c], st)
         return out
 
-    for interior, first, last in got:
-        if interior is None:
+    for first, last in got:
+        if first is None:
             continue
-        interiors.append(interior)
         # a block contributes its first partial row and, when the block
         # holds more than one run, its last partial row
         pieces = [first.iloc[0]]
@@ -461,13 +469,21 @@ def reduce_sorted(
         chains.append(open_piece)
 
     boundary_df = pd.DataFrame(chains) if chains else pd.DataFrame()
-    frames = [df for df in interiors if len(df)]
     if len(boundary_df):
-        frames.append(boundary_df)
-    out_df = pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
-    if len(out_df):
-        out_df = out_df.drop(columns=["__runkey"])
-    return rd.from_pandas(out_df)
+        boundary_df = boundary_df.drop(columns=["__runkey"])
+    keep_refs = [interior_refs[i]
+                 for i, (f, _) in enumerate(got) if f is not None]
+    parts = []
+    if keep_refs:
+        parts.append(rd.from_pandas_refs(keep_refs))
+    if len(boundary_df):
+        parts.append(rd.from_pandas(boundary_df))
+    if not parts:
+        return rd.from_pandas(pd.DataFrame())
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def sessionize_sorted(

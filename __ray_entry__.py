@@ -1349,6 +1349,19 @@ def _q_pack_docs(sf_dir: str):
                           id_col="doc_id", budget=512)
 
 
+def _q_global_topk_events(sf_dir: str):
+    """Global top-100 (stages/topk.py): per-block partial top-k then
+    one single-block reduction — at most k x #blocks rows move, vs the
+    full all-to-all exchange of Dataset.sort().limit(); (value_cents
+    DESC, event_id ASC) is a total order so output is deterministic."""
+    from vector_ray.stages.topk import global_topk
+
+    ds = _cents(_events(
+        sf_dir, columns=["event_id", "user_id", "value"]))
+    return global_topk(ds, k=100, keys=["value_cents", "event_id"],
+                       descending=[True, False])
+
+
 def _q_mix_sources_docs(sf_dir: str):
     """Deterministic source mixing (ml/mixing.py): Pile/Dolma-style
     target proportions 3:2:1 over three sources — per-source counts
@@ -2145,6 +2158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "pii_redact_docs": _q_pii_redact_docs,
         "mix_sources_docs": _q_mix_sources_docs,
+        "global_topk_events": _q_global_topk_events,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2264,6 +2278,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_docs": oracle.SQL_SPAN_DEDUP_DOCS,
         "pii_redact_docs": oracle.SQL_PII_REDACT_DOCS,
         "mix_sources_docs": oracle.SQL_MIX_SOURCES_DOCS,
+        "global_topk_events": oracle.SQL_GLOBAL_TOPK_EVENTS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

@@ -1232,6 +1232,16 @@ SELECT doc_id, n_tokens,
 FROM w
 """
 
+# global top-k (stages/topk.py): (value DESC, id ASC) is a total
+# order so the k-row result is deterministic.
+SQL_GLOBAL_TOPK_EVENTS = """
+SELECT event_id, user_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents
+FROM events
+ORDER BY value_cents DESC, event_id
+LIMIT 100
+"""
+
 # source mixing (ml/mixing.py): target-proportion subsampling — the
 # achievable total T = min_s floor(n_s*W/part_s), per-source keep
 # threshold floor(denom*part*T/(W*n)) over the md5 id-hash; all

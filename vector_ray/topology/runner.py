@@ -490,6 +490,11 @@ def _build_transform(
                           value_col=c["value_col"],
                           columns=c["columns"],
                           agg=c.get("agg", "sum"))}
+    if t == "global_topk":
+        from vector_ray.stages.topk import global_topk
+
+        return {"": global_topk(ds, k=int(c["k"]), keys=c["keys"],
+                                descending=c.get("descending"))}
     if t == "unpivot":
         from vector_ray.stages.pivot import unpivot
 

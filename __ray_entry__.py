@@ -1349,6 +1349,33 @@ def _q_pack_docs(sf_dir: str):
                           id_col="doc_id", budget=512)
 
 
+def _q_corr_events(sf_dir: str):
+    """Grouped correlation/regression (stages/stats.py): Pearson r and
+    slope of cent value vs time-of-day per event_type — the six
+    sufficient sums are INTEGERS built per block in Arrow C (map-side
+    combine) and summed natively, so they are exact and order-free;
+    corr/slope derive from the sums through one fixed double
+    expression (identical operands + op order on both engines,
+    micro-quantized bit-for-bit)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import grouped_corr
+
+    ds = _events(sf_dir, columns=["event_type", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        x = (ts // 1_000_000) % 86400
+        v = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "x": pa.array(x), "y": v})
+
+    return grouped_corr(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        keys=["event_type"], x="x", y="y")
+
+
 def _q_global_topk_events(sf_dir: str):
     """Global top-100 (stages/topk.py): per-block partial top-k then
     one single-block reduction — at most k x #blocks rows move, vs the
@@ -2159,6 +2186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact_docs": _q_pii_redact_docs,
         "mix_sources_docs": _q_mix_sources_docs,
         "global_topk_events": _q_global_topk_events,
+        "corr_events": _q_corr_events,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2279,6 +2307,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact_docs": oracle.SQL_PII_REDACT_DOCS,
         "mix_sources_docs": oracle.SQL_MIX_SOURCES_DOCS,
         "global_topk_events": oracle.SQL_GLOBAL_TOPK_EVENTS,
+        "corr_events": oracle.SQL_CORR_EVENTS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

@@ -1232,6 +1232,32 @@ SELECT doc_id, n_tokens,
 FROM w
 """
 
+# grouped corr/regression (stages/stats.py): integer sufficient sums
+# (exact, order-free), then corr/slope as ONE fixed double expression
+# over them — identical operands and op order, bit-exact micro values.
+SQL_CORR_EVENTS = """
+WITH e AS (
+  SELECT event_type, (epoch_us(ts) // 1000000) % 86400 AS x,
+         CAST(round(value * 100) AS BIGINT) AS y
+  FROM events),
+s AS (SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*x) AS BIGINT) AS sxx,
+             CAST(sum(y*y) AS BIGINT) AS syy,
+             CAST(sum(x*y) AS BIGINT) AS sxy
+      FROM e GROUP BY 1)
+SELECT event_type, n, sx, sy, sxx, syy, sxy,
+       CAST(round(1000000.0 * (CAST(n*sxy - sx*sy AS DOUBLE)
+            / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                   * CAST(n*syy - sy*sy AS DOUBLE)))) AS BIGINT)
+         AS corr_micro,
+       CAST(round(1000000.0 * (CAST(n*sxy - sx*sy AS DOUBLE)
+            / CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT)
+         AS slope_micro
+FROM s
+"""
+
 # global top-k (stages/topk.py): (value DESC, id ASC) is a total
 # order so the k-row result is deterministic.
 SQL_GLOBAL_TOPK_EVENTS = """

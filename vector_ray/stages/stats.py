@@ -1,0 +1,94 @@
+"""Grouped bivariate statistics — correlation / simple-regression
+sums per key (the `corr()` / `regr_*` SQL family).
+
+Scale shape: the five sufficient sums (n, Σx, Σy, Σx², Σy², Σxy) are
+computed per block in Arrow C (`pa.Table.group_by` — map-side
+combine), then ONE native groupby-sum over the tiny per-block
+partials; corr/slope derive from the sums in a final streaming map.
+Nothing quadratic, one exchange of #groups×#blocks partial rows.
+
+Determinism: the sums are INTEGERS (inputs must be integer-valued;
+quantize floats upstream), so they are exact and summation-order-free;
+corr and slope are then a FIXED expression over those integers —
+identical double operands and operation order on any engine, so the
+micro-quantized results replay bit-for-bit in SQL.  Integer range: Σx²
+must fit int64 — bound |x| · sqrt(rows-per-group) below ~3e9 (quantize
+coarser or pre-center upstream for wider inputs).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+_SUMS = ("n", "sx", "sy", "sxx", "syy", "sxy")
+
+
+def grouped_corr(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+) -> Dataset:
+    """Per-``keys`` row with the six integer sums plus ``corr_micro``
+    (Pearson r × 1e6, rounded; null when either variance is zero) and
+    ``slope_micro`` (regression slope of y on x × 1e6; null when x has
+    zero variance)."""
+    keys = list(keys)
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = pc.cast(t[x], pa.int64()).to_numpy(zero_copy_only=False)
+        yv = pc.cast(t[y], pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {k: t[k] for k in keys}
+        cols["n"] = pa.array(np.ones(len(xv), dtype=np.int64))
+        cols["sx"] = pa.array(xv)
+        cols["sy"] = pa.array(yv)
+        cols["sxx"] = pa.array(xv * xv)
+        cols["syy"] = pa.array(yv * yv)
+        cols["sxy"] = pa.array(xv * yv)
+        return (pa.table(cols).group_by(keys)
+                .aggregate([(c, "sum") for c in _SUMS])
+                .rename_columns(keys + list(_SUMS)))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    agg = parts.groupby(keys).sum(list(_SUMS))
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or f"sum(n)" not in t.column_names:
+            return t
+        t = t.rename_columns(
+            [c[4:-1] if c.startswith("sum(") else c
+             for c in t.column_names])
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = t["sx"].to_numpy(zero_copy_only=False)
+        sy = t["sy"].to_numpy(zero_copy_only=False)
+        sxx = t["sxx"].to_numpy(zero_copy_only=False)
+        syy = t["syy"].to_numpy(zero_copy_only=False)
+        sxy = t["sxy"].to_numpy(zero_copy_only=False)
+        num = (n * sxy - sx * sy).astype(np.float64)
+        dx = (n * sxx - sx * sx).astype(np.float64)
+        dy = (n * syy - sy * sy).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = num / np.sqrt(dx * dy)
+            slope = num / dx
+        cm = np.round(corr * 1000000.0)
+        sm = np.round(slope * 1000000.0)
+        out = {k: t[k] for k in keys}
+        for c in _SUMS:
+            out[c] = pc.cast(t[c], pa.int64())
+        out["corr_micro"] = pa.array(
+            np.where(np.isfinite(cm), cm, 0).astype(np.int64),
+            mask=~np.isfinite(cm))
+        out["slope_micro"] = pa.array(
+            np.where(np.isfinite(sm), sm, 0).astype(np.int64),
+            mask=~np.isfinite(sm))
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -490,6 +490,11 @@ def _build_transform(
                           value_col=c["value_col"],
                           columns=c["columns"],
                           agg=c.get("agg", "sum"))}
+    if t == "grouped_corr":
+        from vector_ray.stages.stats import grouped_corr
+
+        return {"": grouped_corr(ds, keys=c["keys"], x=c["x"],
+                                 y=c["y"])}
     if t == "global_topk":
         from vector_ray.stages.topk import global_topk
 

@@ -196,3 +196,35 @@ def test_aggregate_diff_sorted_matches_grouped():
     assert len(srt) == len(grp) and len(srt) > 0
     assert np.allclose(srt["value"], grp["value"], atol=1e-9)
     assert (srt["etype"] == grp["etype"]).all()
+
+
+def test_concat_sorted_equals_reduce_sorted(ray_session):
+    """The vectorized concat specialization matches the generic pandas
+    collapse across layouts (runs straddling blocks included)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.sorted_ops import concat_sorted, reduce_sorted
+
+    rng = np.random.default_rng(2)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.choice([f"g{i}" for i in range(150)], size=n)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array([f"w{i % 37}" for i in range(n)], pa.string()),
+        "m": pa.array(rng.integers(0, 50, n), pa.int64()),
+    })
+    for blocks in (1, 3, 17):
+        a = (concat_sorted(
+            rd.from_arrow(t).repartition(blocks), group_by=["k"],
+            value_col="v", order_by=["o"], sep="|", sum_cols=["m"])
+            .to_pandas().sort_values("k").reset_index(drop=True))
+        b = (reduce_sorted(
+            rd.from_arrow(t).repartition(blocks), group_by=["k"],
+            merge_strategies={"v": "concat_raw", "m": "sum"},
+            order_by=["o"], timestamp_fields=())
+            .to_pandas().sort_values("k").reset_index(drop=True))
+        assert len(a) == len(b)
+        assert (a.v.str.replace("|", "", regex=False) == b.v).all()
+        assert (a.m == b.m).all() and (a.events == b.events).all()

@@ -1027,7 +1027,7 @@ def conv_exact_dedup(
     one per surviving conversation."""
     import pyarrow.compute as _pc
 
-    from vector_ray.stages.sorted_ops import reduce_sorted
+    from vector_ray.stages.sorted_ops import concat_sorted
 
     def rep(t: pa.Table) -> pa.Table:
         r = _pc.binary_join_element_wise(
@@ -1039,10 +1039,12 @@ def conv_exact_dedup(
 
     turns = ds.map_batches(rep, batch_format="pyarrow",
                            batch_size=None)
-    reduced = reduce_sorted(
-        turns, group_by=[conv_col],
-        merge_strategies={"turn_repr": "concat_newline"},
-        order_by=[turn_col], timestamp_fields=())
+    # vectorized concat (arrow binary_join over run offsets — no
+    # PyString per turn; 24M turns would materialize 24M of them
+    # through the generic reduce_sorted pandas collapse)
+    reduced = concat_sorted(
+        turns, group_by=[conv_col], value_col="turn_repr",
+        order_by=[turn_col], sep="\n")
     survivors = exact_dedup_docs(
         reduced.select_columns([conv_col, "turn_repr"]),
         text_col="turn_repr", id_col=conv_col, hash="md5")

@@ -17,8 +17,9 @@ new exchange machinery:
    bytes regardless of span length; the span text rides the one sort
    exchange because the survivor text is needed for reassembly — the
    designed cost, equivalent to one shuffle of the corpus);
-3. reassembly via ``reduce_sorted`` (one (doc, chunk_idx) sort,
-   per-block run collapse, driver chain bounded by one document).
+3. reassembly via ``concat_sorted`` (one (doc, chunk_idx) sort,
+   per-block ARROW run collapse — binary_join over run offsets, no
+   PyString per span — driver chain bounded by one document).
 
 A document whose every span was seen before disappears entirely (its
 rebuilt text would be empty) — same semantics as the SQL oracle's
@@ -46,7 +47,7 @@ def span_dedup(
     from vector_ray.ml.chunking import chunk_documents
     from vector_ray.ml.dedup import content_hash128
     from vector_ray.stages.sorted_ops import (RANK_COL, add_group_rank,
-                                              reduce_sorted)
+                                              concat_sorted)
 
     spans = chunk_documents(ds, text_col=text_col, id_col=id_col,
                             window=window, stride=window, sep=sep)
@@ -60,10 +61,11 @@ def span_dedup(
 
     kept = ranked.map_batches(keep_first, batch_format="pyarrow",
                               batch_size=None)
-    docs = reduce_sorted(
-        kept, group_by=[id_col],
-        merge_strategies={"chunk": "concat", "n_tokens": "sum"},
-        order_by=["chunk_idx"], timestamp_fields=(),
+    # vectorized concat reassembly: arrow binary_join over run offsets
+    # — no PyString per surviving span (see sorted_ops.concat_sorted)
+    docs = concat_sorted(
+        kept, group_by=[id_col], value_col="chunk",
+        order_by=["chunk_idx"], sep=sep, sum_cols=["n_tokens"],
         count_field="spans_kept")
 
     def finish(t: pa.Table) -> pa.Table:

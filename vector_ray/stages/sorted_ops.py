@@ -486,6 +486,144 @@ def reduce_sorted(
     return out
 
 
+def concat_sorted(
+    ds: Dataset,
+    *,
+    group_by: Sequence[str],
+    value_col: str,
+    order_by: Sequence[str],
+    sep: str = " ",
+    sum_cols: Sequence[str] = (),
+    count_field: str = "events",
+) -> Dataset:
+    """Vectorized ``reduce_sorted`` specialization for ONE
+    concat-merged string column (plus optional int sum columns and the
+    run count) — the shape span dedup reassembly and conversation
+    keying need.
+
+    The generic ``reduce_sorted`` collapse joins each run's strings
+    through a per-run Python lambda, materializing a PyString for
+    EVERY input row (the documented >20x trap at the 24M fixture).
+    Here the per-block collapse is pure Arrow C: one ``ListArray``
+    over the run offsets + ``binary_join``; sums via
+    ``np.add.reduceat``.  Interiors stay in the object store; the
+    driver chains ≤2 boundary rows per block.  ``value_col`` must be
+    non-null (fill upstream); output columns are
+    ``group_by + [value_col, *sum_cols, count_field]``."""
+    group_cols = list(group_by)
+    sum_cols = list(sum_cols)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(_KEY_COL, _combined_key(t, group_cols))
+
+    sorted_ds = (
+        presort(ds.map_batches(add_key, batch_format="pyarrow",
+                               batch_size=None))
+        .sort([_KEY_COL] + list(order_by))
+        .materialize()
+    )
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote(num_returns=3)
+    def collapse(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return None, None, None
+        key = _key_arr(t, _KEY_COL)
+        new_run = _adj_new_run(key, n)
+        starts = np.flatnonzero(new_run)
+        offs = np.append(starts, n)
+        assert n < (1 << 31), "block too large for int32 list offsets"
+        vals = pc.cast(t[value_col], pa.string())
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32)), vals)
+        joined = pc.cast(pc.binary_join(lists, sep), pa.string())
+        take_idx = pa.array(starts)
+        cols = {}
+        for g in group_cols:
+            gc = t[g]
+            if isinstance(gc, pa.ChunkedArray):
+                gc = gc.combine_chunks()
+            cols[g] = gc.take(take_idx)
+        cols[value_col] = joined
+        for c in sum_cols:
+            arr = pc.cast(t[c], pa.int64()).to_numpy(
+                zero_copy_only=False)
+            cols[c] = pa.array(np.add.reduceat(arr, offs[:-1]))
+        cols[count_field] = pa.array(np.diff(offs).astype(np.int64))
+        out = pa.table(cols)
+        nruns = len(starts)
+        first = {"key": key[0].as_py(), "single": nruns == 1,
+                 "row": {c: out[c][0].as_py()
+                         for c in out.column_names}}
+        last = {"key": key[-1].as_py(),
+                "row": {c: out[c][nruns - 1].as_py()
+                        for c in out.column_names}}
+        interior = (out.slice(1, nruns - 2) if nruns > 2
+                    else out.slice(0, 0))
+        return interior, first, last
+
+    triples = [collapse.remote(r) for r in refs]
+    interior_refs = [tr[0] for tr in triples]
+    firsts = ray.get([tr[1] for tr in triples])
+    lasts = ray.get([tr[2] for tr in triples])
+
+    def merge(a: dict, b: dict) -> dict:
+        row = dict(a["row"])
+        row[value_col] = f'{row[value_col]}{sep}{b["row"][value_col]}'
+        for c in sum_cols + [count_field]:
+            row[c] = row[c] + b["row"][c]
+        return {"key": a["key"], "single": False, "row": row}
+
+    chains: list[dict] = []
+    open_p: dict | None = None
+    for f, l in zip(firsts, lasts):
+        if f is None:
+            continue
+        pieces = [f] if f["single"] else [f, {"key": l["key"],
+                                              "single": True,
+                                              "row": l["row"]}]
+        for piece in pieces:
+            if open_p is not None and open_p["key"] == piece["key"]:
+                open_p = merge(open_p, piece)
+            else:
+                if open_p is not None:
+                    chains.append(open_p)
+                open_p = piece
+    if open_p is not None:
+        chains.append(open_p)
+
+    sch = sorted_ds.schema()
+    out_cols = group_cols + [value_col] + sum_cols + [count_field]
+
+    def _btype(c):
+        if c == value_col:
+            return pa.string()
+        if c in sum_cols or c == count_field:
+            return pa.int64()
+        return sch.types[sch.names.index(c)]
+
+    boundary = pa.table({
+        c: pa.array([p["row"][c] for p in chains], _btype(c))
+        for c in out_cols})
+
+    keep = [interior_refs[i] for i, f in enumerate(firsts)
+            if f is not None]
+    parts = []
+    if keep:
+        parts.append(rd.from_arrow_refs(keep))
+    if boundary.num_rows:
+        parts.append(rd.from_arrow(boundary))
+    if not parts:
+        return rd.from_arrow(boundary)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
 def sessionize_sorted(
     ds: Dataset,
     *,

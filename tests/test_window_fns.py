@@ -405,3 +405,39 @@ def test_cume_dist_first_value_vs_duckdb(ray_session):
         assert (out.groupby("k").fv.nunique() == 1).all()
         assert all(r.fv in fg[r.k]
                    for r in out.drop_duplicates("k").itertuples())
+
+
+def test_lag_lead_arbitrary_offset_vs_duckdb(ray_session):
+    """lag(v, 7) / lead(v, 7): the tail carry and the accumulated
+    backward head chain serve any offset at any layout (64 blocks over
+    4k rows forces runs spanning many tiny blocks)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "hot"],
+                                 p=[0.1, 0.1, 0.8], size=n)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 1000, size=n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT k, o, coalesce(lag(v, 7) OVER w, -1) lg,"
+        " coalesce(lead(v, 7) OVER w, -1) ld FROM t"
+        " WINDOW w AS (PARTITION BY k ORDER BY o)"
+    ).df().sort_values(["k", "o"]).reset_index(drop=True)
+    for blocks in (1, 17, 64):
+        out = (window_functions(
+            rd.from_arrow(t).repartition(blocks), keys=["k"],
+            order_by=["o"], value_col="v",
+            lag_offset=7, lead_offset=7)
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+        assert (out.lag_value.fillna(-1).astype(int) == want.lg).all()
+        assert (out.lead_value.fillna(-1).astype(int) == want.ld).all()

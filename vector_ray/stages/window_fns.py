@@ -59,6 +59,8 @@ def window_functions(
     percent_rank_col: str | None = None,
     cume_dist_col: str | None = None,
     first_value_col: str | None = None,
+    lag_offset: int = 1,
+    lead_offset: int = 1,
 ) -> Dataset:
     """Annotate every row with row_number / lag / lead / running sum /
     rolling sum of ``value_col`` within its ``keys`` partition ordered
@@ -99,11 +101,22 @@ def window_functions(
     so a third backward chain carries each block's leading-tie-group
     row count.  ``first_value_col``: ``first_value(value_col)`` over
     the default frame (the run's first value, carried forward).
+
+    ``lag_offset`` / ``lead_offset``: SQL ``lag(v, n)`` / ``lead(v,
+    n)`` — the forward tail carry holds ``max(rolling_window-1,
+    lag_offset)`` trailing values and the backward chain carries each
+    run's first ``lead_offset`` values (accumulated across blocks when
+    a run spans several), so any offset works at any block layout.
     """
     keys = list(keys)
     w = int(rolling_window)
     if w < 1:
         raise ValueError("rolling_window must be >= 1")
+    lag_k = int(lag_offset)
+    lead_k = int(lead_offset)
+    if lag_k < 1 or lead_k < 1:
+        raise ValueError("lag/lead offsets must be >= 1")
+    tail_len = max(w - 1, lag_k)
     peer = peer_hi_col is not None
     peer_col = order_by[0] if order_by else None
     want_cume = cume_dist_col is not None
@@ -197,7 +210,7 @@ def window_functions(
             # trailing stretch equal to last_k (ne has a True: not single)
             last_start = n - int(np.argmax(ne[::-1]))
             first_run_count = n  # placeholder; scanned only when needed
-            if want_tot:
+            if want_tot or lead_k > 1:
                 nf = pc.not_equal(kcol, pa.scalar(first_k)).to_numpy(
                     zero_copy_only=False)
                 first_run_count = int(np.argmax(nf))
@@ -206,11 +219,12 @@ def window_functions(
             "first_key": first_k,
             "last_key": last_k,
             "single": single,
-            "first_row": (first_k, val[0]),          # for the lead chain
+            # first lead_k values of the FIRST run, for the lead chain
+            "head": val[:min(lead_k, first_run_count)],
             "count": int(n - last_start),
             "first_run_count": first_run_count,
             "sum": run.sum(),
-            "tail": run[-(w - 1):] if w > 1 else run[:0],
+            "tail": run[-tail_len:],
             "last": val[-1],
         }
         out["run_first"] = val[last_start]   # trailing run's first value
@@ -263,8 +277,8 @@ def window_functions(
                 "key": carry["key"],
                 "count": carry["count"] + s["count"],
                 "sum": carry["sum"] + s["sum"],
-                "tail": np.concatenate([carry["tail"], s["tail"]])[-(w - 1):]
-                if w > 1 else s["tail"],
+                "tail": np.concatenate(
+                    [carry["tail"], s["tail"]])[-tail_len:],
                 "last": s["last"],
                 "run_first": carry["run_first"],
             }
@@ -324,13 +338,21 @@ def window_functions(
                 lead_cnt += ncnt
             nko, ncnt = (s["first_key"], s["first_order"]), lead_cnt
 
-    # backward chain: first (key, value) of the nearest following block
+    # backward chain: the next lead_k values of each block's trailing
+    # run in LATER blocks (a run spanning several tiny blocks
+    # accumulates until lead_k values are gathered)
     bwd: list[tuple | None] = [None] * len(sums)
-    nxt: tuple | None = None
+    nxt: tuple | None = None             # (key, head-values ndarray)
     for i in range(len(sums) - 1, -1, -1):
         bwd[i] = nxt
-        if sums[i] is not None:
-            nxt = sums[i]["first_row"]
+        s = sums[i]
+        if s is None:
+            continue
+        head = s["head"]
+        if (s["single"] and nxt is not None
+                and nxt[0] == s["first_key"]):
+            head = np.concatenate([head, nxt[1]])[:lead_k]
+        nxt = (s["first_key"], head)
 
     # backward peer chain: continuation sum of each block's trailing
     # (keys, order_by[0]) peer group in LATER blocks
@@ -393,7 +415,7 @@ def window_functions(
         cont = carry_in is not None and carry_in["key"] == kcol[0].as_py()
         off_cnt = carry_in["count"] if cont else 0
         off_sum = carry_in["sum"] if cont else np_dtype(0)
-        prev_tail = carry_in["tail"] if cont and w > 1 else val[:0]
+        prev_tail = carry_in["tail"] if cont else val[:0]
 
         # row_number (1-based) within run
         idx = np.arange(n, dtype=np.int64)
@@ -401,20 +423,39 @@ def window_functions(
         rn = local + 1
         rn[run_id == 0] += off_cnt
 
-        # lag / lead
+        # lag(v, lag_k): shift within run; first-run rows reach into
+        # the carried tail
         lag = np.empty(n, dtype=np_dtype)
-        lag[1:] = val[:-1]
-        lag_valid = ~new_run
-        if cont:
-            lag[0] = carry_in["last"]
-            lag_valid[0] = True
+        lag_valid = np.zeros(n, dtype=bool)
+        if n > lag_k:
+            lag[lag_k:] = val[:-lag_k]
+            lag_valid[lag_k:] = run_id[lag_k:] == run_id[:-lag_k]
+        if cont and len(prev_tail):
+            tl = len(prev_tail)
+            stop = min(lag_k, n)
+            for j in range(stop):
+                if run_id[j] != 0:
+                    break
+                back = lag_k - j          # rows needed from the carry
+                if back <= tl:
+                    lag[j] = prev_tail[tl - back]
+                    lag_valid[j] = True
+
+        # lead(v, lead_k): shift within run; trailing-run rows reach
+        # into the backward head chain
         lead = np.empty(n, dtype=np_dtype)
-        lead[:-1] = val[1:]
         lead_valid = np.zeros(n, dtype=bool)
-        lead_valid[:-1] = ~new_run[1:]
+        if n > lead_k:
+            lead[:-lead_k] = val[lead_k:]
+            lead_valid[:-lead_k] = run_id[lead_k:] == run_id[:-lead_k]
         if lead_in is not None and lead_in[0] == kcol[-1].as_py():
-            lead[-1] = lead_in[1]
-            lead_valid[-1] = True
+            lv = np.asarray(lead_in[1])
+            j0 = max(n - lead_k, run_start[-1])
+            for j in range(j0, n):
+                pos = j + lead_k - n
+                if pos < len(lv):
+                    lead[j] = lv[pos]
+                    lead_valid[j] = True
 
         # running sum within run
         c = np.cumsum(val, dtype=np_dtype)

@@ -454,7 +454,9 @@ def _build_transform(
             ntile_col=c.get("ntile_col", "ntile"),
             percent_rank_col=c.get("percent_rank_col"),
             cume_dist_col=c.get("cume_dist_col"),
-            first_value_col=c.get("first_value_col"))}
+            first_value_col=c.get("first_value_col"),
+            lag_offset=c.get("lag_offset", 1),
+            lead_offset=c.get("lead_offset", 1))}
     if t == "stratified_sample":
         from vector_ray.stages.sample import stratified_sample
 

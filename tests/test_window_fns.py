@@ -441,3 +441,35 @@ def test_lag_lead_arbitrary_offset_vs_duckdb(ray_session):
             .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
         assert (out.lag_value.fillna(-1).astype(int) == want.lg).all()
         assert (out.lead_value.fillna(-1).astype(int) == want.ld).all()
+
+
+def test_nth_value_vs_duckdb(ray_session):
+    """nth_value(v, 5): forward run-head carry serves runs spanning
+    blocks; null until the frame holds 5 rows."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "hot"],
+                                 p=[0.1, 0.1, 0.8], size=n)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 1000, size=n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT k, o, coalesce(nth_value(v, 5) OVER w, -1) nv FROM t"
+        " WINDOW w AS (PARTITION BY k ORDER BY o)"
+    ).df().sort_values(["k", "o"]).reset_index(drop=True)
+    for blocks in (1, 17, 64):
+        out = (window_functions(
+            rd.from_arrow(t).repartition(blocks), keys=["k"],
+            order_by=["o"], value_col="v", nth_value=5)
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+        assert (out.nth_value.fillna(-1).astype(int) == want.nv).all()

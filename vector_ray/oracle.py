@@ -594,7 +594,11 @@ SELECT event_id, user_id, bucket,
             AS BIGINT) AS cd_micro,
        CAST(first_value(value_cents) OVER (PARTITION BY user_id
                                            ORDER BY bucket, event_id)
-            AS BIGINT) AS fv
+            AS BIGINT) AS fv,
+       CAST(coalesce(nth_value(value_cents, 3)
+                     OVER (PARTITION BY user_id
+                           ORDER BY bucket, event_id), -1)
+            AS BIGINT) AS nv
 FROM e
 """
 

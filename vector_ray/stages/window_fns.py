@@ -61,6 +61,8 @@ def window_functions(
     first_value_col: str | None = None,
     lag_offset: int = 1,
     lead_offset: int = 1,
+    nth_value: int | None = None,
+    nth_value_col: str = "nth_value",
 ) -> Dataset:
     """Annotate every row with row_number / lag / lead / running sum /
     rolling sum of ``value_col`` within its ``keys`` partition ordered
@@ -107,6 +109,12 @@ def window_functions(
     lag_offset)`` trailing values and the backward chain carries each
     run's first ``lead_offset`` values (accumulated across blocks when
     a run spans several), so any offset works at any block layout.
+
+    ``nth_value=n``: SQL ``nth_value(value_col, n)`` over the default
+    frame (null until the frame holds n rows) — the forward carry
+    additionally holds each run's first n values.  Requires a total
+    ``order_by`` like ``ntile`` (with ties the frame end is
+    peer-extended and engine comparisons diverge).
     """
     keys = list(keys)
     w = int(rolling_window)
@@ -117,6 +125,9 @@ def window_functions(
     if lag_k < 1 or lead_k < 1:
         raise ValueError("lag/lead offsets must be >= 1")
     tail_len = max(w - 1, lag_k)
+    nth_k = int(nth_value) if nth_value is not None else 0
+    if nth_value is not None and nth_k < 1:
+        raise ValueError("nth_value must be >= 1")
     peer = peer_hi_col is not None
     peer_col = order_by[0] if order_by else None
     want_cume = cume_dist_col is not None
@@ -228,6 +239,8 @@ def window_functions(
             "last": val[-1],
         }
         out["run_first"] = val[last_start]   # trailing run's first value
+        if nth_k:
+            out["trail_head"] = run[:nth_k]
         if want_rank:
             oc = _order_changed(t, n)
             trail = oc[last_start + 1:]
@@ -282,6 +295,11 @@ def window_functions(
                 "last": s["last"],
                 "run_first": carry["run_first"],
             }
+            if nth_k:
+                hf = carry["head_fwd"]
+                merged["head_fwd"] = (
+                    hf if len(hf) >= nth_k
+                    else np.concatenate([hf, s["trail_head"]])[:nth_k])
             if want_rank:
                 # does the block's first tie group continue carry's
                 # trailing one?
@@ -299,6 +317,8 @@ def window_functions(
             carry = {"key": s["last_key"], "count": s["count"],
                      "sum": s["sum"], "tail": s["tail"],
                      "last": s["last"], "run_first": s["run_first"]}
+            if nth_k:
+                carry["head_fwd"] = s["trail_head"]
             if want_rank:
                 carry.update({
                     "dense": s["dense_trail"],
@@ -403,6 +423,9 @@ def window_functions(
                                         pa.array([], pa.float64()))
             if first_value_col is not None:
                 out = out.append_column(first_value_col,
+                                        pa.array([], pa_val_t))
+            if nth_k:
+                out = out.append_column(nth_value_col,
                                         pa.array([], pa_val_t))
             return out
         kcol = _key_col(t)
@@ -540,6 +563,25 @@ def window_functions(
                 fv[run_id == 0] = carry_in["run_first"]
             out = out.append_column(first_value_col,
                                     pa.array(fv, pa_val_t))
+        if nth_k:
+            nth_valid = rn >= nth_k
+            pos = np.clip(run_start[run_id] + nth_k - 1, 0, n - 1)
+            nv = val[pos]
+            if cont:
+                nv = nv.copy()
+                head = carry_in["head_fwd"]
+                m0 = run_id == 0
+                if len(head) >= nth_k:
+                    nv[m0] = head[nth_k - 1]
+                else:
+                    # the run held < nth rows before this block: the
+                    # nth position falls inside this block
+                    p = nth_k - 1 - off_cnt
+                    if 0 <= p < n:
+                        nv[m0] = val[p]
+            out = out.append_column(
+                nth_value_col, pa.array(nv, pa_val_t,
+                                        mask=~nth_valid))
         if peer:
             pcol = _peer_arr(t)
             new_peer = new_run.copy()

@@ -456,7 +456,9 @@ def _build_transform(
             cume_dist_col=c.get("cume_dist_col"),
             first_value_col=c.get("first_value_col"),
             lag_offset=c.get("lag_offset", 1),
-            lead_offset=c.get("lead_offset", 1))}
+            lead_offset=c.get("lead_offset", 1),
+            nth_value=c.get("nth_value"),
+            nth_value_col=c.get("nth_value_col", "nth_value"))}
     if t == "stratified_sample":
         from vector_ray.stages.sample import stratified_sample
 

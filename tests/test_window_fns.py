@@ -473,3 +473,75 @@ def test_nth_value_vs_duckdb(ray_session):
             order_by=["o"], value_col="v", nth_value=5)
             .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
         assert (out.nth_value.fillna(-1).astype(int) == want.nv).all()
+
+
+@pytest.mark.parametrize("seed", [101, 202])
+def test_window_family_differential_fuzz(ray_session, seed):
+    """All twelve window functions vs DuckDB on a seeded random table
+    with a random hostile layout (tiny blocks force runs and tie
+    groups to span many blocks)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(500, 2500))
+    nk = int(rng.integers(1, 30))
+    t = pa.table({
+        "k": pa.array(rng.integers(0, nk, n).astype(str)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "b": pa.array(rng.integers(0, max(2, n // 100), n)),
+        "v": pa.array(rng.integers(-500, 500, n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    lagk = int(rng.integers(1, 9))
+    leadk = int(rng.integers(1, 9))
+    nthk = int(rng.integers(1, 6))
+    ntl = int(rng.integers(2, 8))
+    want = con.execute(f"""
+SELECT k, o,
+  row_number() OVER wt rn, coalesce(lag(v,{lagk}) OVER wt,-9999) lg,
+  coalesce(lead(v,{leadk}) OVER wt,-9999) ld,
+  sum(v) OVER (wt ROWS UNBOUNDED PRECEDING) cm,
+  sum(v) OVER (wt ROWS 3 PRECEDING) rl,
+  ntile({ntl}) OVER wt nt,
+  coalesce(nth_value(v,{nthk}) OVER wt,-9999) nv,
+  first_value(v) OVER wt fv,
+  rank() OVER wb rk, dense_rank() OVER wb dr,
+  round(percent_rank() OVER wb*1e6) pr,
+  round(cume_dist() OVER wb*1e6) cd
+FROM t WINDOW wt AS (PARTITION BY k ORDER BY o),
+             wb AS (PARTITION BY k ORDER BY b)
+""").df().sort_values(["k", "o"]).reset_index(drop=True)
+    blocks = int(rng.integers(1, 70))
+    o1 = window_functions(
+        rd.from_arrow(t).repartition(blocks), keys=["k"],
+        order_by=["o"], value_col="v", rolling_window=4,
+        lag_offset=lagk, lead_offset=leadk, ntile=ntl,
+        nth_value=nthk, first_value_col="fv")
+    o2 = window_functions(
+        o1, keys=["k"], order_by=["b"], value_col="v",
+        rn_col="rn2", lag_col="lag2", lead_col="lead2",
+        cum_col="cum2", roll_col="roll2", rank_col="rk",
+        dense_rank_col="dr", percent_rank_col="pr",
+        cume_dist_col="cd")
+    got = o2.to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    assert (got.rn.values == want.rn.values).all()
+    assert (got.lag_value.fillna(-9999).astype(int).values
+            == want.lg.values).all()
+    assert (got.lead_value.fillna(-9999).astype(int).values
+            == want.ld.values).all()
+    assert (got.cum_value.values == want.cm.astype(int).values).all()
+    assert (got.roll_value.values == want.rl.astype(int).values).all()
+    assert (got.ntile.values == want.nt.values).all()
+    assert (got.nth_value.fillna(-9999).astype(int).values
+            == want.nv.values).all()
+    assert (got.fv.values == want.fv.values).all()
+    assert (got.rk.values == want.rk.values).all()
+    assert (got.dr.values == want.dr.values).all()
+    assert ((got.pr * 1e6).round().values == want.pr.values).all()
+    assert ((got.cd * 1e6).round().values == want.cd.values).all()

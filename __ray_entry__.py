@@ -778,7 +778,8 @@ def _q_ntile_events(sf_dir: str):
         ds.map_batches(bucket, batch_format="pyarrow", batch_size=None),
         keys=["user_id"], order_by=["bucket", "event_id"],
         value_col="value_cents", ntile=5, ntile_col="nt",
-        first_value_col="fv", nth_value=3, nth_value_col="nv")
+        first_value_col="fv", nth_value=3, nth_value_col="nv",
+        last_value_col="lv")
     o2 = window_functions(
         o1, keys=["user_id"], order_by=["bucket"], value_col="bucket",
         rn_col="__rn2", lag_col="__lag2", lead_col="__lead2",
@@ -799,7 +800,8 @@ def _q_ntile_events(sf_dir: str):
             "bucket": t["bucket"], "nt": pc.cast(t["nt"], pa.int64()),
             "pr_micro": micro("pr"), "cd_micro": micro("cd"),
             "fv": pc.cast(t["fv"], pa.int64()),
-            "nv": pc.fill_null(pc.cast(t["nv"], pa.int64()), -1)})
+            "nv": pc.fill_null(pc.cast(t["nv"], pa.int64()), -1),
+            "lv": pc.cast(t["lv"], pa.int64())})
 
     return o2.map_batches(finish, batch_format="pyarrow",
                           batch_size=None)

@@ -545,3 +545,35 @@ FROM t WINDOW wt AS (PARTITION BY k ORDER BY o),
     assert (got.dr.values == want.dr.values).all()
     assert ((got.pr * 1e6).round().values == want.pr.values).all()
     assert ((got.cd * 1e6).round().values == want.cd.values).all()
+
+
+def test_last_value_full_partition_vs_duckdb(ray_session):
+    """last_value over the full partition: backward final-value chain
+    (the run's end may be blocks later)."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "hot"],
+                                 p=[0.1, 0.1, 0.8], size=n)),
+        "o": pa.array(rng.permutation(n).astype(np.int64)),
+        "v": pa.array(rng.integers(0, 1000, size=n), pa.int64()),
+    })
+    con = duckdb.connect()
+    con.register("t", t.to_pandas())
+    want = con.execute(
+        "SELECT k, o, last_value(v) OVER (PARTITION BY k ORDER BY o"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) lv"
+        " FROM t").df().sort_values(["k", "o"]).reset_index(drop=True)
+    for blocks in (1, 17, 64):
+        out = (window_functions(
+            rd.from_arrow(t).repartition(blocks), keys=["k"],
+            order_by=["o"], value_col="v", last_value_col="lv")
+            .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
+        assert (out.lv.values == want.lv.values).all(), blocks

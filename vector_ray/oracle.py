@@ -598,7 +598,11 @@ SELECT event_id, user_id, bucket,
        CAST(coalesce(nth_value(value_cents, 3)
                      OVER (PARTITION BY user_id
                            ORDER BY bucket, event_id), -1)
-            AS BIGINT) AS nv
+            AS BIGINT) AS nv,
+       CAST(last_value(value_cents)
+            OVER (PARTITION BY user_id ORDER BY bucket, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND UNBOUNDED FOLLOWING) AS BIGINT) AS lv
 FROM e
 """
 

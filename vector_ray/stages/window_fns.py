@@ -63,6 +63,7 @@ def window_functions(
     lead_offset: int = 1,
     nth_value: int | None = None,
     nth_value_col: str = "nth_value",
+    last_value_col: str | None = None,
 ) -> Dataset:
     """Annotate every row with row_number / lag / lead / running sum /
     rolling sum of ``value_col`` within its ``keys`` partition ordered
@@ -115,6 +116,12 @@ def window_functions(
     additionally holds each run's first n values.  Requires a total
     ``order_by`` like ``ntile`` (with ties the frame end is
     peer-extended and engine comparisons diverge).
+
+    ``last_value_col``: ``last_value(value_col)`` over the FULL
+    partition (``ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+    FOLLOWING`` — the useful framing; the default frame's last_value
+    is just the current row) via a backward chain of each run's final
+    value.
     """
     keys = list(keys)
     w = int(rolling_window)
@@ -221,7 +228,7 @@ def window_functions(
             # trailing stretch equal to last_k (ne has a True: not single)
             last_start = n - int(np.argmax(ne[::-1]))
             first_run_count = n  # placeholder; scanned only when needed
-            if want_tot or lead_k > 1:
+            if want_tot or lead_k > 1 or last_value_col is not None:
                 nf = pc.not_equal(kcol, pa.scalar(first_k)).to_numpy(
                     zero_copy_only=False)
                 first_run_count = int(np.argmax(nf))
@@ -241,6 +248,11 @@ def window_functions(
         out["run_first"] = val[last_start]   # trailing run's first value
         if nth_k:
             out["trail_head"] = run[:nth_k]
+        if last_value_col is not None:
+            # first run's final IN-BLOCK value, for the backward
+            # final-value chain
+            fre = n if single else first_run_count
+            out["first_run_last_val"] = val[fre - 1]
         if want_rank:
             oc = _order_changed(t, n)
             trail = oc[last_start + 1:]
@@ -341,6 +353,24 @@ def window_functions(
                 f += nc
             nk, nc = s["first_key"], f
 
+    # backward final-value chain: the value at the END of each block's
+    # trailing run, wherever that run finishes
+    last_chain: list = [None] * len(sums)
+    if last_value_col is not None:
+        nxt_lv = None                    # (key, final value of the run
+        for i in range(len(sums) - 1, -1, -1):   # starting next block)
+            s = sums[i]
+            if s is None:
+                continue
+            last_chain[i] = (nxt_lv[1] if nxt_lv is not None
+                             and nxt_lv[0] == s["last_key"] else None)
+            if (s["single"] and nxt_lv is not None
+                    and nxt_lv[0] == s["first_key"]):
+                fin = nxt_lv[1]          # run runs straight through
+            else:
+                fin = s["first_run_last_val"]
+            nxt_lv = (s["first_key"], fin)
+
     # backward cume chain: rows of LATER blocks still inside each
     # block's trailing TIE GROUP (full (key, order-tuple) identity)
     cume_cont = [0] * len(sums)
@@ -393,7 +423,7 @@ def window_functions(
 
     @ray.remote
     def apply(t: pa.Table, carry_in: dict | None, lead_in: tuple | None,
-              pcont_in=None, rcont_in=0, ccont_in=0):
+              pcont_in=None, rcont_in=0, ccont_in=0, lv_in=None):
         n = t.num_rows
         if n == 0:
             # Ray passes empty blocks through un-UDF'd with stale
@@ -426,6 +456,9 @@ def window_functions(
                                         pa.array([], pa_val_t))
             if nth_k:
                 out = out.append_column(nth_value_col,
+                                        pa.array([], pa_val_t))
+            if last_value_col is not None:
+                out = out.append_column(last_value_col,
                                         pa.array([], pa_val_t))
             return out
         kcol = _key_col(t)
@@ -582,6 +615,14 @@ def window_functions(
             out = out.append_column(
                 nth_value_col, pa.array(nv, pa_val_t,
                                         mask=~nth_valid))
+        if last_value_col is not None:
+            run_end = np.append(run_start[1:], n) - 1
+            lv = val[run_end[run_id]]
+            if lv_in is not None:
+                lv = lv.copy()
+                lv[run_id == run_id[-1]] = lv_in
+            out = out.append_column(last_value_col,
+                                    pa.array(lv, pa_val_t))
         if peer:
             pcol = _peer_arr(t)
             new_peer = new_run.copy()
@@ -602,7 +643,7 @@ def window_functions(
         return out
 
     out_refs = [apply.remote(r, fwd[i], bwd[i], peer_cont[i],
-                             run_cont[i], cume_cont[i])
+                             run_cont[i], cume_cont[i], last_chain[i])
                 for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)
 

@@ -458,7 +458,8 @@ def _build_transform(
             lag_offset=c.get("lag_offset", 1),
             lead_offset=c.get("lead_offset", 1),
             nth_value=c.get("nth_value"),
-            nth_value_col=c.get("nth_value_col", "nth_value"))}
+            nth_value_col=c.get("nth_value_col", "nth_value"),
+            last_value_col=c.get("last_value_col"))}
     if t == "stratified_sample":
         from vector_ray.stages.sample import stratified_sample
 

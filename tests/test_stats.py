@@ -53,3 +53,24 @@ def test_zero_variance_is_null():
     out = _run(t)
     assert out.corr_micro.isna().all()
     assert out.slope_micro.isna().all()
+
+
+def test_intercept_r2_match_numpy():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b"], size=n)),
+        "x": pa.array(rng.integers(0, 500, n), pa.int64()),
+        "y": pa.array(rng.integers(0, 500, n), pa.int64()),
+    })
+    out = _run(t)
+    df = t.to_pandas()
+    for _, row in out.iterrows():
+        g = df[df.k == row.k]
+        slope, inter = np.polyfit(g.x, g.y, 1)
+        r = np.corrcoef(g.x, g.y)[0, 1]
+        assert abs(row.intercept_micro / 1e6 - inter) < 5e-4
+        assert abs(row.r2_micro / 1e6 - r * r) < 2e-6

@@ -1256,14 +1256,18 @@ s AS (SELECT event_type, count(*)::BIGINT AS n,
              CAST(sum(x*y) AS BIGINT) AS sxy
       FROM e GROUP BY 1)
 SELECT event_type, n, sx, sy, sxx, syy, sxy,
-       CAST(round(1000000.0 * (CAST(n*sxy - sx*sy AS DOUBLE)
-            / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
-                   * CAST(n*syy - sy*sy AS DOUBLE)))) AS BIGINT)
-         AS corr_micro,
-       CAST(round(1000000.0 * (CAST(n*sxy - sx*sy AS DOUBLE)
-            / CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT)
-         AS slope_micro
-FROM s
+       CAST(round(1000000.0 * r) AS BIGINT) AS corr_micro,
+       CAST(round(1000000.0 * slope) AS BIGINT) AS slope_micro,
+       CAST(round(1000000.0 * ((sy - slope * sx) / n)) AS BIGINT)
+         AS intercept_micro,
+       CAST(round(1000000.0 * (r * r)) AS BIGINT) AS r2_micro
+FROM (SELECT *,
+             CAST(n*sxy - sx*sy AS DOUBLE)
+               / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                      * CAST(n*syy - sy*sy AS DOUBLE)) AS r,
+             CAST(n*sxy - sx*sy AS DOUBLE)
+               / CAST(n*sxx - sx*sx AS DOUBLE) AS slope
+      FROM s)
 """
 
 # global top-k (stages/topk.py): (value DESC, id ASC) is a total

@@ -36,9 +36,9 @@ def grouped_corr(
     y: str,
 ) -> Dataset:
     """Per-``keys`` row with the six integer sums plus ``corr_micro``
-    (Pearson r × 1e6, rounded; null when either variance is zero) and
-    ``slope_micro`` (regression slope of y on x × 1e6; null when x has
-    zero variance)."""
+    (Pearson r × 1e6, rounded; null when either variance is zero),
+    ``slope_micro`` / ``intercept_micro`` (y-on-x regression line ×
+    1e6; null when x has zero variance) and ``r2_micro`` (r² × 1e6)."""
     keys = list(keys)
 
     def partial(t: pa.Table) -> pa.Table:
@@ -77,17 +77,22 @@ def grouped_corr(
         with np.errstate(divide="ignore", invalid="ignore"):
             corr = num / np.sqrt(dx * dy)
             slope = num / dx
-        cm = np.round(corr * 1000000.0)
-        sm = np.round(slope * 1000000.0)
+            intercept = (sy - slope * sx) / n
+            r2 = corr * corr
         out = {k: t[k] for k in keys}
         for c in _SUMS:
             out[c] = pc.cast(t[c], pa.int64())
-        out["corr_micro"] = pa.array(
-            np.where(np.isfinite(cm), cm, 0).astype(np.int64),
-            mask=~np.isfinite(cm))
-        out["slope_micro"] = pa.array(
-            np.where(np.isfinite(sm), sm, 0).astype(np.int64),
-            mask=~np.isfinite(sm))
+
+        def micro(a, name):
+            m = np.round(a * 1000000.0)
+            out[name] = pa.array(
+                np.where(np.isfinite(m), m, 0).astype(np.int64),
+                mask=~np.isfinite(m))
+
+        micro(corr, "corr_micro")
+        micro(slope, "slope_micro")
+        micro(intercept, "intercept_micro")
+        micro(r2, "r2_micro")
         return pa.table(out)
 
     return agg.map_batches(finish, batch_format="pyarrow",

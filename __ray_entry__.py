@@ -1392,6 +1392,22 @@ def _q_global_topk_events(sf_dir: str):
                        descending=[True, False])
 
 
+def _q_weighted_sample_docs(sf_dir: str):
+    """Quality-weighted sampling (ml/mixing.weighted_sample): keep
+    probability proportional to document length (the quality-weighted
+    corpus subsampling step) — keep iff id-hash bucket <
+    min(denom, n_chars * 1500); all integers, membership bit-exact in
+    SQL; pure streaming, zero exchange, no count pass."""
+    import ray.data as rd
+
+    from vector_ray.ml.mixing import weighted_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, weight_col="n_chars",
+                           rate=(1500, 1))
+
+
 def _q_mix_sources_docs(sf_dir: str):
     """Deterministic source mixing (ml/mixing.py): Pile/Dolma-style
     target proportions 3:2:1 over three sources — per-source counts
@@ -2188,6 +2204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "pii_redact_docs": _q_pii_redact_docs,
         "mix_sources_docs": _q_mix_sources_docs,
+        "weighted_sample_docs": _q_weighted_sample_docs,
         "global_topk_events": _q_global_topk_events,
         "corr_events": _q_corr_events,
         "cube_events": _q_cube_events,
@@ -2309,6 +2326,7 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup_docs": oracle.SQL_SPAN_DEDUP_DOCS,
         "pii_redact_docs": oracle.SQL_PII_REDACT_DOCS,
         "mix_sources_docs": oracle.SQL_MIX_SOURCES_DOCS,
+        "weighted_sample_docs": oracle.SQL_WEIGHTED_SAMPLE_DOCS,
         "global_topk_events": oracle.SQL_GLOBAL_TOPK_EVENTS,
         "corr_events": oracle.SQL_CORR_EVENTS,
         "cube_events": oracle.SQL_CUBE_EVENTS,

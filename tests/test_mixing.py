@@ -53,3 +53,33 @@ def test_fast_hash_path_runs():
                       hash="fast").to_pandas()
     assert set(out.source) == {"a", "b"}
     assert len(out) == 100               # equal parts, equal counts
+
+
+def test_weighted_sample_monotone_and_deterministic():
+    import numpy as np
+    import pyarrow as pa
+
+    from vector_ray.ml.mixing import weighted_sample
+
+    rng = np.random.default_rng(4)
+    n = 2000
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "w": pa.array(rng.integers(0, 2_000_000, n), pa.int64()),
+    })
+    ds = rd.from_arrow(t)
+    out = weighted_sample(ds, weight_col="w", rate=(1, 1)).to_pandas()
+    df = t.to_pandas()
+    # weight >= denom -> always kept
+    always = df[df.w >= 1_000_000]
+    assert set(always.doc_id).issubset(set(out.doc_id))
+    # zero weight -> never kept
+    assert not (set(df[df.w == 0].doc_id) & set(out.doc_id))
+    # deterministic across layouts
+    out2 = (weighted_sample(rd.from_arrow(t).repartition(7),
+                            weight_col="w", rate=(1, 1))
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out2.equals(out.sort_values("doc_id").reset_index(drop=True))
+    # aggregate keep rate tracks mean(weight)/denom
+    expected = (df.w.clip(upper=1_000_000) / 1_000_000).mean()
+    assert abs(len(out) / n - expected) < 0.05

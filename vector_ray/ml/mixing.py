@@ -25,13 +25,63 @@ splitmix64 kernel (production path; md5 is the oracle-parity path).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+
+
+def _id_hash(ids: pa.Array, hash: str, n: int) -> np.ndarray:
+    """Non-negative int64 bucket hash per id — md5 (oracle parity) or
+    the vectorized splitmix64 kernel (production)."""
+    import hashlib
+
+    if hash == "md5":
+        return np.fromiter(
+            (int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
+             for v in ids.to_pylist()),
+            dtype=np.int64, count=n)
+    from vector_ray.ml.hashing import hash_strings
+
+    return (hash_strings(ids.to_pylist()).astype(np.int64)
+            & 0x7FFFFFFFFFFFFFFF)
+
+
+def weighted_sample(
+    ds: Dataset,
+    *,
+    weight_col: str,
+    id_col: str = "doc_id",
+    rate: tuple[int, int] = (1, 1),
+    denom: int = 1_000_000,
+    hash: str = "md5",
+) -> Dataset:
+    """Keep each row with probability proportional to its weight —
+    quality-weighted corpus sampling (sample high-quality documents at
+    a higher rate).  Keep iff ``id_hash % denom <
+    min(denom, weight * rate[0] // rate[1])`` — all integers, so
+    membership is deterministic, resumable, and SQL-replayable; rows
+    with ``weight * rate >= denom`` are always kept.  Pure streaming,
+    zero exchange, no count pass."""
+    rn, rd_ = int(rate[0]), int(rate[1])
+    if rn < 0 or rd_ < 1:
+        raise ValueError("rate must be a non-negative rational")
+
+    def keep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        wv = pc.cast(t[weight_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        thr = np.minimum(denom, wv * rn // rd_)
+        ids = pc.cast(t[id_col], pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = _id_hash(ids, hash, t.num_rows)
+        return t.filter(pa.array(h % denom < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          batch_size=None)
 
 
 @ray.remote
@@ -88,16 +138,7 @@ def mix_sources(
         ids = pc.cast(t[id_col], pa.string())
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
-        if hash == "md5":
-            h = np.fromiter(
-                (int(hashlib.md5(v.encode()).hexdigest()[:8], 16)
-                 for v in ids.to_pylist()),
-                dtype=np.int64, count=t.num_rows)
-        else:
-            from vector_ray.ml.hashing import hash_strings
-
-            h = hash_strings(ids.to_pylist()).astype(np.int64) \
-                & 0x7FFFFFFFFFFFFFFF
+        h = _id_hash(ids, hash, t.num_rows)
         return t.filter(pa.array(h % denom < tv))
 
     return mat.map_batches(keep, batch_format="pyarrow",

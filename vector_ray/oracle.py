@@ -1280,6 +1280,14 @@ ORDER BY value_cents DESC, event_id
 LIMIT 100
 """
 
+# quality-weighted sampling (ml/mixing.weighted_sample): keep iff the
+# md5 id-hash bucket < min(denom, weight*rate) — all integers.
+SQL_WEIGHTED_SAMPLE_DOCS = """
+SELECT doc_id, n_chars FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000000
+      < least(1000000, n_chars * 1500)
+"""
+
 # source mixing (ml/mixing.py): target-proportion subsampling — the
 # achievable total T = min_s floor(n_s*W/part_s), per-source keep
 # threshold floor(denom*part*T/(W*n)) over the md5 id-hash; all

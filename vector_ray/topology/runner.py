@@ -592,6 +592,14 @@ def _build_transform(
             source_col=c.get("source_col", "source"),
             id_col=c.get("id_col", "doc_id"),
             hash=c.get("hash", "md5"))}
+    if t == "weighted_sample":
+        from vector_ray.ml.mixing import weighted_sample
+
+        return {"": weighted_sample(
+            ds, weight_col=c["weight_col"],
+            id_col=c.get("id_col", "doc_id"),
+            rate=tuple(c.get("rate", (1, 1))),
+            hash=c.get("hash", "md5"))}
     if t == "span_dedup":
         from vector_ray.ml.span_dedup import span_dedup
 

@@ -921,6 +921,29 @@ def _q_nation_revenue(sf_dir: str):
          "revenue_ticks": [by_name[n] for n in names]})
 
 
+def _q_heavy_hitters_users(sf_dir: str):
+    """Count-Min heavy hitters (stages/sketch.heavy_hitters): users
+    whose estimated frequency exceeds total/130 — one-sided (every
+    true heavy hitter survives; collisions may add false positives,
+    replayed bit-exactly by the SQL's own md5 CM estimate)."""
+    import ray
+
+    from vector_ray.stages.sketch import heavy_hitters
+
+    ds = _events(sf_dir, columns=["user_id"]).materialize()
+
+    @ray.remote
+    def _uniq(t):
+        import pyarrow.compute as _pc
+
+        return _pc.unique(t["user_id"]).to_pylist()
+
+    users = sorted(set().union(*[set(u) for u in ray.get(
+        [_uniq.remote(r) for r in ds.to_arrow_refs()])]))
+    return heavy_hitters(ds, "user_id", users, k=130, w=256, d=4,
+                         hash="md5")
+
+
 def _q_count_min_users(sf_dir: str):
     """Count-Min sketch (stages/sketch.py): estimated event count per
     user through a 4x256 counter grid — per-block grids sum on the
@@ -2139,6 +2162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_fns_events": _q_window_fns_events,
         "quantile_sketch_events": _q_quantile_sketch_events,
         "count_min_users": _q_count_min_users,
+        "heavy_hitters_users": _q_heavy_hitters_users,
         # --- ML / training-data family ---
         "doc_quality": _q_doc_quality,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -2296,6 +2320,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_events": oracle.SQL_ROLLUP_EVENTS,
         "nation_revenue": oracle.SQL_NATION_REVENUE,
         "count_min_users": oracle.SQL_COUNT_MIN_USERS,
+        "heavy_hitters_users": oracle.SQL_HEAVY_HITTERS_USERS,
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,
         "sft_pairs_transcripts": oracle.sql_sft_pairs(tpath),

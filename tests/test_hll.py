@@ -91,3 +91,22 @@ def test_count_min_never_undercounts(ray_session):
     got2 = count_min_estimates(ds2, "x", truth.index.tolist(),
                                w=64, d=4).set_index("x")["est"]
     assert (got == got2).all()
+
+
+def test_heavy_hitters_one_sided(ray_session):
+    """Every TRUE heavy hitter must survive (CM never undercounts);
+    the output may add collision-driven false positives but never
+    misses."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.stages.sketch import heavy_hitters
+
+    rows = (["whale"] * 500 + ["mid"] * 60
+            + [f"u{i}" for i in range(400)])
+    ds = rd.from_arrow(pa.table({"u": pa.array(rows)})).repartition(5)
+    hh = heavy_hitters(ds, "u", sorted(set(rows)), k=10, w=64, d=4)
+    # total 960, threshold 96: whale (500) is a true heavy hitter
+    assert "whale" in set(hh["u"])
+    # estimates never undercount
+    assert int(hh[hh["u"] == "whale"]["est"].iloc[0]) >= 500

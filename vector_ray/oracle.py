@@ -740,6 +740,33 @@ FROM ib LEFT JOIN counts USING (seed, bucket)
 GROUP BY ib.user_id
 """
 
+# Count-Min heavy hitters: the same bit-exact CM replay filtered to
+# est * k > total (one-sided: all true heavy hitters survive,
+# collision mass may add false positives on BOTH engines identically).
+SQL_HEAVY_HITTERS_USERS = """
+WITH seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+h AS (
+  SELECT user_id, seed,
+         (('0x' || substr(md5(seed || ':' || user_id), 1, 16))::UBIGINT
+          % 256)::BIGINT AS bucket
+  FROM events CROSS JOIN seeds),
+counts AS (SELECT seed, bucket, count(*)::BIGINT AS c
+           FROM h GROUP BY 1, 2),
+items AS (SELECT DISTINCT user_id FROM events),
+ib AS (
+  SELECT user_id, seed,
+         (('0x' || substr(md5(seed || ':' || user_id), 1, 16))::UBIGINT
+          % 256)::BIGINT AS bucket
+  FROM items CROSS JOIN seeds),
+est AS (
+  SELECT ib.user_id, CAST(min(coalesce(c, 0)) AS BIGINT) AS est
+  FROM ib LEFT JOIN counts USING (seed, bucket)
+  GROUP BY ib.user_id),
+tot AS (SELECT count(*)::BIGINT AS total FROM events)
+SELECT user_id, est FROM est CROSS JOIN tot
+WHERE est * 130 > total
+"""
+
 # TPC-H-Q5-style nation revenue: 4-table chain, integer tick revenue
 # (cents x (100 - discount-pct)) so summation order cannot matter.
 SQL_NATION_REVENUE = """

@@ -369,3 +369,26 @@ def count_min_estimates(
     for s in range(d):
         est = np.minimum(est, grid[s][_cms_bucket(items, s, w, hash)])
     return pd.DataFrame({item_col: items, "est": est})
+
+
+def heavy_hitters(
+    ds: Dataset,
+    item_col: str,
+    items,
+    *,
+    k: int = 50,
+    w: int = 256,
+    d: int = 4,
+    hash: str = "fast",
+) -> "pd.DataFrame":
+    """Classic Count-Min heavy hitters: items whose estimated
+    frequency exceeds total/k (``est * k > total``).  One-sided like
+    the sketch itself — every TRUE heavy hitter survives (estimates
+    never undercount); collision mass can add false positives, which
+    is the documented trade.  The candidate set rides in (distinct
+    items from a bounded per-block gather); the grid cost is d×w ints
+    per block regardless of scale."""
+    est = count_min_estimates(ds, item_col, items, w=w, d=d, hash=hash)
+    total = int(ds.count())
+    out = est[est["est"] * k > total].reset_index(drop=True)
+    return out

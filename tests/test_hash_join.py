@@ -211,3 +211,53 @@ def test_salt_hot_keys_semi_anti_and_outer(ray_session):
             assert miss["y"].isna().all()
             hit = out[out["k"] == 0]
             assert (hit["y"] == 7).all() and len(hit) == 1000
+
+
+def test_bloom_prefilter_identity_and_pruning(ray_session):
+    """Bloom prefilter: identical join output (false positives resolve
+    in the real join), zero false negatives, selective joins prune
+    most left rows before the exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray as _r
+    import ray.data as rd
+
+    from vector_ray.stages.hash_join import (_bloom_test, _build_bloom,
+                                             _key_hash,
+                                             hash_partition_join)
+
+    rng = np.random.default_rng(8)
+    n = 20_000
+    left = pa.table({
+        "k": pa.array(rng.integers(0, 50_000, n), pa.int64()),
+        "v": pa.array(rng.integers(0, 10, n), pa.int64()),
+    })
+    right = pa.table({
+        "k": pa.array(rng.choice(50_000, 400,
+                                 replace=False).astype(np.int64)),
+        "p": pa.array(np.arange(400), pa.int64()),
+    })
+    L = rd.from_arrow(left).repartition(6)
+    R = rd.from_arrow(right).repartition(3)
+    for how in ("inner", "left_semi"):
+        a = hash_partition_join(L, R, on=["k"], how=how,
+                                num_partitions=6).to_pandas()
+        b = hash_partition_join(L, R, on=["k"], how=how,
+                                num_partitions=6,
+                                bloom_prefilter=True).to_pandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), how
+
+    bref = _build_bloom(rd.from_arrow(right).materialize(), ["k"],
+                        1 << 20)
+    mask = _bloom_test(_key_hash(left, ["k"]), _r.get(bref), 1 << 20)
+    member = np.isin(left["k"].to_numpy(), right["k"].to_numpy())
+    assert not (member & ~mask).any()        # never a false negative
+    assert mask.mean() < 3 * max(member.mean(), 1e-9)  # real pruning
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hash_partition_join(L, R, on=["k"], how="left_anti",
+                            bloom_prefilter=True)

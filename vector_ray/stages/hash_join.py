@@ -94,6 +94,54 @@ def _col_hash(t: pa.Table, k: str) -> np.ndarray:
     return out.astype(np.uint64)
 
 
+_BLOOM_K = 4
+
+
+def _build_bloom(right, rkeys: Sequence[str], bits: int):
+    """OR of per-block Bloom words over the right side's key hashes —
+    ``bits/8`` bytes per block on the driver regardless of scale.
+    Returns an object ref (or None for an empty right side)."""
+    assert bits & (bits - 1) == 0, "bloom_bits must be a power of two"
+    words = bits // 64
+
+    @ray.remote
+    def bb(t: pa.Table):
+        if t.num_rows == 0 or any(k not in t.column_names
+                                  for k in rkeys):
+            return None
+        h = _key_hash(t, rkeys)
+        h2 = splitmix64(h) | np.uint64(1)
+        arr = np.zeros(words, np.uint64)
+        for i in range(_BLOOM_K):
+            b = (h + np.uint64(i) * h2) & np.uint64(bits - 1)
+            np.bitwise_or.at(arr, (b >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (b & np.uint64(63)))
+        return arr
+
+    parts = [a for a in ray.get([bb.remote(r)
+                                 for r in right.to_arrow_refs()])
+             if a is not None]
+    if not parts:
+        return None
+    out = parts[0]
+    for a in parts[1:]:
+        out = out | a
+    return ray.put(out)
+
+
+def _bloom_test(h: np.ndarray, arr: np.ndarray,
+                bits: int) -> np.ndarray:
+    """Membership mask — false negatives impossible, false positives
+    resolve in the real join."""
+    h2 = splitmix64(h) | np.uint64(1)
+    ok = np.ones(len(h), dtype=bool)
+    for i in range(_BLOOM_K):
+        b = (h + np.uint64(i) * h2) & np.uint64(bits - 1)
+        ok &= ((arr[(b >> np.uint64(6)).astype(np.int64)]
+                >> (b & np.uint64(63))) & np.uint64(1)).astype(bool)
+    return ok
+
+
 def _key_hash(t: pa.Table, keys: Sequence[str]) -> np.ndarray:
     """Vectorized uint64 hash of the key tuple (per-column hashes
     mixed through splitmix64)."""
@@ -230,6 +278,8 @@ def hash_partition_join(
     right_suffix: str = "_r",
     num_partitions: int | None = None,
     salt_hot_keys: int | None = None,
+    bloom_prefilter: bool = False,
+    bloom_bits: int = 1 << 23,
 ) -> Dataset:
     """Equality-join ``left`` with ``right`` on ``on`` (right side's
     key columns named ``right_on`` if they differ; output keeps the
@@ -250,9 +300,21 @@ def hash_partition_join(
     on key HASHES, so a false positive merely salts a cold key (still
     correct).  Materializes the left side (the detection pass must not
     re-execute a lazy chain).  Not supported for ``full_outer`` (the
-    unmatched-right replicas would duplicate)."""
+    unmatched-right replicas would duplicate).
+
+    ``bloom_prefilter=True`` (``inner`` / ``left_semi`` only — other
+    hows must KEEP unmatched left rows): broadcast a Bloom filter of
+    the right keys (``bloom_bits``/8 bytes once via ``ray.put``) and
+    drop definite-non-matching left rows BEFORE the exchange — for
+    selective joins the all-to-all moves only candidate rows.  False
+    negatives are impossible; false positives resolve in the real
+    join, so output is identical."""
     if how not in _ACERO_HOW:
         raise ValueError(f"unsupported how={how!r}")
+    if bloom_prefilter and how not in ("inner", "left_semi"):
+        raise ValueError(
+            "bloom_prefilter supports inner/left_semi only "
+            "(other hows keep unmatched left rows)")
     if salt_hot_keys is not None and how == "full_outer":
         raise ValueError("salt_hot_keys does not support full_outer")
     keys = list(on)
@@ -305,6 +367,27 @@ def hash_partition_join(
 
             return left.map_batches(bjoin, batch_format="pyarrow",
                                     batch_size=None)
+
+    if bloom_prefilter:
+        from ray.data.dataset import MaterializedDataset
+
+        if not isinstance(right, MaterializedDataset):
+            right = right.materialize()  # bloom pass must not
+        bref = _build_bloom(right, rkeys_in, bloom_bits)  # re-execute
+        if bref is not None:
+            _bits = bloom_bits
+
+            def bloomf(t: pa.Table) -> pa.Table:
+                if t.num_rows == 0:
+                    return t
+                arr = ray.get(bref)   # zero-copy plasma numpy
+                return t.filter(pa.array(_bloom_test(
+                    _key_hash(t, keys), arr, _bits)))
+
+            left = left.map_batches(bloomf, batch_format="pyarrow",
+                                    batch_size=None)
+        else:
+            return left.limit(0)      # empty right: inner/semi empty
 
     hot: np.ndarray | None = None
     NSALT = int(salt_hot_keys or 0)

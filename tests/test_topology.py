@@ -749,3 +749,40 @@ def test_curation_pipeline_yaml(tmp_path):
     assert 0 < sc["survivors_out"] <= 500
     assert 0 < sc["mixed_out"] < 500         # 3:2:1 over 3 of 20 sources
     assert sc["chunks_out"] >= 500           # stride overlap explodes
+
+
+def test_hash_join_yaml_type(tmp_path):
+    """Generic equality join as a two-input YAML component."""
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(f"""
+sources:
+  orders:
+    type: parquet
+    path: {sf}/orders.parquet
+    columns: [o_orderkey, o_custkey]
+  customer:
+    type: parquet
+    path: {sf}/customer.parquet
+    columns: [c_custkey, c_mktsegment]
+transforms:
+  joined:
+    type: hash_join
+    inputs: [orders, customer]
+    on: [o_custkey]
+    right_on: [c_custkey]
+    how: inner
+sinks:
+  out:
+    type: parquet
+    inputs: [joined]
+    path: "{tmp_path}/out"
+""")
+    res = run_topology(topo)
+    import duckdb
+    want = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf}/orders.parquet') o"
+        f" JOIN read_parquet('{sf}/customer.parquet') c"
+        " ON o.o_custkey = c.c_custkey").fetchone()[0]
+    assert res.sink_counts["out"] == want

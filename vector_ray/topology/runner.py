@@ -196,7 +196,7 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
 # transforms consuming their 2 inputs as distinct (left, right) sides
 # instead of the reference's union-of-inputs stream semantics
 _TWO_INPUT_TRANSFORMS = frozenset(
-    {"asof_join", "interval_join", "decontaminate"})
+    {"asof_join", "interval_join", "decontaminate", "hash_join"})
 
 
 def _build_transform(
@@ -217,7 +217,7 @@ def _build_transform(
             ins_list[0], ins_list[1],
             text_col=c.get("text_col", "text"), n=c.get("n", 3),
             seed=c.get("seed", 0), annotate=c.get("annotate", False))}
-    if t in ("asof_join", "interval_join"):
+    if t in ("asof_join", "interval_join", "hash_join"):
         # two-input components: inputs[0] is the left/points side,
         # inputs[1] the right/intervals side (every other transform
         # unions its inputs into one stream, reference-style)
@@ -225,6 +225,22 @@ def _build_transform(
             raise ConfigError(
                 f"{t} component {spec.name!r} needs exactly 2 inputs "
                 f"(left, right); got {len(ins_list or [])}")
+        if t == "hash_join":
+            from vector_ray.stages.hash_join import hash_partition_join
+
+            on = c.get("on", c.get(True, c.get("on_col")))
+            if on is None:
+                raise ConfigError(
+                    f"hash_join component {spec.name!r} needs `on`")
+            on = [on] if isinstance(on, str) else list(on)
+            return {"": hash_partition_join(
+                ins_list[0], ins_list[1], on=on,
+                right_on=c.get("right_on"),
+                how=c.get("how", "inner"),
+                right_suffix=c.get("right_suffix", "_r"),
+                num_partitions=c.get("num_partitions"),
+                salt_hot_keys=c.get("salt_hot_keys"),
+                bloom_prefilter=bool(c.get("bloom_prefilter", False)))}
         if t == "asof_join":
             from vector_ray.stages.asof import asof_join
 

@@ -14,6 +14,7 @@ inherently formatting-bound functions and is commented as such.
 
 from __future__ import annotations
 
+import base64
 import binascii
 import json
 import os
@@ -988,15 +989,28 @@ def encode_proto(col, desc_file, message_type) -> pa.Array:
     return pa.array(out, pa.large_binary())
 
 
-def _proto_unavailable(name: str):
-    def fn(col, *a, **k):
-        raise NotImplementedError(
-            f"{name}: needs the dnstap descriptor set shipped with the "
-            "reference build; parse_proto covers user descriptors")
-    return fn
+def parse_dnstap(col, lowercase_hostnames=False) -> pa.Array:
+    """parse_dnstap.cue: base64 dnstap frame -> nested event struct
+    (pure-Python dnstap protobuf + RFC 1035 wire decode in
+    functions/dnstap.py); undecodable rows null (fallible)."""
+    from vector_ray.functions.dnstap import parse_dnstap_frame
 
-
-parse_dnstap = _proto_unavailable("parse_dnstap")
+    lc = bool(lowercase_hostnames)
+    rows = []
+    for v in col.to_pylist():
+        if v is None:
+            rows.append(None)
+            continue
+        try:
+            if isinstance(v, (bytes, bytearray, memoryview)):
+                frame = bytes(v)
+            else:
+                frame = base64.b64decode(str(v), validate=True)
+            rows.append(parse_dnstap_frame(frame, lc))
+        except (ValueError, IndexError, KeyError, OverflowError,
+                binascii.Error, OSError):
+            rows.append(None)
+    return pa.array(rows)
 
 
 def parse_ruby_hash(col) -> pa.Array:

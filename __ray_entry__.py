@@ -1415,6 +1415,53 @@ def _q_global_topk_events(sf_dir: str):
                        descending=[True, False])
 
 
+def _setop_side(sf_dir: str, etype: str):
+    """(user_id, bucket) rows of one event type — predicate pushed
+    into the parquet read, cents quantized to an exact integer bucket
+    so both engines agree bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pds
+    import ray.data as rd
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "bucket": pa.array(cents % 20)})
+
+    return rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"],
+        filter=pds.field("event_type") == etype,
+    ).map_batches(prep, batch_format="pyarrow", batch_size=None)
+
+
+def _q_setop_events(sf_dir: str):
+    """INTERSECT ALL over (user_id, value-bucket) tuples of click vs
+    view events (stages/setops.set_op): each side collapses to
+    (tuple, count) with a map-side combine, ONE key-cardinality
+    hash-partition join, multiplicity min(l,r) re-expanded vectorized
+    — bag semantics without ever exchanging row-level data."""
+    from vector_ray.stages.setops import set_op
+
+    return set_op(_setop_side(sf_dir, "click"),
+                  _setop_side(sf_dir, "view"),
+                  columns=["user_id", "bucket"],
+                  op="intersect", all=True)
+
+
+def _q_except_events(sf_dir: str):
+    """EXCEPT ALL over the same tuples (multiplicity max(l-r, 0));
+    left-outer count join, same zero-row-exchange shape."""
+    from vector_ray.stages.setops import set_op
+
+    return set_op(_setop_side(sf_dir, "click"),
+                  _setop_side(sf_dir, "view"),
+                  columns=["user_id", "bucket"],
+                  op="except", all=True)
+
+
 def _q_weighted_sample_docs(sf_dir: str):
     """Quality-weighted sampling (ml/mixing.weighted_sample): keep
     probability proportional to document length (the quality-weighted
@@ -2146,7 +2193,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_events": _q_filter_events,
         "dd_filter_events": _q_dd_filter_events,
         "nginx_parse_events": _q_nginx_parse_events,
-        "codec_roundtrip_events": _q_codec_roundtrip_events,
+        # (codec_roundtrip_events: second §2.6 rep beside nginx_parse,
+        # moved past 50 to make room for the set-op family while
+        # keeping kmeans_assign inside the checked window)
         # --- enrichment (§2.3) ---
         "cidr_enrich_events": _q_cidr_enrich_events,
         "snapshot_enrich_events": _q_snapshot_enrich_events,
@@ -2161,8 +2210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interval_join_events": _q_interval_join_events,
         "window_fns_events": _q_window_fns_events,
         "quantile_sketch_events": _q_quantile_sketch_events,
-        "count_min_users": _q_count_min_users,
+        # (count_min_users: heavy_hitters filters the same bit-exact
+        # CM replay, so the sketch family keeps one in-window rep and
+        # the set-op family gets a driver row)
         "heavy_hitters_users": _q_heavy_hitters_users,
+        "setop_events": _q_setop_events,  # INTERSECT ALL
         # --- ML / training-data family ---
         "doc_quality": _q_doc_quality,
         "exact_dedup_docs": _q_exact_dedup_docs,
@@ -2180,6 +2232,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
         # ================= driver window ends here (50) =================
+        "count_min_users": _q_count_min_users,
+        "codec_roundtrip_events": _q_codec_roundtrip_events,
+        "except_events": _q_except_events,  # EXCEPT ALL
         "role_enrich": _q_role_enrich,
         "events_anti_join": _q_events_anti_join,
         # aggregate keeps summary + diff in-window; latest shares their
@@ -2321,6 +2376,8 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": oracle.SQL_NATION_REVENUE,
         "count_min_users": oracle.SQL_COUNT_MIN_USERS,
         "heavy_hitters_users": oracle.SQL_HEAVY_HITTERS_USERS,
+        "setop_events": oracle.SQL_SETOP_EVENTS,
+        "except_events": oracle.SQL_EXCEPT_EVENTS,
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,
         "sft_pairs_transcripts": oracle.sql_sft_pairs(tpath),

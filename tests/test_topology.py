@@ -786,3 +786,41 @@ sinks:
         f" JOIN read_parquet('{sf}/customer.parquet') c"
         " ON o.o_custkey = c.c_custkey").fetchone()[0]
     assert res.sink_counts["out"] == want
+
+
+def test_set_op_yaml_type(tmp_path):
+    """INTERSECT/EXCEPT as a two-input YAML component."""
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(f"""
+sources:
+  clicks:
+    type: parquet
+    path: {sf}/events.parquet
+    columns: [user_id, event_type]
+  views:
+    type: parquet
+    path: {sf}/events.parquet
+    columns: [user_id, event_type]
+transforms:
+  both:
+    type: set_op
+    inputs: [clicks, views]
+    columns: [user_id]
+    op: intersect
+    all: false
+sinks:
+  out:
+    type: parquet
+    inputs: [both]
+    path: "{tmp_path}/out"
+""")
+    res = run_topology(topo)
+    import duckdb
+    want = duckdb.sql(
+        f"SELECT count(*) FROM (SELECT user_id FROM "
+        f"read_parquet('{sf}/events.parquet') INTERSECT "
+        f"SELECT user_id FROM read_parquet('{sf}/events.parquet'))"
+    ).fetchone()[0]
+    assert res.sink_counts["out"] == want

@@ -1549,3 +1549,28 @@ w AS (
 SELECT conv_id, turn_idx, context, text AS target
 FROM w WHERE role = 'assistant' AND context IS NOT NULL
 """
+
+# SQL set operations (stages/setops.set_op): bag semantics over
+# exact-integer tuples — INTERSECT ALL multiplicity = min(l, r),
+# EXCEPT ALL = max(l - r, 0).  The bucket is integer cents % 20 so
+# both engines quantize identically.
+_SETOP_SIDES = """
+WITH l AS (SELECT user_id,
+                  CAST(round(value * 100) AS BIGINT) % 20 AS bucket
+           FROM events WHERE event_type = 'click'),
+     r AS (SELECT user_id,
+                  CAST(round(value * 100) AS BIGINT) % 20 AS bucket
+           FROM events WHERE event_type = 'view')
+"""
+
+SQL_SETOP_EVENTS = _SETOP_SIDES + """
+SELECT user_id, bucket FROM l
+INTERSECT ALL
+SELECT user_id, bucket FROM r
+"""
+
+SQL_EXCEPT_EVENTS = _SETOP_SIDES + """
+SELECT user_id, bucket FROM l
+EXCEPT ALL
+SELECT user_id, bucket FROM r
+"""

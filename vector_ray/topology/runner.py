@@ -196,7 +196,8 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
 # transforms consuming their 2 inputs as distinct (left, right) sides
 # instead of the reference's union-of-inputs stream semantics
 _TWO_INPUT_TRANSFORMS = frozenset(
-    {"asof_join", "interval_join", "decontaminate", "hash_join"})
+    {"asof_join", "interval_join", "decontaminate", "hash_join",
+     "set_op"})
 
 
 def _build_transform(
@@ -217,6 +218,22 @@ def _build_transform(
             ins_list[0], ins_list[1],
             text_col=c.get("text_col", "text"), n=c.get("n", 3),
             seed=c.get("seed", 0), annotate=c.get("annotate", False))}
+    if t == "set_op":
+        if ins_list is None or len(ins_list) != 2:
+            raise ConfigError(
+                f"set_op component {spec.name!r} needs exactly 2 "
+                f"inputs (left, right); got {len(ins_list or [])}")
+        from vector_ray.stages.setops import set_op
+
+        cols = c.get("columns")
+        if not cols:
+            raise ConfigError(
+                f"set_op component {spec.name!r} needs `columns`")
+        return {"": set_op(
+            ins_list[0], ins_list[1],
+            columns=[cols] if isinstance(cols, str) else list(cols),
+            op=c.get("op", "intersect"), all=bool(c.get("all", False)),
+            num_partitions=c.get("num_partitions"))}
     if t in ("asof_join", "interval_join", "hash_join"):
         # two-input components: inputs[0] is the left/points side,
         # inputs[1] the right/intervals side (every other transform

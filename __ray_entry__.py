@@ -1402,6 +1402,30 @@ def _q_corr_events(sf_dir: str):
         keys=["event_type"], x="x", y="y")
 
 
+def _q_moments_events(sf_dir: str):
+    """Grouped skewness / excess kurtosis (stages/stats.grouped_moments)
+    of (value cents % 100) per event_type: Σx..Σx⁴ map-side combined as
+    exact int64, one tiny exchange, then g1 = A/(B·√B) and g2 = D/B²
+    where A/B/D are exact big-int numerators — 2-3 IEEE double ops,
+    micro-quantized bit-for-bit against the HUGEINT SQL replay."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import grouped_moments
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"event_type": t["event_type"],
+                         "x": pa.array(cents % 100)})
+
+    return grouped_moments(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        keys=["event_type"], x="x")
+
+
 def _q_global_topk_events(sf_dir: str):
     """Global top-100 (stages/topk.py): per-block partial top-k then
     one single-block reduction — at most k x #blocks rows move, vs the
@@ -2286,6 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_docs": _q_weighted_sample_docs,
         "global_topk_events": _q_global_topk_events,
         "corr_events": _q_corr_events,
+        "moments_events": _q_moments_events,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2411,6 +2436,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_sample_docs": oracle.SQL_WEIGHTED_SAMPLE_DOCS,
         "global_topk_events": oracle.SQL_GLOBAL_TOPK_EVENTS,
         "corr_events": oracle.SQL_CORR_EVENTS,
+        "moments_events": oracle.SQL_MOMENTS_EVENTS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

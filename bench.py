@@ -101,7 +101,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      "chunk_docs", "pack_docs",
                      "conv_dedup_transcripts",
                      # round-4 late: Gopher repetition + span dedup
-                     "repetition_docs", "span_dedup_docs"):
+                     "repetition_docs", "span_dedup_docs",
+                     # round-4 session close: SQL set operations
+                     "setop_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -74,3 +74,62 @@ def test_intercept_r2_match_numpy():
         r = np.corrcoef(g.x, g.y)[0, 1]
         assert abs(row.intercept_micro / 1e6 - inter) < 5e-4
         assert abs(row.r2_micro / 1e6 - r * r) < 2e-6
+
+
+def _run_moments(t, blocks=5):
+    import ray.data as rd
+
+    from vector_ray.stages.stats import grouped_moments
+
+    ds = rd.from_arrow(t).repartition(blocks)
+    return (grouped_moments(ds, keys=["k"], x="x")
+            .to_pandas().sort_values("k").reset_index(drop=True))
+
+
+def test_moments_match_numpy():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b", "c"], size=n)),
+        "x": pa.array(rng.integers(0, 100, n), pa.int64()),
+    })
+    out = _run_moments(t)
+    df = t.to_pandas()
+    for _, row in out.iterrows():
+        g = df[df.k == row.k].x.to_numpy().astype(float)
+        m = g.mean()
+        m2 = ((g - m) ** 2).mean()
+        g1 = ((g - m) ** 3).mean() / m2 ** 1.5
+        g2 = ((g - m) ** 4).mean() / m2 ** 2 - 3.0
+        assert abs(row.skew_micro / 1e6 - g1) < 1e-4
+        assert abs(row.kurt_micro / 1e6 - g2) < 1e-4
+
+
+def test_moments_block_layout_invariant():
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "k": pa.array(rng.choice(["a", "b"], size=999)),
+        "x": pa.array(rng.integers(0, 50, 999), pa.int64()),
+    })
+    base = _run_moments(t, blocks=1)
+    for blocks in (3, 17):
+        other = _run_moments(t, blocks=blocks)
+        assert base.equals(other)
+
+
+def test_moments_zero_variance_is_null():
+    import pyarrow as pa
+
+    t = pa.table({"k": ["a"] * 5 + ["b"] * 3,
+                  "x": [7] * 5 + [1, 2, 3]})
+    out = _run_moments(t, blocks=2)
+    a = out[out.k == "a"].iloc[0]
+    assert a.skew_micro is None or a.isna().skew_micro
+    b = out[out.k == "b"].iloc[0]
+    assert b.skew_micro == 0  # symmetric 1,2,3

@@ -1574,3 +1574,42 @@ SELECT user_id, bucket FROM l
 EXCEPT ALL
 SELECT user_id, bucket FROM r
 """
+
+# grouped skewness / excess kurtosis (stages/stats.grouped_moments):
+# exact HUGEINT numerators, then the same 2-3 IEEE double ops as the
+# Ray side — A/(B*sqrt(B)) and D/B² — micro-quantized.
+SQL_MOMENTS_EVENTS = """
+WITH x AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) % 100 AS x
+  FROM events
+), s AS (
+  SELECT event_type,
+         CAST(count(*) AS HUGEINT)    AS n,
+         CAST(sum(x) AS HUGEINT)      AS s1,
+         CAST(sum(x*x) AS HUGEINT)    AS s2,
+         CAST(sum(x*x*x) AS HUGEINT)  AS s3,
+         CAST(sum(x*x*x*x) AS HUGEINT) AS s4
+  FROM x GROUP BY event_type
+), m AS (
+  SELECT *,
+         n*s2 - s1*s1 AS b,
+         n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS a,
+         n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1
+           - 3*(n*s2 - s1*s1)*(n*s2 - s1*s1) AS d
+  FROM s
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n, CAST(s1 AS BIGINT) AS s1,
+       CAST(s2 AS BIGINT) AS s2, CAST(s3 AS BIGINT) AS s3,
+       CAST(s4 AS BIGINT) AS s4,
+       CASE WHEN n < 2 OR b <= 0 THEN NULL
+            ELSE CAST(round(1e6 * (CAST(a AS DOUBLE) /
+                 (CAST(b AS DOUBLE) * sqrt(CAST(b AS DOUBLE)))))
+                 AS BIGINT) END AS skew_micro,
+       CASE WHEN n < 2 OR b <= 0 THEN NULL
+            ELSE CAST(round(1e6 * (CAST(d AS DOUBLE) /
+                 (CAST(b AS DOUBLE) * CAST(b AS DOUBLE))))
+                 AS BIGINT) END AS kurt_micro
+FROM m
+"""

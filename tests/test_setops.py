@@ -82,3 +82,34 @@ def test_bad_op_raises(ray_session):
     l = rd.from_arrow(pa.Table.from_pylist(L))
     with pytest.raises(ValueError):
         set_op(l, l, columns=["k"], op="union")
+
+
+def test_differential_fuzz_vs_duckdb(ray_session):
+    """Seeded random tables (with nulls) through all 4 modes; DuckDB
+    computes the same op on the same frames.  Multisets must match
+    exactly (NaN-safe object compare)."""
+    import numpy as np
+
+    rng = np.random.default_rng(2024)
+    for trial in range(6):
+        nl, nr = rng.integers(5, 200, 2)
+        def mk(n):
+            k = rng.choice(["a", "b", "c", None], size=n,
+                           p=[.4, .3, .2, .1])
+            v = rng.integers(0, 5, n).astype(object)
+            v[rng.random(n) < 0.1] = None
+            return [{"k": kk, "v": vv} for kk, vv in zip(k, v)]
+        lrows, rrows = mk(nl), mk(nr)
+        op = ("intersect", "except")[trial % 2]
+        al = bool(trial % 3)
+        kw = (("INTERSECT" if op == "intersect" else "EXCEPT")
+              + (" ALL" if al else ""))
+        got = _run(lrows, rrows, ["k", "v"], op, al,
+                   blocks=int(rng.integers(1, 6)))
+        want = _sql(lrows, rrows, ["k", "v"], kw)
+        assert len(got) == len(want), (trial, kw, len(got), len(want))
+        g = sorted(map(tuple, got.astype(object).where(
+            pd.notna(got), None).values), key=repr)
+        w = sorted(map(tuple, want.astype(object).where(
+            pd.notna(want), None).values), key=repr)
+        assert g == w, (trial, kw)

@@ -154,14 +154,94 @@ def test_media_codec_stage_and_real_fixture(ray_session):
             frames = float(f[1]) * 65536
             assert round(frames * 1000 / rate) == r["duration_ms"]
 
-    # real PNG resize through the actor pool: dims change, decodable
-    from vector_ray.ml.codecs_media import decode_png
+    # real PNG/JPEG resize through the actor pool: dims change,
+    # output stays decodable in its own format
+    from vector_ray.ml.codecs_media import decode_jpeg, decode_png
 
     imgs = rd.from_arrow(tbl).filter(lambda r: r["kind"] == "image")
     rs = resize_images(imgs, target_w=9, target_h=7,
                        resize_fn="codec", batch_size=8).to_pandas()
     assert (rs["width"] == 9).all() and (rs["height"] == 7).all()
-    a = decode_png(rs["payload"].iloc[0])
-    assert a.shape[:2] == (7, 9)
+    saw = set()
+    for payload in rs["payload"]:
+        if payload[:2] == b"\xff\xd8":
+            a = decode_jpeg(payload)
+            saw.add("jpeg")
+        else:
+            a = decode_png(payload)
+            saw.add("png")
+        assert a.shape[:2] == (7, 9)
+    assert saw == {"png", "jpeg"}
 
     assert ensure_real_media_fixture(n=40, seed=1)
+
+
+def test_jpeg_roundtrip_modes():
+    """Baseline JPEG codec: every encoder mode decodes to the right
+    shape with error bounded by the quantization step."""
+    from vector_ray.ml.codecs_media import (decode_jpeg, encode_jpeg,
+                                            jpeg_info)
+
+    rng = np.random.default_rng(5)
+    h, w = 41, 53
+    x = np.linspace(0, 255, w)[None, :] * np.ones((h, 1))
+    y = np.linspace(0, 255, h)[:, None] * np.ones((1, w))
+    img = np.stack([x, y, (x + y) / 2], axis=-1)
+    img = np.clip(img + rng.normal(0, 2, img.shape), 0,
+                  255).astype(np.uint8)
+
+    for kwargs, bound in ((dict(quant=1), 5),
+                          (dict(quant=4), 14),
+                          (dict(quant=4, subsample=True), 18),
+                          (dict(quant=2, restart_interval=3), 10),
+                          (dict(quant=2, subsample=True,
+                                restart_interval=2), 14)):
+        payload = encode_jpeg(img, **kwargs)
+        assert payload[:2] == b"\xff\xd8"
+        assert payload[-2:] == b"\xff\xd9"
+        assert jpeg_info(payload) == (w, h, 3)
+        out = decode_jpeg(payload)
+        assert out.shape == img.shape
+        err = np.abs(out.astype(float) - img.astype(float))
+        assert err.max() <= bound, (kwargs, err.max())
+
+
+def test_jpeg_gray_near_lossless():
+    from vector_ray.ml.codecs_media import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(9)
+    g = np.clip(np.cumsum(rng.normal(0, 1, (24, 31)), axis=1) + 128,
+                0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(g, quant=1))
+    assert out.shape == g.shape
+    assert np.abs(out.astype(float) - g.astype(float)).max() <= 2
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import pytest
+
+    from vector_ray.ml.codecs_media import decode_jpeg, encode_jpeg
+
+    img = np.zeros((8, 8), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    # flip SOF0 (0xC0) to SOF2 (progressive) — must refuse honestly
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(payload))
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    # truncated entropy stream
+    full = encode_jpeg(np.full((16, 16), 200, np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg(full[:len(full) // 2])
+
+
+def test_jpeg_dims_not_multiple_of_mcu():
+    """Odd dims with 4:2:0 force edge padding + crop on both sides."""
+    from vector_ray.ml.codecs_media import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quant=2, subsample=True))
+    assert out.shape == (13, 19, 3)

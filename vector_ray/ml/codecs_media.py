@@ -1,11 +1,12 @@
-"""Real media codecs in pure stdlib + numpy: PNG and WAV.
+"""Real media codecs in pure stdlib + numpy: PNG, baseline JPEG, WAV.
 
 Round-3 verdict ("What's missing" #1) asked for one REAL decode per
 modality at the multimodal stub boundary.  The container has no
-libjpeg/ffmpeg, but PNG is zlib (stdlib) + per-scanline unfiltering
-and WAV is RIFF struct parsing — both implementable exactly from
-their public specs (PNG: RFC 2083; WAV: RIFF/WAVE PCM layout).
-JPEG/MP4 stay honest ``NotImplementedError`` boundaries.
+libjpeg/ffmpeg, but PNG is zlib (stdlib) + per-scanline unfiltering,
+WAV is RIFF struct parsing, and baseline JPEG is Huffman + IDCT —
+all implementable exactly from their public specs (PNG: RFC 2083;
+WAV: RIFF/WAVE PCM layout; JPEG: ITU-T T.81 baseline + JFIF).
+MP4/video stays the honest ``NotImplementedError`` boundary.
 
 Decoders are kernels for the actor-pool media stage
 (ml/multimodal.MediaDecodeStage with ``decode_fn="codec"``); encoders
@@ -232,3 +233,521 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     else:
         raise NotImplementedError(f"WAV PCM bits={bits} unsupported")
     return s.reshape(-1, ch), rate
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline DCT, ITU-T T.81 / JFIF)
+#
+# The DECODER handles any baseline stream: arbitrary DQT (8/16-bit) /
+# DHT tables, 1- or 3-component scans, sampling factors up to 2x2
+# (4:4:4 / 4:2:2 / 4:2:0), restart intervals, APPn/COM skip.
+# Progressive (SOF2) and arithmetic coding stay honest
+# NotImplementedError boundaries.  The ENCODER is fixture-grade: it
+# emits valid baseline JFIF with programmatically-built canonical
+# Huffman tables (all AC symbols at 8 bits, DC at 4 — Kraft-valid, no
+# transcribed spec tables) and flat quantization, optional 4:2:0.
+# Entropy decode is a per-symbol Python walk (fixture-scale; a real
+# deployment binds libjpeg in the actor __init__), everything after
+# (dequant, IDCT, upsample, color) is vectorized numpy over all
+# blocks at once.
+# ---------------------------------------------------------------------------
+
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    # orthonormal DCT-II basis: T @ block @ T.T transforms, T.T @ c @ T
+    # inverts
+    k = np.arange(8.0)
+    T = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    T *= np.sqrt(2.0 / 8.0)
+    T[0] *= np.sqrt(0.5)
+    return T
+
+
+_DCT_T = _dct_matrix()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.nbits += nbits
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+
+
+def _canonical_codes(bits: list[int], symbols: list[int]) -> dict:
+    """JPEG canonical code assignment: BITS[l] codes of length l+1 in
+    symbol order."""
+    codes, code, i = {}, 0, 0
+    for li, count in enumerate(bits):
+        for _ in range(count):
+            codes[symbols[i]] = (li + 1, code)
+            code += 1
+            i += 1
+        code <<= 1
+    return codes
+
+
+def _fixture_tables():
+    """Encoder Huffman tables built programmatically (not transcribed):
+    12 DC categories at 4 bits, all 162 AC (run,size) symbols at 8
+    bits — canonical, Kraft-valid (162/256 < 1), decodable by any
+    baseline decoder."""
+    dc_bits = [0, 0, 0, 12] + [0] * 12
+    dc_syms = list(range(12))
+    ac_syms = [0x00, 0xF0]
+    for run in range(16):
+        for size in range(1, 11):
+            ac_syms.append((run << 4) | size)
+    ac_bits = [0] * 16
+    ac_bits[7] = len(ac_syms)  # all at length 8
+    return (dc_bits, dc_syms, _canonical_codes(dc_bits, dc_syms),
+            ac_bits, ac_syms, _canonical_codes(ac_bits, ac_syms))
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) per T.81 F.1.2.1: negatives encode as
+    v + 2^size - 1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _fdct_blocks(plane: np.ndarray) -> np.ndarray:
+    """(h, w) float plane (level-shifted) -> (nby, nbx, 8, 8) DCT."""
+    h, w = plane.shape
+    b = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    return np.einsum("ij,abjk,lk->abil", _DCT_T, b, _DCT_T)
+
+
+def encode_jpeg(arr: np.ndarray, *, quant: int = 4,
+                subsample: bool = False,
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w) gray or (h, w, 3) RGB uint8 to baseline JFIF.
+    ``quant`` is the flat quantization step (1 = near-lossless);
+    ``subsample=True`` writes 4:2:0; ``restart_interval`` in MCUs."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ncomp = arr.shape
+    if ncomp not in (1, 3):
+        raise ValueError("encode_jpeg expects gray or RGB")
+    f = arr.astype(np.float64)
+    if ncomp == 3:
+        r, g, b = f[..., 0], f[..., 1], f[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    else:
+        planes = [f[..., 0]]
+        subsample = False
+
+    hs = 2 if subsample else 1      # luma sampling factor
+    mcu_px = 8 * hs
+    pw = -(-w // mcu_px) * mcu_px
+    ph = -(-h // mcu_px) * mcu_px
+
+    def pad(p):
+        return np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+
+    planes = [pad(p) for p in planes]
+    if subsample:
+        for i in (1, 2):
+            p = planes[i]
+            planes[i] = (p.reshape(ph // 2, 2, pw // 2, 2)
+                         .mean(axis=(1, 3)))
+
+    qy = np.full((8, 8), float(quant))
+    qc = np.full((8, 8), float(quant * 2 if ncomp == 3 else quant))
+    (dc_bits, dc_syms, dc_codes,
+     ac_bits, ac_syms, ac_codes) = _fixture_tables()
+
+    coefs = [_fdct_blocks(p - 128.0) for p in planes]
+
+    out = bytearray(b"\xff\xd8")                      # SOI
+    out += (b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+            b"\x00\x01\x00\x01\x00\x00")              # APP0
+    for tid, q in ((0, qy),) + (((1, qc),) if ncomp == 3 else ()):
+        out += b"\xff\xdb" + (67).to_bytes(2, "big") + bytes([tid])
+        out += bytes(int(q.ravel()[_ZIGZAG][i]) for i in range(64))
+    # SOF0
+    sof = bytearray()
+    sof += bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([ncomp])
+    for ci in range(ncomp):
+        samp = (hs << 4 | hs) if ci == 0 else 0x11
+        sof += bytes([ci + 1, samp, 0 if ci == 0 else 1])
+    out += b"\xff\xc0" + (len(sof) + 2).to_bytes(2, "big") + sof
+    # DHT: same tables for ids 0 and 1 (dc), 0 and 1 (ac)
+    for cls, tid, bits, syms in (
+            (0, 0, dc_bits, dc_syms), (0, 1, dc_bits, dc_syms),
+            (1, 0, ac_bits, ac_syms), (1, 1, ac_bits, ac_syms)):
+        seg = bytes([(cls << 4) | tid]) + bytes(bits) + bytes(syms)
+        out += b"\xff\xc4" + (len(seg) + 2).to_bytes(2, "big") + seg
+    if restart_interval:
+        out += (b"\xff\xdd" + (4).to_bytes(2, "big")
+                + int(restart_interval).to_bytes(2, "big"))
+    sos = bytes([ncomp]) + b"".join(
+        bytes([ci + 1, (0 if ci == 0 else 1) * 0x11])
+        for ci in range(ncomp)) + b"\x00\x3f\x00"
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    wbits = _BitWriter()
+    pred = [0] * ncomp
+    mcus_x = pw // mcu_px
+    mcus_y = ph // mcu_px
+    rst = 0
+    nmcu = 0
+
+    def put_block(zz: np.ndarray, ci: int) -> None:
+        size, bitsv = _magnitude(int(zz[0]) - pred[ci])
+        pred[ci] = int(zz[0])
+        ln, code = dc_codes[size]
+        wbits.put(code, ln)
+        if size:
+            wbits.put(bitsv, size)
+        run = 0
+        nz = np.flatnonzero(zz[1:])
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                ln, code = ac_codes[0xF0]
+                wbits.put(code, ln)
+                run -= 16
+            size, bitsv = _magnitude(v)
+            ln, code = ac_codes[(run << 4) | size]
+            wbits.put(code, ln)
+            wbits.put(bitsv, size)
+            run = 0
+        if last < 63:
+            ln, code = ac_codes[0x00]
+            wbits.put(code, ln)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and nmcu and \
+                    nmcu % restart_interval == 0:
+                wbits.flush()
+                out += bytes(wbits.out)
+                wbits = _BitWriter()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0] * ncomp
+            for ci in range(ncomp):
+                if ci == 0 and hs == 2:
+                    for dy in range(2):
+                        for dx in range(2):
+                            zz = np.round(
+                                coefs[0][my * 2 + dy, mx * 2 + dx]
+                                / qy).astype(np.int64).ravel()[_ZIGZAG]
+                            put_block(zz, 0)
+                else:
+                    q = qy if ci == 0 else qc
+                    zz = np.round(coefs[ci][my, mx] / q).astype(
+                        np.int64).ravel()[_ZIGZAG]
+                    put_block(zz, ci)
+            nmcu += 1
+    wbits.flush()
+    out += bytes(wbits.out)
+    out += b"\xff\xd9"                                # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.bits = np.unpackbits(np.frombuffer(data, np.uint8))
+        self.pos = 0
+
+    def decode(self, table: dict) -> int:
+        code = 0
+        bits, pos = self.bits, self.pos
+        n = len(bits)
+        for length in range(1, 17):
+            if pos >= n:
+                raise ValueError("jpeg: bitstream exhausted mid-code")
+            code = (code << 1) | int(bits[pos])
+            pos += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                self.pos = pos
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        bits = self.bits[self.pos:self.pos + n]
+        if len(bits) < n:
+            raise ValueError("jpeg: bitstream exhausted mid-value")
+        self.pos += n
+        v = 0
+        for b in bits:
+            v = (v << 1) | int(b)
+        return v
+
+    def extend(self, v: int, size: int) -> int:
+        if size and v < (1 << (size - 1)):
+            v -= (1 << size) - 1
+        return v
+
+
+def _jpeg_segments(data: bytes, pos: int) -> list[bytes]:
+    """Entropy-coded data from `pos` split at restart markers, with
+    0xFF00 byte stuffing removed."""
+    segs, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            break
+        m = data[pos + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:          # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        elif m == 0xFF:                  # fill byte
+            pos += 1
+        else:                            # EOI or next marker
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _parse_dht(seg: bytes, tables: dict) -> None:
+    pos = 0
+    while pos < len(seg):
+        tc_th = seg[pos]
+        bits = list(seg[pos + 1:pos + 17])
+        nsyms = sum(bits)
+        syms = list(seg[pos + 17:pos + 17 + nsyms])
+        lut = {}
+        code = 0
+        i = 0
+        for li, count in enumerate(bits):
+            for _ in range(count):
+                lut[(li + 1, code)] = syms[i]
+                code += 1
+                i += 1
+            code <<= 1
+        tables[(tc_th >> 4, tc_th & 0xF)] = lut
+        pos += 17 + nsyms
+
+
+def _parse_dqt(seg: bytes, tables: dict) -> None:
+    pos = 0
+    while pos < len(seg):
+        pq_tq = seg[pos]
+        pq, tq = pq_tq >> 4, pq_tq & 0xF
+        if pq:
+            vals = np.frombuffer(seg[pos + 1:pos + 129],
+                                 ">u2").astype(np.int64)
+            pos += 129
+        else:
+            vals = np.frombuffer(seg[pos + 1:pos + 65],
+                                 np.uint8).astype(np.int64)
+            pos += 65
+        q = np.zeros(64, dtype=np.int64)
+        q[_ZIGZAG] = vals
+        tables[tq] = q.reshape(8, 8)
+    # trailing garbage ignored
+
+
+def _jpeg_headers(data: bytes):
+    """Walk markers up to SOS; returns (qt, huff, frame, scan,
+    restart_interval, ecs_offset)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict = {}
+    huff: dict = {}
+    frame = None
+    ri = 0
+    pos = 2
+    n = len(data)
+    while pos < n:
+        if data[pos] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        m = data[pos + 1]
+        if m == 0xFF:
+            pos += 1
+            continue
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            pos += 2
+            continue
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        seg = data[pos + 4:pos + 2 + ln]
+        if m == 0xC4:
+            _parse_dht(seg, huff)
+        elif m == 0xDB:
+            _parse_dqt(seg, qt)
+        elif m in (0xC0, 0xC1):          # baseline / extended seq
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError("jpeg: only 8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            nc = seg[5]
+            comps = []
+            for ci in range(nc):
+                cid, samp, tq = seg[6 + 3 * ci:9 + 3 * ci]
+                comps.append((cid, samp >> 4, samp & 0xF, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "jpeg: progressive/arithmetic/lossless streams are "
+                "out of scope (baseline DCT only)")
+        elif m == 0xDD:
+            ri = int.from_bytes(seg[:2], "big")
+        elif m == 0xDA:
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for si in range(ns):
+                cid, tdta = seg[1 + 2 * si:3 + 2 * si]
+                scan.append((cid, tdta >> 4, tdta & 0xF))
+            return qt, huff, frame, scan, ri, pos + 2 + ln
+        pos += 2 + ln
+    raise ValueError("jpeg: no SOS marker")
+
+
+def jpeg_info(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, components) from the SOF header."""
+    try:
+        _, _, frame, _, _, _ = _jpeg_headers(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"jpeg: truncated header ({e})")
+    h, w, comps = frame
+    return w, h, len(comps)
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF -> (h, w) uint8 gray or (h, w, 3) uint8 RGB."""
+    try:
+        qt, huff, frame, scan, ri, ecs_off = _jpeg_headers(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"jpeg: truncated header ({e})")
+    h, w, comps = frame
+    if len(comps) not in (1, 3):
+        raise NotImplementedError(
+            f"jpeg: {len(comps)}-component streams unsupported")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError("jpeg: sampling factors above 2")
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    by_id = {cid: (hi, vi, tq) for cid, hi, vi, tq in comps}
+    order = []                      # (comp_index, blocks/mcu layout)
+    blocks = []
+    tabs = []
+    for si, (cid, td, ta) in enumerate(scan):
+        hi, vi, tq = by_id[cid]
+        blocks.append(np.zeros(
+            (mcus_y * vi, mcus_x * hi, 64), dtype=np.int64))
+        order.append((si, hi, vi))
+        tabs.append((huff[(0, td)], huff[(1, ta)], tq))
+
+    segs = _jpeg_segments(payload, ecs_off)
+    reader = _BitReader(segs[0])
+    seg_i = 0
+    pred = [0] * len(scan)
+
+    for mcu in range(mcus_x * mcus_y):
+        if ri and mcu and mcu % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("jpeg: missing restart segment")
+            reader = _BitReader(segs[seg_i])
+            pred = [0] * len(scan)
+        my, mx = divmod(mcu, mcus_x)
+        for si, hi, vi in order:
+            dc_tab, ac_tab, _ = tabs[si]
+            for dy in range(vi):
+                for dx in range(hi):
+                    zz = blocks[si][my * vi + dy, mx * hi + dx]
+                    s = reader.decode(dc_tab)
+                    diff = reader.extend(reader.receive(s), s)
+                    pred[si] += diff
+                    zz[0] = pred[si]
+                    k = 1
+                    while k <= 63:
+                        sym = reader.decode(ac_tab)
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run == 15:
+                                k += 16
+                                continue
+                            break           # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("jpeg: AC run overflow")
+                        zz[k] = reader.extend(
+                            reader.receive(size), size)
+                        k += 1
+
+    planes = []
+    for si, hi, vi in order:
+        _, _, tq = tabs[si]
+        # undo zigzag (zz[i] holds the coefficient at natural
+        # position _ZIGZAG[i]: scatter back), then dequantize
+        nat = np.zeros_like(blocks[si].reshape(-1, 64))
+        nat[:, _ZIGZAG] = blocks[si].reshape(-1, 64)
+        nat = nat.reshape(-1, 8, 8).astype(np.float64)
+        nat *= qt[tq][None, :, :]
+        pix = np.einsum("ji,ajk,kl->ail", _DCT_T, nat, _DCT_T)
+        nby, nbx = blocks[si].shape[:2]
+        plane = (pix.reshape(nby, nbx, 8, 8)
+                 .transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8))
+        plane += 128.0
+        # upsample to full padded frame size
+        ry = (vmax // vi)
+        rx = (hmax // hi)
+        if ry > 1:
+            plane = np.repeat(plane, ry, axis=0)
+        if rx > 1:
+            plane = np.repeat(plane, rx, axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

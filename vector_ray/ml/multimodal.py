@@ -1,13 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata.
 
-Decode kernels: ``decode_fn="codec"`` installs REAL decoders for PNG
-and WAV (ml/codecs_media.py — pure stdlib + numpy, round 4); JPEG and
-MP4 remain honest ``NotImplementedError`` boundaries (their codecs are
-not in this container).  ``decode_fn="fake"`` keeps the deterministic
-fake used by the cross-actor consistency oracle; ``decode_fn=None``
-raises at the boundary, marking exactly where a libjpeg/ffmpeg kernel
-plugs in.
+Decode kernels: ``decode_fn="codec"`` installs REAL decoders for PNG,
+baseline JPEG and WAV (ml/codecs_media.py — pure stdlib + numpy,
+round 4); MP4/video remains the honest ``NotImplementedError``
+boundary (no container codec).  ``decode_fn="fake"`` keeps the
+deterministic fake used by the cross-actor consistency oracle;
+``decode_fn=None`` raises at the boundary, marking exactly where an
+ffmpeg kernel plugs in.
 
 Scale notes: binary payloads dominate block size — callers should give
 these stages a SMALL ``batch_size`` (payload bytes × batch_size ×
@@ -70,10 +70,11 @@ class MediaDecodeStage:
         if decode_fn == "fake":
             self._decode = self._fake_decode
         elif decode_fn == "codec":
-            # REAL decoders (ml/codecs_media.py: pure stdlib+numpy PNG
-            # and WAV); jpeg/mp4 stay the honest NotImplementedError
-            # boundary.  Per-actor init cost is import-only here; a
-            # libjpeg/CLIP deployment loads its handles in this spot.
+            # REAL decoders (ml/codecs_media.py: pure stdlib+numpy
+            # PNG, baseline JPEG, and WAV); mp4/video stays the honest
+            # NotImplementedError boundary.  Per-actor init cost is
+            # import-only here; a libjpeg/CLIP deployment loads its
+            # handles in this spot.
             self._decode = self._codec_decode
         elif decode_fn is None:
             self._decode = self._not_implemented
@@ -93,11 +94,17 @@ class MediaDecodeStage:
         image → dims + channel stats of the pixel array; audio →
         rate/frames + amplitude stats.  Deterministic and
         row-order-independent."""
-        from vector_ray.ml.codecs_media import decode_png, decode_wav
+        from vector_ray.ml.codecs_media import (decode_jpeg,
+                                                decode_png, decode_wav)
 
         f = np.zeros(MediaDecodeStage.FEATURE_DIM, dtype=np.float32)
-        if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
-            arr = decode_png(payload).astype(np.float32)
+        is_png = payload[:8] == b"\x89PNG\r\n\x1a\n"
+        is_jpeg = payload[:2] == b"\xff\xd8"
+        if kind == "image" and (is_png or is_jpeg):
+            arr = (decode_png(payload) if is_png
+                   else decode_jpeg(payload)).astype(np.float32)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
             h, w, c = arr.shape
             f[0:3] = (w, h, c)
             f[3] = arr.mean()
@@ -118,7 +125,7 @@ class MediaDecodeStage:
             return f / np.float32(65536.0)
         raise NotImplementedError(
             f"real decode for kind={kind!r} needs codecs not in this "
-            "container (PNG/WAV are the implemented real formats)")
+            "container (PNG/JPEG/WAV are the implemented real formats)")
 
     @staticmethod
     def _fake_decode(payload: bytes, kind: str) -> np.ndarray:
@@ -162,7 +169,8 @@ def synthesize_real_media(n: int, seed: int = 42) -> pa.Table:
     stage can be VALUE-oracled against them (decoded dims must equal
     the recorded dims).  Durations divide the sample rate exactly so
     frames→ms is integer-exact on both sides."""
-    from vector_ray.ml.codecs_media import encode_png, encode_wav
+    from vector_ray.ml.codecs_media import (encode_jpeg, encode_png,
+                                            encode_wav)
 
     rng = np.random.default_rng(seed)
     rows = {"media_id": [], "kind": [], "payload": [], "mime": [],
@@ -172,11 +180,23 @@ def synthesize_real_media(n: int, seed: int = 42) -> pa.Table:
         if i % 2 == 0:
             w = int(rng.integers(4, 64))
             h = int(rng.integers(4, 64))
-            c = int(rng.choice([1, 3, 4]))
-            arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
-            rows["payload"].append(encode_png(arr))
+            if i % 4 == 0:
+                # real baseline JPEG (lossy pixels, exact dims — the
+                # decode oracle checks dims, which survive)
+                c = int(rng.choice([1, 3]))
+                arr = rng.integers(0, 256, size=(h, w, c),
+                                   dtype=np.uint8)
+                rows["payload"].append(encode_jpeg(
+                    arr[:, :, 0] if c == 1 else arr,
+                    quant=2, subsample=bool(i % 8)))
+                rows["mime"].append("image/jpeg")
+            else:
+                c = int(rng.choice([1, 3, 4]))
+                arr = rng.integers(0, 256, size=(h, w, c),
+                                   dtype=np.uint8)
+                rows["payload"].append(encode_png(arr))
+                rows["mime"].append("image/png")
             rows["kind"].append("image")
-            rows["mime"].append("image/png")
             rows["width"].append(w)
             rows["height"].append(h)
             rows["duration_ms"].append(None)
@@ -219,9 +239,10 @@ class ImageResizeStage:
         if resize_fn == "fake":
             self._resize = self._fake_resize
         elif resize_fn == "codec":
-            # real path for PNG: decode → nearest-neighbor resample →
-            # re-encode (ml/codecs_media.py); other image formats stay
-            # the honest boundary
+            # real path for PNG + baseline JPEG: decode →
+            # nearest-neighbor resample → re-encode
+            # (ml/codecs_media.py); other image formats stay the
+            # honest boundary
             self._resize = self._codec_resize
         elif resize_fn is None:
             self._resize = self._not_implemented
@@ -229,14 +250,25 @@ class ImageResizeStage:
             raise ValueError(resize_fn)
 
     def _codec_resize(self, payload: bytes) -> bytes:
-        from vector_ray.ml.codecs_media import (decode_png, encode_png,
+        from vector_ray.ml.codecs_media import (decode_jpeg,
+                                                decode_png, encode_jpeg,
+                                                encode_png,
                                                 resize_nearest)
 
-        if payload[:8] != b"\x89PNG\r\n\x1a\n":
-            raise NotImplementedError(
-                "real resize implemented for PNG only in this container")
-        return encode_png(resize_nearest(decode_png(payload),
-                                         self.target_w, self.target_h))
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return encode_png(resize_nearest(
+                decode_png(payload), self.target_w, self.target_h))
+        if payload[:2] == b"\xff\xd8":
+            arr = decode_jpeg(payload)
+            if arr.ndim == 2:
+                arr = arr[:, :, None]
+            out = resize_nearest(arr, self.target_w, self.target_h)
+            if out.shape[2] == 1:
+                out = out[:, :, 0]
+            return encode_jpeg(out, quant=2)
+        raise NotImplementedError(
+            "real resize implemented for PNG/JPEG only in this "
+            "container")
 
     def _not_implemented(self, payload: bytes) -> bytes:
         raise NotImplementedError(
@@ -347,7 +379,7 @@ def sample_frames(ds: Dataset, *, every_ms: int = 1000, max_frames: int = 32,
                                "sample_fn": sample_fn})
 
 
-MEDIA_FIXTURE_VERSION = 1
+MEDIA_FIXTURE_VERSION = 2
 
 
 def ensure_media_fixture(n: int = 400, copies: int = 3,

@@ -1402,6 +1402,40 @@ def _q_corr_events(sf_dir: str):
         keys=["event_type"], x="x", y="y")
 
 
+_BPE_FIXED_MERGES = ["t h", "th e", "▁ t", "a n", "i n"]
+
+
+def _q_bpe_top_pairs_docs(sf_dir: str):
+    """Distributed BPE pair-count kernel (ml/bpe.py): top-20 adjacent
+    character pairs over the documents corpus — per-block vectorized
+    pair extraction (flat split + arrow join of shifted slices +
+    offset masking), map-side-combined counts, ONE pair-vocabulary
+    exchange, argmax via global_topk (k × blocks rows move)."""
+    import ray.data as rd
+
+    from vector_ray.ml.bpe import to_symbols, top_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    return top_pairs(to_symbols(docs), k=20)
+
+
+def _q_bpe_apply_docs(sf_dir: str):
+    """BPE merge application (ml/bpe.py): a fixed 5-rule merge table
+    rewrites every document's symbol sequence — one global
+    left-to-right replacement per rule (identical semantics to SQL
+    replace(), so the full output string replays bit-for-bit) plus
+    the vectorized token count; pure streaming, zero exchange."""
+    import ray.data as rd
+
+    from vector_ray.ml.bpe import apply_merges, to_symbols, token_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    return token_count(apply_merges(to_symbols(docs),
+                                    _BPE_FIXED_MERGES))
+
+
 def _q_moments_events(sf_dir: str):
     """Grouped skewness / excess kurtosis (stages/stats.grouped_moments)
     of (value cents % 100) per event_type: Σx..Σx⁴ map-side combined as
@@ -2311,6 +2345,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_topk_events": _q_global_topk_events,
         "corr_events": _q_corr_events,
         "moments_events": _q_moments_events,
+        "bpe_top_pairs_docs": _q_bpe_top_pairs_docs,
+        "bpe_apply_docs": _q_bpe_apply_docs,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2437,6 +2473,9 @@ def oracle_sql() -> dict[str, str]:
         "global_topk_events": oracle.SQL_GLOBAL_TOPK_EVENTS,
         "corr_events": oracle.SQL_CORR_EVENTS,
         "moments_events": oracle.SQL_MOMENTS_EVENTS,
+        "bpe_top_pairs_docs": oracle.SQL_BPE_TOP_PAIRS_DOCS,
+        "bpe_apply_docs": oracle.sql_bpe_apply_docs(
+            _BPE_FIXED_MERGES),
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

@@ -1613,3 +1613,39 @@ SELECT event_type,
                  AS BIGINT) END AS kurt_micro
 FROM m
 """
+
+# BPE pair-count kernel (ml/bpe.py): adjacent character pairs over
+# the char-level symbol rendering (space -> ▁), deterministic
+# (count desc, pair asc) top-20.
+SQL_BPE_TOP_PAIRS_DOCS = """
+WITH s AS (SELECT replace(text, ' ', '▁') AS s FROM documents),
+p AS (SELECT substr(s, i, 1) || ' ' || substr(s, i + 1, 1) AS pair
+      FROM (SELECT s, unnest(range(1, length(s))) AS i FROM s))
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM p GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+def sql_bpe_apply_docs(merges: list) -> str:
+    """BPE merge application replay: char-join each document, wrap in
+    sentinel spaces, chain replace() in rank order (same
+    non-overlapping left-to-right semantics as Arrow
+    replace_substring), unwrap, count tokens."""
+    expr = "' ' || array_to_string(string_split(" \
+           "replace(text, ' ', '▁'), ''), ' ') || ' '"
+    for m in merges:
+        merged = m.replace(" ", "")
+        expr = f"replace({expr}, ' {m} ', ' {merged} ')"
+    return f"""
+WITH r AS (SELECT doc_id, {expr} AS padded FROM documents),
+u AS (SELECT doc_id,
+             substr(padded, 2, length(padded) - 2) AS seq
+      FROM r)
+SELECT doc_id, seq,
+       CAST(CASE WHEN length(seq) = 0 THEN 0
+            ELSE length(seq) - length(replace(seq, ' ', '')) + 1
+            END AS BIGINT) AS n_tokens
+FROM u
+"""

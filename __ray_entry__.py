@@ -1402,6 +1402,23 @@ def _q_corr_events(sf_dir: str):
         keys=["event_type"], x="x", y="y")
 
 
+def _q_pq_encode_embeddings(sf_dir: str):
+    """Product-quantization encode (ml/pq.py): every embedding
+    compressed to 8 subspace codes against the deterministic
+    vec_id<16 seed codebooks — broadcast codebooks once, matmul
+    argmin per subspace per batch, ties to the lowest code.  The
+    compressed-ANN scale path: at 10^12 vectors only the m-byte
+    codes flow, never the float matrix."""
+    import ray.data as rd
+
+    from vector_ray.ml.pq import pq_encode, seed_codebooks
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"]).materialize()
+    books = seed_codebooks(ds, m=8, k=16)
+    return pq_encode(ds, books)
+
+
 _BPE_FIXED_MERGES = ["t h", "th e", "▁ t", "a n", "i n"]
 
 
@@ -2347,6 +2364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "moments_events": _q_moments_events,
         "bpe_top_pairs_docs": _q_bpe_top_pairs_docs,
         "bpe_apply_docs": _q_bpe_apply_docs,
+        "pq_encode_embeddings": _q_pq_encode_embeddings,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2476,6 +2494,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_top_pairs_docs": oracle.SQL_BPE_TOP_PAIRS_DOCS,
         "bpe_apply_docs": oracle.sql_bpe_apply_docs(
             _BPE_FIXED_MERGES),
+        "pq_encode_embeddings": oracle.sql_pq_encode_embeddings(),
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

@@ -1649,3 +1649,34 @@ SELECT doc_id, seq,
             END AS BIGINT) AS n_tokens
 FROM u
 """
+
+
+def sql_pq_encode_embeddings(m: int = 8, k: int = 16,
+                             dim: int = 64) -> str:
+    """PQ encoding replay (ml/pq.py seed codebooks): per subspace j,
+    the nearest of the k smallest-id vectors' j-th slices (ties to
+    the lowest code id, like kmeans)."""
+    dsub = dim // m
+    cases = ",\n       ".join(
+        f"CAST(max(CASE WHEN j = {j} THEN cid END) AS BIGINT) "
+        f"AS code_{j}" for j in range(m))
+    return f"""
+WITH c AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding AS cv
+  FROM embeddings WHERE vec_id < {k}),
+s AS (SELECT unnest(range(0, {m})) AS j),
+d AS (
+  SELECT e.vec_id, s.j, c.cid,
+         list_distance(e.embedding[s.j*{dsub}+1 : s.j*{dsub}+{dsub}],
+                       c.cv[s.j*{dsub}+1 : s.j*{dsub}+{dsub}]) AS dist
+  FROM embeddings e CROSS JOIN s CROSS JOIN c),
+r AS (
+  SELECT vec_id, j, cid,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY dist, cid) AS rn
+  FROM d)
+SELECT vec_id,
+       {cases}
+FROM r WHERE rn = 1 GROUP BY vec_id
+"""

@@ -133,3 +133,53 @@ def test_moments_zero_variance_is_null():
     assert a.skew_micro is None or a.isna().skew_micro
     b = out[out.k == "b"].iloc[0]
     assert b.skew_micro == 0  # symmetric 1,2,3
+
+
+def test_moments_fuzz_vs_duckdb_hugeint_replay():
+    """Seeded random groups through the exact SQL expression the
+    oracle uses — guards the 2-3-IEEE-op determinism claim."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    rng = np.random.default_rng(99)
+    for trial in range(4):
+        n = int(rng.integers(50, 2000))
+        t = pa.table({
+            "k": pa.array(rng.choice(list("abcde"), size=n)),
+            "x": pa.array(rng.integers(-300, 300, n), pa.int64()),
+        })
+        got = _run_moments(t, blocks=int(rng.integers(1, 8)))
+        con = duckdb.connect()
+        con.register("tt", t.to_pandas())
+        want = con.sql("""
+WITH s AS (
+  SELECT k, CAST(count(*) AS HUGEINT) AS n,
+         CAST(sum(x) AS HUGEINT) AS s1,
+         CAST(sum(x*x) AS HUGEINT) AS s2,
+         CAST(sum(x*x*x) AS HUGEINT) AS s3,
+         CAST(sum(x*x*x*x) AS HUGEINT) AS s4
+  FROM tt GROUP BY k),
+m AS (SELECT *, n*s2 - s1*s1 AS b,
+        n*n*s3 - 3*n*s1*s2 + 2*s1*s1*s1 AS a,
+        n*n*n*s4 - 4*n*n*s1*s3 + 6*n*s1*s1*s2 - 3*s1*s1*s1*s1
+          - 3*(n*s2-s1*s1)*(n*s2-s1*s1) AS d
+      FROM s)
+SELECT k,
+  CAST(round(1e6 * (CAST(a AS DOUBLE) /
+       (CAST(b AS DOUBLE) * sqrt(CAST(b AS DOUBLE))))) AS BIGINT)
+    AS skew_micro,
+  CAST(round(1e6 * (CAST(d AS DOUBLE) /
+       (CAST(b AS DOUBLE) * CAST(b AS DOUBLE)))) AS BIGINT)
+    AS kurt_micro
+FROM m ORDER BY k
+""").df()
+        con.close()
+        got = got.sort_values("k").reset_index(drop=True)
+        pd.testing.assert_series_equal(
+            got.skew_micro.astype("int64"),
+            want.skew_micro.astype("int64"), check_names=False)
+        pd.testing.assert_series_equal(
+            got.kurt_micro.astype("int64"),
+            want.kurt_micro.astype("int64"), check_names=False)

@@ -67,13 +67,18 @@ class RunManifest:
         inputs: list[str],
         row_count: int,
         output_files: list[str],
+        file_stats: dict | None = None,
     ) -> None:
-        self._data["partitions"][partition_id] = {
+        entry: dict[str, Any] = {
             "inputs": inputs,
             "row_count": int(row_count),
             "output_files": output_files,
             "completed_at": time.time(),
         }
+        if file_stats:
+            # zone maps: {relpath: {"rows": n, col: [min, max], ...}}
+            entry["file_stats"] = file_stats
+        self._data["partitions"][partition_id] = entry
         self._flush()
 
     def _flush(self) -> None:

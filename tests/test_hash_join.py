@@ -261,3 +261,57 @@ def test_bloom_prefilter_identity_and_pruning(ray_session):
     with _pt.raises(ValueError):
         hash_partition_join(L, R, on=["k"], how="left_anti",
                             bloom_prefilter=True)
+
+
+def test_differential_fuzz_vs_duckdb(ray_session):
+    """Seeded random tables (nulls, skew, string+int keys) through
+    every `how` vs DuckDB running the same join.  SQL join semantics
+    on null keys (never match) must hold throughout."""
+    import duckdb
+
+    rng = np.random.default_rng(77)
+    hows = ["inner", "left_outer", "full_outer", "left_semi",
+            "left_anti"]
+    sql_of = {
+        "inner": "SELECT l.*, r.ry FROM l JOIN r USING (k)",
+        "left_outer": "SELECT l.*, r.ry FROM l LEFT JOIN r USING (k)",
+        "full_outer": ("SELECT coalesce(l.k, r.k) AS k, l.lx, r.ry "
+                       "FROM l FULL JOIN r ON l.k = r.k"),
+        "left_semi": ("SELECT * FROM l WHERE k IN "
+                      "(SELECT k FROM r WHERE k IS NOT NULL)"),
+        "left_anti": ("SELECT * FROM l WHERE k IS NULL OR k NOT IN "
+                      "(SELECT k FROM r WHERE k IS NOT NULL)"),
+    }
+    for trial in range(6):
+        how = hows[trial % len(hows)]
+        nl, nr = rng.integers(3, 120, 2)
+        str_keys = bool(trial % 2)
+
+        def mk(n):
+            if str_keys:
+                k = rng.choice(["a", "b", "c", "d", None],
+                               size=n, p=[.3, .3, .2, .1, .1])
+            else:
+                k = rng.integers(0, 8, n).astype(object)
+                k[rng.random(n) < 0.1] = None
+            return k
+        L = pd.DataFrame({"k": mk(nl), "lx": np.arange(nl)})
+        R = pd.DataFrame({"k": mk(nr), "ry": np.arange(nr)})
+        got = hash_partition_join(
+            _ds(L, int(rng.integers(1, 5))),
+            _ds(R, int(rng.integers(1, 5))),
+            on=["k"], how=how,
+            num_partitions=int(rng.integers(1, 7)),
+        ).to_pandas()
+        con = duckdb.connect()
+        con.register("l", L)
+        con.register("r", R)
+        want = con.sql(sql_of[how]).df()
+        con.close()
+        assert len(got) == len(want), (trial, how, len(got), len(want))
+        cols = sorted(set(got.columns) & set(want.columns))
+        g = sorted(map(tuple, got[cols].astype(object).where(
+            pd.notna(got[cols]), None).values), key=repr)
+        w = sorted(map(tuple, want[cols].astype(object).where(
+            pd.notna(want[cols]), None).values), key=repr)
+        assert g == w, (trial, how)

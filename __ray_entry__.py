@@ -1130,6 +1130,23 @@ def _q_exact_quantiles_events(sf_dir: str):
         qs={"p50_cents": (1, 2), "p90_cents": (9, 10)})
 
 
+def _q_quantiles_cont_events(sf_dir: str):
+    """Interpolated grouped quantiles (percentile_cont semantics,
+    stages/quantile_exact.py interp=): position (n−1)·q held as an
+    exact rational, bracketing values fetched through the same
+    one-sort rank filter, micro-quantized via the fixed 3-IEEE-op
+    interpolation — bit-replayable in SQL via a window replay (NOT
+    the engine's quantile_cont builtin, whose internal arithmetic
+    order is unspecified)."""
+    from vector_ray.stages.quantile_exact import grouped_quantiles
+
+    ds = _cents(_events(sf_dir, columns=["event_id", "event_type",
+                                         "value"]))
+    return grouped_quantiles(
+        ds, keys=["event_type"], value_col="value_cents",
+        interp={"p50_micro": (1, 2), "p90_micro": (9, 10)})
+
+
 def _q_stratified_sample_events(sf_dir: str):
     """Exact-fraction stratified sampling (stages/sample.py): keep
     ceil(n/10) events per event_type, rows chosen by the Knuth
@@ -2365,6 +2382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_top_pairs_docs": _q_bpe_top_pairs_docs,
         "bpe_apply_docs": _q_bpe_apply_docs,
         "pq_encode_embeddings": _q_pq_encode_embeddings,
+        "quantiles_cont_events": _q_quantiles_cont_events,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2495,6 +2513,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_apply_docs": oracle.sql_bpe_apply_docs(
             _BPE_FIXED_MERGES),
         "pq_encode_embeddings": oracle.sql_pq_encode_embeddings(),
+        "quantiles_cont_events": oracle.SQL_QUANTILES_CONT_EVENTS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

@@ -1680,3 +1680,37 @@ SELECT vec_id,
        {cases}
 FROM r WHERE rn = 1 GROUP BY vec_id
 """
+
+# interpolated grouped quantiles (quantile_exact.py interp=):
+# percentile_cont replayed from first principles — bracketing ranks
+# by row_number, exact-rational remainder, identical 3-IEEE-op
+# interpolation.  (NOT quantile_cont: its arithmetic order is the
+# engine's own.)
+SQL_QUANTILES_CONT_EVENTS = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+  FROM events),
+r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x) - 1
+           AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM v)
+SELECT event_type,
+  CAST(round(1e6 * (
+      max(CASE WHEN rn = ((n-1) * 1) // 2 THEN x END)
+      + (max(CASE WHEN rn = least(((n-1) * 1) // 2 + 1, n - 1)
+             THEN x END)
+         - max(CASE WHEN rn = ((n-1) * 1) // 2 THEN x END))
+        * (CAST(((n-1) * 1) % 2 AS DOUBLE) / 2)))
+    AS BIGINT) AS p50_micro,
+  CAST(round(1e6 * (
+      max(CASE WHEN rn = ((n-1) * 9) // 10 THEN x END)
+      + (max(CASE WHEN rn = least(((n-1) * 9) // 10 + 1, n - 1)
+             THEN x END)
+         - max(CASE WHEN rn = ((n-1) * 9) // 10 THEN x END))
+        * (CAST(((n-1) * 9) % 10 AS DOUBLE) / 10)))
+    AS BIGINT) AS p90_micro,
+  CAST(n AS BIGINT) AS n
+FROM r GROUP BY event_type, n
+"""

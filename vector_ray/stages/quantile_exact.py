@@ -34,18 +34,33 @@ def grouped_quantiles(
     *,
     keys: Sequence[str],
     value_col: str,
-    qs: Mapping[str, tuple[int, int]],
+    qs: Mapping[str, tuple[int, int]] | None = None,
+    interp: Mapping[str, tuple[int, int]] | None = None,
     count_col: str = "n",
 ) -> pd.DataFrame:
     """Exact quantiles of ``value_col`` per ``keys`` group.
 
     ``qs`` maps output column name → rational quantile ``(num, den)``
-    (e.g. ``{"p50": (1, 2), "p90": (9, 10)}``).  Returns a pandas
-    DataFrame — the result is one row per group by construction, a
-    driver-sized combine per the repo convention on tiny aggregates.
+    (e.g. ``{"p50": (1, 2), "p90": (9, 10)}``) with ``quantile_disc``
+    semantics (value at 1-based index ceil(q·n)).
+
+    ``interp`` adds ``percentile_cont`` (interpolated) quantiles:
+    position (n−1)·q is held as an exact rational, the two bracketing
+    data values are fetched through the same rank filter, and the
+    result is micro-quantized via the fixed 3-IEEE-op expression
+    ``round(1e6 · (lo + (hi − lo) · (rem/den)))`` — bit-replayable in
+    SQL (integer inputs required, the stats.py convention).
+
+    Returns a pandas DataFrame — the result is one row per group by
+    construction, a driver-sized combine per the repo convention on
+    tiny aggregates.
     """
     keys = list(keys)
-    for name, (num, den) in qs.items():
+    qs = dict(qs or {})
+    interp = dict(interp or {})
+    if not qs and not interp:
+        raise ValueError("need at least one of qs / interp")
+    for name, (num, den) in {**qs, **interp}.items():
         if not (0 < num <= den):
             raise ValueError(f"quantile {name} must be in (0, 1]")
 
@@ -68,10 +83,19 @@ def grouped_quantiles(
             totals[k] = totals.get(k, 0) + v
 
     # 0-based target rank per group per quantile: ceil(q*n) - 1
-    # 0-based target rank per group per quantile: ceil(q*n) - 1
     by_name = {name: {k: (num * n + den - 1) // den - 1
                       for k, n in totals.items()}
                for name, (num, den) in qs.items()}
+    # interpolated targets: exact rational position (n-1)*num/den —
+    # fetch the two bracketing ranks through the same filter pass
+    ipos: dict[str, dict] = {}
+    for name, (num, den) in interp.items():
+        pos = {k: divmod((n - 1) * num, den)
+               for k, n in totals.items()}
+        ipos[name] = pos
+        by_name[f"__{name}_lo"] = {k: p[0] for k, p in pos.items()}
+        by_name[f"__{name}_hi"] = {
+            k: min(p[0] + 1, totals[k] - 1) for k, p in pos.items()}
     tref = ray.put(by_name)
 
     @ray.remote
@@ -105,8 +129,17 @@ def grouped_quantiles(
     recs = []
     for kt in sorted(rows):
         rec = dict(zip(keys, kt if isinstance(kt, tuple) else (kt,)))
-        rec.update(rows[kt])
+        vals = rows[kt]
+        for name in qs:
+            rec[name] = vals.get(name)
+        for name, (num, den) in interp.items():
+            lo = vals[f"__{name}_lo"]
+            hi = vals[f"__{name}_hi"]
+            rem = ipos[name][kt][1]
+            # fixed expression tree: rem/den, (hi-lo)*t, lo+, 1e6*
+            t = float(rem) / float(den)
+            rec[name] = int(round(1e6 * (lo + (hi - lo) * t)))
         rec[count_col] = totals[kt]
         recs.append(rec)
-    cols = keys + list(qs.keys()) + [count_col]
+    cols = keys + list(qs.keys()) + list(interp.keys()) + [count_col]
     return pd.DataFrame(recs, columns=cols)

@@ -824,3 +824,38 @@ sinks:
         f"SELECT user_id FROM read_parquet('{sf}/events.parquet'))"
     ).fetchone()[0]
     assert res.sink_counts["out"] == want
+
+
+def test_bpe_apply_yaml_type(tmp_path):
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(f"""
+sources:
+  docs:
+    type: parquet
+    path: {sf}/documents.parquet
+    columns: [doc_id, text]
+transforms:
+  toks:
+    type: bpe_apply
+    inputs: [docs]
+    merges: ["t h", "th e"]
+sinks:
+  out:
+    type: parquet
+    inputs: [toks]
+    path: "{tmp_path}/out"
+""")
+    res = run_topology(topo)
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet("
+                   f"'{sf}/documents.parquet')").fetchone()[0]
+    assert res.sink_counts["out"] == n
+    import glob
+
+    import pyarrow.parquet as pq
+    files = glob.glob(f"{tmp_path}/out/**/*.parquet", recursive=True)
+    t = pq.read_table(files)
+    assert {"doc_id", "seq", "n_tokens"} <= set(t.column_names)
+    assert min(t["n_tokens"].to_pylist()) >= 0

@@ -439,6 +439,21 @@ def _build_transform(
     # --- training-data ML family as YAML components (beyond the
     # reference; the Python API in vector_ray/ml/ is the primary
     # surface, these make end-to-end prep pipelines CLI-runnable) ---
+    if t == "bpe_apply":
+        from vector_ray.ml.bpe import apply_merges, to_symbols
+        from vector_ray.ml.bpe import token_count as bpe_token_count
+
+        merges = c.get("merges")
+        if not merges:
+            raise ConfigError(
+                f"bpe_apply component {spec.name!r} needs `merges` "
+                "(list of 'a b' pair strings in rank order)")
+        out = apply_merges(
+            to_symbols(ds, text_col=c.get("text_col", "text")),
+            [str(m) for m in merges])
+        if c.get("count_tokens", True):
+            out = bpe_token_count(out)
+        return {"": out}
     if t == "exact_dedup":
         from vector_ray.ml.dedup import exact_dedup_docs
 

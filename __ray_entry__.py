@@ -1419,6 +1419,20 @@ def _q_corr_events(sf_dir: str):
         keys=["event_type"], x="x", y="y")
 
 
+def _q_uniform_sample_docs(sf_dir: str):
+    """Exact-size uniform sample (ml/mixing.uniform_k_sample): the
+    100 docs with the smallest md5 id-hashes — the deterministic
+    distributed reservoir (membership stable under re-runs and
+    re-partitioning); k × blocks candidates move, never the corpus."""
+    import ray.data as rd
+
+    from vector_ray.ml.mixing import uniform_k_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "n_chars"])
+    return uniform_k_sample(docs, k=100)
+
+
 def _q_pq_encode_embeddings(sf_dir: str):
     """Product-quantization encode (ml/pq.py): every embedding
     compressed to 8 subspace codes against the deterministic
@@ -2383,6 +2397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_apply_docs": _q_bpe_apply_docs,
         "pq_encode_embeddings": _q_pq_encode_embeddings,
         "quantiles_cont_events": _q_quantiles_cont_events,
+        "uniform_sample_docs": _q_uniform_sample_docs,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2514,6 +2529,7 @@ def oracle_sql() -> dict[str, str]:
             _BPE_FIXED_MERGES),
         "pq_encode_embeddings": oracle.sql_pq_encode_embeddings(),
         "quantiles_cont_events": oracle.SQL_QUANTILES_CONT_EVENTS,
+        "uniform_sample_docs": oracle.SQL_UNIFORM_SAMPLE_DOCS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

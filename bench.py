@@ -102,8 +102,11 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      "conv_dedup_transcripts",
                      # round-4 late: Gopher repetition + span dedup
                      "repetition_docs", "span_dedup_docs",
-                     # round-4 session close: SQL set operations
-                     "setop_events"):
+                     # round-4 session close: set ops, moments, BPE,
+                     # PQ, interpolated quantiles
+                     "setop_events", "moments_events",
+                     "bpe_top_pairs_docs", "pq_encode_embeddings",
+                     "quantiles_cont_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -83,3 +83,22 @@ def test_weighted_sample_monotone_and_deterministic():
     # aggregate keep rate tracks mean(weight)/denom
     expected = (df.w.clip(upper=1_000_000) / 1_000_000).mean()
     assert abs(len(out) / n - expected) < 0.05
+
+
+def test_uniform_k_sample_stable_across_layouts(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.ml.mixing import uniform_k_sample
+
+    t = pa.table({"doc_id": [f"d{i}" for i in range(500)],
+                  "x": list(range(500))})
+    outs = []
+    for blocks in (1, 4, 9):
+        out = uniform_k_sample(
+            rd.from_arrow(t).repartition(blocks), k=25
+        ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        outs.append(out)
+    assert len(outs[0]) == 25
+    assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+    assert "__sample_hash" not in outs[0].columns

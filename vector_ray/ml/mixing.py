@@ -143,3 +143,39 @@ def mix_sources(
 
     return mat.map_batches(keep, batch_format="pyarrow",
                            batch_size=None)
+
+
+def uniform_k_sample(
+    ds: Dataset,
+    *,
+    k: int,
+    id_col: str = "doc_id",
+    hash: str = "md5",
+) -> Dataset:
+    """EXACT-size uniform sample: the k rows with the smallest id
+    hashes (ties to the lowest id) — the distributed reservoir: a
+    deterministic, resumable, order-free k-sample whose membership is
+    stable under re-runs and re-partitioning (unlike true reservoir
+    sampling, which is scan-order-dependent).  Only k × blocks
+    candidate rows ever move (stages/topk.global_topk)."""
+    from vector_ray.stages.topk import global_topk
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        ids = pc.cast(t[id_col], pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = _id_hash(ids, hash, t.num_rows)
+        return t.append_column("__sample_hash", pa.array(h))
+
+    picked = global_topk(
+        ds.map_batches(tag, batch_format="pyarrow", batch_size=None),
+        k=k, keys=["__sample_hash", id_col])
+
+    def drop(t: pa.Table) -> pa.Table:
+        return (t.drop_columns(["__sample_hash"])
+                if "__sample_hash" in t.column_names else t)
+
+    return picked.map_batches(drop, batch_format="pyarrow",
+                              batch_size=None)

@@ -1714,3 +1714,11 @@ SELECT event_type,
   CAST(n AS BIGINT) AS n
 FROM r GROUP BY event_type, n
 """
+
+# exact-size uniform sample (ml/mixing.uniform_k_sample): smallest
+# 100 md5 id-hash values, ties to the lowest id.
+SQL_UNIFORM_SAMPLE_DOCS = """
+SELECT doc_id, n_chars FROM documents
+ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id
+LIMIT 100
+"""

@@ -68,3 +68,28 @@ def test_resume_skips_completed_write(ray_session, tmp_path):
     ds = rd.from_arrow(t.slice(0, 10))
     n = write_partitioned(ds, out, sink_name="zm", stats_cols=["v"])
     assert n == t.num_rows  # recorded count, not the 10-row rewrite
+
+
+def test_zone_predicate_yaml_source(ray_session, tmp_path):
+    out, t = _write(tmp_path)
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(f"""
+sources:
+  pruned:
+    type: parquet
+    path: "{out}"
+    zone_predicate: [["v", ">=", 9000]]
+transforms:
+  exact:
+    type: filter
+    inputs: [pruned]
+    condition: ".v >= 9000"
+sinks:
+  outp:
+    type: parquet
+    inputs: [exact]
+    path: "{tmp_path}/pruned_out"
+""")
+    res = run_topology(topo)
+    assert res.sink_counts["outp"] == 1000

@@ -158,6 +158,17 @@ def run_topology(
 def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
     if spec.type == "parquet":
         path = spec.config["path"].format(**variables)
+        zone = spec.config.get("zone_predicate")
+        if zone:
+            # manifested sink dir with zone maps: [[col, op, value]...]
+            # skips whole files before any byte leaves storage (the
+            # may-match filter; exact row filters follow downstream)
+            from vector_ray.sinks.parquet import read_pruned
+
+            return read_pruned(
+                path,
+                predicate=[(p[0], p[1], p[2]) for p in zone],
+                columns=spec.config.get("columns"))
         return rd.read_parquet(path, columns=spec.config.get("columns"))
     if spec.type == "transcripts":
         from vector_ray.data.transcripts import ensure_transcripts

@@ -1419,6 +1419,41 @@ def _q_corr_events(sf_dir: str):
         keys=["event_type"], x="x", y="y")
 
 
+def _q_snapshot_diff_events(sf_dir: str):
+    """Snapshot diff (stages/diff_snapshots.py): two deterministic
+    'versions' of the events table (different modular drops, values
+    bumped on a third pattern) compared by key — ONE full-outer
+    hash-partition join with presence markers, per-block null-safe
+    status derivation, 'same' rows dropped in-flight."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.diff_snapshots import snapshot_diff
+
+    import numpy as np
+
+    def version(drop_mod: int, bump: bool):
+        def prep(t: pa.Table) -> pa.Table:
+            eid = t["event_id"].to_numpy(zero_copy_only=False)
+            cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                            pa.int64()).to_numpy(zero_copy_only=False)
+            if bump:
+                cents = cents + (eid % 7 == 0)
+            keep = eid % drop_mod != 0
+            return pa.table({
+                "event_id": pa.array(eid[keep]),
+                "value_cents": pa.array(cents[keep].astype(np.int64)),
+            })
+
+        return _events(sf_dir, columns=["event_id", "value"]
+                       ).map_batches(prep, batch_format="pyarrow",
+                                     batch_size=None)
+
+    return snapshot_diff(version(89, False), version(97, True),
+                         key=["event_id"], compare=["value_cents"],
+                         keep="changes")
+
+
 def _q_uniform_sample_docs(sf_dir: str):
     """Exact-size uniform sample (ml/mixing.uniform_k_sample): the
     100 docs with the smallest md5 id-hashes — the deterministic
@@ -2398,6 +2433,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode_embeddings": _q_pq_encode_embeddings,
         "quantiles_cont_events": _q_quantiles_cont_events,
         "uniform_sample_docs": _q_uniform_sample_docs,
+        "snapshot_diff_events": _q_snapshot_diff_events,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2530,6 +2566,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode_embeddings": oracle.sql_pq_encode_embeddings(),
         "quantiles_cont_events": oracle.SQL_QUANTILES_CONT_EVENTS,
         "uniform_sample_docs": oracle.SQL_UNIFORM_SAMPLE_DOCS,
+        "snapshot_diff_events": oracle.SQL_SNAPSHOT_DIFF_EVENTS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

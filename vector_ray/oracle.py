@@ -1722,3 +1722,27 @@ SELECT doc_id, n_chars FROM documents
 ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT, doc_id
 LIMIT 100
 """
+
+# snapshot diff (stages/diff_snapshots.py): full-outer join + CASE
+# over two deterministic versions of events.
+SQL_SNAPSHOT_DIFF_EVENTS = """
+WITH base AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events),
+o AS (SELECT * FROM base WHERE event_id % 89 <> 0),
+n AS (SELECT event_id,
+             value_cents
+               + (CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+               AS value_cents
+      FROM base WHERE event_id % 97 <> 0),
+d AS (
+  SELECT coalesce(o.event_id, n.event_id) AS event_id,
+         o.value_cents AS value_cents,
+         n.value_cents AS value_cents_new,
+         CASE WHEN o.event_id IS NULL THEN 'added'
+              WHEN n.event_id IS NULL THEN 'removed'
+              WHEN o.value_cents = n.value_cents THEN 'same'
+              ELSE 'changed' END AS status
+  FROM o FULL JOIN n ON o.event_id = n.event_id)
+SELECT * FROM d WHERE status <> 'same'
+"""

@@ -93,3 +93,14 @@ sinks:
 """)
     res = run_topology(topo)
     assert res.sink_counts["outp"] == 1000
+
+
+def test_write_metrics_recorded(ray_session, tmp_path):
+    import json
+
+    out, t = _write(tmp_path)
+    m = json.load(open(f"{out}/_manifest.json"))
+    metrics = m["partitions"]["all"]["metrics"]
+    assert metrics["files"] >= 1
+    assert metrics["bytes"] > 0
+    assert metrics["wall_s"] >= 0

@@ -16,6 +16,7 @@ from __future__ import annotations
 import glob
 import os
 import re
+import time
 from typing import Sequence
 
 import pyarrow as pa
@@ -107,9 +108,11 @@ def write_partitioned(
     kwargs = {}
     if partition_cols:
         kwargs["partition_cols"] = list(partition_cols)
+    t0 = time.perf_counter()
     ds = ds.materialize()
     n = ds.count()
     ds.write_parquet(out_dir, **kwargs)
+    wall_s = time.perf_counter() - t0
     files = sorted(
         rel
         for p in glob.glob(os.path.join(out_dir, "**", "*.parquet"), recursive=True)
@@ -120,9 +123,13 @@ def write_partitioned(
         file_stats = {rel: _footer_stats(os.path.join(out_dir, rel),
                                          stats_cols)
                       for rel in files}
+    out_bytes = sum(os.path.getsize(os.path.join(out_dir, rel))
+                    for rel in files)
     manifest.mark_complete(
         partition_id, inputs=list(inputs), row_count=n,
         output_files=files, file_stats=file_stats,
+        metrics={"bytes": out_bytes, "wall_s": round(wall_s, 3),
+                 "files": len(files)},
     )
     return n
 

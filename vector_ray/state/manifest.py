@@ -68,6 +68,7 @@ class RunManifest:
         row_count: int,
         output_files: list[str],
         file_stats: dict | None = None,
+        metrics: dict | None = None,
     ) -> None:
         entry: dict[str, Any] = {
             "inputs": inputs,
@@ -78,6 +79,9 @@ class RunManifest:
         if file_stats:
             # zone maps: {relpath: {"rows": n, col: [min, max], ...}}
             entry["file_stats"] = file_stats
+        if metrics:
+            # per-partition write metrics: bytes / wall_s / files
+            entry["metrics"] = metrics
         self._data["partitions"][partition_id] = entry
         self._flush()
 

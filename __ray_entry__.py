@@ -1419,6 +1419,33 @@ def _q_corr_events(sf_dir: str):
         keys=["event_type"], x="x", y="y")
 
 
+def _q_funnel_events(sf_dir: str):
+    """Funnel analysis (stages/funnel.py): view → click → purchase
+    progression per user with strictly increasing timestamps — k
+    rounds of map-side-combined conditional groupby-min, previous-step
+    times broadcast as SORTED arrays (searchsorted lookup, never a
+    Python dict); the per-user result is the output, so the driver
+    combine is output-bounded."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.funnel import funnel
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "ts": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+        })
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_type"]
+                 ).map_batches(prep, batch_format="pyarrow",
+                               batch_size=None)
+    return funnel(ds, entity_col="user_id", ts_col="ts",
+                  step_col="event_type",
+                  steps=["view", "click", "purchase"])
+
+
 def _q_snapshot_diff_events(sf_dir: str):
     """Snapshot diff (stages/diff_snapshots.py): two deterministic
     'versions' of the events table (different modular drops, values
@@ -2434,6 +2461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_cont_events": _q_quantiles_cont_events,
         "uniform_sample_docs": _q_uniform_sample_docs,
         "snapshot_diff_events": _q_snapshot_diff_events,
+        "funnel_events": _q_funnel_events,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2567,6 +2595,7 @@ def oracle_sql() -> dict[str, str]:
         "quantiles_cont_events": oracle.SQL_QUANTILES_CONT_EVENTS,
         "uniform_sample_docs": oracle.SQL_UNIFORM_SAMPLE_DOCS,
         "snapshot_diff_events": oracle.SQL_SNAPSHOT_DIFF_EVENTS,
+        "funnel_events": oracle.SQL_FUNNEL_EVENTS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

@@ -1746,3 +1746,25 @@ d AS (
   FROM o FULL JOIN n ON o.event_id = n.event_id)
 SELECT * FROM d WHERE status <> 'same'
 """
+
+# funnel analysis (stages/funnel.py): chained min-after-previous-step
+# CTEs, strictly increasing timestamps, stage = completed prefix.
+SQL_FUNNEL_EVENTS = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, event_type
+  FROM events),
+s0 AS (SELECT user_id, min(ts) AS t_0 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (SELECT e.user_id, min(e.ts) AS t_1
+       FROM e JOIN s0 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s0.t_0
+       GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t_2
+       FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s1.t_1
+       GROUP BY e.user_id)
+SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2,
+       CAST(1 + (s1.user_id IS NOT NULL)::INT
+              + (s2.user_id IS NOT NULL)::INT AS BIGINT) AS stage
+FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+"""

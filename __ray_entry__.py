@@ -1446,6 +1446,27 @@ def _q_funnel_events(sf_dir: str):
                   steps=["view", "click", "purchase"])
 
 
+def _q_retention_events(sf_dir: str):
+    """Cohort retention matrix (stages/funnel.cohort_retention):
+    first-activity-day cohorts, exact distinct active users per
+    (cohort, day offset) — entity-sized cohort exchange + broadcast,
+    per-block distinct partials, triple-keyed distinct exchange,
+    cell-sized count."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.funnel import cohort_retention
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "ts": pc.cast(t["ts"], pa.int64())})
+
+    ds = _events(sf_dir, columns=["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None)
+    return cohort_retention(ds, entity_col="user_id", ts_col="ts",
+                            bucket=86_400_000_000)
+
+
 def _q_snapshot_diff_events(sf_dir: str):
     """Snapshot diff (stages/diff_snapshots.py): two deterministic
     'versions' of the events table (different modular drops, values
@@ -2462,6 +2483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "uniform_sample_docs": _q_uniform_sample_docs,
         "snapshot_diff_events": _q_snapshot_diff_events,
         "funnel_events": _q_funnel_events,
+        "retention_events": _q_retention_events,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2596,6 +2618,7 @@ def oracle_sql() -> dict[str, str]:
         "uniform_sample_docs": oracle.SQL_UNIFORM_SAMPLE_DOCS,
         "snapshot_diff_events": oracle.SQL_SNAPSHOT_DIFF_EVENTS,
         "funnel_events": oracle.SQL_FUNNEL_EVENTS,
+        "retention_events": oracle.SQL_RETENTION_EVENTS,
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,

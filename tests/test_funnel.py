@@ -43,3 +43,22 @@ def test_funnel_layout_invariant(ray_session):
     a = _run(1)
     b = _run(7)
     assert a.equals(b)
+
+
+def test_cohort_retention(ray_session):
+    from vector_ray.stages.funnel import cohort_retention
+
+    # bucket=10: user 1 cohort 0 active buckets {0,1,3}; user 2
+    # cohort 1 active {1,1,2} (dup in-bucket counts once)
+    t = pa.table({
+        "user_id": [1, 1, 1, 2, 2, 2],
+        "ts": [5, 15, 35, 12, 18, 25],
+    })
+    out = cohort_retention(
+        rd.from_arrow(t).repartition(3), entity_col="user_id",
+        ts_col="ts", bucket=10,
+    ).to_pandas().sort_values(["cohort", "offset"]).reset_index(
+        drop=True)
+    got = {(r.cohort, r.offset): r.n_active for r in out.itertuples()}
+    assert got == {(0, 0): 1, (0, 1): 1, (0, 3): 1,
+                   (1, 0): 1, (1, 1): 1}

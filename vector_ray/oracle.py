@@ -1768,3 +1768,17 @@ SELECT s0.user_id, s0.t_0, s1.t_1, s2.t_2,
               + (s2.user_id IS NOT NULL)::INT AS BIGINT) AS stage
 FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 """
+
+# cohort retention (stages/funnel.cohort_retention): first-activity
+# day cohorts, distinct active users per (cohort, day offset).
+SQL_RETENTION_EVENTS = """
+WITH e AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts FROM events),
+f AS (SELECT user_id, min(ts) // 86400000000 AS cohort
+      FROM e GROUP BY user_id),
+c AS (SELECT DISTINCT e.user_id, f.cohort,
+             e.ts // 86400000000 - f.cohort AS "offset"
+      FROM e JOIN f USING (user_id))
+SELECT cohort, "offset", CAST(count(*) AS BIGINT) AS n_active
+FROM c GROUP BY cohort, "offset"
+"""

@@ -112,3 +112,96 @@ def funnel(
         stage += np.array([v is not None for v in vals])
     cols["stage"] = pa.array(stage)
     return pa.table(cols)
+
+
+def cohort_retention(
+    ds: Dataset,
+    *,
+    entity_col: str,
+    ts_col: str,
+    bucket: int,
+) -> Dataset:
+    """Cohort retention matrix: entities cohorted by their FIRST
+    activity bucket (``ts // bucket``), counted once per (cohort,
+    offset = activity bucket − cohort bucket).  Returns (cohort,
+    offset, n_active).
+
+    Shape: one map-side-combined groupby-min finds each entity's
+    cohort (entity-sized exchange), the cohort map broadcasts as
+    sorted arrays, then one streaming pass emits per-block DISTINCT
+    (entity, cohort, offset) partials; the final exchange is
+    cohort × offset × blocks sized.  ``ts_col`` must be integer."""
+
+    def first_partial(t: pa.Table) -> pa.Table:
+        g = (t.select([entity_col, ts_col])
+             .group_by([entity_col]).aggregate([(ts_col, "min")])
+             .rename_columns([entity_col, "__t"]))
+        return g
+
+    parts = ds.map_batches(first_partial, batch_format="pyarrow",
+                           batch_size=None)
+    firsts: dict = {}
+    for ref in parts.materialize().to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "__t" not in t.column_names:
+            continue
+        for ent, ts in zip(t[entity_col].to_pylist(),
+                           t["__t"].to_pylist()):
+            cur = firsts.get(ent)
+            if cur is None or ts < cur:
+                firsts[ent] = ts
+    ents = np.array(sorted(firsts), dtype=np.int64)
+    cohorts = np.array([firsts[e] for e in ents],
+                       dtype=np.int64) // bucket
+    cref = ray.put((ents, cohorts))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "offset": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        es, cs = ray.get(cref)
+        e = t[entity_col].to_numpy(zero_copy_only=False)
+        ts = t[ts_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(es, e)
+        co = cs[np.minimum(pos, len(cs) - 1)]
+        off = ts // bucket - co
+        # per-block DISTINCT entities per cell, counted as partials;
+        # an entity active in a cell across blocks double-counts — so
+        # dedupe per (entity, cell) FIRST through the exchange
+        g = (pa.table({"e": pa.array(e), "cohort": pa.array(co),
+                       "offset": pa.array(off)})
+             .group_by(["e", "cohort", "offset"]).aggregate([]))
+        return g
+
+    cells = ds.map_batches(pairs, batch_format="pyarrow",
+                           batch_size=None)
+    # exact distinct per cell: one exchange keyed on the triple, then
+    # count per (cohort, offset)
+    distinct = cells.groupby(["e", "cohort", "offset"]).count()
+
+    def count_cells(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "cohort" not in t.column_names:
+            return pa.table({"cohort": pa.array([], pa.int64()),
+                             "offset": pa.array([], pa.int64()),
+                             "n_active": pa.array([], pa.int64())})
+        g = (t.select(["cohort", "offset"])
+             .group_by(["cohort", "offset"])
+             .aggregate([([], "count_all")])
+             .rename_columns(["cohort", "offset", "n_active"]))
+        return g
+
+    partials = distinct.map_batches(count_cells,
+                                    batch_format="pyarrow",
+                                    batch_size=None)
+    agg = partials.groupby(["cohort", "offset"]).sum("n_active")
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(n_active)" not in t.column_names:
+            return t
+        return t.rename_columns(
+            ["n_active" if c == "sum(n_active)" else c
+             for c in t.column_names])
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -1419,6 +1419,43 @@ def _q_corr_events(sf_dir: str):
         keys=["event_type"], x="x", y="y")
 
 
+def _q_dnstap_parse_frames(sf_dir: str):
+    """parse_dnstap consistency oracle (functions/dnstap.py): REAL
+    dnstap protobuf frames (generator metadata stored beside them,
+    the media-oracle pattern; spec conformance anchored by the two
+    golden frames in tests/test_dnstap.py) decoded through the VRL
+    stdlib kernel — message type/id, source port, question name and
+    DNS id must equal the generator's ground truth."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vector_ray.functions.dnstap import ensure_dnstap_fixture
+    from vector_ray.functions.stdlib_extra import parse_dnstap
+
+    path = ensure_dnstap_fixture()
+    ds = rd.read_parquet(path, columns=["frame_id", "frame_b64"])
+
+    def dec(t: pa.Table) -> pa.Table:
+        parsed = parse_dnstap(t["frame_b64"])
+        req = pc.struct_field(parsed, "requestData")
+        q0 = pc.list_element(pc.struct_field(req, "question"), 0)
+        return pa.table({
+            "frame_id": t["frame_id"],
+            "message_type": pc.struct_field(parsed, "messageType"),
+            "message_type_id": pc.cast(
+                pc.struct_field(parsed, "messageTypeId"), pa.int64()),
+            "source_port": pc.cast(
+                pc.struct_field(parsed, "sourcePort"), pa.int64()),
+            "qname": pc.struct_field(q0, "domainName"),
+            "qid": pc.cast(pc.struct_field(
+                pc.struct_field(req, "header"), "id"), pa.int64()),
+        })
+
+    return ds.map_batches(dec, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def _q_funnel_events(sf_dir: str):
     """Funnel analysis (stages/funnel.py): view → click → purchase
     progression per user with strictly increasing timestamps — k
@@ -2484,6 +2521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff_events": _q_snapshot_diff_events,
         "funnel_events": _q_funnel_events,
         "retention_events": _q_retention_events,
+        "dnstap_parse_frames": _q_dnstap_parse_frames,
         "cube_events": _q_cube_events,
         "rank_fns_events": _q_rank_fns_events,
         "ntile_events": _q_ntile_events,
@@ -2619,6 +2657,8 @@ def oracle_sql() -> dict[str, str]:
         "snapshot_diff_events": oracle.SQL_SNAPSHOT_DIFF_EVENTS,
         "funnel_events": oracle.SQL_FUNNEL_EVENTS,
         "retention_events": oracle.SQL_RETENTION_EVENTS,
+        "dnstap_parse_frames": oracle.sql_dnstap_parse_frames(
+            _ensure_dnstap_fixture_path()),
         "cube_events": oracle.SQL_CUBE_EVENTS,
         "rank_fns_events": oracle.SQL_RANK_FNS_EVENTS,
         "ntile_events": oracle.SQL_NTILE_EVENTS,
@@ -2637,3 +2677,9 @@ def _ensure_real_media_fixture_path() -> str:
     from vector_ray.ml.multimodal import ensure_real_media_fixture
 
     return ensure_real_media_fixture()
+
+
+def _ensure_dnstap_fixture_path() -> str:
+    from vector_ray.functions.dnstap import ensure_dnstap_fixture
+
+    return ensure_dnstap_fixture()

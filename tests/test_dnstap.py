@@ -285,3 +285,19 @@ def _varint(v: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+def test_fixture_roundtrips_ground_truth():
+    from vector_ray.functions.dnstap import synthesize_dnstap_frames
+
+    t = synthesize_dnstap_frames(30, seed=7)
+    for i in range(30):
+        out = parse_dnstap_frame(
+            base64.b64decode(t["frame_b64"][i].as_py()))
+        assert out["messageType"] == t["mt"][i].as_py()
+        assert out["messageTypeId"] == t["mt_id"][i].as_py()
+        assert out["sourcePort"] == t["src_port"][i].as_py()
+        q = out["requestData"]["question"][0]
+        assert q["domainName"] == t["qname"][i].as_py()
+        assert out["requestData"]["header"]["id"] == t["qid"][i].as_py()
+        assert out["timePrecision"] == "ns"

@@ -702,3 +702,102 @@ def _parse_message_into(out: dict, msg: dict, lc: bool) -> None:
             out.setdefault(key, {})["rawData"] = _b64(raw)
             raise
         out.setdefault(key, {}).update(parsed)
+
+
+# ---------------------------------------------------------------------------
+# Fixture generator: REAL dnstap frames with generator ground truth
+# (the media-oracle pattern — a decode stage can be value-checked
+# against metadata stored beside the payloads; the two golden frames
+# in tests/test_dnstap.py anchor spec conformance)
+# ---------------------------------------------------------------------------
+
+DNSTAP_FIXTURE_VERSION = 1
+
+
+def _encode_name(name: str) -> bytes:
+    out = bytearray()
+    for label in name.rstrip(".").split("."):
+        if label:
+            out.append(len(label))
+            out += label.encode()
+    out.append(0)
+    return bytes(out)
+
+
+def _encode_query(qid: int, qname: str, qtype: int, rd: bool) -> bytes:
+    flags = 0x0100 if rd else 0x0000
+    return (qid.to_bytes(2, "big") + flags.to_bytes(2, "big")
+            + b"\x00\x01\x00\x00\x00\x00\x00\x00"
+            + _encode_name(qname) + qtype.to_bytes(2, "big")
+            + b"\x00\x01")
+
+
+def synthesize_dnstap_frames(n: int, seed: int = 42):
+    """pyarrow table: base64 frames + the generator's ground truth
+    (message type, ports, qname, query id) for consistency oracles."""
+    import random
+
+    from vector_ray.functions.protobuf import encode_message
+
+    rng = random.Random(seed)
+    rows = {"frame_id": [], "frame_b64": [], "mt": [], "mt_id": [],
+            "src_port": [], "qname": [], "qid": []}
+    qtypes = [1, 28, 15, 16]
+    for i in range(n):
+        mt_id = rng.choice([1, 3, 5, 9, 11])   # *_QUERY types
+        qid = rng.randrange(1, 65536)
+        port = rng.randrange(1024, 65536)
+        qname = f"host{i}.example{rng.randrange(10)}.com"
+        sec = 1_600_000_000 + rng.randrange(10**6)
+        msg = {
+            "type": mt_id,
+            "socket_family": 1,
+            "socket_protocol": rng.choice([1, 2]),
+            "query_address": bytes(rng.randrange(1, 255)
+                                   for _ in range(4)),
+            "query_port": port,
+            "query_time_sec": sec,
+            "query_time_nsec": rng.randrange(10**9),
+            "query_message": _encode_query(
+                qid, qname, rng.choice(qtypes), bool(i % 2)),
+        }
+        frame = encode_message(
+            {"type": 1, "message": msg}, _DNSTAP_SCHEMA)
+        rows["frame_id"].append(i)
+        rows["frame_b64"].append(base64.b64encode(frame).decode())
+        rows["mt"].append(_MESSAGE_TYPE_NAMES[mt_id])
+        rows["mt_id"].append(mt_id)
+        rows["src_port"].append(port)
+        rows["qname"].append(qname.lower() + ".")
+        rows["qid"].append(qid)
+
+    import pyarrow as pa
+    return pa.table({
+        "frame_id": pa.array(rows["frame_id"], pa.int64()),
+        "frame_b64": pa.array(rows["frame_b64"], pa.string()),
+        "mt": pa.array(rows["mt"], pa.string()),
+        "mt_id": pa.array(rows["mt_id"], pa.int64()),
+        "src_port": pa.array(rows["src_port"], pa.int64()),
+        "qname": pa.array(rows["qname"], pa.string()),
+        "qid": pa.array(rows["qid"], pa.int64()),
+    })
+
+
+def ensure_dnstap_fixture(n: int = 400, seed: int = 42) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    from vector_ray.model import scratch_dir
+
+    path = os.path.join(
+        scratch_dir(), f"dnstap_v{DNSTAP_FIXTURE_VERSION}",
+        f"frames_{n}_s{seed}.parquet")
+    if os.path.exists(path):
+        return path
+    table = synthesize_dnstap_frames(n, seed=seed)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return path

@@ -1782,3 +1782,16 @@ c AS (SELECT DISTINCT e.user_id, f.cohort,
 SELECT cohort, "offset", CAST(count(*) AS BIGINT) AS n_active
 FROM c GROUP BY cohort, "offset"
 """
+
+
+def sql_dnstap_parse_frames(path: str) -> str:
+    """Ground-truth oracle for parse_dnstap: the fixture stores the
+    generator's metadata next to the encoded frames; the Ray side must
+    re-derive it by actually decoding the protobuf + DNS wire bytes."""
+    return f"""
+SELECT frame_id, mt AS message_type,
+       CAST(mt_id AS BIGINT) AS message_type_id,
+       CAST(src_port AS BIGINT) AS source_port,
+       qname, CAST(qid AS BIGINT) AS qid
+FROM read_parquet('{path}')
+"""

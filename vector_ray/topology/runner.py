@@ -191,6 +191,15 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
         paths = sorted(_glob.glob(path)) if any(
             ch in path for ch in "*?[") else path
         return read_avro(paths, columns=spec.config.get("columns"))
+    if spec.type == "orc":
+        import glob as _glob
+
+        from vector_ray.sources.orc import read_orc
+
+        path = spec.config["path"].format(**variables)
+        paths = sorted(_glob.glob(path)) if any(
+            ch in path for ch in "*?[") else path
+        return read_orc(paths, columns=spec.config.get("columns"))
     if spec.type == "demo_logs":
         from vector_ray.sources.demo_logs import demo_logs
 

@@ -140,6 +140,9 @@ def pq_search(codes: Dataset, query: np.ndarray,
 
     cands = codes.map_batches(block_top, batch_format="pyarrow",
                               batch_size=None).to_pandas()
+    if cands.empty or "adc_dist" not in cands.columns:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "adc_dist": pa.array([], pa.float64())})
     cands = cands.sort_values(["adc_dist", id_col]).head(k)
     return pa.Table.from_pandas(cands.reset_index(drop=True),
                                 preserve_index=False)

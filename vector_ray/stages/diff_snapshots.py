@@ -57,14 +57,57 @@ def snapshot_diff(
                           batch_size=None)
     new = new.map_batches(mark(_NEW), batch_format="pyarrow",
                           batch_size=None)
+    # a genuinely empty side loses its schema through the lazy map —
+    # substitute a TYPED empty dataset (types borrowed from the other
+    # side) so the join takes its normal exchange path, never the
+    # schema-less fast paths whose outputs carry only one side's
+    # columns
+    from vector_ray.stages.hash_join import _schema_of
+
+    osch, nsch = _schema_of(old), _schema_of(new)
+
+    def _synth(sch: pa.Schema, marker: str):
+        import ray.data as rd
+
+        cols = {c: pa.array([], sch.field(c).type)
+                for c in key + compare}
+        cols[marker] = pa.array([], pa.int8())
+        return rd.from_arrow(pa.table(cols))
+
+    if osch is None and nsch is None:
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {**{c: pa.array([]) for c in key + compare},
+             "status": pa.array([], pa.string())}))
+    if osch is None:
+        old = _synth(nsch, _OLD)
+    if nsch is None:
+        new = _synth(osch, _NEW)
     joined = hash_partition_join(
         old, new, on=key, how="full_outer", right_suffix=_SUFFIX,
         num_partitions=num_partitions)
     drop_same = keep == "changes"
 
     def status(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or _OLD not in t.column_names:
+        names = set(t.column_names)
+        if t.num_rows == 0 or (_OLD not in names and _NEW not in names):
             return pa.table({})
+        # the join engine's schema-less-side fast paths emit blocks
+        # that carry only one side's columns — synthesize the other
+        # side as nulls so the status derivation is uniform
+        n = t.num_rows
+        for marker, cols, peer_sfx, own_sfx in (
+                (_OLD, compare, _SUFFIX, ""),
+                (_NEW, compare, "", _SUFFIX)):
+            if marker in names:
+                continue
+            t = t.append_column(marker, pa.nulls(n, pa.int8()))
+            for c in cols:
+                own = f"{c}{own_sfx}"
+                if own not in t.column_names:
+                    peer = t[f"{c}{peer_sfx}"]
+                    t = t.append_column(own, pa.nulls(n, peer.type))
         has_old = pc.is_valid(t[_OLD]).to_numpy(zero_copy_only=False)
         has_new = pc.is_valid(t[f"{_NEW}"]).to_numpy(
             zero_copy_only=False)

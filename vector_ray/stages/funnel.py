@@ -109,7 +109,8 @@ def funnel(
     for i, tbl in enumerate(tables):
         vals = [tbl.get(e) for e in entities]
         cols[f"t_{i}"] = pa.array(vals, pa.int64())
-        stage += np.array([v is not None for v in vals])
+        stage += np.array([v is not None for v in vals],
+                          dtype=np.int64)
     cols["stage"] = pa.array(stage)
     return pa.table(cols)
 

@@ -335,6 +335,20 @@ def hash_partition_join(
             return left
         return left.limit(0)
     if lsch is None:
+        if how == "full_outer":
+            # schema-less (empty) left: right-only rows must still
+            # surface — keys under the left names + right payload
+            # (left non-key columns are unknowable and empty anyway)
+            def right_rows(t: pa.Table) -> pa.Table:
+                cols = {lk: t[rk] for lk, rk in zip(keys, rkeys_in)}
+                for n in t.column_names:
+                    if n not in rkeys_in:
+                        cols[n + right_suffix if n in keys else n] = t[n]
+                return pa.table(cols)
+
+            return right.map_batches(right_rows,
+                                     batch_format="pyarrow",
+                                     batch_size=None)
         return left
     lnames = list(lsch.names)
     rpay = [(n, (n + right_suffix if n in lnames else n),

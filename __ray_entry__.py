@@ -1539,6 +1539,26 @@ def _q_snapshot_diff_events(sf_dir: str):
                          keep="changes")
 
 
+def _q_cross_dedup_docs(sf_dir: str):
+    """Near-dup cross-corpus decontamination (ml/ngram_join.
+    cross_dedup): training docs whose exact word-3-gram Jaccard
+    reaches 0.8 against a reference set (every 11th doc) are dropped
+    — AllPairs exact-similarity join with integer math, drop set
+    resolved via one left_anti hash-partition join (never gathered to
+    the driver).  The n-gram-overlap variant is decontaminate_docs;
+    this is the set-similarity leakage-removal step."""
+    import ray.data as rd
+
+    from vector_ray.ml.ngram_join import cross_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    ref = docs.filter(lambda r: r["doc_id"] % 11 == 0)
+    out = cross_dedup(docs, ref, threshold=0.8)
+    return out.map_batches(lambda t: t.select(["doc_id"]),
+                           batch_format="pyarrow", batch_size=None)
+
+
 def _q_uniform_sample_docs(sf_dir: str):
     """Exact-size uniform sample (ml/mixing.uniform_k_sample): the
     100 docs with the smallest md5 id-hashes — the deterministic
@@ -2518,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_encode_embeddings": _q_pq_encode_embeddings,
         "quantiles_cont_events": _q_quantiles_cont_events,
         "uniform_sample_docs": _q_uniform_sample_docs,
+        "cross_dedup_docs": _q_cross_dedup_docs,
         "snapshot_diff_events": _q_snapshot_diff_events,
         "funnel_events": _q_funnel_events,
         "retention_events": _q_retention_events,
@@ -2654,6 +2675,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_encode_embeddings": oracle.sql_pq_encode_embeddings(),
         "quantiles_cont_events": oracle.SQL_QUANTILES_CONT_EVENTS,
         "uniform_sample_docs": oracle.SQL_UNIFORM_SAMPLE_DOCS,
+        "cross_dedup_docs": oracle.SQL_CROSS_DEDUP_DOCS,
         "snapshot_diff_events": oracle.SQL_SNAPSHOT_DIFF_EVENTS,
         "funnel_events": oracle.SQL_FUNNEL_EVENTS,
         "retention_events": oracle.SQL_RETENTION_EVENTS,

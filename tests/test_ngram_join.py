@@ -100,3 +100,26 @@ def test_drop_empty_blocks_schema_stabilizes():
                                    "x": ["p", "q"]}))
     j = stable.join(docs, "inner", 2, on=("a",), right_on=("doc_id",))
     assert j.count() == 2
+
+
+def test_cross_dedup(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.ml.ngram_join import cross_dedup
+
+    corpus = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["the quick brown fox jumps over the lazy dog",
+                 "an entirely different document about trains",
+                 "the quick brown fox jumps over the lazy cat",
+                 "short"],
+    }))
+    ref = rd.from_arrow(pa.table({
+        "doc_id": [0],
+        "text": ["the quick brown fox jumps over the lazy dog"],
+    }))
+    out = cross_dedup(corpus, ref, threshold=0.6).to_pandas()
+    # doc 0 exact match dropped; doc 2 near-dup (6/8 shared 3-grams =
+    # 0.75... vs union) dropped at 0.6; 1 and 3 survive
+    assert sorted(out.doc_id.tolist()) == [1, 3]

@@ -287,3 +287,62 @@ def ngram_jaccard_pairs(
                              "jaccard_bp": pd.Series([], dtype="int64")})
     return (res.drop_duplicates(["a", "b"])
             .sort_values(["a", "b"]).reset_index(drop=True))
+
+
+def cross_dedup(
+    corpus: Dataset,
+    reference: Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    ref_id_offset: int = 10_000_000,
+) -> Dataset:
+    """Drop corpus documents whose word-``shingle_n``-gram Jaccard
+    against ANY reference document reaches ``threshold`` — near-dup
+    decontamination of a training corpus against an eval/benchmark
+    set (the GPT-3/Pile leakage-removal step; ml/decontam.py is the
+    exact-n-gram-overlap variant, this is the set-similarity one).
+
+    Shape: reference ids shift by ``ref_id_offset`` (corpus ids must
+    be int64 below it), both sides flow through the AllPairs
+    prefix-filter exact-Jaccard join (one hash-join exchange), cross-
+    side pairs map back to corpus ids, and survivors emerge from one
+    ``left_anti`` hash-partition join — the drop set never gathers to
+    the driver.  All similarity math is integer, so the full pipeline
+    replays bit-exactly in SQL."""
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.hash_join import hash_partition_join
+
+    def shift(t: pa.Table) -> pa.Table:
+        ids = pc.add(pc.cast(t[id_col], pa.int64()),
+                     pa.scalar(ref_id_offset, pa.int64()))
+        i = t.column_names.index(id_col)
+        return t.set_column(i, id_col, ids).select([id_col, text_col])
+
+    ref = reference.map_batches(shift, batch_format="pyarrow",
+                                batch_size=None)
+    both = corpus.map_batches(
+        lambda t: t.select([id_col, text_col]),
+        batch_format="pyarrow", batch_size=None).union(ref)
+    pairs = ngram_jaccard_pairs(
+        both, text_col=text_col, id_col=id_col,
+        shingle_n=shingle_n, threshold=threshold, as_dataset=True)
+
+    off = ref_id_offset
+
+    def corpus_side(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "a" not in t.column_names:
+            return pa.table({id_col: pa.array([], pa.int64())})
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        cross = (a < off) != (b < off)
+        hit = np.where(a[cross] < off, a[cross], b[cross])
+        return pa.table({id_col: pa.array(np.unique(hit))})
+
+    drop = pairs.map_batches(corpus_side, batch_format="pyarrow",
+                             batch_size=None)
+    return hash_partition_join(corpus, drop, on=[id_col],
+                               how="left_anti")

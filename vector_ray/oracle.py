@@ -1795,3 +1795,44 @@ SELECT frame_id, mt AS message_type,
        qname, CAST(qid AS BIGINT) AS qid
 FROM read_parquet('{path}')
 """
+
+# cross-corpus near-dup decontamination (ml/ngram_join.cross_dedup):
+# the reference set is every 11th doc shifted by 10M; the same
+# integer Jaccard machinery as SQL_NGRAM_JACCARD_PAIRS_DOCS decides
+# cross-side matches at 0.8, survivors via anti-join.
+SQL_CROSS_DEDUP_DOCS = r"""
+WITH uni AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, text FROM documents
+  WHERE doc_id % 11 = 0),
+tl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM uni),
+toks AS (
+  SELECT doc_id, unnest(toks) AS w, generate_subscripts(toks, 1) AS pos
+  FROM tl),
+grams AS (
+  SELECT a.doc_id, a.w || ' ' || b.w || ' ' || c.w AS g
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+  UNION ALL
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS g
+  FROM toks GROUP BY doc_id HAVING count(*) < 3),
+sets AS (SELECT DISTINCT doc_id, g FROM grams),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sets GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+  FROM sets x JOIN sets y ON x.g = y.g AND x.doc_id < y.doc_id
+  GROUP BY 1, 2),
+cross_hits AS (
+  SELECT CASE WHEN a < 10000000 THEN a ELSE b END AS doc_id
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = inter.a
+  JOIN sizes sb ON sb.doc_id = inter.b
+  WHERE (a < 10000000) <> (b < 10000000)
+    AND i * 10000 >= 8000 * (sa.sz + sb.sz - i))
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM cross_hits)
+"""

@@ -859,3 +859,36 @@ sinks:
     t = pq.read_table(files)
     assert {"doc_id", "seq", "n_tokens"} <= set(t.column_names)
     assert min(t["n_tokens"].to_pylist()) >= 0
+
+
+def test_snapshot_diff_yaml_type(tmp_path):
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(f"""
+sources:
+  old:
+    type: parquet
+    path: {sf}/documents.parquet
+    columns: [doc_id, n_chars]
+  new:
+    type: parquet
+    path: {sf}/documents.parquet
+    columns: [doc_id, n_chars]
+transforms:
+  diff:
+    type: snapshot_diff
+    inputs: [old, new]
+    key: doc_id
+    compare: n_chars
+sinks:
+  out:
+    type: parquet
+    inputs: [diff]
+    path: "{tmp_path}/out"
+""")
+    res = run_topology(topo)
+    import duckdb
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet("
+                   f"'{sf}/documents.parquet')").fetchone()[0]
+    assert res.sink_counts["out"] == n  # identical snapshots: all same

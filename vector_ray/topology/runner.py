@@ -217,7 +217,7 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
 # instead of the reference's union-of-inputs stream semantics
 _TWO_INPUT_TRANSFORMS = frozenset(
     {"asof_join", "interval_join", "decontaminate", "hash_join",
-     "set_op"})
+     "set_op", "snapshot_diff", "cross_dedup"})
 
 
 def _build_transform(
@@ -238,6 +238,40 @@ def _build_transform(
             ins_list[0], ins_list[1],
             text_col=c.get("text_col", "text"), n=c.get("n", 3),
             seed=c.get("seed", 0), annotate=c.get("annotate", False))}
+    if t == "snapshot_diff":
+        if ins_list is None or len(ins_list) != 2:
+            raise ConfigError(
+                f"snapshot_diff component {spec.name!r} needs exactly "
+                f"2 inputs (old, new); got {len(ins_list or [])}")
+        from vector_ray.stages.diff_snapshots import snapshot_diff
+
+        key = c.get("key")
+        compare = c.get("compare")
+        if not key or not compare:
+            raise ConfigError(
+                f"snapshot_diff component {spec.name!r} needs `key` "
+                "and `compare`")
+        return {"": snapshot_diff(
+            ins_list[0], ins_list[1],
+            key=[key] if isinstance(key, str) else list(key),
+            compare=[compare] if isinstance(compare, str)
+            else list(compare),
+            keep=c.get("keep", "all"),
+            num_partitions=c.get("num_partitions"))}
+    if t == "cross_dedup":
+        if ins_list is None or len(ins_list) != 2:
+            raise ConfigError(
+                f"cross_dedup component {spec.name!r} needs exactly 2 "
+                f"inputs (corpus, reference); got {len(ins_list or [])}")
+        from vector_ray.ml.ngram_join import cross_dedup
+
+        return {"": cross_dedup(
+            ins_list[0], ins_list[1],
+            text_col=c.get("text_col", "text"),
+            id_col=c.get("id_col", "doc_id"),
+            shingle_n=c.get("shingle_n", 3),
+            threshold=c.get("threshold", 0.8),
+            ref_id_offset=c.get("ref_id_offset", 10_000_000))}
     if t == "set_op":
         if ins_list is None or len(ins_list) != 2:
             raise ConfigError(

@@ -106,7 +106,8 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      # PQ, interpolated quantiles
                      "setop_events", "moments_events",
                      "bpe_top_pairs_docs", "pq_encode_embeddings",
-                     "quantiles_cont_events"):
+                     "quantiles_cont_events", "funnel_events",
+                     "snapshot_diff_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

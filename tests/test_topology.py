@@ -892,3 +892,37 @@ sinks:
     n = duckdb.sql(f"SELECT count(*) FROM read_parquet("
                    f"'{sf}/documents.parquet')").fetchone()[0]
     assert res.sink_counts["out"] == n  # identical snapshots: all same
+
+
+def test_funnel_yaml_type(tmp_path):
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(f"""
+sources:
+  events:
+    type: parquet
+    path: {sf}/events.parquet
+    columns: [user_id, ts, event_type]
+transforms:
+  cast:
+    type: remap
+    inputs: [events]
+    source: ".ts = to_unix_timestamp(.ts, unit: \\"microseconds\\")"
+  fn:
+    type: funnel
+    inputs: [cast]
+    steps: [view, click, purchase]
+sinks:
+  out:
+    type: parquet
+    inputs: [fn]
+    path: "{tmp_path}/out"
+""")
+    res = run_topology(topo)
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM read_parquet("
+        f"'{sf}/events.parquet') WHERE event_type = 'view'"
+    ).fetchone()[0]
+    assert res.sink_counts["out"] == n

@@ -493,6 +493,25 @@ def _build_transform(
     # --- training-data ML family as YAML components (beyond the
     # reference; the Python API in vector_ray/ml/ is the primary
     # surface, these make end-to-end prep pipelines CLI-runnable) ---
+    if t == "funnel":
+        from vector_ray.stages.funnel import funnel
+
+        steps = c.get("steps")
+        if not steps:
+            raise ConfigError(
+                f"funnel component {spec.name!r} needs `steps`")
+        out = funnel(ds, entity_col=c.get("entity_col", "user_id"),
+                     ts_col=c.get("ts_col", "ts"),
+                     step_col=c.get("step_col", "event_type"),
+                     steps=list(steps))
+        return {"": rd.from_arrow(out)}
+    if t == "cohort_retention":
+        from vector_ray.stages.funnel import cohort_retention
+
+        return {"": cohort_retention(
+            ds, entity_col=c.get("entity_col", "user_id"),
+            ts_col=c.get("ts_col", "ts"),
+            bucket=int(c["bucket"]))}
     if t == "bpe_apply":
         from vector_ray.ml.bpe import apply_merges, to_symbols
         from vector_ray.ml.bpe import token_count as bpe_token_count

@@ -926,3 +926,25 @@ sinks:
         f"'{sf}/events.parquet') WHERE event_type = 'view'"
     ).fetchone()[0]
     assert res.sink_counts["out"] == n
+
+
+def test_analytics_pipeline_yaml(tmp_path):
+    """The shipped pipelines/analytics.yaml runs end to end."""
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(open("pipelines/analytics.yaml").read())
+    res = run_topology(topo, variables={
+        "events": f"{sf}/events.parquet",
+        "out": str(tmp_path)})
+    import duckdb
+    q = duckdb.sql
+    ev = f"read_parquet('{sf}/events.parquet')"
+    assert res.sink_counts["funnel_out"] == q(
+        f"SELECT count(DISTINCT user_id) FROM {ev} "
+        "WHERE event_type='view'").fetchone()[0]
+    assert res.sink_counts["audience_out"] == q(
+        f"SELECT count(*) FROM (SELECT user_id FROM {ev} WHERE "
+        "event_type='click' INTERSECT SELECT user_id FROM "
+        f"{ev} WHERE event_type='view')").fetchone()[0]
+    assert res.sink_counts["retention_out"] > 0

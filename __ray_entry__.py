@@ -789,11 +789,15 @@ def _q_ntile_events(sf_dir: str):
 
     def finish(t: pa.Table) -> pa.Table:
         def micro(c):
+            # half AWAY from zero (DuckDB round): pr/cd are integer
+            # RATIOS — group size 2^7+1 makes exact half-micros where
+            # banker's rounding flips vs the oracle
             a = t[c]
             if isinstance(a, pa.ChunkedArray):
                 a = a.combine_chunks()
-            return pc.cast(pc.round(pc.multiply(a, 1000000.0)),
-                           pa.int64())
+            return pc.cast(pc.round(
+                pc.multiply(a, 1000000.0),
+                round_mode="half_towards_infinity"), pa.int64())
 
         return pa.table({
             "event_id": t["event_id"], "user_id": t["user_id"],

@@ -136,9 +136,13 @@ def grouped_quantiles(
             lo = vals[f"__{name}_lo"]
             hi = vals[f"__{name}_hi"]
             rem = ipos[name][kt][1]
-            # fixed expression tree: rem/den, (hi-lo)*t, lo+, 1e6*
+            # fixed expression tree: rem/den, (hi-lo)*t, lo+, 1e6*;
+            # half-AWAY rounding (DuckDB round) — exact half-micros
+            # are possible when den carries 2^7
             t = float(rem) / float(den)
-            rec[name] = int(round(1e6 * (lo + (hi - lo) * t)))
+            m = 1e6 * (lo + (hi - lo) * t)
+            rec[name] = int(np.floor(m + 0.5) if m >= 0
+                            else np.ceil(m - 0.5))
         rec[count_col] = totals[kt]
         recs.append(rec)
     cols = keys + list(qs.keys()) + list(interp.keys()) + [count_col]

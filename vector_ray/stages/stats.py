@@ -28,6 +28,15 @@ from ray.data import Dataset
 _SUMS = ("n", "sx", "sy", "sxx", "syy", "sxy")
 
 
+def _half_away(m: np.ndarray) -> np.ndarray:
+    """Round half AWAY from zero — DuckDB round() semantics.  The
+    quantized values are RATIOS of integers, so exact half-micros
+    occur whenever a denominator carries 2^7 (e.g. group size 129 in
+    percent_rank); numpy/Python banker's rounding flips those against
+    the SQL oracle."""
+    return np.where(m >= 0, np.floor(m + 0.5), np.ceil(m - 0.5))
+
+
 def grouped_corr(
     ds: Dataset,
     *,
@@ -84,7 +93,7 @@ def grouped_corr(
             out[c] = pc.cast(t[c], pa.int64())
 
         def micro(a, name):
-            m = np.round(a * 1000000.0)
+            m = _half_away(a * 1000000.0)
             out[name] = pa.array(
                 np.where(np.isfinite(m), m, 0).astype(np.int64),
                 mask=~np.isfinite(m))
@@ -168,8 +177,10 @@ def grouped_moments(
             d = (n ** 3 * s4 - 4 * n * n * s1 * s3
                  + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4 - 3 * b * b)
             bd = float(b)
-            skew.append(round(1e6 * (float(a) / (bd * np.sqrt(bd)))))
-            kurt.append(round(1e6 * (float(d) / (bd * bd))))
+            skew.append(int(_half_away(np.float64(
+                1e6 * (float(a) / (bd * np.sqrt(bd)))))))
+            kurt.append(int(_half_away(np.float64(
+                1e6 * (float(d) / (bd * bd))))))
         out["skew_micro"] = pa.array(skew, pa.int64())
         out["kurt_micro"] = pa.array(kurt, pa.int64())
         return pa.table(out)

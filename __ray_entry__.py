@@ -1055,6 +1055,39 @@ def _q_conv_dedup_transcripts(sf_dir: str):
     return conv_exact_dedup(ds.union(copies))
 
 
+def _q_string_agg_events(sf_dir: str):
+    """Grouped ORDERED string aggregation (SQL string_agg/listagg)
+    via stages/sorted_ops.concat_sorted: per user, the comma-joined
+    event_type sequence ordered by (ts, event_id), the exact integer
+    cent total and the run count — ONE sort, per-block Arrow
+    binary_join collapse over run offsets, ≤2 boundary rows per block
+    chained on the driver while interiors stay in the object store.
+    First-class SQL surface for the reference's reduce
+    merge_strategies=concat (src/transforms/reduce/config.rs)."""
+    import pyarrow as pa
+
+    from vector_ray.stages.sorted_ops import concat_sorted
+
+    ev = _cents(_events(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type",
+                         "value"]))
+    out = concat_sorted(
+        ev, group_by=["user_id"], value_col="event_type",
+        order_by=["ts", "event_id"], sep=",",
+        sum_cols=["value_cents"], count_field="events")
+
+    def finish(t: pa.Table) -> pa.Table:
+        # rename inside a UDF (Dataset.rename_columns breaks on
+        # pandas-backed blocks); output order matches the oracle.
+        return pa.table({"user_id": t["user_id"],
+                         "event_seq": t["event_type"],
+                         "cents": t["value_cents"],
+                         "events": t["events"]})
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _q_sft_pairs_transcripts(sf_dir: str):
     """Transcripts → SFT training pairs (ml/sft.conversation_pairs):
     every assistant turn with prior context becomes (context, target)
@@ -2482,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
         # ================= driver window ends here (50) =================
+        "string_agg_events": _q_string_agg_events,
         "count_min_users": _q_count_min_users,
         "codec_roundtrip_events": _q_codec_roundtrip_events,
         "except_events": _q_except_events,  # EXCEPT ALL
@@ -2638,6 +2672,7 @@ def oracle_sql() -> dict[str, str]:
         "count_min_users": oracle.SQL_COUNT_MIN_USERS,
         "heavy_hitters_users": oracle.SQL_HEAVY_HITTERS_USERS,
         "setop_events": oracle.SQL_SETOP_EVENTS,
+        "string_agg_events": oracle.SQL_STRING_AGG_EVENTS,
         "except_events": oracle.SQL_EXCEPT_EVENTS,
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,

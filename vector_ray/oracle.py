@@ -1836,3 +1836,18 @@ cross_hits AS (
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT doc_id FROM cross_hits)
 """
+
+
+# grouped ordered string aggregation (stages/sorted_ops.concat_sorted):
+# SQL string_agg/listagg with a deterministic total order key
+# (ts, event_id) so both engines join the identical sequence; cents
+# sum integer-quantized per the float-aggregate invariant.
+SQL_STRING_AGG_EVENTS = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS event_seq,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents,
+       CAST(count(*) AS BIGINT) AS events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""

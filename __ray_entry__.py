@@ -1088,6 +1088,27 @@ def _q_string_agg_events(sf_dir: str):
                            batch_size=None)
 
 
+def _q_gopher_filter_docs(sf_dir: str):
+    """Complete Gopher quality-rule set (ml/gopher.py — Rae et al.
+    2021): the seven published document rules as integer counts +
+    cross-multiplied ratio decisions, one zero-exchange vectorized
+    pass (RE2 on both engines).  Returns per-doc rule inputs, per-rule
+    0/1 flags and the final keep flag for every document."""
+    import ray.data as rd
+
+    from vector_ray.ml.gopher import gopher_stats
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = gopher_stats(ds)
+    return out.select_columns([
+        "doc_id", "n_words", "w_chars", "n_symbols", "n_lines",
+        "bullet_lines", "ellipsis_lines", "alpha_words",
+        "stop_words_present", "r_word_count", "r_mean_word_len",
+        "r_symbol_ratio", "r_bullet_lines", "r_ellipsis_lines",
+        "r_alpha_words", "r_stop_words", "keep"])
+
+
 def _q_sft_pairs_transcripts(sf_dir: str):
     """Transcripts → SFT training pairs (ml/sft.conversation_pairs):
     every assistant turn with prior context becomes (context, target)
@@ -2516,6 +2537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
         # ================= driver window ends here (50) =================
         "string_agg_events": _q_string_agg_events,
+        "gopher_filter_docs": _q_gopher_filter_docs,
         "count_min_users": _q_count_min_users,
         "codec_roundtrip_events": _q_codec_roundtrip_events,
         "except_events": _q_except_events,  # EXCEPT ALL
@@ -2673,6 +2695,7 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters_users": oracle.SQL_HEAVY_HITTERS_USERS,
         "setop_events": oracle.SQL_SETOP_EVENTS,
         "string_agg_events": oracle.SQL_STRING_AGG_EVENTS,
+        "gopher_filter_docs": oracle.SQL_GOPHER_DOCS,
         "except_events": oracle.SQL_EXCEPT_EVENTS,
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,

@@ -1851,3 +1851,74 @@ FROM events
 GROUP BY user_id
 ORDER BY user_id
 """
+
+
+# complete Gopher quality-rule set (ml/gopher.py): every count is an
+# RE2 match count on both engines and every ratio rule is a
+# cross-multiplied integer comparison, so rule decisions replay
+# bit-exactly.  '...' count via replace-length (matches Arrow's
+# non-overlapping count_substring); '//' keeps the division integral.
+SQL_GOPHER_DOCS = r"""
+WITH g AS (
+  SELECT doc_id,
+    len(regexp_extract_all(coalesce(text, ''), '[^\s]+')) AS n_words,
+    len(regexp_extract_all(coalesce(text, ''), '[^\s]')) AS w_chars,
+    (length(coalesce(text, ''))
+       - length(replace(coalesce(text, ''), '#', '')))
+      + (length(coalesce(text, ''))
+       - length(replace(coalesce(text, ''), '...', ''))) // 3
+      AS n_symbols,
+    length(coalesce(text, ''))
+      - length(replace(coalesce(text, ''), chr(10), '')) + 1 AS n_lines,
+    len(regexp_extract_all(coalesce(text, ''), '(?m)^[-*•]'))
+      AS bullet_lines,
+    len(regexp_extract_all(coalesce(text, ''), '(?m)\.\.\.$'))
+      AS ellipsis_lines,
+    len(regexp_extract_all(coalesce(text, ''), '[^\s]*[A-Za-z][^\s]*'))
+      AS alpha_words,
+    (CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bthe\b')
+          THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bbe\b')
+          THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bto\b')
+          THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bof\b')
+          THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(coalesce(text, '')), '\band\b')
+          THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bthat\b')
+          THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bhave\b')
+          THEN 1 ELSE 0 END
+     + CASE WHEN regexp_matches(lower(coalesce(text, '')), '\bwith\b')
+          THEN 1 ELSE 0 END) AS stop_words_present
+  FROM documents),
+r AS (
+  SELECT *,
+    CAST(n_words BETWEEN 50 AND 100000 AS BIGINT) AS r_word_count,
+    CAST(w_chars >= 3 * n_words AND w_chars <= 10 * n_words AS BIGINT)
+      AS r_mean_word_len,
+    CAST(10 * n_symbols <= n_words AS BIGINT) AS r_symbol_ratio,
+    CAST(10 * bullet_lines <= 9 * n_lines AS BIGINT) AS r_bullet_lines,
+    CAST(10 * ellipsis_lines <= 3 * n_lines AS BIGINT)
+      AS r_ellipsis_lines,
+    CAST(5 * alpha_words >= 4 * n_words AS BIGINT) AS r_alpha_words,
+    CAST(stop_words_present >= 2 AS BIGINT) AS r_stop_words
+  FROM g)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(w_chars AS BIGINT) AS w_chars,
+       CAST(n_symbols AS BIGINT) AS n_symbols,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(bullet_lines AS BIGINT) AS bullet_lines,
+       CAST(ellipsis_lines AS BIGINT) AS ellipsis_lines,
+       CAST(alpha_words AS BIGINT) AS alpha_words,
+       CAST(stop_words_present AS BIGINT) AS stop_words_present,
+       r_word_count, r_mean_word_len, r_symbol_ratio, r_bullet_lines,
+       r_ellipsis_lines, r_alpha_words, r_stop_words,
+       CAST(r_word_count * r_mean_word_len * r_symbol_ratio
+            * r_bullet_lines * r_ellipsis_lines * r_alpha_words
+            * r_stop_words AS BIGINT) AS keep
+FROM r
+ORDER BY doc_id
+"""

@@ -1088,6 +1088,31 @@ def _q_string_agg_events(sf_dir: str):
                            batch_size=None)
 
 
+def _q_mad_events(sf_dir: str):
+    """Exact grouped median + MAD (stages/stats.grouped_median_mad):
+    robust location/scale per event_type in doubled integer units
+    (2·median and 4·MAD are exact ints for integer inputs) — two
+    quantile_exact passes, per-group medians broadcast as arrays with
+    pc.index_in lookup, never a Python dict."""
+    from vector_ray.stages.stats import grouped_median_mad
+
+    ev = _cents(_events(sf_dir, columns=["event_type", "value"]))
+    return grouped_median_mad(ev, key="event_type",
+                              value_col="value_cents")
+
+
+def _q_trimmed_mean_events(sf_dir: str):
+    """Grouped 10–90% trimmed mean (stages/stats.grouped_trimmed_mean):
+    per-group quantile_disc bounds from one exact-quantile pass,
+    bounds broadcast + integer survivor sums per block, driver-combined
+    (tiny-aggregate convention), mean micro-quantized half-away."""
+    from vector_ray.stages.stats import grouped_trimmed_mean
+
+    ev = _cents(_events(sf_dir, columns=["event_type", "value"]))
+    return grouped_trimmed_mean(ev, key="event_type",
+                                value_col="value_cents")
+
+
 def _q_gopher_filter_docs(sf_dir: str):
     """Complete Gopher quality-rule set (ml/gopher.py — Rae et al.
     2021): the seven published document rules as integer counts +
@@ -2538,6 +2563,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ================= driver window ends here (50) =================
         "string_agg_events": _q_string_agg_events,
         "gopher_filter_docs": _q_gopher_filter_docs,
+        "mad_events": _q_mad_events,
+        "trimmed_mean_events": _q_trimmed_mean_events,
         "count_min_users": _q_count_min_users,
         "codec_roundtrip_events": _q_codec_roundtrip_events,
         "except_events": _q_except_events,  # EXCEPT ALL
@@ -2696,6 +2723,8 @@ def oracle_sql() -> dict[str, str]:
         "setop_events": oracle.SQL_SETOP_EVENTS,
         "string_agg_events": oracle.SQL_STRING_AGG_EVENTS,
         "gopher_filter_docs": oracle.SQL_GOPHER_DOCS,
+        "mad_events": oracle.SQL_MAD_EVENTS,
+        "trimmed_mean_events": oracle.SQL_TRIMMED_MEAN_EVENTS,
         "except_events": oracle.SQL_EXCEPT_EVENTS,
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,

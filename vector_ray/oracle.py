@@ -1922,3 +1922,51 @@ SELECT doc_id,
 FROM r
 ORDER BY doc_id
 """
+
+
+# exact grouped median + MAD (stages/stats.grouped_median_mad):
+# doubled/quadrupled integer units keep everything exact — an
+# interpolated median of ints is k/2, so 2*median and 4*MAD are ints;
+# quantile_cont on ints < 2^52 is exact in both engines.
+SQL_MAD_EVENTS = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+m AS (
+  SELECT event_type,
+         CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e GROUP BY event_type)
+SELECT e.event_type,
+       any_value(m.med2) AS med_half,
+       CAST(2 * quantile_cont(abs(2 * e.cents - m.med2), 0.5)
+            AS BIGINT) AS mad_quarter,
+       any_value(m.n) AS n
+FROM e JOIN m ON e.event_type = m.event_type
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""
+
+
+# grouped trimmed mean (stages/stats.grouped_trimmed_mean): inclusive
+# [p10, p90] quantile_disc band, integer survivor sums, mean
+# micro-quantized via round(avg*1e4) (half-away on both engines).
+SQL_TRIMMED_MEAN_EVENTS = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+b AS (
+  SELECT event_type,
+         quantile_disc(cents, 0.1) AS lo,
+         quantile_disc(cents, 0.9) AS hi
+  FROM e GROUP BY event_type)
+SELECT e.event_type,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(e.cents) AS BIGINT) AS sum_kept,
+       CAST(round(avg(e.cents) * 10000) AS BIGINT)
+         AS trimmed_mean_micro
+FROM e JOIN b ON e.event_type = b.event_type
+WHERE e.cents BETWEEN b.lo AND b.hi
+GROUP BY e.event_type
+ORDER BY e.event_type
+"""

@@ -187,3 +187,125 @@ def grouped_moments(
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def grouped_median_mad(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+) -> "pd.DataFrame":
+    """Exact grouped median + MAD (median absolute deviation) over
+    integer-valued ``value_col`` — the robust-statistics pair SQL
+    spells ``median()`` / ``mad()``.
+
+    Two passes of stages/quantile_exact.grouped_quantiles (one global
+    sort each, group sizes driver-combined): pass 1 takes the
+    interpolated median; pass 2 the median of absolute deviations.
+    All arithmetic stays INTEGER by doubling units: an interpolated
+    median of ints is k/2 exactly, so ``med2 = 2·median`` is an int
+    (recovered exactly from the micro-quantized interpolation —
+    micro = 500_000·med2), deviations ``|2x − med2|`` are ints, and
+    the output MAD is ``mad4 = 4·MAD`` (int).  Bit-replayable in SQL
+    via quantile_cont (exact on ints < 2^52).
+
+    The per-group medians broadcast as (sorted keys, med2) arrays and
+    map per block via ``pc.index_in`` — no Python dict, no row loop.
+    Returns a pandas DataFrame (one row per group, driver-sized).
+    """
+    import pandas as pd
+    import ray
+
+    from vector_ray.stages.quantile_exact import grouped_quantiles
+
+    ds = ds.materialize()  # two full passes below
+    r1 = grouped_quantiles(ds, keys=[key], value_col=value_col,
+                           interp={"med_micro": (1, 2)})
+    # micro = round(1e6·(k/2)) = 500_000·k exactly (ints < 2^52)
+    med2 = (r1["med_micro"] // 500_000).astype("int64")
+    kv = pa.array(r1[key].tolist())
+    ref = ray.put((kv, med2.to_numpy()))
+
+    def dev(t: pa.Table) -> pa.Table:
+        kk, mm = ray.get(ref)
+        idx = pc.index_in(t[key], value_set=kk).to_numpy(
+            zero_copy_only=False)
+        x = pc.cast(t[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        d2 = np.abs(2 * x - mm[idx])
+        return pa.table({key: t[key], "dev2": pa.array(d2)})
+
+    devs = ds.map_batches(dev, batch_format="pyarrow", batch_size=None)
+    r2 = grouped_quantiles(devs, keys=[key], value_col="dev2",
+                           interp={"mad_micro": (1, 2)})
+    out = r1.merge(r2[[key, "mad_micro"]], on=key)
+    return pd.DataFrame({
+        key: out[key],
+        "med_half": (out["med_micro"] // 500_000).astype("int64"),
+        "mad_quarter": (out["mad_micro"] // 500_000).astype("int64"),
+        "n": out["n"].astype("int64"),
+    })
+
+
+def grouped_trimmed_mean(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    lo_q: tuple[int, int] = (1, 10),
+    hi_q: tuple[int, int] = (9, 10),
+) -> "pd.DataFrame":
+    """Grouped TRIMMED mean over integer-valued ``value_col``: keep
+    values inside the [lo_q, hi_q] discrete-quantile band (inclusive,
+    quantile_disc semantics) and average the survivors.
+
+    One grouped_quantiles pass for the per-group bounds (driver-sized),
+    bounds broadcast as arrays + ``pc.index_in`` lookup, then per-block
+    integer sum/count partials combined ON THE DRIVER (tiny-aggregate
+    convention — never a groupby exchange for #groups rows).  The mean
+    micro-quantizes via the proven ``round(avg·10⁴)`` expression
+    (pc.round = half-away, matching DuckDB round())."""
+    import pandas as pd
+    import ray
+
+    from vector_ray.stages.quantile_exact import grouped_quantiles
+
+    ds = ds.materialize()
+    b = grouped_quantiles(ds, keys=[key], value_col=value_col,
+                          qs={"lo": lo_q, "hi": hi_q})
+    kv = pa.array(b[key].tolist())
+    ref = ray.put((kv, b["lo"].to_numpy().astype(np.int64),
+                   b["hi"].to_numpy().astype(np.int64)))
+
+    @ray.remote
+    def partial(t: pa.Table):
+        if t.num_rows == 0 or key not in t.column_names:
+            return {}
+        kk, lo, hi = ray.get(ref)
+        idx = pc.index_in(t[key], value_set=kk).to_numpy(
+            zero_copy_only=False)
+        x = pc.cast(t[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = (x >= lo[idx]) & (x <= hi[idx])
+        sums = np.zeros(len(kk), dtype=np.int64)
+        cnts = np.zeros(len(kk), dtype=np.int64)
+        np.add.at(sums, idx[m], x[m])
+        np.add.at(cnts, idx[m], 1)
+        return {int(i): (int(sums[i]), int(cnts[i]))
+                for i in np.flatnonzero(cnts)}
+
+    tot_s = np.zeros(len(kv), dtype=np.int64)
+    tot_n = np.zeros(len(kv), dtype=np.int64)
+    for part in ray.get([partial.remote(r)
+                         for r in ds.to_arrow_refs()]):
+        for i, (s, c) in part.items():
+            tot_s[i] += s
+            tot_n[i] += c
+    mean = tot_s.astype(np.float64) / tot_n.astype(np.float64)
+    micro = _half_away(mean * 10_000.0).astype(np.int64)
+    return pd.DataFrame({
+        key: b[key],
+        "n_kept": tot_n,
+        "sum_kept": tot_s,
+        "trimmed_mean_micro": micro,
+    })

@@ -1088,6 +1088,32 @@ def _q_string_agg_events(sf_dir: str):
                            batch_size=None)
 
 
+def _q_c4_clean_docs(sf_dir: str):
+    """C4 line-level cleaning (ml/c4.py): terminal-punctuation /
+    min-words / javascript line rules + lorem-ipsum / brace / min-lines
+    page rules, cleaned text rebuilt in flat Arrow space.  The
+    synthetic docs have no line structure, so both engines first
+    restructure deterministically (replace ' a ' → '.\\n') — the
+    cleaned text then compares byte-for-byte."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vector_ray.ml.c4 import c4_clean
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def restructure(t: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(t["text"], pa.string()), "")
+        return t.set_column(
+            t.column_names.index("text"), "text",
+            pc.replace_substring(s, pattern=" a ", replacement=".\n"))
+
+    return c4_clean(ds.map_batches(restructure, batch_format="pyarrow",
+                                   batch_size=None))
+
+
 def _q_mad_events(sf_dir: str):
     """Exact grouped median + MAD (stages/stats.grouped_median_mad):
     robust location/scale per event_type in doubled integer units
@@ -2565,6 +2591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_filter_docs": _q_gopher_filter_docs,
         "mad_events": _q_mad_events,
         "trimmed_mean_events": _q_trimmed_mean_events,
+        "c4_clean_docs": _q_c4_clean_docs,
         "count_min_users": _q_count_min_users,
         "codec_roundtrip_events": _q_codec_roundtrip_events,
         "except_events": _q_except_events,  # EXCEPT ALL
@@ -2725,6 +2752,7 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter_docs": oracle.SQL_GOPHER_DOCS,
         "mad_events": oracle.SQL_MAD_EVENTS,
         "trimmed_mean_events": oracle.SQL_TRIMMED_MEAN_EVENTS,
+        "c4_clean_docs": oracle.SQL_C4_CLEAN_DOCS,
         "except_events": oracle.SQL_EXCEPT_EVENTS,
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,

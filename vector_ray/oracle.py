@@ -1970,3 +1970,32 @@ WHERE e.cents BETWEEN b.lo AND b.hi
 GROUP BY e.event_type
 ORDER BY e.event_type
 """
+
+
+# C4 line-level cleaning (ml/c4.py): the synthetic documents carry no
+# newlines/punctuation, so the driver query deterministically
+# restructures text IDENTICALLY on both sides (replace ' a ' with
+# '.\n' — non-overlapping left scan in both engines), then the line
+# and page rules replay via the same RE2 predicates and the cleaned
+# text is rebuilt byte-for-byte with list_filter + array_to_string.
+SQL_C4_CLEAN_DOCS = r"""
+WITH d2 AS (
+  SELECT doc_id,
+         replace(coalesce(text, ''), ' a ', '.' || chr(10)) AS text
+  FROM documents),
+c AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)),
+           l -> regexp_matches(l, '[.!?"]$')
+                AND len(regexp_extract_all(l, '[^\s]+')) >= 5
+                AND NOT contains(lower(l), 'javascript')) AS kept
+  FROM d2)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS text,
+       CAST(len(kept) AS BIGINT) AS lines_kept
+FROM c
+WHERE len(kept) >= 3
+  AND NOT contains(lower(text), 'lorem ipsum')
+  AND NOT contains(text, '{')
+ORDER BY doc_id
+"""

@@ -675,6 +675,24 @@ def _q_time_range_sum_events(sf_dir: str):
                                "value_cents", "hour_cents"])
 
 
+def _q_time_range_2sided_events(sf_dir: str):
+    """Two-sided event-time RANGE frame (stages/window_fns.
+    time_range_sum following=): per-user cent sum over the CENTERED
+    ±30-minute window, peers included on both bounds — the one-sort
+    fused pass plus a symmetric forward driver chain resolving frame
+    ends that cross block boundaries."""
+    from vector_ray.stages.window_fns import time_range_sum
+
+    ds = _cents(_events(
+        sf_dir, columns=["event_id", "ts", "user_id", "value"]))
+    out = time_range_sum(
+        ds, keys=["user_id"], ts_col="ts", value_col="value_cents",
+        preceding=1_800_000_000, following=1_800_000_000,
+        out_col="win_cents")
+    return out.select_columns(["event_id", "ts", "user_id",
+                               "value_cents", "win_cents"])
+
+
 def _q_pivot_events(sf_dir: str):
     """Pivot long→wide (stages/pivot.py): per-user cent sums, one
     column per declared event_type — two native exchanges, zero
@@ -2592,6 +2610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_events": _q_mad_events,
         "trimmed_mean_events": _q_trimmed_mean_events,
         "c4_clean_docs": _q_c4_clean_docs,
+        "time_range_2sided_events": _q_time_range_2sided_events,
         "count_min_users": _q_count_min_users,
         "codec_roundtrip_events": _q_codec_roundtrip_events,
         "except_events": _q_except_events,  # EXCEPT ALL
@@ -2753,6 +2772,7 @@ def oracle_sql() -> dict[str, str]:
         "mad_events": oracle.SQL_MAD_EVENTS,
         "trimmed_mean_events": oracle.SQL_TRIMMED_MEAN_EVENTS,
         "c4_clean_docs": oracle.SQL_C4_CLEAN_DOCS,
+        "time_range_2sided_events": oracle.SQL_TIME_RANGE_2SIDED_EVENTS,
         "except_events": oracle.SQL_EXCEPT_EVENTS,
         "connected_components_docs": oracle.SQL_CONNECTED_COMPONENTS_DOCS,
         "lm_score_docs": oracle.SQL_LM_SCORE_DOCS,

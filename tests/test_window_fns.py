@@ -585,3 +585,53 @@ def test_last_value_full_partition_vs_duckdb(ray_session):
             order_by=["o"], value_col="v", last_value_col="lv")
             .to_pandas().sort_values(["k", "o"]).reset_index(drop=True))
         assert (out.lv.values == want.lv.values).all(), blocks
+
+
+def test_time_range_sum_two_sided_matches_bruteforce(ray_session):
+    """following= frames across hostile layouts: asymmetric bounds,
+    exact-ts peers, a hot key spanning many blocks — brute-force
+    reference over the whole frame [ts-p, ts+f]."""
+    import pandas as pd
+    from vector_ray.stages.window_fns import time_range_sum
+
+    rng = np.random.default_rng(23)
+    n = 400
+    df = pd.DataFrame({
+        "k": np.where(rng.random(n) < 0.6, 0, rng.integers(1, 5, n)),
+        "ts": rng.integers(0, 300, n),        # dense -> many peers
+        "id": np.arange(n),
+        "v": rng.integers(1, 100, n),
+    })
+    for parts in (1, 3, 17):
+        got = time_range_sum(
+            rd.from_pandas(df).repartition(parts), keys=["k"],
+            ts_col="ts", value_col="v", preceding=20, following=35,
+            tiebreak="id", out_col="s",
+        ).to_pandas().set_index("id")["s"].to_dict()
+        for _, r in df.iterrows():
+            win = df[(df["k"] == r["k"]) & (df["ts"] >= r["ts"] - 20)
+                     & (df["ts"] <= r["ts"] + 35)]
+            assert got[r["id"]] == win["v"].sum(), (parts, r["id"])
+
+
+def test_time_range_sum_following_zero_equals_one_sided(ray_session):
+    import pandas as pd
+    from vector_ray.stages.window_fns import time_range_sum
+
+    rng = np.random.default_rng(5)
+    n = 200
+    df = pd.DataFrame({
+        "k": rng.integers(0, 4, n),
+        "ts": rng.integers(0, 500, n),
+        "id": np.arange(n),
+        "v": rng.integers(1, 50, n),
+    })
+    a = time_range_sum(
+        rd.from_pandas(df).repartition(4), keys=["k"], ts_col="ts",
+        value_col="v", preceding=30, tiebreak="id",
+    ).to_pandas().set_index("id")["range_sum"]
+    b = time_range_sum(
+        rd.from_pandas(df).repartition(4), keys=["k"], ts_col="ts",
+        value_col="v", preceding=30, following=0, tiebreak="id",
+    ).to_pandas().set_index("id")["range_sum"]
+    assert a.sort_index().tolist() == b.sort_index().tolist()

@@ -1999,3 +1999,21 @@ WHERE len(kept) >= 3
   AND NOT contains(text, '{')
 ORDER BY doc_id
 """
+
+
+# two-sided event-time RANGE frame (stages/window_fns.time_range_sum
+# following=): ±30-minute centered cent sum per user, peer-inclusive
+# on BOTH bounds.
+SQL_TIME_RANGE_2SIDED_EVENTS = """
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(round(value * 100) AS BIGINT) AS value_cents
+  FROM events)
+SELECT event_id, ts, user_id, value_cents,
+       CAST(sum(value_cents) OVER (
+         PARTITION BY user_id ORDER BY ts
+         RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING
+                   AND INTERVAL 30 MINUTE FOLLOWING)
+       AS BIGINT) AS win_cents
+FROM e
+"""

@@ -770,6 +770,161 @@ def _fused_frame_start(w: Dataset, *, keys: Sequence[str],
     return rd.from_arrow_refs(out_refs)
 
 
+def _fused_two_sided(w: Dataset, *, keys: Sequence[str],
+                     preceding: int, following: int, ts_i64: str,
+                     hi_col: str, out_col: str) -> Dataset:
+    """Two-sided RANGE frame ``[ts - preceding, ts + following]`` over
+    the ALREADY-SORTED pass-1 output: the backward (frame-start) chain
+    of _fused_frame_start plus a symmetric FORWARD chain — each block
+    exposes its leading run's ``(ts, hi)`` pairs time-bounded to
+    ``first_ts + following`` (no receiver can probe past that), the
+    driver scans blocks in REVERSE prepending continuation pairs, and
+    the fuse pass resolves both bounds with the same lifted-axis
+    searchsorted.  ``sum = hi(last row ≤ ts+following) − hi(last row
+    < ts−preceding)``; both lookups read the nondecreasing running
+    peer sum, so ties/peers are exact on both ends."""
+    horizon = int(preceding) + 1
+    fwd = int(following)
+    keys = list(keys)
+    refs = w.to_arrow_refs()
+
+    def _trim_back(ts_a, hi_a, cut):
+        m = ts_a > cut
+        floor = np.flatnonzero(~m)
+        if len(floor):
+            keep = np.concatenate([floor[-1:], np.flatnonzero(m)])
+            return ts_a[keep], hi_a[keep]
+        return ts_a[m], hi_a[m]
+
+    @ray.remote
+    def summary(t: pa.Table):
+        n = t.num_rows
+        if n == 0:
+            return None
+        key = _combined_key(t, keys)
+        first_k, last_k = key[0].as_py(), key[-1].as_py()
+        from vector_ray.stages.sorted_ops import _run_bounds
+
+        frs, lrs = _run_bounds(key, n, first_k, last_k)
+        ts = t[ts_i64].to_numpy(zero_copy_only=False)
+        hi = t[hi_col].to_numpy(zero_copy_only=False)
+        exp_ts, exp_hi = _trim_back(ts[lrs:], hi[lrs:],
+                                    int(ts[-1]) - horizon)
+        lm = ts[:frs] <= int(ts[0]) + fwd
+        return {"first": first_k, "last": last_k,
+                "exp_ts": exp_ts, "exp_hi": exp_hi,
+                "last_ts": int(ts[-1]), "first_ts": int(ts[0]),
+                "lead_ts": ts[:frs][lm], "lead_hi": hi[:frs][lm]}
+
+    sums = ray.get([summary.remote(r) for r in refs])
+
+    # backward chain (frame starts) — identical to _fused_frame_start
+    bcarries: list = [None] * len(sums)
+    buf_key = object()
+    buf_ts = buf_hi = None
+    for i, s in enumerate(sums):
+        if s is None:
+            continue
+        if s["first"] == buf_key:
+            bcarries[i] = (buf_ts, buf_hi)
+        if s["last"] == buf_key and s["first"] == buf_key:
+            buf_ts, buf_hi = _trim_back(
+                np.concatenate([buf_ts, s["exp_ts"]]),
+                np.concatenate([buf_hi, s["exp_hi"]]),
+                s["last_ts"] - horizon)
+        else:
+            buf_key = s["last"]
+            buf_ts, buf_hi = s["exp_ts"], s["exp_hi"]
+
+    # forward chain (frame ends) — reverse scan, prepend continuations
+    fcarries: list = [None] * len(sums)
+    fbuf_key = object()
+    fbuf_ts = fbuf_hi = None
+    for i in range(len(sums) - 1, -1, -1):
+        s = sums[i]
+        if s is None:
+            continue
+        if s["last"] == fbuf_key:
+            fcarries[i] = (fbuf_ts, fbuf_hi)
+        if s["first"] == fbuf_key and s["last"] == fbuf_key:
+            cut = s["first_ts"] + fwd
+            ts_a = np.concatenate([s["lead_ts"], fbuf_ts])
+            hi_a = np.concatenate([s["lead_hi"], fbuf_hi])
+            m = ts_a <= cut
+            fbuf_ts, fbuf_hi = ts_a[m], hi_a[m]
+        else:
+            fbuf_key = s["first"]
+            fbuf_ts, fbuf_hi = s["lead_ts"], s["lead_hi"]
+
+    @ray.remote
+    def fuse(t: pa.Table, bcarry, fcarry):
+        n = t.num_rows
+        key = _combined_key(t, keys)
+        from vector_ray.stages.sorted_ops import _adj_new_run
+
+        new_run = _adj_new_run(key, n)
+        run_id = np.cumsum(new_run) - 1
+        run_starts = np.flatnonzero(new_run)
+        a_i = run_starts[run_id]
+        ts = t[ts_i64].to_numpy(zero_copy_only=False)
+        hi = t[hi_col].to_numpy(zero_copy_only=False)
+        rel = ts - ts.min()
+        C = int(rel.max()) + max(horizon, fwd) + 2
+        R = int(run_id[-1]) + 1
+        if R * C < (1 << 62):
+            lifted = run_id * C + rel
+            j = np.searchsorted(lifted, run_id * C + (rel - horizon),
+                                side="right") - 1
+            je = np.searchsorted(lifted, run_id * C + (rel + fwd),
+                                 side="right") - 1
+        else:  # overflow guard: per-run searchsorted (rare)
+            j = np.empty(n, dtype=np.int64)
+            je = np.empty(n, dtype=np.int64)
+            ends = np.append(run_starts[1:], n)
+            for a, b in zip(run_starts, ends):
+                j[a:b] = a + np.searchsorted(
+                    ts[a:b], ts[a:b] - horizon, side="right") - 1
+                je[a:b] = a + np.searchsorted(
+                    ts[a:b], ts[a:b] + fwd, side="right") - 1
+        has = j >= a_i
+        lo = np.where(has, hi[np.maximum(j, 0)],
+                      np.zeros(1, dtype=hi.dtype))
+        if bcarry is not None:
+            c_ts, c_hi = bcarry
+            miss = (~has) & (run_id == 0)
+            if miss.any() and len(c_ts):
+                cj = np.searchsorted(c_ts, (ts - horizon)[miss],
+                                     side="right") - 1
+                lo[miss] = np.where(cj >= 0, c_hi[np.maximum(cj, 0)],
+                                    np.zeros(1, dtype=hi.dtype))
+        hi_end = hi[je]  # je >= own index always (own row qualifies)
+        if fcarry is not None:
+            c_ts, c_hi = fcarry
+            tail = run_id == run_id[-1]
+            if tail.any() and len(c_ts):
+                cj = np.searchsorted(c_ts, (ts + fwd)[tail],
+                                     side="right") - 1
+                # carry hi is a LATER point of the same nondecreasing
+                # running sum — when any carry pair ≤ probe exists it
+                # supersedes the in-block frame end
+                upd = hi_end[tail]
+                upd = np.where(cj >= 0, c_hi[np.maximum(cj, 0)], upd)
+                hi_end[tail] = upd
+        s = pa.array(hi_end - lo)
+        drop = [c for c in t.column_names if c.startswith("__trs_")]
+        return t.drop_columns(drop).append_column(out_col, s)
+
+    out_refs = [fuse.remote(r, bcarries[i], fcarries[i])
+                for i, r in enumerate(refs) if sums[i] is not None]
+    if not out_refs:
+        return w.limit(0).map_batches(
+            lambda t: t.drop_columns(
+                [c for c in t.column_names if c.startswith("__trs_")]
+            ).append_column(out_col, pa.array([], pa.int64())),
+            batch_format="pyarrow", batch_size=None)
+    return rd.from_arrow_refs(out_refs)
+
+
 def time_range_sum(
     ds: Dataset,
     *,
@@ -777,16 +932,21 @@ def time_range_sum(
     ts_col: str,
     value_col: str,
     preceding: int,
+    following: int = 0,
     tiebreak: str | None = None,
     out_col: str = "range_sum",
     impl: str = "fused",
 ) -> Dataset:
     """Event-time RANGE-frame rolling sum: for every row, the sum of
     ``value_col`` over rows of the same ``keys`` partition whose
-    ``ts_col`` lies in ``[ts - preceding, ts]`` — SQL ``RANGE BETWEEN
-    preceding PRECEDING AND CURRENT ROW`` semantics including PEERS
-    (rows sharing the exact ts get the same sum).  ``preceding`` is in
-    the int64 units of ``ts_col`` (µs for timestamps).
+    ``ts_col`` lies in ``[ts - preceding, ts + following]`` — SQL
+    ``RANGE BETWEEN preceding PRECEDING AND following FOLLOWING``
+    semantics including PEERS (rows sharing the exact ts get the same
+    sum); ``following=0`` (default) is ``CURRENT ROW``.  Both bounds
+    are in the int64 units of ``ts_col`` (µs for timestamps).
+    Two-sided frames resolve in the same fused pass via a symmetric
+    FORWARD driver chain of leading ``(ts, hi)`` pairs
+    (_fused_two_sided) and require ``impl="fused"``.
 
     ``impl="fused"`` (default): ONE exchange total.  Pass 1 is
     ``window_functions(..., peer_hi_col=...)`` — one sorted run
@@ -815,6 +975,8 @@ def time_range_sum(
     """
     if impl not in ("fused", "asof"):
         raise ValueError(f"unknown impl {impl!r}")
+    if following and impl != "fused":
+        raise ValueError("following frames require impl='fused'")
     from vector_ray.stages.asof import asof_join
 
     keys = list(keys)
@@ -837,6 +999,11 @@ def time_range_sum(
                     "__trs_roll", "__trs_cum"]).materialize()
 
     if impl == "fused":
+        if following:
+            return _fused_two_sided(
+                w, keys=keys, preceding=preceding,
+                following=following, ts_i64=_TS, hi_col=_HI,
+                out_col=out_col)
         return _fused_frame_start(w, keys=keys, preceding=preceding,
                                   ts_i64=_TS, hi_col=_HI,
                                   out_col=out_col)

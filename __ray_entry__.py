@@ -2574,7 +2574,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_enrich_events": _q_snapshot_enrich_events,
         # (role_enrich: 4th enrichment rep, moved past the window)
         # --- relational / sketches (§2.9) ---
-        "exact_quantiles_events": _q_exact_quantiles_events,
+        # (exact_quantiles_events: mad_events is the stronger
+        # quantile_exact rep — two passes + broadcast — so the family
+        # rep rotated; exact_quantiles stays locally swept past 50)
+        "mad_events": _q_mad_events,
         "events_semi_join": _q_events_semi_join,
         # (events_anti_join: semi rep covers the family, moved past 50)
         "top2_per_type": _q_top2_per_type,
@@ -2589,7 +2592,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_users": _q_heavy_hitters_users,
         "setop_events": _q_setop_events,  # INTERSECT ALL
         # --- ML / training-data family ---
-        "doc_quality": _q_doc_quality,
+        # (doc_quality: gopher_filter_docs carries the complete
+        # published rule set, so the quality-family rep rotated)
+        "gopher_filter_docs": _q_gopher_filter_docs,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "training_pipeline_docs": _q_training_pipeline_docs,
         "ann_topk": _q_ann_topk,
@@ -2605,9 +2610,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_events": _q_pivot_events,
         "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
         # ================= driver window ends here (50) =================
+        "doc_quality": _q_doc_quality,
+        "exact_quantiles_events": _q_exact_quantiles_events,
         "string_agg_events": _q_string_agg_events,
-        "gopher_filter_docs": _q_gopher_filter_docs,
-        "mad_events": _q_mad_events,
         "trimmed_mean_events": _q_trimmed_mean_events,
         "c4_clean_docs": _q_c4_clean_docs,
         "time_range_2sided_events": _q_time_range_2sided_events,

@@ -948,3 +948,75 @@ def test_analytics_pipeline_yaml(tmp_path):
         "event_type='click' INTERSECT SELECT user_id FROM "
         f"{ev} WHERE event_type='view')").fetchone()[0]
     assert res.sink_counts["retention_out"] > 0
+
+
+def test_curation_yaml_types(tmp_path):
+    """gopher_filter / c4_clean / string_agg / two-sided
+    time_range_sum as YAML transform types."""
+    import ray.data as rd
+
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(f"""
+sources:
+  docs:
+    type: parquet
+    path: /root/testdata/sf0.001/documents.parquet
+    columns: [doc_id, text]
+  events:
+    type: parquet
+    path: /root/testdata/sf0.001/events.parquet
+    columns: [user_id, event_type, ts, value, event_id]
+transforms:
+  quality:
+    type: gopher_filter
+    inputs: [docs]
+    stats_only: true
+  cleaned:
+    type: c4_clean
+    inputs: [docs]
+    min_words: 2
+    min_lines: 1
+  seq:
+    type: string_agg
+    inputs: [events]
+    group_by: [user_id]
+    value_col: event_type
+    order_by: [ts, event_id]
+    sep: ","
+  centered:
+    type: time_range_sum
+    inputs: [events]
+    keys: [user_id]
+    ts_col: ts
+    value_col: value
+    preceding: 1800000000
+    following: 1800000000
+    out_col: win_value
+sinks:
+  q_out:
+    type: parquet
+    inputs: [quality]
+    path: "{tmp_path}/quality"
+  c_out:
+    type: parquet
+    inputs: [cleaned]
+    path: "{tmp_path}/cleaned"
+  s_out:
+    type: parquet
+    inputs: [seq]
+    path: "{tmp_path}/seq"
+  w_out:
+    type: parquet
+    inputs: [centered]
+    path: "{tmp_path}/centered"
+""")
+    res = run_topology(topo)
+    q = rd.read_parquet(str(tmp_path / "quality")).to_pandas()
+    assert "keep" in q.columns and len(q) > 0
+    s = rd.read_parquet(str(tmp_path / "seq")).to_pandas()
+    assert (s["events"] >= 1).all()
+    assert s["event_type"].str.contains(",").any()
+    w = rd.read_parquet(str(tmp_path / "centered")).to_pandas()
+    assert "win_value" in w.columns and len(w) > 0
+    assert res.sink_counts["s_out"] == len(s)

@@ -661,8 +661,30 @@ def _build_transform(
         return {"": time_range_sum(
             ds, keys=c["keys"], ts_col=c["ts_col"],
             value_col=c["value_col"], preceding=int(c["preceding"]),
+            following=int(c.get("following", 0)),
+            tiebreak=c.get("tiebreak"),
             out_col=c.get("out_col", "range_sum"),
             impl=c.get("impl", "fused"))}
+    if t == "gopher_filter":
+        from vector_ray.ml.gopher import gopher_filter, gopher_stats
+
+        fn = gopher_stats if c.get("stats_only") else gopher_filter
+        return {"": fn(ds, text_col=c.get("text_col", "text"))}
+    if t == "c4_clean":
+        from vector_ray.ml.c4 import c4_clean
+
+        return {"": c4_clean(
+            ds, text_col=c.get("text_col", "text"),
+            min_words=int(c.get("min_words", 5)),
+            min_lines=int(c.get("min_lines", 3)))}
+    if t == "string_agg":
+        from vector_ray.stages.sorted_ops import concat_sorted
+
+        return {"": concat_sorted(
+            ds, group_by=c["group_by"], value_col=c["value_col"],
+            order_by=c["order_by"], sep=c.get("sep", " "),
+            sum_cols=c.get("sum_cols", ()),
+            count_field=c.get("count_field", "events"))}
     if t == "exact_quantiles":
         import ray.data as _rd
 

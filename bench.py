@@ -107,7 +107,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      "setop_events", "moments_events",
                      "bpe_top_pairs_docs", "pq_encode_embeddings",
                      "quantiles_cont_events", "funnel_events",
-                     "snapshot_diff_events"):
+                     "snapshot_diff_events",
+                     # round-4 continuation: curation + robust stats +
+                     # two-sided RANGE frames
+                     "gopher_filter_docs", "c4_clean_docs",
+                     "string_agg_events", "mad_events",
+                     "time_range_2sided_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

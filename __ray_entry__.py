@@ -2534,6 +2534,75 @@ def _q_quantile_sketch_events(sf_dir: str):
     return out.map_batches(micro, batch_format="pyarrow", batch_size=None)
 
 
+def _q_cooccur_pairs(sf_dir: str):
+    """Distinct co-occurrence edges (stages/graph.cooccurrence_edges):
+    unordered part pairs bought in the same order — one hash exchange
+    co-locating orders, numpy all-pairs expansion per partition task
+    (O(partitions) Python calls), sorted-run global distinct."""
+    import ray.data as rd
+
+    from vector_ray.stages.graph import cooccurrence_edges
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    return cooccurrence_edges(li, group_col="l_orderkey",
+                              item_col="l_partkey")
+
+
+def _q_triangles_parts(sf_dir: str):
+    """Per-node triangle counts over the part co-occurrence graph
+    (stages/graph.triangle_counts): oriented wedge join (a<b<c) on the
+    hash-partition engine, Bloom-prefiltered closing semi-join, one
+    exchange-combined credit aggregation."""
+    import ray.data as rd
+
+    from vector_ray.stages.graph import cooccurrence_edges, triangle_counts
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    edges = cooccurrence_edges(li, group_col="l_orderkey",
+                               item_col="l_partkey")
+    return triangle_counts(edges)
+
+
+def _q_pagerank_lineitem(sf_dir: str):
+    """Integer-exact PageRank (stages/graph.pagerank, micro-unit
+    ranks): supplier → part edges for every lineitem plus part →
+    supplier back-edges for even partkeys only (odd parts dangle,
+    exercising the dangling-mass term).  broadcast impl here (node set
+    is tiny); tests assert the join impl is bit-identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vector_ray.stages.dedupe import dedupe_exact
+    from vector_ray.stages.graph import pagerank
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t["l_suppkey"], pa.int64()),
+            "dst": pc.cast(pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                                  1_000_000), pa.int64())})
+
+    def rev(t: pa.Table) -> pa.Table:
+        pk = pc.cast(t["l_partkey"], pa.int64())
+        even = t.filter(pc.equal(pc.bit_wise_and(pk, 1), 0))
+        pk_e = pc.cast(even["l_partkey"], pa.int64())
+        return pa.table({
+            "src": pc.add(pk_e, 1_000_000),
+            "dst": pc.cast(even["l_suppkey"], pa.int64())})
+
+    edges = dedupe_exact(
+        li.map_batches(fwd, batch_format="pyarrow", batch_size=None)
+        .union(li.map_batches(rev, batch_format="pyarrow",
+                              batch_size=None)),
+        ["src", "dst"], order_by=())
+    return pagerank(edges, iters=3, damping=85, impl="broadcast")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -2692,6 +2761,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reps (summary/latest/diff), these stay locally oracle-swept
         "stdev_events": _q_stdev_events,
         "histogram_events": _q_histogram_events,
+        # graph analytics (stages/graph.py): all-integer, SQL-replayable
+        "cooccur_pairs": _q_cooccur_pairs,
+        "pagerank_lineitem": _q_pagerank_lineitem,
+        "triangles_parts": _q_triangles_parts,
     }
 
 
@@ -2830,6 +2903,9 @@ def oracle_sql() -> dict[str, str]:
         "ntile_events": oracle.SQL_NTILE_EVENTS,
         "chunk_docs": oracle.SQL_CHUNK_DOCS,
         "pack_docs": oracle.SQL_PACK_DOCS,
+        "cooccur_pairs": oracle.SQL_COOCCUR_PAIRS,
+        "pagerank_lineitem": oracle.sql_pagerank_lineitem(),
+        "triangles_parts": oracle.SQL_TRIANGLES_PARTS,
     }
 
 

@@ -112,7 +112,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      # two-sided RANGE frames
                      "gopher_filter_docs", "c4_clean_docs",
                      "string_agg_events", "mad_events",
-                     "time_range_2sided_events"):
+                     "time_range_2sided_events",
+                     # round-4 continuation: graph analytics
+                     "pagerank_lineitem", "triangles_parts"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -2017,3 +2017,88 @@ SELECT event_id, ts, user_id, value_cents,
        AS BIGINT) AS win_cents
 FROM e
 """
+
+
+# ---------------------------------------------------------------------------
+# graph analytics (stages/graph.py) — beyond-reference additions
+# ---------------------------------------------------------------------------
+
+# distinct undirected co-occurrence edges: parts bought in the same
+# order (stages/graph.cooccurrence_edges); both orderings appear in the
+# self-join's cross product so a<b alone enumerates every unordered pair
+SQL_COOCCUR_PAIRS = """
+SELECT DISTINCT CAST(l1.l_partkey AS BIGINT) AS a,
+                CAST(l2.l_partkey AS BIGINT) AS b
+FROM lineitem l1 JOIN lineitem l2
+  ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+"""
+
+# per-node triangle participation over the co-occurrence graph
+# (stages/graph.triangle_counts): oriented wedge join (a<b<c) closed by
+# a semi-join, each triangle credits its three vertices
+SQL_TRIANGLES_PARTS = """
+WITH e AS (
+  SELECT DISTINCT CAST(l1.l_partkey AS BIGINT) AS a,
+                  CAST(l2.l_partkey AS BIGINT) AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e1.b = e2.a
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+v AS (
+  SELECT x AS node FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri)
+SELECT node, count(*)::BIGINT AS triangles FROM v GROUP BY node
+"""
+
+
+def sql_pagerank_lineitem(iters: int = 3, damping: int = 85) -> str:
+    """Chained-CTE replay of stages/graph.pagerank's integer contract
+    (micro-unit ranks, floor division everywhere — `//` is DuckDB
+    integer division and every quantity is non-negative, so floor ==
+    trunc on both engines).  Graph: supplier → 10^6+part for every
+    lineitem, part → supplier back-edges only for even partkeys (odd
+    parts dangle, exercising the dangling-mass term)."""
+    base = ((100 - damping) * 1_000_000) // 100
+    cte = """
+, r{i} AS (
+  SELECT nd.node,
+         CAST({base} + (({d} * (COALESCE(s.insum, 0)
+                                + (dg.dang // nn.n))) // 100)
+              AS BIGINT) AS r
+  FROM nodes nd
+  CROSS JOIN nn
+  CROSS JOIN (SELECT CAST(COALESCE(sum(p.r), 0) AS BIGINT) AS dang
+              FROM r{prev} p LEFT JOIN deg ON deg.node = p.node
+              WHERE deg.outdeg IS NULL) dg
+  LEFT JOIN (SELECT e.dst AS node,
+                    CAST(sum(p.r // dd.outdeg) AS BIGINT) AS insum
+             FROM edges e
+             JOIN r{prev} p ON p.node = e.src
+             JOIN deg dd ON dd.node = e.src
+             GROUP BY e.dst) s ON s.node = nd.node)
+"""
+    chain = "".join(cte.format(i=i, prev=i - 1, base=base, d=damping)
+                    for i in range(1, iters + 1))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                  CAST(1000000 + l_partkey AS BIGINT) AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT CAST(1000000 + l_partkey AS BIGINT) AS src,
+                  CAST(l_suppkey AS BIGINT) AS dst
+  FROM lineitem WHERE l_partkey % 2 = 0),
+nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+  UNION SELECT DISTINCT dst FROM edges),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+        FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)
+{chain}
+SELECT node, r AS rank_micro FROM r{iters}
+"""

@@ -150,8 +150,12 @@ def dedupe_exact_sorted(
     @_ray.remote
     def _bounds(block_ref):
         t = block_ref
+        # all-empty inputs pass blocks through un-UDF'd with a stale
+        # (even zero-column) schema — guard BEFORE touching the column
+        if t.num_rows == 0 or FINGERPRINT_COL not in t.column_names:
+            return (None, None, 0)
         col = t[FINGERPRINT_COL]
-        return (col[0].as_py(), col[-1].as_py(), t.num_rows) if t.num_rows else (None, None, 0)
+        return (col[0].as_py(), col[-1].as_py(), t.num_rows)
 
     mat = sorted_ds.materialize()
     refs = mat.to_arrow_refs()

@@ -2615,7 +2615,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remap_dropped": _q_remap_dropped,
         "route_rows_all": _q_route_rows_all,  # route + exclusive_route rows
         "agg_summary_events": _q_agg_summary_events,  # sum+count+mean, 1 pass
-        "mode_per_user": _q_mode_per_user,
+        # (mode_per_user: second aggregate-family rep, rotated past 50
+        # so the new graph family gets a driver row; stays swept)
+        "pagerank_lineitem": _q_pagerank_lineitem,
         "throttle_events": _q_throttle_events,
         "dedupe_events": _q_dedupe_events,
         "reduce_events": _q_reduce_events,
@@ -2762,8 +2764,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stdev_events": _q_stdev_events,
         "histogram_events": _q_histogram_events,
         # graph analytics (stages/graph.py): all-integer, SQL-replayable
+        # (pagerank_lineitem is the in-window graph rep)
+        "mode_per_user": _q_mode_per_user,
         "cooccur_pairs": _q_cooccur_pairs,
-        "pagerank_lineitem": _q_pagerank_lineitem,
         "triangles_parts": _q_triangles_parts,
     }
 

@@ -2603,6 +2603,73 @@ def _q_pagerank_lineitem(sf_dir: str):
     return pagerank(edges, iters=3, damping=85, impl="broadcast")
 
 
+def _q_bfs_levels_parts(sf_dir: str):
+    """Minimum hop distances from supplier 1 over the supplier↔part
+    graph (stages/graph.bfs_levels): level-synchronous frontier
+    expansion, all-integer, bit-identical at any parallelism.
+    broadcast impl (visited set is node-bounded); tests assert the
+    join impl — nothing node-sized on the driver — is identical."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vector_ray.stages.dedupe import dedupe_exact
+    from vector_ray.stages.graph import bfs_levels
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(t["l_suppkey"], pa.int64()),
+            "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()),
+                          1_000_000)})
+
+    def rev(t: pa.Table) -> pa.Table:
+        pk = pc.cast(t["l_partkey"], pa.int64())
+        even = t.filter(pc.equal(pc.bit_wise_and(pk, 1), 0))
+        return pa.table({
+            "src": pc.add(pc.cast(even["l_partkey"], pa.int64()),
+                          1_000_000),
+            "dst": pc.cast(even["l_suppkey"], pa.int64())})
+
+    edges = dedupe_exact(
+        li.map_batches(fwd, batch_format="pyarrow", batch_size=None)
+        .union(li.map_batches(rev, batch_format="pyarrow",
+                              batch_size=None)),
+        ["src", "dst"], order_by=())
+    return bfs_levels(edges, sources=[1], max_hops=3, impl="broadcast")
+
+
+def _q_kmv_users_events(sf_dir: str):
+    """KMV (k-minimum-values) distinct sketches (stages/sketch.kmv_*)
+    over (user_id, value-cent-bucket) tuples: per-side estimates at
+    k=256 capacity, a below-k exact-regime sketch over raw user_ids,
+    merged-union estimate and inclusion–exclusion intersection — all
+    integer ((k−1)·2^64 // kth_min), bit-exact vs the SQL md5 replay.
+    Per-block partials are ≤k rows; driver combine is a tiny merge."""
+    import pyarrow as pa
+
+    from vector_ray.stages.sketch import (kmv_estimate, kmv_merge,
+                                          kmv_sketch)
+
+    K = 256
+    a = kmv_sketch(_setop_side(sf_dir, "click"),
+                   ["user_id", "bucket"], k=K)
+    b = kmv_sketch(_setop_side(sf_dir, "view"),
+                   ["user_id", "bucket"], k=K)
+    allu = kmv_sketch(_events(sf_dir, columns=["user_id"]),
+                      ["user_id"], k=K)
+    u = kmv_merge([a, b], K)
+    ea, eb, eu = (kmv_estimate(s, K) for s in (a, b, u))
+    rows = [("kmv_all_users", kmv_estimate(allu, K)),
+            ("kmv_click", ea), ("kmv_view", eb),
+            ("kmv_union", eu), ("kmv_intersect", ea + eb - eu)]
+    return pa.table({"metric": pa.array([r[0] for r in rows]),
+                     "value": pa.array([r[1] for r in rows],
+                                       pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -2768,6 +2835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_per_user": _q_mode_per_user,
         "cooccur_pairs": _q_cooccur_pairs,
         "triangles_parts": _q_triangles_parts,
+        "bfs_levels_parts": _q_bfs_levels_parts,
+        "kmv_users_events": _q_kmv_users_events,
     }
 
 
@@ -2909,6 +2978,8 @@ def oracle_sql() -> dict[str, str]:
         "cooccur_pairs": oracle.SQL_COOCCUR_PAIRS,
         "pagerank_lineitem": oracle.sql_pagerank_lineitem(),
         "triangles_parts": oracle.SQL_TRIANGLES_PARTS,
+        "bfs_levels_parts": oracle.sql_bfs_lineitem(),
+        "kmv_users_events": oracle.SQL_KMV_USERS_EVENTS,
     }
 
 

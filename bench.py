@@ -113,8 +113,9 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      "gopher_filter_docs", "c4_clean_docs",
                      "string_agg_events", "mad_events",
                      "time_range_2sided_events",
-                     # round-4 continuation: graph analytics
-                     "pagerank_lineitem", "triangles_parts"):
+                     # round-4 continuation: graph analytics + KMV
+                     "pagerank_lineitem", "triangles_parts",
+                     "bfs_levels_parts", "kmv_users_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -155,3 +155,51 @@ class TestTriangles:
                                          (3, 4)],
                                         names=("a", "b"))).take_all()}
         assert got == {1: 1, 2: 1, 3: 1}
+
+
+class TestBFS:
+    def _bfs_local(self, edges, sources, max_hops):
+        from collections import deque
+        adj = {}
+        for s, d in edges:
+            adj.setdefault(s, []).append(d)
+        dist = {s: 0 for s in sources}
+        q = deque(sources)
+        while q:
+            u = q.popleft()
+            if dist[u] >= max_hops:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        return dist
+
+    @pytest.mark.parametrize("parts", [1, 4])
+    def test_broadcast_matches_local(self, parts):
+        from vector_ray.stages.graph import bfs_levels
+        edges = _rng_graph(9, 40, 130)
+        got = bfs_levels(_edge_ds(edges, parts), sources=[0, 7],
+                         max_hops=3, impl="broadcast")
+        gd = dict(zip(got["node"].to_pylist(), got["dist"].to_pylist()))
+        assert gd == self._bfs_local(edges, [0, 7], 3)
+
+    def test_join_bit_identical(self):
+        from vector_ray.stages.graph import bfs_levels
+        edges = _rng_graph(13, 30, 80)
+        b = bfs_levels(_edge_ds(edges, 3), sources=[2], max_hops=4,
+                       impl="broadcast")
+        j = bfs_levels(_edge_ds(edges, 3), sources=[2], max_hops=4,
+                       impl="join")
+        bd = dict(zip(b["node"].to_pylist(), b["dist"].to_pylist()))
+        jd = dict(zip(j["node"].to_pylist(), j["dist"].to_pylist()))
+        assert bd == jd
+
+    def test_unreachable_absent_and_hop_bound(self):
+        from vector_ray.stages.graph import bfs_levels
+        # chain 0->1->2->3->4, island 9->10
+        edges = [(0, 1), (1, 2), (2, 3), (3, 4), (9, 10)]
+        got = bfs_levels(_edge_ds(edges), sources=[0], max_hops=2,
+                         impl="broadcast")
+        gd = dict(zip(got["node"].to_pylist(), got["dist"].to_pylist()))
+        assert gd == {0: 0, 1: 1, 2: 2}   # 3,4 beyond bound; island absent

@@ -2102,3 +2102,80 @@ r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)
 {chain}
 SELECT node, r AS rank_micro FROM r{iters}
 """
+
+
+def sql_bfs_lineitem(max_hops: int = 3, source: int = 1) -> str:
+    """Level-synchronous replay of stages/graph.bfs_levels: one chained
+    CTE per hop — level i+1 = DISTINCT successors of level i minus all
+    already-visited nodes.  Same supplier↔part graph as the PageRank
+    oracle."""
+    lvl = """
+, n{i} AS (
+  SELECT DISTINCT e.dst AS node
+  FROM edges e JOIN (SELECT node FROM d{prev} WHERE dist = {prev_d}) f
+    ON f.node = e.src)
+, d{i} AS (
+  SELECT node, dist FROM d{prev}
+  UNION ALL
+  SELECT node, CAST({i} AS BIGINT) FROM n{i}
+  WHERE node NOT IN (SELECT node FROM d{prev}))
+"""
+    chain = "".join(lvl.format(i=i, prev=i - 1, prev_d=i - 1)
+                    for i in range(1, max_hops + 1))
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT CAST(l_suppkey AS BIGINT) AS src,
+                  CAST(1000000 + l_partkey AS BIGINT) AS dst
+  FROM lineitem
+  UNION
+  SELECT DISTINCT CAST(1000000 + l_partkey AS BIGINT) AS src,
+                  CAST(l_suppkey AS BIGINT) AS dst
+  FROM lineitem WHERE l_partkey % 2 = 0),
+d0 AS (SELECT CAST({source} AS BIGINT) AS node, CAST(0 AS BIGINT) AS dist)
+{chain}
+SELECT node, dist FROM d{max_hops}
+"""
+
+
+# KMV distinct sketch over (user_id, value-cent-bucket) tuples per
+# event side (stages/sketch.kmv_*): k smallest DISTINCT md5-u64 hashes;
+# estimate = (k-1)·2^64 // kth_min at capacity, exact count below k;
+# union = k smallest of the combined hash set; intersect =
+# inclusion–exclusion, unclamped.  All integers — bit-exact replay.
+SQL_KMV_USERS_EVENTS = """
+WITH side AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) % 20 AS bucket,
+         event_type
+  FROM events),
+ch AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR || ':' ||
+         bucket::VARCHAR), 1, 16))::UBIGINT AS hv
+       FROM side WHERE event_type = 'click'),
+vh AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR || ':' ||
+         bucket::VARCHAR), 1, 16))::UBIGINT AS hv
+       FROM side WHERE event_type = 'view'),
+ah AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR), 1,
+         16))::UBIGINT AS hv FROM events),
+ck AS (SELECT hv FROM ch ORDER BY hv LIMIT 256),
+vk AS (SELECT hv FROM vh ORDER BY hv LIMIT 256),
+ak AS (SELECT hv FROM ah ORDER BY hv LIMIT 256),
+uk AS (SELECT hv FROM (SELECT hv FROM ch UNION SELECT hv FROM vh)
+       ORDER BY hv LIMIT 256),
+eck AS (SELECT CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+          ELSE CAST((255::HUGEINT * 18446744073709551616::HUGEINT)
+                    // max(hv)::HUGEINT AS BIGINT) END AS v FROM ck),
+evk AS (SELECT CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+          ELSE CAST((255::HUGEINT * 18446744073709551616::HUGEINT)
+                    // max(hv)::HUGEINT AS BIGINT) END AS v FROM vk),
+eak AS (SELECT CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+          ELSE CAST((255::HUGEINT * 18446744073709551616::HUGEINT)
+                    // max(hv)::HUGEINT AS BIGINT) END AS v FROM ak),
+euk AS (SELECT CASE WHEN count(*) < 256 THEN count(*)::BIGINT
+          ELSE CAST((255::HUGEINT * 18446744073709551616::HUGEINT)
+                    // max(hv)::HUGEINT AS BIGINT) END AS v FROM uk)
+SELECT 'kmv_all_users' AS metric, v AS value FROM eak
+UNION ALL SELECT 'kmv_click', v FROM eck
+UNION ALL SELECT 'kmv_view', v FROM evk
+UNION ALL SELECT 'kmv_union', v FROM euk
+UNION ALL SELECT 'kmv_intersect',
+  (SELECT v FROM eck) + (SELECT v FROM evk) - (SELECT v FROM euk)
+"""

@@ -427,3 +427,122 @@ def triangle_counts(edges: Dataset, *, bloom_prefilter: bool = True):
                          "triangles": pc.cast(g["t_p_sum"], pa.int64())})
 
     return _exchange_combine(partials, final, key="node")
+
+
+# ---------------------------------------------------------------------------
+# BFS shortest-path levels
+# ---------------------------------------------------------------------------
+
+def bfs_levels(
+    edges: Dataset,
+    *,
+    sources,
+    max_hops: int = 4,
+    impl: str = "broadcast",
+) -> pa.Table:
+    """Minimum hop distance from a source set over a directed edge
+    Dataset (``src``/``dst`` int64): returns (node, dist) for every
+    node reached within ``max_hops``; unreached nodes are absent.
+    Level-synchronous frontier expansion — all-integer, bit-identical
+    at any parallelism, and the SQL oracle replays it as one chained
+    DISTINCT-minus-visited CTE per level.
+
+    ``impl="broadcast"``: the frontier/visited sets live as sorted
+    numpy arrays shipped via ``ray.put`` per level while edge blocks
+    stream — right while the VISITED set fits a broadcast (same budget
+    argument as pagerank's rank vector).  ``impl="join"``: frontier
+    and visited stay Datasets; each level is one left-semi join
+    (edges ⋈ frontier on src), a sorted-run distinct on dst, and one
+    left-anti join against visited — nothing node-sized ever touches
+    the driver, the 100-TB web-graph path."""
+    srcs = sorted({int(s) for s in sources})
+    if impl == "broadcast":
+        return _bfs_broadcast(edges, srcs, max_hops)
+    if impl == "join":
+        return _bfs_join(edges, srcs, max_hops)
+    raise ValueError(f"unknown impl {impl!r}")
+
+
+def _bfs_broadcast(edges: Dataset, srcs: list, max_hops: int) -> pa.Table:
+    mat = edges.materialize()
+    refs = mat.to_arrow_refs()
+
+    @ray.remote
+    def expand(t: pa.Table, f_ref):
+        f = f_ref
+        if t.num_rows == 0 or "src" not in t.column_names or not len(f):
+            return np.array([], dtype=np.int64)
+        s = t["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.searchsorted(f, s)
+        idx_c = np.minimum(idx, len(f) - 1)
+        member = f[idx_c] == s
+        d = t["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return np.unique(d[member])
+
+    visited = np.array(srcs, dtype=np.int64)      # sorted
+    out_nodes = [visited]
+    out_dists = [np.zeros(len(visited), dtype=np.int64)]
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        if not len(frontier):
+            break
+        fref = ray.put(frontier)
+        outs = ray.get([expand.remote(r, fref) for r in refs])
+        nxt = (np.unique(np.concatenate(outs))
+               if outs else np.array([], dtype=np.int64))
+        new = np.setdiff1d(nxt, visited, assume_unique=True)
+        if not len(new):
+            break
+        out_nodes.append(new)
+        out_dists.append(np.full(len(new), hop, dtype=np.int64))
+        visited = np.union1d(visited, new)
+        frontier = new
+    return pa.table({"node": pa.array(np.concatenate(out_nodes)),
+                     "dist": pa.array(np.concatenate(out_dists))})
+
+
+def _bfs_join(edges: Dataset, srcs: list, max_hops: int) -> pa.Table:
+    import ray.data as rd
+
+    def with_dist(ds: Dataset, hop: int) -> Dataset:
+        def add(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "node" not in t.column_names:
+                return pa.table({"node": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64())})
+            return pa.table({
+                "node": pc.cast(t["node"], pa.int64()),
+                "dist": pa.array(np.full(t.num_rows, hop, np.int64))})
+        return ds.map_batches(add, batch_format="pyarrow",
+                              batch_size=None)
+
+    frontier = rd.from_arrow(pa.table({
+        "node": pa.array(srcs, pa.int64())})).materialize()
+    visited = frontier
+    levels = [with_dist(frontier, 0).materialize()]
+    for hop in range(1, max_hops + 1):
+        hits = hash_partition_join(edges, frontier,
+                                   on=["src"], right_on=["node"],
+                                   how="left_semi")
+        nxt = dedupe_exact(
+            hits.map_batches(
+                lambda t: pa.table({"node": t["dst"]})
+                if t.num_rows and "dst" in t.column_names
+                else pa.table({"node": pa.array([], pa.int64())}),
+                batch_format="pyarrow", batch_size=None),
+            ["node"], order_by=())
+        new = hash_partition_join(drop_empty_blocks(nxt.materialize()),
+                                  visited, on=["node"],
+                                  how="left_anti").materialize()
+        if new.count() == 0:
+            break
+        levels.append(with_dist(new, hop).materialize())
+        visited = visited.union(new).materialize()
+        frontier = new
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    tabs = [b for b in out.iter_batches(batch_format="pyarrow",
+                                        batch_size=None)]
+    return pa.concat_tables(tabs) if tabs else pa.table({
+        "node": pa.array([], pa.int64()),
+        "dist": pa.array([], pa.int64())})

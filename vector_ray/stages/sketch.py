@@ -21,6 +21,7 @@ from typing import Sequence
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 from ray.data import Dataset
 
 
@@ -392,3 +393,93 @@ def heavy_hitters(
     total = int(ds.count())
     out = est[est["est"] * k > total].reset_index(drop=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — Bar-Yossef et al. 2002
+# ---------------------------------------------------------------------------
+
+def _kmv_hash_u64(t: pa.Table, cols, hash: str) -> np.ndarray:
+    """DISTINCT uint64 key hashes of a block (deduped BEFORE hashing —
+    the md5 loop is per-row Python, so it runs over block-distinct
+    keys only).  ``md5`` = first 16 hex chars of md5("v1:v2:...") for
+    bit-exact SQL-oracle parity (DuckDB ``('0x' ||
+    substr(md5(c1::VARCHAR || ':' || c2::VARCHAR), 1,
+    16))::UBIGINT``); ``fast`` = vectorized string-polynomial hashing
+    over the same joined keys for production."""
+    import hashlib
+
+    parts = [pc.cast(t[c], pa.string()) for c in cols]
+    # binary_join_element_wise takes the SEPARATOR as its last argument
+    joined = (pc.binary_join_element_wise(*parts, ":")
+              if len(parts) > 1 else parts[0])
+    if isinstance(joined, pa.ChunkedArray):
+        joined = joined.combine_chunks()
+    joined = joined.unique()
+    if hash == "md5":
+        return np.fromiter(
+            (int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+             for s in joined.to_pylist()),
+            dtype=np.uint64, count=len(joined))
+    from vector_ray.ml.hashing import hash_strings
+
+    return hash_strings(joined.to_numpy(zero_copy_only=False))
+
+
+def kmv_sketch(
+    ds: Dataset,
+    cols,
+    *,
+    k: int = 256,
+    hash: str = "md5",
+) -> np.ndarray:
+    """The k smallest DISTINCT uint64 key hashes, sorted ascending
+    (fewer than k when the true distinct count is below k — the exact
+    regime).  Per-block partial = block-distinct smallest k (≤ k rows
+    per block leave the task); driver combine is a tiny
+    k×blocks merge, never a groupby (CLAUDE.md invariant).  Sketches
+    are mergeable: ``kmv_merge`` unions any number of them, so
+    per-shard sketches combine hierarchically on a cluster."""
+    cols = list(cols)
+    K = int(k)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or any(c not in t.column_names for c in cols):
+            return pa.table({"hv": pa.array([], pa.uint64())})
+        u = np.unique(_kmv_hash_u64(t, cols, hash))
+        return pa.table({"hv": pa.array(u[:K])})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    if not rows:
+        return np.array([], dtype=np.uint64)
+    merged = np.unique(np.fromiter((r["hv"] for r in rows),
+                                   dtype=np.uint64, count=len(rows)))
+    return merged[:K]
+
+
+def kmv_merge(sketches, k: int) -> np.ndarray:
+    """Union of KMV sketches = k smallest of the combined hash sets
+    (the standard mergeability property)."""
+    arrs = [s for s in sketches if len(s)]
+    if not arrs:
+        return np.array([], dtype=np.uint64)
+    return np.unique(np.concatenate(arrs))[: int(k)]
+
+
+def kmv_estimate(sketch: np.ndarray, k: int) -> int:
+    """Distinct-count estimate.  Below k the sketch IS the distinct
+    hash set (exact).  At capacity: DV = (k-1) / x_k with x_k =
+    kth_min / 2^64, kept in pure integers — ``((k-1) << 64) //
+    kth_min`` — so Ray and the SQL oracle agree bit-for-bit."""
+    if len(sketch) < k:
+        return int(len(sketch))
+    return ((int(k) - 1) << 64) // int(sketch[int(k) - 1])
+
+
+def kmv_intersect_estimate(a: np.ndarray, b: np.ndarray, k: int) -> int:
+    """Inclusion–exclusion over the union sketch: |A∩B| ≈ est(A) +
+    est(B) − est(A∪B).  Can go slightly negative on near-disjoint
+    sets — left unclamped so the SQL replay matches exactly."""
+    return (kmv_estimate(a, k) + kmv_estimate(b, k)
+            - kmv_estimate(kmv_merge([a, b], k), k))

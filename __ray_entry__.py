@@ -2670,6 +2670,37 @@ def _q_kmv_users_events(sf_dir: str):
                                        pa.int64())})
 
 
+def _q_zorder_events(sf_dir: str):
+    """Z-order (Morton) clustering key (stages/zorder.py): integer
+    range codes over global [min,max] per column (driver-combined
+    2-int partials) bit-interleaved into one int64 key — the lakehouse
+    layout technique that makes the sink's zone maps prune
+    multi-dimensional predicates.  Key replayed bit-exactly in SQL;
+    the pruning win itself is asserted in tests/test_zorder.py."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.zorder import ZKEY_COL, add_zorder_key
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "u": pc.cast(t["user_id"], pa.int64()),
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    keyed = add_zorder_key(ds, ["u", "vc"], bits=16)
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "zkey": t[ZKEY_COL]})
+
+    return keyed.map_batches(out, batch_format="pyarrow",
+                             batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -2837,6 +2868,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_parts": _q_triangles_parts,
         "bfs_levels_parts": _q_bfs_levels_parts,
         "kmv_users_events": _q_kmv_users_events,
+        "zorder_events": _q_zorder_events,
     }
 
 
@@ -2980,6 +3012,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_parts": oracle.SQL_TRIANGLES_PARTS,
         "bfs_levels_parts": oracle.sql_bfs_lineitem(),
         "kmv_users_events": oracle.SQL_KMV_USERS_EVENTS,
+        "zorder_events": oracle.sql_zorder_events(),
     }
 
 

@@ -115,7 +115,8 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      "time_range_2sided_events",
                      # round-4 continuation: graph analytics + KMV
                      "pagerank_lineitem", "triangles_parts",
-                     "bfs_levels_parts", "kmv_users_events"):
+                     "bfs_levels_parts", "kmv_users_events",
+                     "zorder_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -2179,3 +2179,36 @@ UNION ALL SELECT 'kmv_union', v FROM euk
 UNION ALL SELECT 'kmv_intersect',
   (SELECT v FROM eck) + (SELECT v FROM evk) - (SELECT v FROM euk)
 """
+
+
+def sql_zorder_events(bits: int = 16) -> str:
+    """Bit-exact replay of stages/zorder: per-column integer range
+    codes (HUGEINT product, floor division) and the Morton interleave
+    as an explicit shift/mask sum — bit j of column c lands at
+    j·ncols + c (ncols=2: user_id then value-cents)."""
+    top = (1 << bits) - 1
+    terms = []
+    for j in range(bits):
+        terms.append(f"(((cu >> {j}) & 1) << {2 * j})")
+        terms.append(f"(((cv >> {j}) & 1) << {2 * j + 1})")
+    interleave = "\n         + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT event_id, CAST(user_id AS BIGINT) AS u,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+r AS (SELECT min(u) AS umin, max(u) AS umax,
+             min(vc) AS vmin, max(vc) AS vmax FROM e),
+c AS (
+  SELECT event_id,
+    CASE WHEN umax <= umin THEN 0
+         ELSE CAST(((u - umin)::HUGEINT * {top}) // (umax - umin)
+                   AS BIGINT) END AS cu,
+    CASE WHEN vmax <= vmin THEN 0
+         ELSE CAST(((vc - vmin)::HUGEINT * {top}) // (vmax - vmin)
+                   AS BIGINT) END AS cv
+  FROM e CROSS JOIN r)
+SELECT event_id,
+       CAST({interleave} AS BIGINT) AS zkey
+FROM c
+"""

@@ -685,6 +685,12 @@ def _build_transform(
             order_by=c["order_by"], sep=c.get("sep", " "),
             sum_cols=c.get("sum_cols", ()),
             count_field=c.get("count_field", "events"))}
+    if t == "zorder_cluster":
+        from vector_ray.stages.zorder import cluster_by_zorder
+
+        return {"": cluster_by_zorder(
+            ds, c["cols"], bits=int(c.get("bits", 16)),
+            keep_key=bool(c.get("keep_key", False)))}
     if t == "exact_quantiles":
         import ray.data as _rd
 

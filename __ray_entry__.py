@@ -2701,6 +2701,28 @@ def _q_zorder_events(sf_dir: str):
                              batch_size=None)
 
 
+def _q_bitops_events(sf_dir: str):
+    """Grouped SQL bit aggregates (stats.grouped_bitops): bit_and /
+    bit_or / bit_xor over value cents + bool_and / bool_or of the
+    cents>10000 flag per event type — sorted-run reduceat per block
+    (one numpy call per op, never per group), ONE exchange of the
+    collapsed partials."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import grouped_bitops
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"], "vc": vc,
+            "fl": pc.cast(pc.greater(vc, 10000), pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None)
+    return grouped_bitops(ds, keys=["event_type"], x="vc", flag="fl")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -2869,6 +2891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_levels_parts": _q_bfs_levels_parts,
         "kmv_users_events": _q_kmv_users_events,
         "zorder_events": _q_zorder_events,
+        "bitops_events": _q_bitops_events,
     }
 
 
@@ -3013,6 +3036,7 @@ def oracle_sql() -> dict[str, str]:
         "bfs_levels_parts": oracle.sql_bfs_lineitem(),
         "kmv_users_events": oracle.SQL_KMV_USERS_EVENTS,
         "zorder_events": oracle.sql_zorder_events(),
+        "bitops_events": oracle.SQL_BITOPS_EVENTS,
     }
 
 

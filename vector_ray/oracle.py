@@ -2212,3 +2212,23 @@ SELECT event_id,
        CAST({interleave} AS BIGINT) AS zkey
 FROM c
 """
+
+
+# grouped SQL bit/bool aggregates (stats.grouped_bitops): flag derived
+# from integer cents on BOTH sides so the bool aggregates share one
+# exact definition
+SQL_BITOPS_EVENTS = """
+WITH e AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events)
+SELECT event_type,
+       CAST(bit_and(vc) AS BIGINT) AS band,
+       CAST(bit_or(vc) AS BIGINT) AS bor,
+       CAST(bit_xor(vc) AS BIGINT) AS bxor,
+       CAST(min(CASE WHEN vc > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bool_and,
+       CAST(max(CASE WHEN vc > 10000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS bool_or
+FROM e GROUP BY event_type
+"""

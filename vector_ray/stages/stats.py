@@ -309,3 +309,84 @@ def grouped_trimmed_mean(
         "sum_kept": tot_s,
         "trimmed_mean_micro": micro,
     })
+
+
+def grouped_bitops(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    x: str,
+    flag: str | None = None,
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Per-``keys`` SQL bit aggregates — bit_and / bit_or / bit_xor
+    over int64 ``x``, plus bool_and / bool_or (min / max as 0/1
+    int64) over an optional ``flag`` column.  Every op is associative,
+    commutative and integer, so the two-level plan is exact at any
+    parallelism: a sorted-run reduceat per block (one numpy call per
+    op, never per group), then ONE hash exchange of the collapsed
+    partials combined inside each partition task with the same
+    kernel — the setops single-exchange shape."""
+    import ray as _ray
+
+    from vector_ray.stages.blocks import drop_empty_blocks
+    from vector_ray.stages.hash_join import _col_hash
+    from vector_ray.stages.sorted_ops import _adj_new_run, _combined_key
+
+    keys = list(keys)
+    ops = [("band", np.bitwise_and), ("bor", np.bitwise_or),
+           ("bxor", np.bitwise_xor)]
+    if flag is not None:
+        ops += [("bool_and", np.minimum), ("bool_or", np.maximum)]
+
+    def _empty() -> pa.Table:
+        cols = {k: pa.array([], pa.string()) for k in keys}
+        for name, _ in ops:
+            cols[name] = pa.array([], pa.int64())
+        return pa.table(cols)
+
+    def _collapse(t: pa.Table, in_cols: dict) -> pa.Table:
+        """in_cols: output-name -> (source column name, ufunc)."""
+        t = t.sort_by([(k, "ascending") for k in keys])
+        kc = _combined_key(t, keys)
+        idx = np.nonzero(_adj_new_run(kc, t.num_rows))[0]
+        out = {k: pc.take(t[k], pa.array(idx)) for k in keys}
+        for name, (src, fn) in in_cols.items():
+            v = pc.cast(t[src], pa.int64()).to_numpy(zero_copy_only=False)
+            out[name] = pa.array(fn.reduceat(v, idx))
+        return pa.table(out)
+
+    def partial(t: pa.Table) -> pa.Table:
+        need = keys + [x] + ([flag] if flag else [])
+        if t.num_rows == 0 or any(c not in t.column_names for c in need):
+            return _empty()
+        srcs = {name: (x if not name.startswith("bool") else flag, fn)
+                for name, fn in ops}
+        return _collapse(t, srcs)
+
+    P = int(num_partitions
+            or _ray.cluster_resources().get("CPU", 8) * 2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__part", pa.array([], pa.int64()))
+        h = _col_hash(t, keys[0])
+        for k in keys[1:]:
+            h = h ^ _col_hash(t, k)
+        return t.append_column(
+            "__part", pa.array((h % np.uint64(P)).astype(np.int64)))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None) \
+        .map_batches(tag, batch_format="pyarrow", batch_size=None)
+
+    def combine(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or keys[0] not in t.column_names:
+            return _empty()
+        if "__part" in t.column_names:
+            t = t.drop_columns(["__part"])
+        return _collapse(t, {name: (name, fn) for name, fn in ops})
+
+    return drop_empty_blocks(
+        parts.groupby("__part").map_groups(combine,
+                                           batch_format="pyarrow"))

@@ -2723,6 +2723,53 @@ def _q_bitops_events(sf_dir: str):
     return grouped_bitops(ds, keys=["event_type"], x="vc", flag="fl")
 
 
+def _q_incremental_agg_events(sf_dir: str):
+    """Incremental aggregation (stages/incremental.py): the events
+    table split into 4 shards, first run consumes 2, second run
+    consumes only the 2 NEW ones and merges with the durable partial
+    state — the returned full aggregate is bit-identical to the SQL
+    full recompute (the daily-incremental-run story: state is
+    #groups-sized parquet + an atomic manifest, never raw rows)."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from vector_ray.stages.incremental import incremental_aggregate
+
+    sig = os.path.basename(os.path.normpath(sf_dir))
+    shard_dir = f"/tmp/vector_ray/incr_shards_{sig}"
+    shards = [os.path.join(shard_dir, f"shard_{i}.parquet")
+              for i in range(4)]
+    if not all(os.path.exists(p) for p in shards):
+        os.makedirs(shard_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_type", "value"])
+        n = t.num_rows
+        bounds = [0, n // 4, n // 2, 3 * n // 4, n]
+        for i in range(4):
+            pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                           shards[i])
+    state_dir = f"/tmp/vector_ray/incr_state_{sig}"
+    shutil.rmtree(state_dir, ignore_errors=True)   # deterministic rerun
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    incremental_aggregate(shards[:2], state_dir,
+                          keys=["event_type"], value_col="vc",
+                          prep=prep)
+    out = incremental_aggregate(shards, state_dir,
+                                keys=["event_type"], value_col="vc",
+                                prep=prep)
+    return out.rename_columns(["event_type", "sum_cents", "n"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -2892,6 +2939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_users_events": _q_kmv_users_events,
         "zorder_events": _q_zorder_events,
         "bitops_events": _q_bitops_events,
+        "incremental_agg_events": _q_incremental_agg_events,
     }
 
 
@@ -3037,6 +3085,7 @@ def oracle_sql() -> dict[str, str]:
         "kmv_users_events": oracle.SQL_KMV_USERS_EVENTS,
         "zorder_events": oracle.sql_zorder_events(),
         "bitops_events": oracle.SQL_BITOPS_EVENTS,
+        "incremental_agg_events": oracle.SQL_INCREMENTAL_AGG_EVENTS,
     }
 
 

@@ -2232,3 +2232,13 @@ SELECT event_type,
          AS bool_or
 FROM e GROUP BY event_type
 """
+
+
+# incremental aggregation converges to the plain full GROUP BY
+SQL_INCREMENTAL_AGG_EVENTS = """
+SELECT event_type,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents,
+       count(*)::BIGINT AS n
+FROM events GROUP BY event_type
+"""

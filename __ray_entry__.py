@@ -2770,6 +2770,22 @@ def _q_incremental_agg_events(sf_dir: str):
     return out.rename_columns(["event_type", "sum_cents", "n"])
 
 
+def _q_cap_per_source_docs(sf_dir: str):
+    """Per-source quota sampling (ml/mixing.cap_per_group): at most 10
+    docs per source, chosen by deterministic md5-hash rank inside the
+    group (domain-cap curation — no source dominates); one sort
+    exchange via the sorted-run rank, bit-exact SQL row_number
+    replay."""
+    import ray.data as rd
+
+    from vector_ray.ml.mixing import cap_per_group
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    return cap_per_group(docs, group_col="source", id_col="doc_id",
+                         cap=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -2940,6 +2956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_events": _q_zorder_events,
         "bitops_events": _q_bitops_events,
         "incremental_agg_events": _q_incremental_agg_events,
+        "cap_per_source_docs": _q_cap_per_source_docs,
     }
 
 
@@ -3086,6 +3103,7 @@ def oracle_sql() -> dict[str, str]:
         "zorder_events": oracle.sql_zorder_events(),
         "bitops_events": oracle.SQL_BITOPS_EVENTS,
         "incremental_agg_events": oracle.SQL_INCREMENTAL_AGG_EVENTS,
+        "cap_per_source_docs": oracle.SQL_CAP_PER_SOURCE_DOCS,
     }
 
 

@@ -1020,3 +1020,84 @@ sinks:
     w = rd.read_parquet(str(tmp_path / "centered")).to_pandas()
     assert "win_value" in w.columns and len(w) > 0
     assert res.sink_counts["s_out"] == len(s)
+
+
+def test_graph_yaml_types(tmp_path):
+    """cooccurrence_edges → pagerank / triangle_counts / bfs_levels
+    plus zorder_cluster as YAML components, end to end."""
+    import duckdb
+
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(f"""
+sources:
+  lineitem:
+    type: parquet
+    path: {sf}/lineitem.parquet
+    columns: [l_orderkey, l_partkey]
+transforms:
+  edges:
+    type: cooccurrence_edges
+    inputs: [lineitem]
+    group_col: l_orderkey
+    item_col: l_partkey
+  ranks:
+    type: pagerank
+    inputs: [edges]
+    iters: 2
+    damping: 85
+    src_col: a
+    dst_col: b
+  tris:
+    type: triangle_counts
+    inputs: [edges]
+  layers:
+    type: bfs_levels
+    inputs: [edges]
+    sources: [1]
+    max_hops: 2
+    src_col: a
+    dst_col: b
+  zsorted:
+    type: zorder_cluster
+    inputs: [edges]
+    cols: [a, b]
+sinks:
+  ranks_out:
+    type: parquet
+    inputs: [ranks]
+    path: "{tmp_path}/ranks"
+  tris_out:
+    type: parquet
+    inputs: [tris]
+    path: "{tmp_path}/tris"
+  layers_out:
+    type: parquet
+    inputs: [layers]
+    path: "{tmp_path}/layers"
+  z_out:
+    type: parquet
+    inputs: [zsorted]
+    path: "{tmp_path}/z"
+""")
+    res = run_topology(topo)
+    sc = res.sink_counts
+    n_edges = duckdb.sql(f"""
+        SELECT count(*) FROM (
+          SELECT DISTINCT l1.l_partkey, l2.l_partkey
+          FROM '{sf}/lineitem.parquet' l1
+          JOIN '{sf}/lineitem.parquet' l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_partkey < l2.l_partkey)""").fetchone()[0]
+    n_nodes = duckdb.sql(f"""
+        SELECT count(DISTINCT p) FROM (
+          SELECT l1.l_partkey AS p
+          FROM '{sf}/lineitem.parquet' l1
+          JOIN '{sf}/lineitem.parquet' l2
+            ON l1.l_orderkey = l2.l_orderkey
+           AND l1.l_partkey != l2.l_partkey)""").fetchone()[0]
+    assert sc["ranks_out"] == n_nodes
+    assert 0 < sc["tris_out"] <= n_nodes
+    assert 0 < sc["layers_out"] <= n_nodes
+    assert sc["z_out"] == n_edges

@@ -179,3 +179,43 @@ def uniform_k_sample(
 
     return picked.map_batches(drop, batch_format="pyarrow",
                               batch_size=None)
+
+
+def cap_per_group(
+    ds: Dataset,
+    *,
+    group_col: str,
+    id_col: str,
+    cap: int,
+    hash: str = "md5",
+) -> Dataset:
+    """Per-group quota sampling — keep at most ``cap`` rows per group
+    (the domain-cap curation step: no single domain/source dominates
+    the corpus).  Rows rank inside their group by (id-hash, id) so the
+    quota is a deterministic pseudo-random sample, not head-of-file
+    bias; the md5 hash replays bit-for-bit in SQL (row_number OVER
+    PARTITION BY ... ORDER BY hash, id).  One sort exchange through
+    the sorted-run rank (add_group_rank) — never a per-group Python
+    call."""
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column("__h", pa.array([], pa.int64()))
+        ids = pc.cast(t[id_col], pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return t.append_column(
+            "__h", pa.array(_id_hash(ids, hash, t.num_rows)))
+
+    keyed = ds.map_batches(tag, batch_format="pyarrow", batch_size=None)
+    ranked = add_group_rank(keyed, [group_col], ["__h", id_col])
+
+    def keep(t: pa.Table) -> pa.Table:
+        drop = [c for c in (RANK_COL, "__h") if c in t.column_names]
+        if t.num_rows == 0 or RANK_COL not in t.column_names:
+            return t.drop_columns(drop)
+        return t.filter(pc.less(t[RANK_COL], cap)).drop_columns(drop)
+
+    return ranked.map_batches(keep, batch_format="pyarrow",
+                              batch_size=None)

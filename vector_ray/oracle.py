@@ -2242,3 +2242,16 @@ SELECT event_type,
        count(*)::BIGINT AS n
 FROM events GROUP BY event_type
 """
+
+
+# per-source quota sampling (ml/mixing.cap_per_group): deterministic
+# md5-hash rank inside each source, at most 10 docs per source
+SQL_CAP_PER_SOURCE_DOCS = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT,
+           doc_id) AS rn
+  FROM documents)
+WHERE rn <= 10
+"""

@@ -691,6 +691,42 @@ def _build_transform(
         return {"": cluster_by_zorder(
             ds, c["cols"], bits=int(c.get("bits", 16)),
             keep_key=bool(c.get("keep_key", False)))}
+    if t == "cooccurrence_edges":
+        from vector_ray.stages.graph import cooccurrence_edges
+
+        return {"": cooccurrence_edges(
+            ds, group_col=c["group_col"], item_col=c["item_col"])}
+    if t in ("pagerank", "bfs_levels"):
+        import pyarrow as _pa
+        import ray.data as _rd
+
+        sc, dc = c.get("src_col", "src"), c.get("dst_col", "dst")
+        if (sc, dc) != ("src", "dst"):
+            # rename inside a UDF — Dataset.rename_columns breaks on
+            # pandas-backed blocks (CLAUDE.md invariant)
+            def _ren(tb: "_pa.Table") -> "_pa.Table":
+                return _pa.table({"src": tb[sc], "dst": tb[dc]})
+
+            ds = ds.map_batches(_ren, batch_format="pyarrow",
+                                batch_size=None)
+        if t == "pagerank":
+            from vector_ray.stages.graph import pagerank
+
+            return {"": _rd.from_arrow(pagerank(
+                ds, iters=int(c.get("iters", 5)),
+                damping=int(c.get("damping", 85)),
+                impl=c.get("impl", "auto")))}
+        from vector_ray.stages.graph import bfs_levels
+
+        return {"": _rd.from_arrow(bfs_levels(
+            ds, sources=c["sources"],
+            max_hops=int(c.get("max_hops", 4)),
+            impl=c.get("impl", "broadcast")))}
+    if t == "triangle_counts":
+        from vector_ray.stages.graph import triangle_counts
+
+        return {"": triangle_counts(
+            ds, bloom_prefilter=bool(c.get("bloom_prefilter", True)))}
     if t == "exact_quantiles":
         import ray.data as _rd
 

@@ -2786,6 +2786,38 @@ def _q_cap_per_source_docs(sf_dir: str):
                          cap=10)
 
 
+def _q_anomaly_events(sf_dir: str):
+    """Rolling z-score anomaly flags (stages/anomaly.rolling_anomaly):
+    per-user trailing-8-row baseline over value cents, k=3 sigma — the
+    cross-multiplied integer test (m·x−s)² > k²·(m·ss−s²) needs no
+    sqrt/division/float, so flags are bit-exact vs the SQL ROWS-frame
+    replay at any parallelism."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.anomaly import rolling_anomaly
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"],
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = rolling_anomaly(ds, keys=["user_id"],
+                          order_by=["ts", "event_id"], value_col="vc",
+                          window=8, k_sigma=3, min_rows=3)
+
+    def sel(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "is_anomaly": t["is_anomaly"]})
+
+    return out.map_batches(sel, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -2957,6 +2989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitops_events": _q_bitops_events,
         "incremental_agg_events": _q_incremental_agg_events,
         "cap_per_source_docs": _q_cap_per_source_docs,
+        "anomaly_events": _q_anomaly_events,
     }
 
 
@@ -3104,6 +3137,7 @@ def oracle_sql() -> dict[str, str]:
         "bitops_events": oracle.SQL_BITOPS_EVENTS,
         "incremental_agg_events": oracle.SQL_INCREMENTAL_AGG_EVENTS,
         "cap_per_source_docs": oracle.SQL_CAP_PER_SOURCE_DOCS,
+        "anomaly_events": oracle.SQL_ANOMALY_EVENTS,
     }
 
 

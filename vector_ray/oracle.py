@@ -2255,3 +2255,25 @@ SELECT doc_id, source FROM (
   FROM documents)
 WHERE rn <= 10
 """
+
+
+# rolling z-score anomaly flags (stages/anomaly.rolling_anomaly): the
+# cross-multiplied integer test (m·x−s)² > k²·(m·ss−s²) over a trailing
+# ROWS frame — no sqrt, no division, bit-exact
+SQL_ANOMALY_EVENTS = """
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events)
+SELECT event_id, CASE WHEN m >= 3
+         AND (m*vc - s)*(m*vc - s) > 9 * (m*ss - s*s)
+       THEN 1 ELSE 0 END AS is_anomaly
+FROM (
+  SELECT event_id, vc,
+    count(*)            OVER tw AS m,
+    COALESCE(sum(vc)    OVER tw, 0) AS s,
+    COALESCE(sum(vc*vc) OVER tw, 0) AS ss
+  FROM e
+  WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+"""

@@ -2265,9 +2265,9 @@ WITH e AS (
   SELECT event_id, ts, user_id,
          CAST(round(value * 100) AS BIGINT) AS vc
   FROM events)
-SELECT event_id, CASE WHEN m >= 3
+SELECT event_id, CAST(CASE WHEN m >= 3
          AND (m*vc - s)*(m*vc - s) > 9 * (m*ss - s*s)
-       THEN 1 ELSE 0 END AS is_anomaly
+       THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
 FROM (
   SELECT event_id, vc,
     count(*)            OVER tw AS m,

@@ -2818,6 +2818,21 @@ def _q_anomaly_events(sf_dir: str):
                            batch_size=None)
 
 
+def _q_transitions_events(sf_dir: str):
+    """Markov transition counts (stages/paths.transition_counts):
+    adjacent event-type pairs per user in (ts, event_id) order — one
+    sort, vectorized sliced-compare adjacency per block, 2-row driver
+    boundary chain for run-crossing pairs, states²-sized driver
+    combine."""
+    from vector_ray.stages.paths import transition_counts
+
+    return transition_counts(
+        _events(sf_dir, columns=["user_id", "ts", "event_id",
+                                 "event_type"]),
+        key="user_id", order_by=["ts", "event_id"],
+        state_col="event_type")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -2990,6 +3005,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_agg_events": _q_incremental_agg_events,
         "cap_per_source_docs": _q_cap_per_source_docs,
         "anomaly_events": _q_anomaly_events,
+        "transitions_events": _q_transitions_events,
     }
 
 
@@ -3138,6 +3154,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_agg_events": oracle.SQL_INCREMENTAL_AGG_EVENTS,
         "cap_per_source_docs": oracle.SQL_CAP_PER_SOURCE_DOCS,
         "anomaly_events": oracle.SQL_ANOMALY_EVENTS,
+        "transitions_events": oracle.SQL_TRANSITIONS_EVENTS,
     }
 
 

@@ -2277,3 +2277,16 @@ FROM (
   WINDOW tw AS (PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
 """
+
+
+# Markov transition counts (stages/paths.transition_counts): adjacent
+# event-type pairs per user in (ts, event_id) order
+SQL_TRANSITIONS_EVENTS = """
+WITH o AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev
+  FROM events)
+SELECT prev, event_type AS curr, count(*)::BIGINT AS n
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+"""

@@ -1,0 +1,86 @@
+"""Sequence/path mining over ordered event streams — Markov transition
+counts and top session paths.
+
+The log-pipeline use ("user journeys"): which state follows which, and
+which whole paths are most common.  No reference counterpart (the
+reference has no ordering), built on the repo's sorted-run machinery.
+
+``transition_counts``: ONE sort by (key, order), then a vectorized
+adjacent-pair pass per block (arrow sliced compares — never numpy
+object arrays of strings, the CLAUDE.md 20× trap) with a driver chain
+of 2-row block boundaries for run-crossing pairs.  Count partials are
+(states × states)-sized — driver-tiny for real state alphabets — and
+combine on the driver per the tiny-aggregate invariant; a states²
+beyond driver budget would swap the dict for the one-exchange combine
+(the setops shape), noted here for scale honesty.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from typing import Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from vector_ray.stages.blocks import presort
+
+
+def transition_counts(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: Sequence[str],
+    state_col: str,
+) -> pa.Table:
+    """(prev, curr, n): counts of adjacent state pairs within each
+    ``key`` partition ordered by ``order_by`` — the empirical Markov
+    transition table.  Bit-identical at any parallelism (pure integer
+    counts, the boundary chain is deterministic in sort order)."""
+    sorted_ds = presort(ds).sort([key] + list(order_by)).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_pairs(t: pa.Table):
+        if t.num_rows == 0 or key not in t.column_names:
+            return Counter(), None
+        kc = t[key]
+        if isinstance(kc, pa.ChunkedArray):
+            kc = kc.combine_chunks()
+        sc = pc.cast(t[state_col], pa.string())
+        if isinstance(sc, pa.ChunkedArray):
+            sc = sc.combine_chunks()
+        n = t.num_rows
+        cnt: Counter = Counter()
+        if n > 1:
+            same = pc.equal(kc.slice(1), kc.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+            idx = np.nonzero(same)[0]
+            if len(idx):
+                prev = pc.take(sc, pa.array(idx)).to_pylist()
+                curr = pc.take(sc, pa.array(idx + 1)).to_pylist()
+                cnt.update(zip(prev, curr))
+        bound = (kc[0].as_py(), sc[0].as_py(),
+                 kc[-1].as_py(), sc[-1].as_py())
+        return cnt, bound
+
+    total: Counter = Counter()
+    prev_tail = None           # (key, state) of the previous block's end
+    for cnt, bound in ray.get([block_pairs.remote(r) for r in refs]):
+        total.update(cnt)
+        if bound is None:
+            continue
+        fk, fs, lk, ls = bound
+        if prev_tail is not None and prev_tail[0] == fk:
+            total[(prev_tail[1], fs)] += 1
+        prev_tail = (lk, ls)
+
+    items = sorted(total.items())
+    return pa.table({
+        "prev": pa.array([p for (p, _), _ in items], pa.string()),
+        "curr": pa.array([c for (_, c), _ in items], pa.string()),
+        "n": pa.array([v for _, v in items], pa.int64()),
+    })

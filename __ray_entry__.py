@@ -2865,7 +2865,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_score_docs": _q_lm_score_docs,
         "vrl_conditional_events": _q_vrl_conditional_events,
         "filter_events": _q_filter_events,
-        "dd_filter_events": _q_dd_filter_events,
+        # (dd_filter_events: second §2.2-conditions rep beside
+        # vrl_conditional, rotated past 50 so the storage-layout
+        # family gets a driver row; stays locally swept)
+        "zorder_events": _q_zorder_events,
         "nginx_parse_events": _q_nginx_parse_events,
         # (codec_roundtrip_events: second §2.6 rep beside nginx_parse,
         # moved past 50 to make room for the set-op family while
@@ -3000,7 +3003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_parts": _q_triangles_parts,
         "bfs_levels_parts": _q_bfs_levels_parts,
         "kmv_users_events": _q_kmv_users_events,
-        "zorder_events": _q_zorder_events,
+        "dd_filter_events": _q_dd_filter_events,
         "bitops_events": _q_bitops_events,
         "incremental_agg_events": _q_incremental_agg_events,
         "cap_per_source_docs": _q_cap_per_source_docs,

@@ -203,3 +203,57 @@ class TestBFS:
                          impl="broadcast")
         gd = dict(zip(got["node"].to_pylist(), got["dist"].to_pylist()))
         assert gd == {0: 0, 1: 1, 2: 2}   # 3,4 beyond bound; island absent
+
+
+class TestGraphFuzz:
+    """Seeded differential sweep: broadcast ≡ join ≡ local replay over
+    random graph shapes (dense, sparse, heavy dangling, multi-source
+    BFS) — the window-fuzz pattern applied to the graph family."""
+
+    @pytest.mark.parametrize("seed", [21, 22, 23, 24])
+    def test_pagerank_differential(self, seed):
+        rng = np.random.default_rng(seed)
+        n_nodes = int(rng.integers(8, 45))
+        n_edges = int(rng.integers(n_nodes, 4 * n_nodes))
+        edges = _rng_graph(seed, n_nodes, n_edges)
+        # random dangling set: strip out-edges of ~1/4 of nodes
+        dangle = set(rng.choice(n_nodes, n_nodes // 4, replace=False)
+                     .tolist())
+        edges = [e for e in edges if e[0] not in dangle]
+        if not edges:
+            return
+        iters = int(rng.integers(1, 5))
+        damping = int(rng.choice([75, 85, 90]))
+        parts = int(rng.choice([1, 2, 5]))
+        b = pagerank(_edge_ds(edges, parts), iters=iters,
+                     damping=damping, impl="broadcast")
+        want = _pagerank_local(edges, iters, damping)
+        bd = dict(zip(b["node"].to_pylist(),
+                      b["rank_micro"].to_pylist()))
+        assert bd == want
+        j = pagerank(_edge_ds(edges, parts), iters=iters,
+                     damping=damping, impl="join")
+        jd = dict(zip(j["node"].to_pylist(),
+                      j["rank_micro"].to_pylist()))
+        assert jd == want
+
+    @pytest.mark.parametrize("seed", [31, 32, 33])
+    def test_bfs_differential(self, seed):
+        from vector_ray.stages.graph import bfs_levels
+        rng = np.random.default_rng(seed)
+        n_nodes = int(rng.integers(10, 60))
+        edges = _rng_graph(seed, n_nodes,
+                           int(rng.integers(n_nodes, 3 * n_nodes)))
+        srcs = sorted(rng.choice(n_nodes,
+                                 int(rng.integers(1, 4)),
+                                 replace=False).tolist())
+        hops = int(rng.integers(1, 6))
+        parts = int(rng.choice([1, 4]))
+        b = bfs_levels(_edge_ds(edges, parts), sources=srcs,
+                       max_hops=hops, impl="broadcast")
+        j = bfs_levels(_edge_ds(edges, parts), sources=srcs,
+                       max_hops=hops, impl="join")
+        want = TestBFS()._bfs_local(edges, srcs, hops)
+        bd = dict(zip(b["node"].to_pylist(), b["dist"].to_pylist()))
+        jd = dict(zip(j["node"].to_pylist(), j["dist"].to_pylist()))
+        assert bd == want and jd == want

@@ -2833,6 +2833,65 @@ def _q_transitions_events(sf_dir: str):
         state_col="event_type")
 
 
+def _q_top_paths_events(sf_dir: str):
+    """Session path mining: the first-3-event-type path per (user,
+    day) — sorted-run rank (first 3), one concat_sorted pass (arrow
+    binary_join, driver boundary chain), path counts combined on the
+    driver (≤ |states|³ distinct paths — tiny by construction), top
+    10 by (n DESC, path ASC).  A 4-stage composition of existing
+    operators; deterministic end to end."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.sorted_ops import (RANK_COL, add_group_rank,
+                                              concat_sorted)
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"], "day": day})
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "event_id",
+                                  "event_type"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    ranked = add_group_rank(ds, ["user_id", "day"],
+                            ["ts", "event_id"])
+
+    def keep3(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or RANK_COL not in t.column_names:
+            return t
+        return t.filter(pc.less(t[RANK_COL], 3)) \
+                .drop_columns([RANK_COL])
+
+    kept = ranked.map_batches(keep3, batch_format="pyarrow",
+                              batch_size=None)
+    paths = concat_sorted(kept, group_by=["user_id", "day"],
+                          value_col="event_type",
+                          order_by=["ts", "event_id"], sep=">")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        g = pa.table({"path": t["event_type"]}).group_by(
+            ["path"]).aggregate([([], "count_all")])
+        return pa.table({"path": g["path"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    rows = paths.map_batches(partial, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    cnt: Counter = Counter()
+    for r in rows:
+        cnt[r["path"]] += r["n"]
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({"path": pa.array([p for p, _ in top], pa.string()),
+                     "n": pa.array([v for _, v in top], pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3009,6 +3068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cap_per_source_docs": _q_cap_per_source_docs,
         "anomaly_events": _q_anomaly_events,
         "transitions_events": _q_transitions_events,
+        "top_paths_events": _q_top_paths_events,
     }
 
 
@@ -3158,6 +3218,7 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_source_docs": oracle.SQL_CAP_PER_SOURCE_DOCS,
         "anomaly_events": oracle.SQL_ANOMALY_EVENTS,
         "transitions_events": oracle.SQL_TRANSITIONS_EVENTS,
+        "top_paths_events": oracle.SQL_TOP_PATHS_EVENTS,
     }
 
 

@@ -2290,3 +2290,23 @@ WITH o AS (
 SELECT prev, event_type AS curr, count(*)::BIGINT AS n
 FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
 """
+
+
+# session path mining: first-3-event path per (user, day), most common
+# paths with deterministic (n DESC, path ASC) tie-break
+SQL_TOP_PATHS_EVENTS = """
+WITH e AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, day
+                               ORDER BY ts, event_id) AS rn
+  FROM e),
+p AS (
+  SELECT user_id, day,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM r WHERE rn <= 3 GROUP BY user_id, day),
+c AS (SELECT path, count(*)::BIGINT AS n FROM p GROUP BY path)
+SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10
+"""

@@ -2892,6 +2892,27 @@ def _q_top_paths_events(sf_dir: str):
                      "n": pa.array([v for _, v in top], pa.int64())})
 
 
+def _q_gini_events(sf_dir: str):
+    """Grouped Gini concentration (stats.grouped_gini): inequality of
+    value cents per event type — one sorted-run rank pass, integer
+    sufficient sums through one groupby-sum exchange, exactly one IEEE
+    division + multiply + half-away round per group (SQL-replayable)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import grouped_gini
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None)
+    return grouped_gini(ds, keys=["event_type"], x="vc")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3069,6 +3090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anomaly_events": _q_anomaly_events,
         "transitions_events": _q_transitions_events,
         "top_paths_events": _q_top_paths_events,
+        "gini_events": _q_gini_events,
     }
 
 
@@ -3219,6 +3241,7 @@ def oracle_sql() -> dict[str, str]:
         "anomaly_events": oracle.SQL_ANOMALY_EVENTS,
         "transitions_events": oracle.SQL_TRANSITIONS_EVENTS,
         "top_paths_events": oracle.SQL_TOP_PATHS_EVENTS,
+        "gini_events": oracle.SQL_GINI_EVENTS,
     }
 
 

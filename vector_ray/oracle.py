@@ -2310,3 +2310,23 @@ p AS (
 c AS (SELECT path, count(*)::BIGINT AS n FROM p GROUP BY path)
 SELECT path, n FROM c ORDER BY n DESC, path LIMIT 10
 """
+
+
+# grouped Gini concentration (stats.grouped_gini) over value cents
+SQL_GINI_EVENTS = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+r AS (
+  SELECT event_type, vc, row_number() OVER
+    (PARTITION BY event_type ORDER BY vc) AS rn
+  FROM e),
+a AS (
+  SELECT event_type, sum(rn * vc)::BIGINT AS S,
+         sum(vc)::BIGINT AS T, count(*)::BIGINT AS n
+  FROM r GROUP BY event_type)
+SELECT event_type,
+       CAST(round(1000000.0 * ((2*S - (n+1)*T) / (n*T))) AS BIGINT)
+         AS gini_micro
+FROM a
+"""

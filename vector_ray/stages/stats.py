@@ -390,3 +390,69 @@ def grouped_bitops(
     return drop_empty_blocks(
         parts.groupby("__part").map_groups(combine,
                                            batch_format="pyarrow"))
+
+
+def grouped_gini(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    x: str,
+) -> Dataset:
+    """Per-``keys`` Gini concentration coefficient over non-negative
+    integer ``x`` — G = (2·S − (n+1)·T) / (n·T) with S = Σ rank·x
+    (1-based rank in ascending x order), T = Σx.
+
+    S is invariant to tie permutation (tied values are equal), so one
+    sorted-run rank pass (add_group_rank — never map_groups) plus the
+    grouped_moments shape: map-side partial sums, ONE groupby-sum
+    exchange, Python-int numerators on the collapsed group table.
+    The float step is exactly one IEEE division + one multiply over
+    ≤2^53 operands + a half-away round — bit-replayable in SQL.
+    Output ``gini_micro`` (×1e6; null when T == 0 or n == 0)."""
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+    keys = list(keys)
+    ranked = add_group_rank(ds, keys, [x])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or RANK_COL not in t.column_names:
+            return pa.table({**{k: pa.array([], pa.string())
+                                for k in keys},
+                             "S": pa.array([], pa.int64()),
+                             "T": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        xv = pc.cast(t[x], pa.int64()).to_numpy(zero_copy_only=False)
+        rn = t[RANK_COL].to_numpy(zero_copy_only=False) + 1
+        base = pa.table({**{k: t[k] for k in keys},
+                         "S": pa.array(rn * xv), "T": pa.array(xv),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+        g = base.group_by(keys).aggregate([("S", "sum"), ("T", "sum"),
+                                           ("n", "sum")])
+        return pa.table({**{k: g[k] for k in keys},
+                         "S": pc.cast(g["S_sum"], pa.int64()),
+                         "T": pc.cast(g["T_sum"], pa.int64()),
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    parts = ranked.map_batches(partial, batch_format="pyarrow",
+                               batch_size=None)
+    agg = parts.groupby(keys).sum(["S", "T", "n"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(S)" not in t.column_names:
+            return t
+        out = {k: t[k] for k in keys}
+        vals = []
+        for S, T, n in zip(t["sum(S)"].to_pylist(),
+                           t["sum(T)"].to_pylist(),
+                           t["sum(n)"].to_pylist()):
+            if not n or not T:
+                vals.append(None)
+                continue
+            num = 2 * S - (n + 1) * T          # exact Python ints
+            vals.append(int(_half_away(
+                np.array([1e6 * (num / (n * T))]))[0]))
+        out["gini_micro"] = pa.array(vals, pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

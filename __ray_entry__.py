@@ -2913,6 +2913,28 @@ def _q_gini_events(sf_dir: str):
     return grouped_gini(ds, keys=["event_type"], x="vc")
 
 
+def _q_chi2_events(sf_dir: str):
+    """Chi-square independence (stats.chi2_independence): event_type
+    vs user_id%4 segment — per-cell (O·N−R·C)²/(N·R·C) terms
+    micro-quantized INDEPENDENTLY (exact-int operands, one IEEE
+    division each) then integer-summed, so the statistic is
+    order-independent and bit-exact vs SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import chi2_independence
+
+    def prep(t: pa.Table) -> pa.Table:
+        seg = pc.cast(pc.bit_wise_and(pc.cast(t["user_id"],
+                                              pa.int64()), 3),
+                      pa.string())
+        return pa.table({"a": t["event_type"], "b": seg})
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None)
+    return chi2_independence(ds, a_col="a", b_col="b")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3091,6 +3113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions_events": _q_transitions_events,
         "top_paths_events": _q_top_paths_events,
         "gini_events": _q_gini_events,
+        "chi2_events": _q_chi2_events,
     }
 
 
@@ -3242,6 +3265,7 @@ def oracle_sql() -> dict[str, str]:
         "transitions_events": oracle.SQL_TRANSITIONS_EVENTS,
         "top_paths_events": oracle.SQL_TOP_PATHS_EVENTS,
         "gini_events": oracle.SQL_GINI_EVENTS,
+        "chi2_events": oracle.SQL_CHI2_EVENTS,
     }
 
 

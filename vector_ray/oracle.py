@@ -2330,3 +2330,25 @@ SELECT event_type,
          AS gini_micro
 FROM a
 """
+
+
+# chi-square independence (stats.chi2_independence): event_type vs
+# user_id%4 segment; per-cell micro-quantized terms integer-summed
+SQL_CHI2_EVENTS = """
+WITH e AS (
+  SELECT event_type AS a, (user_id % 4)::VARCHAR AS b FROM events),
+cells AS (SELECT a, b, count(*)::BIGINT AS o FROM e GROUP BY 1, 2),
+rt AS (SELECT a, sum(o)::BIGINT AS r FROM cells GROUP BY a),
+ct AS (SELECT b, sum(o)::BIGINT AS c FROM cells GROUP BY b),
+nn AS (SELECT sum(o)::BIGINT AS n FROM cells),
+grid AS (SELECT rt.a, ct.b, rt.r, ct.c, COALESCE(cells.o, 0) AS o
+         FROM rt CROSS JOIN ct
+         LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b)
+SELECT CAST(sum(CAST(round(1000000.0 *
+         (((o*n - r*c)*(o*n - r*c)) / (1.0*n*r*c))) AS BIGINT))
+       AS BIGINT) AS chi2_micro,
+       CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
+         * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,
+       (SELECT n FROM nn) AS n
+FROM grid CROSS JOIN nn
+"""

@@ -456,3 +456,63 @@ def grouped_gini(
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def chi2_independence(
+    ds: Dataset,
+    *,
+    a_col: str,
+    b_col: str,
+) -> pa.Table:
+    """Pearson chi-square independence statistic over the (a, b)
+    contingency table: chi² = Σ_cells (O·N − R·C)² / (N·R·C).
+
+    Determinism: a raw float Σ of per-cell ratios would be
+    summation-order dependent — instead EVERY CELL quantizes
+    independently (one exact-integer-operand IEEE division + one
+    multiply + half-away round, all operands < 2^53) and the quantized
+    micro terms integer-sum, so the statistic is bit-identical at any
+    parallelism and replays verbatim in SQL.  Cell counts are
+    map-side combined per block and driver-merged (cells =
+    |a|×|b| — driver-tiny for real categorical columns).  Output one
+    row: (chi2_micro, dof, n)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "o": pa.array([], pa.int64())})
+        base = pa.table({"a": pc.cast(t[a_col], pa.string()),
+                         "b": pc.cast(t[b_col], pa.string()),
+                         "o": pa.array(np.ones(t.num_rows, np.int64))})
+        g = base.group_by(["a", "b"]).aggregate([("o", "sum")])
+        return pa.table({"a": g["a"], "b": g["b"],
+                         "o": pc.cast(g["o_sum"], pa.int64())})
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    cells: dict = {}
+    for r in rows:
+        cells[(r["a"], r["b"])] = cells.get((r["a"], r["b"]), 0) + r["o"]
+    if not cells:
+        return pa.table({"chi2_micro": pa.array([], pa.int64()),
+                         "dof": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    rt: dict = {}
+    ct: dict = {}
+    for (a, b), o in cells.items():
+        rt[a] = rt.get(a, 0) + o
+        ct[b] = ct.get(b, 0) + o
+    n = sum(rt.values())
+    total = 0
+    # every (row, col) pair contributes — absent cells have O = 0
+    for a, R in rt.items():
+        for b, C in ct.items():
+            o = cells.get((a, b), 0)
+            num = (o * n - R * C) ** 2          # exact ints < 2^53
+            total += int(_half_away(
+                np.array([1e6 * (num / (n * R * C))]))[0])
+    dof = (len(rt) - 1) * (len(ct) - 1)
+    return pa.table({"chi2_micro": pa.array([total], pa.int64()),
+                     "dof": pa.array([dof], pa.int64()),
+                     "n": pa.array([n], pa.int64())})

@@ -2935,6 +2935,41 @@ def _q_chi2_events(sf_dir: str):
     return chi2_independence(ds, a_col="a", b_col="b")
 
 
+def _q_cusum_events(sf_dir: str):
+    """CUSUM change-point alarms (anomaly.cusum_flags): per-user
+    drift detection over value cents (reference 15000, threshold
+    200000) — the sequential max(0, C+(x−k)) recursion parallelized
+    via its closed form P − min(0, running-min P): one running-sum
+    pass + one running-min pass (sorted_ops.running_minmax), all
+    integer, bit-exact vs the nested SQL window replay."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.anomaly import cusum_flags
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"],
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                  "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = cusum_flags(ds, keys=["user_id"],
+                      order_by=["ts", "event_id"], value_col="vc",
+                      k_ref=15000, h=200000)
+
+    def sel(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "cusum": t["cusum"],
+                         "cusum_alarm": t["cusum_alarm"]})
+
+    return out.map_batches(sel, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3114,6 +3149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_paths_events": _q_top_paths_events,
         "gini_events": _q_gini_events,
         "chi2_events": _q_chi2_events,
+        "cusum_events": _q_cusum_events,
     }
 
 
@@ -3266,6 +3302,7 @@ def oracle_sql() -> dict[str, str]:
         "top_paths_events": oracle.SQL_TOP_PATHS_EVENTS,
         "gini_events": oracle.SQL_GINI_EVENTS,
         "chi2_events": oracle.SQL_CHI2_EVENTS,
+        "cusum_events": oracle.SQL_CUSUM_EVENTS,
     }
 
 

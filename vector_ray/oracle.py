@@ -2352,3 +2352,28 @@ SELECT CAST(sum(CAST(round(1000000.0 *
        (SELECT n FROM nn) AS n
 FROM grid CROSS JOIN nn
 """
+
+
+# CUSUM change-point alarms (anomaly.cusum_flags): closed-form
+# P - LEAST(0, running min of P) over prefix sums of (cents - k_ref)
+SQL_CUSUM_EVENTS = """
+WITH e AS (
+  SELECT event_id, ts, user_id,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+p AS (
+  SELECT event_id,
+         sum(vc - 15000) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS P,
+         user_id, ts
+  FROM e),
+c AS (
+  SELECT event_id,
+         P - LEAST(0, min(P) OVER (PARTITION BY user_id
+           ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS C
+  FROM p)
+SELECT event_id, CAST(C AS BIGINT) AS cusum,
+       CAST(CASE WHEN C > 200000 THEN 1 ELSE 0 END AS BIGINT)
+         AS cusum_alarm
+FROM c
+"""

@@ -109,3 +109,70 @@ def rolling_anomaly(
 
     return p2.map_batches(finish, batch_format="pyarrow",
                           batch_size=None)
+
+
+def cusum_flags(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    k_ref: int,
+    h: int,
+    flag_col: str = "cusum_alarm",
+    cusum_col: str | None = "cusum",
+) -> Dataset:
+    """One-sided CUSUM change-point alarms per key partition:
+    C_t = max(0, C_{t−1} + (x_t − k_ref)), alarm when C_t > h.
+
+    The sequential recursion has the closed form C_t = P_t − min(0,
+    min_{j≤t} P_j) over prefix sums P of (x − k_ref), so it
+    parallelizes as two sorted-run passes: a running sum
+    (window_functions cum) and a running min
+    (sorted_ops.running_minmax) — all integer, bit-identical at any
+    parallelism, and replayed in SQL as sum OVER + LEAST(0, min(sum)
+    OVER)."""
+    keys = list(keys)
+    order_by = list(order_by)
+    D = "__d"
+
+    def add_d(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(D, pa.array([], pa.int64()))
+        v = pc.cast(t[value_col], pa.int64())
+        return t.append_column(D, pc.subtract(v, k_ref))
+
+    p = window_functions(
+        ds.map_batches(add_d, batch_format="pyarrow", batch_size=None),
+        keys=keys, order_by=order_by, value_col=D,
+        rn_col="__crn", cum_col="__P", roll_col="__drop_roll",
+        lag_col="__drop_lag", lead_col="__drop_lead")
+
+    from vector_ray.stages.sorted_ops import running_minmax
+
+    m = running_minmax(p, keys=keys, order_by=order_by,
+                       value_col="__P", op="min", out_col="__M")
+
+    drop = [D, "__crn", "__P", "__M", "__drop_roll", "__drop_lag",
+            "__drop_lead"]
+
+    def finish(t: pa.Table) -> pa.Table:
+        present = [c for c in drop if c in t.column_names]
+        if t.num_rows == 0 or "__P" not in t.column_names:
+            out = t.drop_columns(present)
+            if cusum_col:
+                out = out.append_column(cusum_col,
+                                        pa.array([], pa.int64()))
+            return out.append_column(flag_col,
+                                     pa.array([], pa.int64()))
+        P = t["__P"].to_numpy(zero_copy_only=False)
+        M = t["__M"].to_numpy(zero_copy_only=False)
+        C = P - np.minimum(M, 0)
+        out = t.drop_columns(present)
+        if cusum_col:
+            out = out.append_column(cusum_col, pa.array(C))
+        return out.append_column(
+            flag_col, pa.array((C > h).astype(np.int64)))
+
+    return m.map_batches(finish, batch_format="pyarrow",
+                         batch_size=None)

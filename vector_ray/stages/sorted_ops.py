@@ -917,3 +917,118 @@ def segmented_diff_sorted(
 
     out_refs = [apply.remote(r, carries[i]) for i, r in enumerate(refs)]
     return rd.from_arrow_refs(out_refs)
+
+
+def running_minmax(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    value_col: str,
+    op: str = "min",
+    out_col: str | None = None,
+) -> Dataset:
+    """SQL ``min/max(x) OVER (PARTITION BY keys ORDER BY order_by ROWS
+    UNBOUNDED PRECEDING)`` — the running-extremum window function.
+
+    One sort; per block the segmented cummin/cummax is ONE vectorized
+    ``np.maximum.accumulate`` over the lifted-axis composite
+    ``run_id·BIG + code`` (the time_range trick: a later run's every
+    composite exceeds the previous run's maximum, so the accumulate
+    resets at run starts with zero Python-per-group work;
+    overflow-guarded).  Run-crossing state is a 1-value-per-block
+    forward driver chain.  Integer values stay integer — bit-identical
+    at any parallelism."""
+    if op not in ("min", "max"):
+        raise ValueError("op must be 'min' or 'max'")
+    if out_col is None:
+        out_col = f"run_{op}"
+    keys = list(keys)
+
+    def add_key(t: pa.Table) -> pa.Table:
+        return t.append_column(_KEY_COL, _combined_key(t, keys))
+
+    sorted_ds = (
+        presort(ds.map_batches(add_key, batch_format="pyarrow",
+                               batch_size=None))
+        .sort([_KEY_COL] + list(order_by))
+        .materialize())
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote(num_returns=2)
+    def pass_a(t: pa.Table):
+        n = t.num_rows
+        if n == 0 or _KEY_COL not in t.column_names:
+            return None, None
+        key = _key_arr(t, _KEY_COL)
+        x = pc.cast(t[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        new_run = _adj_new_run(key, n)
+        run_id = np.cumsum(new_run) - 1
+        base = int(x.min())
+        rng = int(x.max()) - base + 1
+        assert run_id[-1] * rng < (1 << 62), \
+            "running_minmax: value range x runs overflows the " \
+            "lifted axis - quantize coarser or split the block"
+        code = (x - base) if op == "max" else (rng - 1 - (x - base))
+        cm = np.maximum.accumulate(run_id * rng + code)
+        local = cm - run_id * rng
+        local = (local + base) if op == "max" \
+            else (rng - 1 - local + base)
+        out = t.append_column(out_col, pa.array(local))
+        bound = (key[0].as_py(), key[-1].as_py(), int(local[-1]))
+        return out, bound
+
+    a_refs, bounds = [], []
+    for r in refs:
+        o, b = pass_a.remote(r)
+        a_refs.append(o)
+        bounds.append(b)
+    bounds = ray.get(bounds)
+
+    better = min if op == "min" else max
+    carries: list = []
+    carry_key, carry_val = None, None
+    for b in bounds:
+        if b is None:
+            carries.append(None)
+            continue
+        fk, lk, last_run_ext = b
+        cin = carry_val if (carry_key is not None
+                            and carry_key == fk) else None
+        carries.append(cin)
+        if carry_key == lk and cin is not None and fk == lk:
+            # the whole block is one continuing run
+            carry_val = better(carry_val, last_run_ext)
+        else:
+            carry_val = last_run_ext
+        carry_key = lk
+
+    @ray.remote
+    def pass_b(t: pa.Table, cin):
+        n = t.num_rows
+        if cin is None or n == 0:
+            return (t.drop_columns([_KEY_COL])
+                    if _KEY_COL in t.column_names else t)
+        key = _key_arr(t, _KEY_COL)
+        first_end, _ = _run_bounds(key, n, key[0].as_py(),
+                                   key[-1].as_py())
+        v = t[out_col].to_numpy(zero_copy_only=False).copy()
+        head = v[:first_end]
+        v[:first_end] = np.minimum(head, cin) if op == "min" \
+            else np.maximum(head, cin)
+        return (t.drop_columns([_KEY_COL, out_col])
+                .append_column(out_col, pa.array(v)))
+
+    out_refs = [pass_b.remote(a, c)
+                for a, b, c in zip(a_refs, bounds, carries)
+                if b is not None]
+    if not out_refs:
+        def em(t: pa.Table) -> pa.Table:
+            if _KEY_COL in t.column_names:
+                t = t.drop_columns([_KEY_COL])
+            return t.append_column(out_col, pa.array([], pa.int64()))
+
+        return sorted_ds.map_batches(em, batch_format="pyarrow",
+                                     batch_size=None)
+    return rd.from_arrow_refs(out_refs)

@@ -1101,3 +1101,97 @@ sinks:
     assert 0 < sc["tris_out"] <= n_nodes
     assert 0 < sc["layers_out"] <= n_nodes
     assert sc["z_out"] == n_edges
+
+
+def test_analytics_yaml_types(tmp_path):
+    """running_minmax / cusum / rolling_anomaly / transition_counts /
+    cap_per_group / grouped_bitops / grouped_gini / chi2_independence
+    as YAML components, end to end over the events table."""
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(f"""
+sources:
+  events:
+    type: parquet
+    path: {sf}/events.parquet
+    columns: [event_id, ts, user_id, event_type, value]
+transforms:
+  cents:
+    type: remap
+    inputs: [events]
+    source: ".vc = to_int(round(.value * 100.0))"
+  runmin:
+    type: running_minmax
+    inputs: [cents]
+    keys: [user_id]
+    order_by: [ts, event_id]
+    value_col: vc
+  alarms:
+    type: cusum
+    inputs: [cents]
+    keys: [user_id]
+    order_by: [ts, event_id]
+    value_col: vc
+    k_ref: 15000
+    h: 200000
+  outliers:
+    type: rolling_anomaly
+    inputs: [cents]
+    keys: [user_id]
+    order_by: [ts, event_id]
+    value_col: vc
+    window: 8
+  trans:
+    type: transition_counts
+    inputs: [events]
+    key: user_id
+    order_by: [ts, event_id]
+    state_col: event_type
+  capped:
+    type: cap_per_group
+    inputs: [events]
+    group_col: event_type
+    id_col: event_id
+    cap: 5
+  bits:
+    type: grouped_bitops
+    inputs: [cents]
+    keys: [event_type]
+    x: vc
+  gini:
+    type: grouped_gini
+    inputs: [cents]
+    keys: [event_type]
+    x: vc
+  chi2:
+    type: chi2_independence
+    inputs: [events]
+    a_col: event_type
+    b_col: user_id
+sinks:
+  runmin_out: {{type: parquet, inputs: [runmin], path: "{tmp_path}/a"}}
+  alarms_out: {{type: parquet, inputs: [alarms], path: "{tmp_path}/b"}}
+  outliers_out: {{type: parquet, inputs: [outliers], path: "{tmp_path}/c"}}
+  trans_out: {{type: parquet, inputs: [trans], path: "{tmp_path}/d"}}
+  capped_out: {{type: parquet, inputs: [capped], path: "{tmp_path}/e"}}
+  bits_out: {{type: parquet, inputs: [bits], path: "{tmp_path}/f"}}
+  gini_out: {{type: parquet, inputs: [gini], path: "{tmp_path}/g"}}
+  chi2_out: {{type: parquet, inputs: [chi2], path: "{tmp_path}/h"}}
+""")
+    res = run_topology(topo)
+    sc = res.sink_counts
+    import duckdb
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/events.parquet'").fetchone()[0]
+    n_types = duckdb.sql(
+        f"SELECT count(DISTINCT event_type) FROM "
+        f"'{sf}/events.parquet'").fetchone()[0]
+    assert sc["runmin_out"] == n
+    assert sc["alarms_out"] == n
+    assert sc["outliers_out"] == n
+    assert 0 < sc["trans_out"] <= n_types * n_types
+    assert sc["capped_out"] == 5 * n_types
+    assert sc["bits_out"] == n_types
+    assert sc["gini_out"] == n_types
+    assert sc["chi2_out"] == 1

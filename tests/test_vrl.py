@@ -415,3 +415,33 @@ def test_regex_literal_raw_semantics():
     t2 = pa.table({"x": ["a\\b", "ab"]})
     out, _, _ = compile_vrl(r'.m = match(.x, r"a\\b")')(t2)
     assert out["m"].to_pylist() == [True, False]
+
+
+def test_to_int_to_float_numeric_coercions():
+    """VRL to_int/to_float on non-string inputs (vrl stdlib
+    to_int.md coercions): float truncates toward zero, int/bool cast,
+    timestamp -> unix seconds."""
+    import pyarrow as pa
+
+    from vector_ray.vrl import compile_vrl
+
+    prog = compile_vrl("""
+.i = to_int(.f)
+.j = to_int(.n)
+.k = to_int(.b)
+.s = to_int(.ts)
+.x = to_float(.n)
+""")
+    t = pa.table({
+        "f": pa.array([185.22, -2.9, 0.0]),
+        "n": pa.array([7, -3, 0], pa.int32()),
+        "b": pa.array([True, False, True]),
+        "ts": pa.array([1_500_000_000_000_000, 0, 2_000_000_123_456_789],
+                       pa.timestamp("us")),
+    })
+    out, _, _ = prog(t)
+    assert out["i"].to_pylist() == [185, -2, 0]      # trunc toward zero
+    assert out["j"].to_pylist() == [7, -3, 0]
+    assert out["k"].to_pylist() == [1, 0, 1]
+    assert out["s"].to_pylist() == [1_500_000_000, 0, 2_000_000_123]
+    assert out["x"].to_pylist() == [7.0, -3.0, 0.0]

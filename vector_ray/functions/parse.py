@@ -144,9 +144,22 @@ def parse_timestamp(col, fmt: str = "%Y-%m-%dT%H:%M:%S", unit: str = "us") -> pa
 
 
 def parse_int(col) -> pa.Array:
-    """VRL ``parse_int``/``to_int`` with null-on-error semantics."""
+    """VRL ``parse_int``/``to_int`` with null-on-error semantics.
+    Non-string inputs follow VRL's documented coercions: integers pass
+    through, floats truncate toward zero, booleans → 0/1, timestamps →
+    unix seconds (vrl stdlib to_int.md)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_integer(t):
+        return pc.cast(col, pa.int64())
+    if pa.types.is_floating(t):
+        return pc.cast(pc.trunc(col), pa.int64())
+    if pa.types.is_boolean(t):
+        return pc.cast(col, pa.int64())
+    if pa.types.is_timestamp(t):
+        us = pc.cast(col, pa.int64())
+        return pc.divide(us, 1_000_000)
     # cast errors → null: pre-mask with a digits regex
     ok = pc.fill_null(pc.match_substring_regex(col, r"^[+-]?\d+$"), False)
     masked = pc.if_else(ok, col, pa.scalar(None, pa.string()))
@@ -156,6 +169,11 @@ def parse_int(col) -> pa.Array:
 def parse_float(col) -> pa.Array:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    t = col.type
+    if pa.types.is_floating(t):
+        return pc.cast(col, pa.float64())
+    if pa.types.is_integer(t) or pa.types.is_boolean(t):
+        return pc.cast(col, pa.float64())
     ok = pc.fill_null(pc.match_substring_regex(col, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), False)
     masked = pc.if_else(ok, col, pa.scalar(None, pa.string()))
     return pc.cast(masked, pa.float64())

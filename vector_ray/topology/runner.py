@@ -727,6 +727,62 @@ def _build_transform(
 
         return {"": triangle_counts(
             ds, bloom_prefilter=bool(c.get("bloom_prefilter", True)))}
+    if t == "running_minmax":
+        from vector_ray.stages.sorted_ops import running_minmax
+
+        return {"": running_minmax(
+            ds, keys=c["keys"], order_by=c["order_by"],
+            value_col=c["value_col"], op=c.get("op", "min"),
+            out_col=c.get("out_col"))}
+    if t == "cusum":
+        from vector_ray.stages.anomaly import cusum_flags
+
+        return {"": cusum_flags(
+            ds, keys=c["keys"], order_by=c["order_by"],
+            value_col=c["value_col"], k_ref=int(c["k_ref"]),
+            h=int(c["h"]),
+            flag_col=c.get("flag_col", "cusum_alarm"),
+            cusum_col=c.get("cusum_col", "cusum"))}
+    if t == "rolling_anomaly":
+        from vector_ray.stages.anomaly import rolling_anomaly
+
+        return {"": rolling_anomaly(
+            ds, keys=c["keys"], order_by=c["order_by"],
+            value_col=c["value_col"],
+            window=int(c.get("window", 20)),
+            k_sigma=int(c.get("k_sigma", 3)),
+            min_rows=int(c.get("min_rows", 3)),
+            flag_col=c.get("flag_col", "is_anomaly"))}
+    if t == "transition_counts":
+        import ray.data as _rd
+
+        from vector_ray.stages.paths import transition_counts
+
+        return {"": _rd.from_arrow(transition_counts(
+            ds, key=c["key"], order_by=c["order_by"],
+            state_col=c["state_col"]))}
+    if t == "cap_per_group":
+        from vector_ray.ml.mixing import cap_per_group
+
+        return {"": cap_per_group(
+            ds, group_col=c["group_col"], id_col=c["id_col"],
+            cap=int(c["cap"]), hash=c.get("hash", "md5"))}
+    if t == "grouped_bitops":
+        from vector_ray.stages.stats import grouped_bitops
+
+        return {"": grouped_bitops(
+            ds, keys=c["keys"], x=c["x"], flag=c.get("flag"))}
+    if t == "grouped_gini":
+        from vector_ray.stages.stats import grouped_gini
+
+        return {"": grouped_gini(ds, keys=c["keys"], x=c["x"])}
+    if t == "chi2_independence":
+        import ray.data as _rd
+
+        from vector_ray.stages.stats import chi2_independence
+
+        return {"": _rd.from_arrow(chi2_independence(
+            ds, a_col=c["a_col"], b_col=c["b_col"]))}
     if t == "exact_quantiles":
         import ray.data as _rd
 

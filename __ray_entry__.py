@@ -2970,6 +2970,26 @@ def _q_cusum_events(sf_dir: str):
                            batch_size=None)
 
 
+def _q_streaks_events(sf_dir: str):
+    """Gaps-and-islands (paths.max_streak): longest consecutive
+    active-day streak per user — ONE hash exchange co-locating each
+    user, then distinct / island boundaries / per-key maxima all as
+    vectorized numpy inside the partition task (no rank pass, no
+    second exchange)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.paths import max_streak
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(t["ts"], pa.int64()), 86_400_000_000)
+        return pa.table({"user_id": t["user_id"], "day": day})
+
+    ds = _events(sf_dir, columns=["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None)
+    return max_streak(ds, key="user_id", seq_col="day")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3150,6 +3170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_events": _q_gini_events,
         "chi2_events": _q_chi2_events,
         "cusum_events": _q_cusum_events,
+        "streaks_events": _q_streaks_events,
     }
 
 
@@ -3303,6 +3324,7 @@ def oracle_sql() -> dict[str, str]:
         "gini_events": oracle.SQL_GINI_EVENTS,
         "chi2_events": oracle.SQL_CHI2_EVENTS,
         "cusum_events": oracle.SQL_CUSUM_EVENTS,
+        "streaks_events": oracle.SQL_STREAKS_EVENTS,
     }
 
 

@@ -2377,3 +2377,22 @@ SELECT event_id, CAST(C AS BIGINT) AS cusum,
          AS cusum_alarm
 FROM c
 """
+
+
+# gaps-and-islands (paths.max_streak): longest consecutive-active-day
+# streak per user
+SQL_STREAKS_EVENTS = """
+WITH d AS (
+  SELECT DISTINCT user_id,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events),
+r AS (
+  SELECT user_id, day, row_number() OVER
+    (PARTITION BY user_id ORDER BY day) AS rn
+  FROM d),
+c AS (
+  SELECT user_id, day - rn AS island, count(*)::BIGINT AS len
+  FROM r GROUP BY user_id, day - rn)
+SELECT user_id, max(len)::BIGINT AS max_streak
+FROM c GROUP BY user_id
+"""

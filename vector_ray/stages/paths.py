@@ -84,3 +84,68 @@ def transition_counts(
         "curr": pa.array([c for (_, c), _ in items], pa.string()),
         "n": pa.array([v for _, v in items], pa.int64()),
     })
+
+
+def max_streak(
+    ds: Dataset,
+    *,
+    key: str,
+    seq_col: str,
+    out_col: str = "max_streak",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Gaps-and-islands: the longest run of CONSECUTIVE integers in
+    ``seq_col`` per ``key`` (e.g. max consecutive active days per
+    user).  ONE hash exchange co-locates each key's rows; inside the
+    partition task everything is vectorized numpy — distinct via
+    lexsort+mask, island boundaries via diff≠1, per-key maxima via
+    maximum.reduceat — so duplicates, islands and the max all resolve
+    without a rank pass or a second exchange.  ``key`` and
+    ``seq_col`` must be integer-castable (string keys would force
+    object-array compares — hash them to int64 upstream)."""
+    from vector_ray.stages.blocks import drop_empty_blocks
+    from vector_ray.stages.hash_join import _col_hash
+
+    P = int(num_partitions
+            or ray.cluster_resources().get("CPU", 8) * 2)
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.int64()),
+                             "__part": pa.array([], pa.int64())})
+        part = (_col_hash(t, key) % np.uint64(P)).astype(np.int64)
+        return pa.table({"k": pc.cast(t[key], pa.int64()),
+                         "s": pc.cast(t[seq_col], pa.int64()),
+                         "__part": pa.array(part)})
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow",
+                            batch_size=None)
+
+    def solve(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "k" not in t.column_names:
+            return pa.table({key: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        k = t["k"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((s, k))
+        k, s = k[order], s[order]
+        keep = np.ones(len(k), dtype=bool)          # distinct (k, s)
+        keep[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1])
+        k, s = k[keep], s[keep]
+        n = len(k)
+        new_island = np.ones(n, dtype=bool)
+        new_island[1:] = (k[1:] != k[:-1]) | (s[1:] != s[:-1] + 1)
+        starts = np.nonzero(new_island)[0]
+        lens = np.diff(np.append(starts, n))
+        ik = k[starts]                              # key per island
+        new_key = np.ones(len(ik), dtype=bool)
+        new_key[1:] = ik[1:] != ik[:-1]
+        kstarts = np.nonzero(new_key)[0]
+        best = np.maximum.reduceat(lens, kstarts)
+        return pa.table({key: pa.array(ik[kstarts]),
+                         out_col: pa.array(best.astype(np.int64))})
+
+    return drop_empty_blocks(
+        tagged.groupby("__part").map_groups(solve,
+                                            batch_format="pyarrow"))

@@ -2990,6 +2990,29 @@ def _q_streaks_events(sf_dir: str):
     return max_streak(ds, key="user_id", seq_col="day")
 
 
+def _q_ranksum_events(sf_dir: str):
+    """Mann–Whitney rank-sum (stats.rank_sum_u2): 2·U between click
+    and view value distributions in doubled integer units (ties count
+    1) — per-value count partials, ONE exchange to the collapsed
+    value table, a windowed running sum, tiny driver Σ; bit-exact vs
+    SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import rank_sum_u2
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": t["event_type"],
+            "v": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None)
+    return rank_sum_u2(ds, value_col="v", side_col="s",
+                       side_a="click", side_b="view")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3171,6 +3194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_events": _q_chi2_events,
         "cusum_events": _q_cusum_events,
         "streaks_events": _q_streaks_events,
+        "ranksum_events": _q_ranksum_events,
     }
 
 
@@ -3325,6 +3349,7 @@ def oracle_sql() -> dict[str, str]:
         "chi2_events": oracle.SQL_CHI2_EVENTS,
         "cusum_events": oracle.SQL_CUSUM_EVENTS,
         "streaks_events": oracle.SQL_STREAKS_EVENTS,
+        "ranksum_events": oracle.SQL_RANKSUM_EVENTS,
     }
 
 

@@ -2396,3 +2396,25 @@ c AS (
 SELECT user_id, max(len)::BIGINT AS max_streak
 FROM c GROUP BY user_id
 """
+
+
+# Mann–Whitney 2U (stats.rank_sum_u2): click vs view value cents
+SQL_RANKSUM_EVENTS = """
+WITH e AS (
+  SELECT event_type AS s,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+c AS (
+  SELECT v,
+    sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
+    sum(CASE WHEN s = 'view' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM e GROUP BY v),
+w AS (
+  SELECT na, nb, sum(nb) OVER (ORDER BY v
+    ROWS UNBOUNDED PRECEDING) AS cumb
+  FROM c)
+SELECT CAST(sum(na * (2*cumb - nb)) AS BIGINT) AS u2_a,
+       CAST(sum(na) AS BIGINT) AS n_a,
+       CAST(sum(nb) AS BIGINT) AS n_b
+FROM w
+"""

@@ -516,3 +516,90 @@ def chi2_independence(
     return pa.table({"chi2_micro": pa.array([total], pa.int64()),
                      "dof": pa.array([dof], pa.int64()),
                      "n": pa.array([n], pa.int64())})
+
+
+def rank_sum_u2(
+    ds: Dataset,
+    *,
+    value_col: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+) -> pa.Table:
+    """Mann–Whitney U between two sides, in DOUBLED integer units
+    (ties contribute exactly ½ each, so 2·U is an integer):
+
+        2·U_A = Σ_v nA(v) · (2·cumB(<v) + nB(v))
+
+    over the collapsed per-distinct-value count table.  Plan: block
+    partials count (value, side) pairs; ONE exchange combines them by
+    value; the collapsed value-cardinality table takes one windowed
+    running sum of nB (window_functions over a constant partition)
+    and the Σ reduces through tiny per-block partials on the driver.
+    Everything integer — bit-identical and SQL-replayable.  Output one
+    row: (u2_a, n_a, n_b)."""
+    import ray.data as _rd
+
+    from vector_ray.stages.window_fns import window_functions
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        side = t[side_col]
+        v = pc.cast(t[value_col], pa.int64())
+        ina = pc.cast(pc.equal(side, side_a), pa.int64())
+        inb = pc.cast(pc.equal(side, side_b), pa.int64())
+        base = pa.table({"v": v, "na": ina, "nb": inb})
+        g = base.group_by(["v"]).aggregate([("na", "sum"),
+                                            ("nb", "sum")])
+        return pa.table({"v": g["v"],
+                         "na": pc.cast(g["na_sum"], pa.int64()),
+                         "nb": pc.cast(g["nb_sum"], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    agg = parts.groupby("v").sum(["na", "nb"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(na)" not in t.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "__one": pa.array([], pa.int64())})
+        keep = pc.or_(pc.greater(t["sum(na)"], 0),
+                      pc.greater(t["sum(nb)"], 0))
+        t = t.filter(keep)
+        return pa.table({
+            "v": t["v"],
+            "na": pc.cast(t["sum(na)"], pa.int64()),
+            "nb": pc.cast(t["sum(nb)"], pa.int64()),
+            "__one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    collapsed = agg.map_batches(clean, batch_format="pyarrow",
+                                batch_size=None)
+    w = window_functions(collapsed, keys=["__one"], order_by=["v"],
+                         value_col="nb", rn_col="__rn",
+                         cum_col="__cumb", roll_col="__drop_r",
+                         lag_col="__drop_l", lead_col="__drop_e")
+
+    def term(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__cumb" not in t.column_names:
+            return pa.table({"u2": pa.array([], pa.int64()),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64())})
+        na = t["na"].to_numpy(zero_copy_only=False)
+        nb = t["nb"].to_numpy(zero_copy_only=False)
+        cumb = t["__cumb"].to_numpy(zero_copy_only=False)
+        u2 = int((na * (2 * cumb - nb)).sum())
+        return pa.table({"u2": pa.array([u2], pa.int64()),
+                         "n_a": pa.array([int(na.sum())], pa.int64()),
+                         "n_b": pa.array([int(nb.sum())], pa.int64())})
+
+    rows = w.map_batches(term, batch_format="pyarrow",
+                         batch_size=None).take_all()
+    return pa.table({
+        "u2_a": pa.array([sum(r["u2"] for r in rows)], pa.int64()),
+        "n_a": pa.array([sum(r["n_a"] for r in rows)], pa.int64()),
+        "n_b": pa.array([sum(r["n_b"] for r in rows)], pa.int64())})

@@ -3013,6 +3013,28 @@ def _q_ranksum_events(sf_dir: str):
                        side_a="click", side_b="view")
 
 
+def _q_ks_events(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov (stats.ks_statistic): click vs
+    view value ECDFs — D's numerator kept as the exact integer
+    max |cumA·nB − cumB·nA| over the collapsed value table (same
+    one-exchange plan as the rank-sum test); bit-exact vs SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import ks_statistic
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": t["event_type"],
+            "v": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                         pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_type", "value"]).map_batches(
+        prep, batch_format="pyarrow", batch_size=None)
+    return ks_statistic(ds, value_col="v", side_col="s",
+                        side_a="click", side_b="view")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3195,6 +3217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_events": _q_cusum_events,
         "streaks_events": _q_streaks_events,
         "ranksum_events": _q_ranksum_events,
+        "ks_events": _q_ks_events,
     }
 
 
@@ -3350,6 +3373,7 @@ def oracle_sql() -> dict[str, str]:
         "cusum_events": oracle.SQL_CUSUM_EVENTS,
         "streaks_events": oracle.SQL_STREAKS_EVENTS,
         "ranksum_events": oracle.SQL_RANKSUM_EVENTS,
+        "ks_events": oracle.SQL_KS_EVENTS,
     }
 
 

@@ -2418,3 +2418,27 @@ SELECT CAST(sum(na * (2*cumb - nb)) AS BIGINT) AS u2_a,
        CAST(sum(nb) AS BIGINT) AS n_b
 FROM w
 """
+
+
+# two-sample KS (stats.ks_statistic): click vs view value cents —
+# integer numerator max |cumA·nB − cumB·nA|
+SQL_KS_EVENTS = """
+WITH e AS (
+  SELECT event_type AS s,
+         CAST(round(value * 100) AS BIGINT) AS v
+  FROM events),
+c AS (
+  SELECT v,
+    sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END)::BIGINT AS na,
+    sum(CASE WHEN s = 'view' THEN 1 ELSE 0 END)::BIGINT AS nb
+  FROM e GROUP BY v),
+tot AS (SELECT sum(na)::BIGINT AS ta, sum(nb)::BIGINT AS tb FROM c),
+w AS (
+  SELECT sum(na) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS ca,
+         sum(nb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cb
+  FROM c)
+SELECT CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
+       (SELECT ta FROM tot) AS n_a,
+       (SELECT tb FROM tot) AS n_b
+FROM w CROSS JOIN tot
+"""

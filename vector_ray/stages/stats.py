@@ -603,3 +603,97 @@ def rank_sum_u2(
         "u2_a": pa.array([sum(r["u2"] for r in rows)], pa.int64()),
         "n_a": pa.array([sum(r["n_a"] for r in rows)], pa.int64()),
         "n_b": pa.array([sum(r["n_b"] for r in rows)], pa.int64())})
+
+
+def ks_statistic(
+    ds: Dataset,
+    *,
+    value_col: str,
+    side_col: str,
+    side_a: str,
+    side_b: str,
+) -> pa.Table:
+    """Two-sample Kolmogorov–Smirnov D between two sides:
+    D = max_v |cumA(v)/nA − cumB(v)/nB| — kept integer as
+    ``ks_num = max_v |cumA·nB − cumB·nA|`` with D = ks_num/(nA·nB)
+    left to the caller (one division; the driver query emits the
+    exact integer numerator and denominator).  Same collapsed
+    distinct-value plan as rank_sum_u2: count partials, ONE exchange,
+    two windowed running sums, per-block max partials driver-maxed."""
+    from vector_ray.stages.window_fns import window_functions
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        side = t[side_col]
+        v = pc.cast(t[value_col], pa.int64())
+        base = pa.table({
+            "v": v,
+            "na": pc.cast(pc.equal(side, side_a), pa.int64()),
+            "nb": pc.cast(pc.equal(side, side_b), pa.int64())})
+        g = base.group_by(["v"]).aggregate([("na", "sum"),
+                                            ("nb", "sum")])
+        return pa.table({"v": g["v"],
+                         "na": pc.cast(g["na_sum"], pa.int64()),
+                         "nb": pc.cast(g["nb_sum"], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    agg = parts.groupby("v").sum(["na", "nb"])
+
+    def clean(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(na)" not in t.column_names:
+            return pa.table({"v": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64()),
+                             "__one": pa.array([], pa.int64())})
+        keep = pc.or_(pc.greater(t["sum(na)"], 0),
+                      pc.greater(t["sum(nb)"], 0))
+        t = t.filter(keep)
+        return pa.table({
+            "v": t["v"],
+            "na": pc.cast(t["sum(na)"], pa.int64()),
+            "nb": pc.cast(t["sum(nb)"], pa.int64()),
+            "__one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    collapsed = agg.map_batches(clean, batch_format="pyarrow",
+                                batch_size=None)
+    w1 = window_functions(collapsed, keys=["__one"], order_by=["v"],
+                          value_col="na", rn_col="__rn1",
+                          cum_col="__cuma", roll_col="__d1",
+                          lag_col="__d2", lead_col="__d3")
+    w2 = window_functions(w1, keys=["__one"], order_by=["v"],
+                          value_col="nb", rn_col="__rn2",
+                          cum_col="__cumb", roll_col="__d4",
+                          lag_col="__d5", lead_col="__d6")
+
+    # ks_num needs global nA, nB — totals first (tiny partials), then
+    # the max reduces per block against those totals
+    tot = w2.map_batches(
+        lambda t: pa.table({
+            "a": pa.array([int(pc.sum(t["na"]).as_py() or 0)
+                           if t.num_rows and "na" in t.column_names
+                           else 0], pa.int64()),
+            "b": pa.array([int(pc.sum(t["nb"]).as_py() or 0)
+                           if t.num_rows and "nb" in t.column_names
+                           else 0], pa.int64())}),
+        batch_format="pyarrow", batch_size=None).take_all()
+    nA = sum(r["a"] for r in tot)
+    nB = sum(r["b"] for r in tot)
+
+    def block_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__cuma" not in t.column_names:
+            return pa.table({"m": pa.array([], pa.int64())})
+        ca = t["__cuma"].to_numpy(zero_copy_only=False)
+        cb = t["__cumb"].to_numpy(zero_copy_only=False)
+        diff = np.abs(ca * nB - cb * nA)
+        return pa.table({"m": pa.array([int(diff.max())], pa.int64())})
+
+    ms = w2.map_batches(block_max, batch_format="pyarrow",
+                        batch_size=None).take_all()
+    ks_num = max((r["m"] for r in ms), default=0)
+    return pa.table({"ks_num": pa.array([ks_num], pa.int64()),
+                     "n_a": pa.array([nA], pa.int64()),
+                     "n_b": pa.array([nB], pa.int64())})

@@ -3035,6 +3035,29 @@ def _q_ks_events(sf_dir: str):
                         side_a="click", side_b="view")
 
 
+def _q_coverage_events(sf_dir: str):
+    """Interval-union coverage (windows.interval_union_length): total
+    covered time per user over overlapping [ts, ts + cents·1ms)
+    intervals — running-max pass + lag pass + grouped integer sum;
+    bit-exact vs the SQL 1-PRECEDING running-max replay."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.windows import interval_union_length
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = pc.cast(t["ts"], pa.int64())
+        vc = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                     pa.int64())
+        return pa.table({"user_id": t["user_id"], "s": s,
+                         "e": pc.add(s, pc.multiply(vc, 1000))})
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return interval_union_length(ds, key="user_id", start_col="s",
+                                 end_col="e")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3218,6 +3241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaks_events": _q_streaks_events,
         "ranksum_events": _q_ranksum_events,
         "ks_events": _q_ks_events,
+        "coverage_events": _q_coverage_events,
     }
 
 
@@ -3374,6 +3398,7 @@ def oracle_sql() -> dict[str, str]:
         "streaks_events": oracle.SQL_STREAKS_EVENTS,
         "ranksum_events": oracle.SQL_RANKSUM_EVENTS,
         "ks_events": oracle.SQL_KS_EVENTS,
+        "coverage_events": oracle.SQL_COVERAGE_EVENTS,
     }
 
 

@@ -2442,3 +2442,23 @@ SELECT CAST(max(abs(ca * tb - cb * ta)) AS BIGINT) AS ks_num,
        (SELECT tb FROM tot) AS n_b
 FROM w CROSS JOIN tot
 """
+
+
+# interval-union coverage (windows.interval_union_length): per-user
+# total covered microseconds over [ts, ts + cents·1ms) event intervals
+SQL_COVERAGE_EVENTS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 1000
+           AS e
+  FROM events),
+r AS (
+  SELECT user_id, s, e,
+         max(e) OVER (PARTITION BY user_id ORDER BY s, e
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM e)
+SELECT user_id,
+       CAST(sum(greatest(0, e - greatest(s, COALESCE(pm, s))))
+            AS BIGINT) AS covered
+FROM r GROUP BY user_id
+"""

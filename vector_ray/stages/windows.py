@@ -199,3 +199,73 @@ def sessionize_by_condition(
         .groupby(key)
         .map_groups(assign, batch_format="pandas")
     )
+
+
+def interval_union_length(
+    ds: Dataset,
+    *,
+    key: str,
+    start_col: str,
+    end_col: str,
+    out_col: str = "covered",
+) -> Dataset:
+    """Total length covered by the UNION of (possibly overlapping)
+    ``[start, end)`` intervals per key — e.g. total active wall-time
+    per user across overlapping sessions.
+
+    Sweep-line without a sweep: in (start, end) order each interval
+    adds ``max(0, end − max(start, prev_max_end))`` where
+    ``prev_max_end`` is the running max of ``end`` over all EARLIER
+    intervals of the key — one running-max pass
+    (sorted_ops.running_minmax), one lag pass (window_functions), one
+    grouped integer sum.  All int64; bit-identical at any parallelism
+    and replayed in SQL as max() OVER ... 1 PRECEDING."""
+    import numpy as np
+
+    from vector_ray.stages.sorted_ops import running_minmax
+    from vector_ray.stages.window_fns import window_functions
+
+    rm = running_minmax(ds, keys=[key],
+                        order_by=[start_col, end_col],
+                        value_col=end_col, op="max",
+                        out_col="__rmax")
+    w = window_functions(rm, keys=[key],
+                         order_by=[start_col, end_col],
+                         value_col="__rmax", rn_col="__iurn",
+                         lag_col="__pmax", lead_col="__iud1",
+                         cum_col="__iud2", roll_col="__iud3")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__pmax" not in t.column_names:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64())})
+        s = pc.cast(t[start_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        e = pc.cast(t[end_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pmcol = t["__pmax"]
+        if isinstance(pmcol, pa.ChunkedArray):
+            pmcol = pmcol.combine_chunks()
+        valid = pc.is_valid(pmcol).to_numpy(zero_copy_only=False)
+        pm = pc.fill_null(pc.cast(pmcol, pa.int64()), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pm = np.where(valid, pm, s)      # first interval: no earlier end
+        lo = np.maximum(s, pm)
+        add = np.maximum(e - lo, 0)
+        base = pa.table({key: t[key], "c": pa.array(add)})
+        g = base.group_by([key]).aggregate([("c", "sum")])
+        return pa.table({key: g[key],
+                         "c": pc.cast(g["c_sum"], pa.int64())})
+
+    parts = w.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+    agg = parts.groupby(key).sum(["c"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(c)" not in t.column_names:
+            return t
+        return pa.table({key: t[key],
+                         out_col: pc.cast(t["sum(c)"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

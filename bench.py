@@ -116,7 +116,11 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      # round-4 continuation: graph analytics + KMV
                      "pagerank_lineitem", "triangles_parts",
                      "bfs_levels_parts", "kmv_users_events",
-                     "zorder_events"):
+                     "zorder_events",
+                     # round-4 continuation: sequence analytics +
+                     # statistical tests
+                     "cusum_events", "coverage_events",
+                     "streaks_events", "ks_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -2567,41 +2567,13 @@ def _q_triangles_parts(sf_dir: str):
 
 def _q_pagerank_lineitem(sf_dir: str):
     """Integer-exact PageRank (stages/graph.pagerank, micro-unit
-    ranks): supplier → part edges for every lineitem plus part →
-    supplier back-edges for even partkeys only (odd parts dangle,
-    exercising the dangling-mass term).  broadcast impl here (node set
-    is tiny); tests assert the join impl is bit-identical."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    from vector_ray.stages.dedupe import dedupe_exact
+    ranks) over the supplier↔part graph (odd parts dangle, exercising
+    the dangling-mass term).  broadcast impl here (node set is tiny);
+    tests assert the join impl is bit-identical."""
     from vector_ray.stages.graph import pagerank
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_suppkey", "l_partkey"])
-
-    def fwd(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "src": pc.cast(t["l_suppkey"], pa.int64()),
-            "dst": pc.cast(pc.add(pc.cast(t["l_partkey"], pa.int64()),
-                                  1_000_000), pa.int64())})
-
-    def rev(t: pa.Table) -> pa.Table:
-        pk = pc.cast(t["l_partkey"], pa.int64())
-        even = t.filter(pc.equal(pc.bit_wise_and(pk, 1), 0))
-        pk_e = pc.cast(even["l_partkey"], pa.int64())
-        return pa.table({
-            "src": pc.add(pk_e, 1_000_000),
-            "dst": pc.cast(even["l_suppkey"], pa.int64())})
-
-    edges = dedupe_exact(
-        li.map_batches(fwd, batch_format="pyarrow", batch_size=None)
-        .union(li.map_batches(rev, batch_format="pyarrow",
-                              batch_size=None)),
-        ["src", "dst"], order_by=())
-    return pagerank(edges, iters=3, damping=85, impl="broadcast")
-
+    return pagerank(_lineitem_graph_edges(sf_dir), iters=3,
+                    damping=85, impl="broadcast")
 
 def _q_bfs_levels_parts(sf_dir: str):
     """Minimum hop distances from supplier 1 over the supplier↔part
@@ -2609,37 +2581,10 @@ def _q_bfs_levels_parts(sf_dir: str):
     expansion, all-integer, bit-identical at any parallelism.
     broadcast impl (visited set is node-bounded); tests assert the
     join impl — nothing node-sized on the driver — is identical."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-    import ray.data as rd
-
-    from vector_ray.stages.dedupe import dedupe_exact
     from vector_ray.stages.graph import bfs_levels
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                         columns=["l_suppkey", "l_partkey"])
-
-    def fwd(t: pa.Table) -> pa.Table:
-        return pa.table({
-            "src": pc.cast(t["l_suppkey"], pa.int64()),
-            "dst": pc.add(pc.cast(t["l_partkey"], pa.int64()),
-                          1_000_000)})
-
-    def rev(t: pa.Table) -> pa.Table:
-        pk = pc.cast(t["l_partkey"], pa.int64())
-        even = t.filter(pc.equal(pc.bit_wise_and(pk, 1), 0))
-        return pa.table({
-            "src": pc.add(pc.cast(even["l_partkey"], pa.int64()),
-                          1_000_000),
-            "dst": pc.cast(even["l_suppkey"], pa.int64())})
-
-    edges = dedupe_exact(
-        li.map_batches(fwd, batch_format="pyarrow", batch_size=None)
-        .union(li.map_batches(rev, batch_format="pyarrow",
-                              batch_size=None)),
-        ["src", "dst"], order_by=())
-    return bfs_levels(edges, sources=[1], max_hops=3, impl="broadcast")
-
+    return bfs_levels(_lineitem_graph_edges(sf_dir), sources=[1],
+                      max_hops=3, impl="broadcast")
 
 def _q_kmv_users_events(sf_dir: str):
     """KMV (k-minimum-values) distinct sketches (stages/sketch.kmv_*)
@@ -3056,6 +3001,49 @@ def _q_coverage_events(sf_dir: str):
         .map_batches(prep, batch_format="pyarrow", batch_size=None)
     return interval_union_length(ds, key="user_id", start_col="s",
                                  end_col="e")
+
+
+def _lineitem_graph_edges(sf_dir: str):
+    """Distinct supplier↔part edges (supp → 10^6+part for every row;
+    part → supp back-edges for even partkeys).  ONE read + ONE map
+    emitting both directions with a block-local distinct (lexsort
+    mask), then the sorted-run global distinct — the union-operator
+    version of this build cost 4-5x (Ray unions shred blocks and
+    break fusion; BASELINE.md)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from vector_ray.stages.dedupe import dedupe_exact
+
+    def both(t: pa.Table) -> pa.Table:
+        sk = pc.cast(t["l_suppkey"], pa.int64()).combine_chunks() \
+            if isinstance(t["l_suppkey"], pa.ChunkedArray) \
+            else pc.cast(t["l_suppkey"], pa.int64())
+        pk = pc.add(pc.cast(t["l_partkey"], pa.int64()), 1_000_000)
+        if isinstance(pk, pa.ChunkedArray):
+            pk = pk.combine_chunks()
+        even = pc.equal(pc.bit_wise_and(
+            pc.cast(t["l_partkey"], pa.int64()), 1), 0)
+        if isinstance(even, pa.ChunkedArray):
+            even = even.combine_chunks()
+        src = pa.concat_arrays([sk, pk.filter(even)])
+        dst = pa.concat_arrays([pk, sk.filter(even)])
+        a = src.to_numpy(zero_copy_only=False)
+        b = dst.to_numpy(zero_copy_only=False)
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        keep = np.ones(len(a), bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"src": pa.array(a[keep]),
+                         "dst": pa.array(b[keep])})
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_suppkey", "l_partkey"])
+    return dedupe_exact(
+        li.map_batches(both, batch_format="pyarrow", batch_size=None),
+        ["src", "dst"], order_by=())
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -138,7 +138,12 @@ def cooccurrence_edges(
 
 def _pagerank_broadcast(edges: Dataset, *, iters: int, damping: int):
     """Node-sized state on the driver / object store, edges streaming."""
-    mat = edges.materialize()
+    from vector_ray.stages.blocks import compact_blocks
+
+    # every iteration launches one task PER BLOCK — merge the shredded
+    # post-sort blocks so per-round task count tracks data, not the
+    # read parallelism (the compact_blocks lesson)
+    mat = compact_blocks(edges.materialize()).materialize()
     refs = mat.to_arrow_refs()
 
     @ray.remote

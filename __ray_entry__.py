@@ -3046,6 +3046,28 @@ def _lineitem_graph_edges(sf_dir: str):
         ["src", "dst"], order_by=())
 
 
+def _q_twa_events(sf_dir: str):
+    """Time-weighted average (stats.time_weighted_avg): per-user TWA
+    of value cents with each value holding until the user's next
+    event — one window lead pass, integer product sums, one IEEE
+    division + half-away micro round per user; bit-exact vs SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import time_weighted_avg
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return time_weighted_avg(ds, keys=["user_id"], ts_col="ts",
+                             value_col="vc")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3230,6 +3252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ranksum_events": _q_ranksum_events,
         "ks_events": _q_ks_events,
         "coverage_events": _q_coverage_events,
+        "twa_events": _q_twa_events,
     }
 
 
@@ -3387,6 +3410,7 @@ def oracle_sql() -> dict[str, str]:
         "ranksum_events": oracle.SQL_RANKSUM_EVENTS,
         "ks_events": oracle.SQL_KS_EVENTS,
         "coverage_events": oracle.SQL_COVERAGE_EVENTS,
+        "twa_events": oracle.SQL_TWA_EVENTS,
     }
 
 

@@ -2462,3 +2462,27 @@ SELECT user_id,
             AS BIGINT) AS covered
 FROM r GROUP BY user_id
 """
+
+
+# time-weighted average (stats.time_weighted_avg): per-user TWA of
+# value cents, each value holding until the next event
+SQL_TWA_EVENTS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+w AS (
+  SELECT user_id, vc,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, vc) - ts
+           AS dt
+  FROM e),
+a AS (
+  SELECT user_id, sum(vc * dt)::BIGINT AS num,
+         sum(dt)::BIGINT AS den
+  FROM w WHERE dt IS NOT NULL GROUP BY user_id)
+SELECT user_id,
+       CASE WHEN den = 0 THEN NULL
+            ELSE CAST(round(1000000.0 * (num / den)) AS BIGINT) END
+         AS twa_micro
+FROM a
+"""

@@ -697,3 +697,78 @@ def ks_statistic(
     return pa.table({"ks_num": pa.array([ks_num], pa.int64()),
                      "n_a": pa.array([nA], pa.int64()),
                      "n_b": pa.array([nB], pa.int64())})
+
+
+def time_weighted_avg(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    out_col: str = "twa_micro",
+) -> Dataset:
+    """Time-weighted average per key: each value holds from its event
+    until the NEXT event, so twa = Σ v·Δt / Σ Δt with Δt = lead(ts) −
+    ts (the last event of a key carries no weight).  One window pass
+    for lead(ts) (ts as int64 microseconds), integer product sums
+    through one groupby-sum exchange, one IEEE division + half-away
+    micro round per key.  Keys with a single event emit null."""
+    from vector_ray.stages.window_fns import window_functions
+
+    keys = list(keys)
+    TS = "__twa_ts"
+
+    def prep(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(TS, pa.array([], pa.int64()))
+        return t.append_column(TS, pc.cast(t[ts_col], pa.int64()))
+
+    w = window_functions(
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=None),
+        keys=keys, order_by=[TS, value_col], value_col=TS,
+        rn_col="__twa_rn", lead_col="__twa_lead",
+        lag_col="__twa_d1", cum_col="__twa_d2", roll_col="__twa_d3")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__twa_lead" not in t.column_names:
+            return pa.table({**{k: pa.array([], pa.string())
+                                for k in keys},
+                             "num": pa.array([], pa.int64()),
+                             "den": pa.array([], pa.int64())})
+        lead = t["__twa_lead"]
+        if isinstance(lead, pa.ChunkedArray):
+            lead = lead.combine_chunks()
+        valid = pc.is_valid(lead).to_numpy(zero_copy_only=False)
+        lv = pc.fill_null(pc.cast(lead, pa.int64()), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t[TS].to_numpy(zero_copy_only=False)
+        v = pc.cast(t[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        dt = np.where(valid, lv - ts, 0)
+        base = pa.table({**{k: t[k] for k in keys},
+                         "num": pa.array(v * dt),
+                         "den": pa.array(dt)})
+        g = base.group_by(keys).aggregate([("num", "sum"),
+                                           ("den", "sum")])
+        return pa.table({**{k: g[k] for k in keys},
+                         "num": pc.cast(g["num_sum"], pa.int64()),
+                         "den": pc.cast(g["den_sum"], pa.int64())})
+
+    parts = w.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None)
+    agg = parts.groupby(keys).sum(["num", "den"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(num)" not in t.column_names:
+            return t
+        out = {k: t[k] for k in keys}
+        vals = []
+        for num, den in zip(t["sum(num)"].to_pylist(),
+                            t["sum(den)"].to_pylist()):
+            vals.append(None if not den else
+                        int(_half_away(np.array([1e6 * (num / den)]))[0]))
+        out[out_col] = pa.array(vals, pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

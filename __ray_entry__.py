@@ -3068,6 +3068,30 @@ def _q_twa_events(sf_dir: str):
                              value_col="vc")
 
 
+def _q_expect_quarantine_events(sf_dir: str):
+    """Data-quality expectations (stages/expect.py): rows violating
+    any rule route to quarantine with a comma-joined failed-rule tag
+    (declaration order, built vectorized — fill_null + concat + ltrim;
+    binary_join null-skip misaligns on all-null rows and is avoided).
+    One evaluation pass feeds both ports."""
+    import pyarrow as pa
+
+    from vector_ray.stages.expect import expect
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "value"])
+    res = expect(ds, [
+        {"name": "user_lt_100", "condition": ".user_id < 100"},
+        {"name": "v_lt_300", "condition": ".value < 300.0"},
+    ], materialize=False)
+
+    def sel(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "failed_rules": t["failed_rules"]})
+
+    return res.quarantined.map_batches(sel, batch_format="pyarrow",
+                                       batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3253,6 +3277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ks_events": _q_ks_events,
         "coverage_events": _q_coverage_events,
         "twa_events": _q_twa_events,
+        "expect_quarantine_events": _q_expect_quarantine_events,
     }
 
 
@@ -3411,6 +3436,7 @@ def oracle_sql() -> dict[str, str]:
         "ks_events": oracle.SQL_KS_EVENTS,
         "coverage_events": oracle.SQL_COVERAGE_EVENTS,
         "twa_events": oracle.SQL_TWA_EVENTS,
+        "expect_quarantine_events": oracle.SQL_EXPECT_QUARANTINE_EVENTS,
     }
 
 

@@ -2486,3 +2486,16 @@ SELECT user_id,
          AS twa_micro
 FROM a
 """
+
+
+# data-quality expectations (stages/expect.py): quarantined rows with
+# their comma-joined failed-rule tags (declaration order)
+SQL_EXPECT_QUARANTINE_EVENTS = """
+SELECT event_id,
+       ltrim(concat(
+         CASE WHEN user_id < 100 THEN '' ELSE ',user_lt_100' END,
+         CASE WHEN value < 300.0 THEN '' ELSE ',v_lt_300' END),
+         ',') AS failed_rules
+FROM events
+WHERE NOT (user_id < 100) OR NOT (value < 300.0)
+"""

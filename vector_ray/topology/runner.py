@@ -685,6 +685,11 @@ def _build_transform(
             order_by=c["order_by"], sep=c.get("sep", " "),
             sum_cols=c.get("sum_cols", ()),
             count_field=c.get("count_field", "events"))}
+    if t == "expect":
+        from vector_ray.stages.expect import expect as _expect
+
+        res = _expect(ds, c["rules"])
+        return {"passed": res.passed, "quarantine": res.quarantined}
     if t == "zorder_cluster":
         from vector_ray.stages.zorder import cluster_by_zorder
 

@@ -3092,6 +3092,31 @@ def _q_expect_quarantine_events(sf_dir: str):
                                        batch_size=None)
 
 
+def _q_profile_events(sf_dir: str):
+    """Dataset profile (stages/profile.profile): per-column rows /
+    nulls / EXACT distinct / min / max over the integer-quantized
+    events projection, in one scan — scalar partials driver-combined,
+    block-distinct (column, value) pairs through ONE hash exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.profile import profile
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"], "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64()),
+            "ts_us": pc.cast(t["ts"], pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_id", "user_id", "event_type",
+                                  "value", "ts"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return profile(ds, ["event_id", "user_id", "event_type", "vc",
+                        "ts_us"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3278,6 +3303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coverage_events": _q_coverage_events,
         "twa_events": _q_twa_events,
         "expect_quarantine_events": _q_expect_quarantine_events,
+        "profile_events": _q_profile_events,
     }
 
 
@@ -3437,6 +3463,7 @@ def oracle_sql() -> dict[str, str]:
         "coverage_events": oracle.SQL_COVERAGE_EVENTS,
         "twa_events": oracle.SQL_TWA_EVENTS,
         "expect_quarantine_events": oracle.SQL_EXPECT_QUARANTINE_EVENTS,
+        "profile_events": oracle.sql_profile_events(),
     }
 
 

@@ -2499,3 +2499,27 @@ SELECT event_id,
 FROM events
 WHERE NOT (user_id < 100) OR NOT (value < 300.0)
 """
+
+
+def sql_profile_events() -> str:
+    """Long-format per-column profile over the integer-quantized
+    events projection (stages/profile.profile)."""
+    cols = ["event_id", "user_id", "event_type", "vc", "ts_us"]
+    blocks = []
+    for c in cols:
+        blocks.append(f"""
+SELECT '{c}' AS column, 'rows' AS metric,
+       count({c})::VARCHAR AS value FROM e
+UNION ALL SELECT '{c}', 'nulls',
+       (count(*) - count({c}))::VARCHAR FROM e
+UNION ALL SELECT '{c}', 'distinct',
+       count(DISTINCT {c})::VARCHAR FROM e
+UNION ALL SELECT '{c}', 'min', min({c})::VARCHAR FROM e
+UNION ALL SELECT '{c}', 'max', max({c})::VARCHAR FROM e""")
+    return """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS vc,
+         epoch_us(ts) AS ts_us
+  FROM events)
+""" + "\nUNION ALL".join(blocks)

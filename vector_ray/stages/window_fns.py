@@ -157,7 +157,13 @@ def window_functions(
     refs = sorted_ds.to_arrow_refs()
 
     sch = sorted_ds.schema()
-    int_val = pa.types.is_integer(sch.types[sch.names.index(value_col)])
+    if sch is None or value_col not in sch.names:
+        # fully-empty input: Ray's sort yields a schema-less dataset;
+        # the value dtype is immaterial (every output block is empty)
+        int_val = True
+    else:
+        int_val = pa.types.is_integer(
+            sch.types[sch.names.index(value_col)])
     np_dtype = np.int64 if int_val else np.float64
     pa_val_t = pa.int64() if int_val else pa.float64()
 

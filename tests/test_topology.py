@@ -1195,3 +1195,79 @@ sinks:
     assert sc["bits_out"] == n_types
     assert sc["gini_out"] == n_types
     assert sc["chi2_out"] == 1
+
+
+def test_analytics_yaml_types_2(tmp_path):
+    """time_weighted_avg / rank_sum_u2 / ks_statistic /
+    interval_union_length / max_streak / profile as YAML components."""
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(f"""
+sources:
+  events:
+    type: parquet
+    path: {sf}/events.parquet
+    columns: [event_id, ts, user_id, event_type, value]
+transforms:
+  prep:
+    type: remap
+    inputs: [events]
+    source: |
+      .vc = to_int(.value * 100.0)
+      .ts_us = to_int(.ts) * 1000000
+      .end_us = .ts_us + .vc
+  twa:
+    type: time_weighted_avg
+    inputs: [prep]
+    keys: [user_id]
+    ts_col: ts_us
+    value_col: vc
+  u2:
+    type: rank_sum_u2
+    inputs: [prep]
+    value_col: vc
+    side_col: event_type
+    side_a: click
+    side_b: view
+  ks:
+    type: ks_statistic
+    inputs: [prep]
+    value_col: vc
+    side_col: event_type
+    side_a: click
+    side_b: view
+  cov:
+    type: interval_union_length
+    inputs: [prep]
+    key: user_id
+    start_col: ts_us
+    end_col: end_us
+  streak:
+    type: max_streak
+    inputs: [prep]
+    key: user_id
+    seq_col: vc
+  prof:
+    type: profile
+    inputs: [prep]
+    columns: [user_id, event_type]
+sinks:
+  twa_out: {{type: parquet, inputs: [twa], path: "{tmp_path}/a"}}
+  u2_out: {{type: parquet, inputs: [u2], path: "{tmp_path}/b"}}
+  ks_out: {{type: parquet, inputs: [ks], path: "{tmp_path}/c"}}
+  cov_out: {{type: parquet, inputs: [cov], path: "{tmp_path}/d"}}
+  streak_out: {{type: parquet, inputs: [streak], path: "{tmp_path}/e"}}
+  prof_out: {{type: parquet, inputs: [prof], path: "{tmp_path}/f"}}
+""")
+    res = run_topology(topo)
+    sc = res.sink_counts
+    import duckdb
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"'{sf}/events.parquet'").fetchone()[0]
+    assert sc["twa_out"] == n_users
+    assert sc["u2_out"] == 1 and sc["ks_out"] == 1
+    assert sc["cov_out"] == n_users
+    assert sc["streak_out"] == n_users
+    assert sc["prof_out"] == 10      # 2 columns x 5 metrics

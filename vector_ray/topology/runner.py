@@ -788,6 +788,48 @@ def _build_transform(
 
         return {"": _rd.from_arrow(chi2_independence(
             ds, a_col=c["a_col"], b_col=c["b_col"]))}
+    if t == "time_weighted_avg":
+        from vector_ray.stages.stats import time_weighted_avg
+
+        return {"": time_weighted_avg(
+            ds, keys=c["keys"], ts_col=c["ts_col"],
+            value_col=c["value_col"],
+            out_col=c.get("out_col", "twa_micro"))}
+    if t == "rank_sum_u2":
+        import ray.data as _rd
+
+        from vector_ray.stages.stats import rank_sum_u2
+
+        return {"": _rd.from_arrow(rank_sum_u2(
+            ds, value_col=c["value_col"], side_col=c["side_col"],
+            side_a=c["side_a"], side_b=c["side_b"]))}
+    if t == "ks_statistic":
+        import ray.data as _rd
+
+        from vector_ray.stages.stats import ks_statistic
+
+        return {"": _rd.from_arrow(ks_statistic(
+            ds, value_col=c["value_col"], side_col=c["side_col"],
+            side_a=c["side_a"], side_b=c["side_b"]))}
+    if t == "interval_union_length":
+        from vector_ray.stages.windows import interval_union_length
+
+        return {"": interval_union_length(
+            ds, key=c["key"], start_col=c["start_col"],
+            end_col=c["end_col"],
+            out_col=c.get("out_col", "covered"))}
+    if t == "max_streak":
+        from vector_ray.stages.paths import max_streak
+
+        return {"": max_streak(ds, key=c["key"],
+                               seq_col=c["seq_col"],
+                               out_col=c.get("out_col", "max_streak"))}
+    if t == "profile":
+        import ray.data as _rd
+
+        from vector_ray.stages.profile import profile as _profile
+
+        return {"": _rd.from_arrow(_profile(ds, c["columns"]))}
     if t == "exact_quantiles":
         import ray.data as _rd
 

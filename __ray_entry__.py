@@ -3117,6 +3117,41 @@ def _q_profile_events(sf_dir: str):
                         "ts_us"])
 
 
+def _q_impute_events(sf_dir: str):
+    """Group-median NULL imputation (stats.impute_group_median):
+    deterministically-injected nulls (user_id%7==0) filled with the
+    event type's EXACT median in doubled integer units — one
+    exact-quantile pass over non-null rows, medians broadcast via
+    pc.index_in, one streaming fill; bit-exact vs SQL quantile_cont."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import impute_group_median
+
+    def prep(t: pa.Table) -> pa.Table:
+        vc = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                     pa.int64())
+        u = pc.cast(t["user_id"], pa.int64())
+        mask = pc.not_equal(
+            pc.subtract(u, pc.multiply(pc.divide(u, 7), 7)), 0)
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "vc": pc.if_else(mask, vc, pa.scalar(None, pa.int64()))})
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "user_id",
+                                  "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = impute_group_median(ds, key="event_type", value_col="vc")
+
+    def sel(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "imputed_2x": t["imputed_2x"]})
+
+    return out.map_batches(sel, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3304,6 +3339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twa_events": _q_twa_events,
         "expect_quarantine_events": _q_expect_quarantine_events,
         "profile_events": _q_profile_events,
+        "impute_events": _q_impute_events,
     }
 
 
@@ -3464,6 +3500,7 @@ def oracle_sql() -> dict[str, str]:
         "twa_events": oracle.SQL_TWA_EVENTS,
         "expect_quarantine_events": oracle.SQL_EXPECT_QUARANTINE_EVENTS,
         "profile_events": oracle.sql_profile_events(),
+        "impute_events": oracle.SQL_IMPUTE_EVENTS,
     }
 
 

@@ -2523,3 +2523,21 @@ WITH e AS (
          epoch_us(ts) AS ts_us
   FROM events)
 """ + "\nUNION ALL".join(blocks)
+
+
+# group-median NULL imputation (stats.impute_group_median): nulls
+# injected deterministically (user_id % 7 == 0), filled with the
+# event type's exact median in doubled units
+SQL_IMPUTE_EVENTS = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CASE WHEN user_id % 7 = 0 THEN NULL
+              ELSE CAST(round(value * 100) AS BIGINT) END AS vc
+  FROM events),
+m AS (
+  SELECT event_type, CAST(2 * quantile_cont(vc, 0.5) AS BIGINT)
+           AS med2
+  FROM e WHERE vc IS NOT NULL GROUP BY event_type)
+SELECT event_id, COALESCE(2 * vc, med2) AS imputed_2x
+FROM e JOIN m USING (event_type)
+"""

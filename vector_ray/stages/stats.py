@@ -772,3 +772,63 @@ def time_weighted_avg(
 
     return agg.map_batches(finish, batch_format="pyarrow",
                            batch_size=None)
+
+
+def impute_group_median(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str = "imputed_2x",
+) -> Dataset:
+    """NULL imputation with the group's EXACT median — the standard
+    ML-prep fill, kept integer by doubling units: non-null rows emit
+    2·value, filled rows emit 2·median (an interpolated median of
+    ints is k/2, so med2 is an int).  One exact-quantile pass over
+    the non-null rows, medians broadcast as (sorted keys, med2)
+    arrays via ``pc.index_in`` (no dict, no row loop), one streaming
+    fill pass.  Groups with no non-null value stay null."""
+    import ray as _ray
+
+    from vector_ray.stages.quantile_exact import grouped_quantiles
+
+    mat = ds.materialize()
+
+    def valid_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        col = t[value_col]
+        return t.filter(pc.is_valid(col))
+
+    nn = mat.map_batches(valid_only, batch_format="pyarrow",
+                         batch_size=None)
+    r1 = grouped_quantiles(nn, keys=[key], value_col=value_col,
+                           interp={"med_micro": (1, 2)})
+    med2 = (r1["med_micro"] // 500_000).astype("int64")
+    ref = _ray.put((pa.array(r1[key].tolist()), med2.to_numpy()))
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        kk, mm = _ray.get(ref)
+        col = t[value_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        has_v = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        x2 = 2 * pc.fill_null(pc.cast(col, pa.int64()), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        idx_arr = pc.index_in(t[key], value_set=kk)
+        if isinstance(idx_arr, pa.ChunkedArray):
+            idx_arr = idx_arr.combine_chunks()
+        known = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(idx_arr, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        filled = np.where(has_v, x2, mm[idx])
+        out = pa.array(filled)
+        # groups with no non-null value: stay null
+        mask = pa.array(has_v | known)
+        out = pc.if_else(mask, out, pa.scalar(None, pa.int64()))
+        return t.append_column(out_col, out)
+
+    return mat.map_batches(fill, batch_format="pyarrow",
+                           batch_size=None)

@@ -1271,3 +1271,22 @@ sinks:
     assert sc["cov_out"] == n_users
     assert sc["streak_out"] == n_users
     assert sc["prof_out"] == 10      # 2 columns x 5 metrics
+
+
+def test_quality_pipeline_yaml(tmp_path):
+    """The shipped pipelines/quality.yaml (expect -> anomaly + profile
+    fan-out) runs end to end."""
+    from vector_ray.topology import Topology, run_topology
+
+    topo = Topology.from_yaml(open("pipelines/quality.yaml").read())
+    res = run_topology(topo, variables={
+        "events": "/root/testdata/sf0.001/events.parquet",
+        "out": str(tmp_path)})
+    sc = res.sink_counts
+    import duckdb
+    n = duckdb.sql("SELECT count(*) FROM "
+                   "'/root/testdata/sf0.001/events.parquet'"
+                   ).fetchone()[0]
+    assert sc["clean_out"] + sc["quarantine_out"] == n
+    assert sc["quarantine_out"] == 0        # clean fixture passes
+    assert sc["profile_out"] == 15          # 3 columns x 5 metrics

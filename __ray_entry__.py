@@ -3152,6 +3152,85 @@ def _q_impute_events(sf_dir: str):
                            batch_size=None)
 
 
+_SEG_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_segment_overlap_events(sf_dir: str):
+    """Audience/segment overlap: pairwise user-set intersections
+    between event-type segments (membership = ≥13 events of the type)
+    — per-(user, type) count partials through one exchange, segment
+    bits via index_in against the fixed type list, per-user bitmask
+    via grouped_bitops (bit_or), mask histogram driver-combined
+    (≤2^|types| rows), pairwise AND on the driver.  All integer."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import grouped_bitops
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "event_type": pa.array([], pa.string()),
+                             "c": pa.array([], pa.int64())})
+        import numpy as np
+        base = pa.table({"user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "c": pa.array(np.ones(t.num_rows, np.int64))})
+        g = base.group_by(["user_id", "event_type"]).aggregate(
+            [("c", "sum")])
+        return pa.table({"user_id": g["user_id"],
+                         "event_type": g["event_type"],
+                         "c": pc.cast(g["c_sum"], pa.int64())})
+
+    counts = ds.map_batches(partial, batch_format="pyarrow",
+                            batch_size=None)         .groupby(["user_id", "event_type"]).sum(["c"])
+
+    tset = pa.array(_SEG_TYPES)
+
+    def member_bits(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(c)" not in t.column_names:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "bit": pa.array([], pa.int64())})
+        t = t.filter(pc.greater_equal(t["sum(c)"], 13))
+        idx = pc.index_in(t["event_type"], value_set=tset)
+        bit = pc.shift_left(pa.scalar(1, pa.int64()),
+                            pc.cast(idx, pa.int64()))
+        return pa.table({"user_id": t["user_id"], "bit": bit})
+
+    bits = counts.map_batches(member_bits, batch_format="pyarrow",
+                              batch_size=None)
+    masks = grouped_bitops(bits, keys=["user_id"], x="bit")
+
+    def mask_hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bor" not in t.column_names:
+            return pa.table({"mask": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        import numpy as np
+        g = pa.table({"mask": t["bor"],
+                      "n": pa.array(np.ones(t.num_rows, np.int64))}
+                     ).group_by(["mask"]).aggregate([("n", "sum")])
+        return pa.table({"mask": g["mask"],
+                         "n": pc.cast(g["n_sum"], pa.int64())})
+
+    rows = masks.map_batches(mask_hist, batch_format="pyarrow",
+                             batch_size=None).take_all()
+    hist: dict = {}
+    for r in rows:
+        hist[r["mask"]] = hist.get(r["mask"], 0) + r["n"]
+    ta, tb, nc = [], [], []
+    for i in range(len(_SEG_TYPES)):
+        for j in range(i + 1, len(_SEG_TYPES)):
+            both = sum(n for m, n in hist.items()
+                       if (m >> i) & 1 and (m >> j) & 1)
+            ta.append(_SEG_TYPES[i])
+            tb.append(_SEG_TYPES[j])
+            nc.append(both)
+    return pa.table({"type_a": pa.array(ta), "type_b": pa.array(tb),
+                     "n_common": pa.array(nc, pa.int64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3340,6 +3419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "expect_quarantine_events": _q_expect_quarantine_events,
         "profile_events": _q_profile_events,
         "impute_events": _q_impute_events,
+        "segment_overlap_events": _q_segment_overlap_events,
     }
 
 
@@ -3501,6 +3581,7 @@ def oracle_sql() -> dict[str, str]:
         "expect_quarantine_events": oracle.SQL_EXPECT_QUARANTINE_EVENTS,
         "profile_events": oracle.sql_profile_events(),
         "impute_events": oracle.SQL_IMPUTE_EVENTS,
+        "segment_overlap_events": oracle.SQL_SEGMENT_OVERLAP_EVENTS,
     }
 
 

@@ -2541,3 +2541,32 @@ m AS (
 SELECT event_id, COALESCE(2 * vc, med2) AS imputed_2x
 FROM e JOIN m USING (event_type)
 """
+
+
+# segment overlap (grouped_bitops composition): users belong to a
+# type's segment when they have >= 13 events of that type; pairwise
+# segment intersections via per-user bitmasks
+SQL_SEGMENT_OVERLAP_EVENTS = """
+WITH m AS (
+  SELECT user_id, event_type
+  FROM events GROUP BY user_id, event_type
+  HAVING count(*) >= 13),
+b AS (
+  SELECT user_id,
+         CAST(bit_or(CASE event_type
+           WHEN 'click' THEN 1 WHEN 'error' THEN 2
+           WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+           WHEN 'view' THEN 16 END) AS BIGINT) AS mask
+  FROM m GROUP BY user_id),
+p(type_a, type_b, ba, bb) AS (VALUES
+  ('click','error',1,2), ('click','purchase',1,4),
+  ('click','signup',1,8), ('click','view',1,16),
+  ('error','purchase',2,4), ('error','signup',2,8),
+  ('error','view',2,16), ('purchase','signup',4,8),
+  ('purchase','view',4,16), ('signup','view',8,16))
+SELECT type_a, type_b,
+       CAST(count(CASE WHEN (mask & ba) > 0 AND (mask & bb) > 0
+                  THEN 1 END) AS BIGINT) AS n_common
+FROM p LEFT JOIN b ON TRUE
+GROUP BY type_a, type_b
+"""

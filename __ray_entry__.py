@@ -3231,6 +3231,22 @@ def _q_segment_overlap_events(sf_dir: str):
                      "n_common": pa.array(nc, pa.int64())})
 
 
+def _q_pair_support_lineitem(sf_dir: str):
+    """Market-basket pair support (graph.cooccurrence_counts): part
+    pairs by the number of orders containing both (each order counts
+    once), support ≥ 2 — one group-colocating exchange with in-task
+    per-group dedup + all-pairs expansion + pair-count combine, one
+    more exchange to global support sums."""
+    import ray.data as rd
+
+    from vector_ray.stages.graph import cooccurrence_counts
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey"])
+    return cooccurrence_counts(li, group_col="l_orderkey",
+                               item_col="l_partkey", min_support=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3420,6 +3436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profile_events": _q_profile_events,
         "impute_events": _q_impute_events,
         "segment_overlap_events": _q_segment_overlap_events,
+        "pair_support_lineitem": _q_pair_support_lineitem,
     }
 
 
@@ -3582,6 +3599,7 @@ def oracle_sql() -> dict[str, str]:
         "profile_events": oracle.sql_profile_events(),
         "impute_events": oracle.SQL_IMPUTE_EVENTS,
         "segment_overlap_events": oracle.SQL_SEGMENT_OVERLAP_EVENTS,
+        "pair_support_lineitem": oracle.SQL_PAIR_SUPPORT_LINEITEM,
     }
 
 

@@ -257,3 +257,40 @@ class TestGraphFuzz:
         bd = dict(zip(b["node"].to_pylist(), b["dist"].to_pylist()))
         jd = dict(zip(j["node"].to_pylist(), j["dist"].to_pylist()))
         assert bd == want and jd == want
+
+
+class TestCooccurrenceCounts:
+    @pytest.mark.parametrize("parts", [1, 5])
+    def test_vs_brute_force(self, parts):
+        from vector_ray.stages.graph import cooccurrence_counts
+        rng = np.random.default_rng(15)
+        g = rng.integers(0, 30, 400).tolist()
+        i = rng.integers(0, 12, 400).tolist()
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(g, pa.int64()), "i": pa.array(i, pa.int64()),
+        })).repartition(parts)
+        got = {(r["a"], r["b"]): r["support"] for r in
+               cooccurrence_counts(ds, group_col="g", item_col="i",
+                                   min_support=2,
+                                   num_partitions=3).take_all()}
+        by_group = {}
+        for gg, ii in zip(g, i):
+            by_group.setdefault(gg, set()).add(ii)
+        want = {}
+        for items in by_group.values():
+            for a, b in itertools.combinations(sorted(items), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        want = {k: v for k, v in want.items() if v >= 2}
+        assert got == want
+
+    def test_min_support_filters(self):
+        from vector_ray.stages.graph import cooccurrence_counts
+        # pair (1,2) in two groups, (1,3) in one
+        t = pa.table({"g": pa.array([10, 10, 11, 11, 12, 12],
+                                    pa.int64()),
+                      "i": pa.array([1, 2, 1, 2, 1, 3], pa.int64())})
+        got = {(r["a"], r["b"]): r["support"] for r in
+               cooccurrence_counts(rd.from_arrow(t), group_col="g",
+                                   item_col="i", min_support=2,
+                                   num_partitions=2).take_all()}
+        assert got == {(1, 2): 2}

@@ -2570,3 +2570,17 @@ SELECT type_a, type_b,
 FROM p LEFT JOIN b ON TRUE
 GROUP BY type_a, type_b
 """
+
+
+# market-basket pair support (graph.cooccurrence_counts): unordered
+# part pairs by number of orders containing both, support >= 2
+SQL_PAIR_SUPPORT_LINEITEM = """
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT CAST(d1.l_partkey AS BIGINT) AS a,
+       CAST(d2.l_partkey AS BIGINT) AS b,
+       count(*)::BIGINT AS support
+FROM d d1 JOIN d d2
+  ON d1.l_orderkey = d2.l_orderkey
+ AND d1.l_partkey < d2.l_partkey
+GROUP BY 1, 2 HAVING count(*) >= 2
+"""

@@ -294,3 +294,43 @@ class TestCooccurrenceCounts:
                                    item_col="i", min_support=2,
                                    num_partitions=2).take_all()}
         assert got == {(1, 2): 2}
+
+    @pytest.mark.parametrize("seed", [51, 52, 53])
+    def test_triangles_and_support_differential(self, seed):
+        from vector_ray.stages.graph import (cooccurrence_counts,
+                                             triangle_counts)
+        rng = np.random.default_rng(seed)
+        # random undirected a<b edge set
+        n_nodes = int(rng.integers(10, 26))
+        edges = set()
+        target = int(rng.integers(n_nodes, 5 * n_nodes))
+        while len(edges) < target:
+            a, b = sorted(rng.integers(0, n_nodes, 2).tolist())
+            if a != b:
+                edges.add((a, b))
+        edges = sorted(edges)
+        parts = int(rng.choice([1, 4]))
+        got = {r["node"]: r["triangles"] for r in triangle_counts(
+            _edge_ds(edges, parts, names=("a", "b")),
+            bloom_prefilter=bool(seed % 2)).take_all()}
+        assert got == TestTriangles()._brute(edges)
+        # pair support over random baskets
+        g = rng.integers(0, 20, 300).tolist()
+        i = rng.integers(0, 9, 300).tolist()
+        ds = rd.from_arrow(pa.table({
+            "g": pa.array(g, pa.int64()),
+            "i": pa.array(i, pa.int64())})).repartition(parts)
+        minsup = int(rng.integers(1, 4))
+        gotc = {(r["a"], r["b"]): r["support"] for r in
+                cooccurrence_counts(ds, group_col="g", item_col="i",
+                                    min_support=minsup,
+                                    num_partitions=3).take_all()}
+        by_group = {}
+        for gg, ii in zip(g, i):
+            by_group.setdefault(gg, set()).add(ii)
+        want = {}
+        for items in by_group.values():
+            for a, b in itertools.combinations(sorted(items), 2):
+                want[(a, b)] = want.get((a, b), 0) + 1
+        want = {k: v for k, v in want.items() if v >= minsup}
+        assert gotc == want

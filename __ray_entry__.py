@@ -3157,15 +3157,13 @@ _SEG_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 def _q_segment_overlap_events(sf_dir: str):
     """Audience/segment overlap: pairwise user-set intersections
-    between event-type segments (membership = ≥13 events of the type)
-    — per-(user, type) count partials through one exchange, segment
-    bits via index_in against the fixed type list, per-user bitmask
-    via grouped_bitops (bit_or), mask histogram driver-combined
-    (≤2^|types| rows), pairwise AND on the driver.  All integer."""
+    between event-type segments (membership = ≥13 events of the
+    type) — per-block (user, type) count partials (≤ users×types
+    rows each, DRIVER-TINY) combined on the driver, bitmasks and the
+    pairwise AND over the mask histogram in plain Python.  All
+    integer."""
     import pyarrow as pa
     import pyarrow.compute as pc
-
-    from vector_ray.stages.stats import grouped_bitops
 
     ds = _events(sf_dir, columns=["user_id", "event_type"])
 
@@ -3184,41 +3182,24 @@ def _q_segment_overlap_events(sf_dir: str):
                          "event_type": g["event_type"],
                          "c": pc.cast(g["c_sum"], pa.int64())})
 
-    counts = ds.map_batches(partial, batch_format="pyarrow",
-                            batch_size=None)         .groupby(["user_id", "event_type"]).sum(["c"])
-
-    tset = pa.array(_SEG_TYPES)
-
-    def member_bits(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "sum(c)" not in t.column_names:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "bit": pa.array([], pa.int64())})
-        t = t.filter(pc.greater_equal(t["sum(c)"], 13))
-        idx = pc.index_in(t["event_type"], value_set=tset)
-        bit = pc.shift_left(pa.scalar(1, pa.int64()),
-                            pc.cast(idx, pa.int64()))
-        return pa.table({"user_id": t["user_id"], "bit": bit})
-
-    bits = counts.map_batches(member_bits, batch_format="pyarrow",
-                              batch_size=None)
-    masks = grouped_bitops(bits, keys=["user_id"], x="bit")
-
-    def mask_hist(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "bor" not in t.column_names:
-            return pa.table({"mask": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        import numpy as np
-        g = pa.table({"mask": t["bor"],
-                      "n": pa.array(np.ones(t.num_rows, np.int64))}
-                     ).group_by(["mask"]).aggregate([("n", "sum")])
-        return pa.table({"mask": g["mask"],
-                         "n": pc.cast(g["n_sum"], pa.int64())})
-
-    rows = masks.map_batches(mask_hist, batch_format="pyarrow",
-                             batch_size=None).take_all()
-    hist: dict = {}
+    # per-block partials are ≤ (users × types) rows — DRIVER-TINY, so
+    # they combine on the driver (never a Ray groupby for a tiny
+    # result, the CLAUDE.md invariant: the groupby version measured
+    # 7.6s for 10 output rows at sf0.1)
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=None).take_all()
+    counts: dict = {}
     for r in rows:
-        hist[r["mask"]] = hist.get(r["mask"], 0) + r["n"]
+        kk = (r["user_id"], r["event_type"])
+        counts[kk] = counts.get(kk, 0) + r["c"]
+    tidx = {t: i for i, t in enumerate(_SEG_TYPES)}
+    masks_d: dict = {}
+    for (u, ty), c in counts.items():
+        if c >= 13 and ty in tidx:
+            masks_d[u] = masks_d.get(u, 0) | (1 << tidx[ty])
+    hist: dict = {}
+    for m_ in masks_d.values():
+        hist[m_] = hist.get(m_, 0) + 1
     ta, tb, nc = [], [], []
     for i in range(len(_SEG_TYPES)):
         for j in range(i + 1, len(_SEG_TYPES)):

@@ -46,3 +46,13 @@ class TestImpute:
         got = {r["id"]: r["imputed_2x"] for r in impute_group_median(
             rd.from_arrow(t), key="k", value_col="v").take_all()}
         assert got == {0: 8, 1: 8, 2: None}
+
+    def test_entirely_null_value_column(self):
+        # Every value null: was an ArrowTypeError crash (null-typed
+        # key array into index_in) — now an all-null out column.
+        t = pa.table({"id": pa.array([0, 1, 2], pa.int64()),
+                      "k": pa.array(["a", "b", "a"]),
+                      "v": pa.array([None, None, None], pa.int64())})
+        got = {r["id"]: r["imputed_2x"] for r in impute_group_median(
+            rd.from_arrow(t), key="k", value_col="v").take_all()}
+        assert got == {0: None, 1: None, 2: None}

@@ -445,3 +445,21 @@ def test_to_int_to_float_numeric_coercions():
     assert out["k"].to_pylist() == [1, 0, 1]
     assert out["s"].to_pylist() == [1_500_000_000, 0, 2_000_000_123]
     assert out["x"].to_pylist() == [7.0, -3.0, 0.0]
+
+
+def test_to_int_to_float_timestamp_units():
+    """to_int(ts) is unix SECONDS regardless of the column's storage
+    unit (s/ms/us/ns all normalize); to_float(ts) is fractional unix
+    seconds (vrl stdlib to_float.md)."""
+    from vector_ray.functions.parse import parse_float, parse_int
+
+    for unit, raw in (("s", 1_500_000_000),
+                      ("ms", 1_500_000_000_000),
+                      ("us", 1_500_000_000_000_000),
+                      ("ns", 1_500_000_000_000_000_000)):
+        col = pa.array([raw], pa.timestamp(unit))
+        assert parse_int(col).to_pylist() == [1_500_000_000], unit
+        assert parse_float(col).to_pylist() == [1_500_000_000.0], unit
+    # fractional seconds survive to_float
+    half = pa.array([1_500_000_000_500_000], pa.timestamp("us"))
+    assert parse_float(half).to_pylist() == [1_500_000_000.5]

@@ -158,7 +158,8 @@ def parse_int(col) -> pa.Array:
     if pa.types.is_boolean(t):
         return pc.cast(col, pa.int64())
     if pa.types.is_timestamp(t):
-        us = pc.cast(col, pa.int64())
+        # Normalize unit first: raw int64 payload depends on s/ms/us/ns.
+        us = pc.cast(pc.cast(col, pa.timestamp("us", tz=t.tz)), pa.int64())
         return pc.divide(us, 1_000_000)
     # cast errors → null: pre-mask with a digits regex
     ok = pc.fill_null(pc.match_substring_regex(col, r"^[+-]?\d+$"), False)
@@ -174,6 +175,10 @@ def parse_float(col) -> pa.Array:
         return pc.cast(col, pa.float64())
     if pa.types.is_integer(t) or pa.types.is_boolean(t):
         return pc.cast(col, pa.float64())
+    if pa.types.is_timestamp(t):
+        # VRL to_float on timestamps: fractional unix seconds.
+        us = pc.cast(pc.cast(col, pa.timestamp("us", tz=t.tz)), pa.int64())
+        return pc.divide(pc.cast(us, pa.float64()), 1_000_000.0)
     ok = pc.fill_null(pc.match_substring_regex(col, r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$"), False)
     masked = pc.if_else(ok, col, pa.scalar(None, pa.string()))
     return pc.cast(masked, pa.float64())

@@ -2345,7 +2345,9 @@ grid AS (SELECT rt.a, ct.b, rt.r, ct.c, COALESCE(cells.o, 0) AS o
          FROM rt CROSS JOIN ct
          LEFT JOIN cells ON cells.a = rt.a AND cells.b = ct.b)
 SELECT CAST(sum(CAST(round(1000000.0 *
-         (((o*n - r*c)*(o*n - r*c)) / (1.0*n*r*c))) AS BIGINT))
+         (((CAST(o AS HUGEINT)*n - CAST(r AS HUGEINT)*c)
+           * (CAST(o AS HUGEINT)*n - CAST(r AS HUGEINT)*c))
+          / (1.0*n*r*c))) AS BIGINT))
        AS BIGINT) AS chi2_micro,
        CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
          * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,

@@ -509,9 +509,14 @@ def chi2_independence(
     for a, R in rt.items():
         for b, C in ct.items():
             o = cells.get((a, b), 0)
-            num = (o * n - R * C) ** 2          # exact ints < 2^53
+            # Exact big-int square, then pre-round BOTH operands to
+            # double before dividing — matches the SQL oracle's
+            # HUGEINT→DOUBLE cast semantics bit-for-bit at any n
+            # (exact rational division could differ by 1 ulp at the
+            # half-micro boundary once the square passes 2^53).
+            num = (o * n - R * C) ** 2
             total += int(_half_away(
-                np.array([1e6 * (num / (n * R * C))]))[0])
+                np.array([1e6 * (float(num) / float(n * R * C))]))[0])
     dof = (len(rt) - 1) * (len(ct) - 1)
     return pa.table({"chi2_micro": pa.array([total], pa.int64()),
                      "dof": pa.array([dof], pa.int64()),
@@ -805,7 +810,18 @@ def impute_group_median(
     r1 = grouped_quantiles(nn, keys=[key], value_col=value_col,
                            interp={"med_micro": (1, 2)})
     med2 = (r1["med_micro"] // 500_000).astype("int64")
-    ref = _ray.put((pa.array(r1[key].tolist()), med2.to_numpy()))
+    if len(r1) == 0:
+        # all values null: out_col is all-null, no medians to broadcast
+        def fill_all_null(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                out_col, pa.nulls(t.num_rows, pa.int64()))
+
+        return mat.map_batches(fill_all_null, batch_format="pyarrow",
+                               batch_size=None)
+    sch = mat.schema()
+    key_type = dict(zip(sch.names, sch.types))[key]
+    ref = _ray.put((pa.array(r1[key].tolist(), key_type),
+                    med2.to_numpy()))
 
     def fill(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:

@@ -1007,6 +1007,43 @@ def embedding_cosine_dedup(
                            batch_size=None), pairs)
 
 
+def _md5_hex_buffered(arr: pa.Array) -> pa.Array:
+    """md5 hex per string, sliced straight off the Arrow buffers
+    (no PyString / .encode() per row)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if arr.type == pa.large_string():
+        arr = pc.cast(arr, pa.string())
+    buf = arr.buffers()
+    off = np.frombuffer(buf[1], np.int32,
+                        len(arr) + 1, arr.offset * 4)
+    mv = memoryview(buf[2]) if buf[2] is not None else memoryview(b"")
+    valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+    out = [hashlib.md5(mv[off[i]:off[i + 1]]).hexdigest()
+           if valid[i] else None for i in range(len(arr))]
+    return pa.array(out, pa.string())
+
+
+def _fast_hex128(arr: pa.Array) -> pa.Array:
+    """32-hex-char digest per string via the vectorized 128-bit
+    kernel — zero per-row Python.  big-endian h1||h2, hexlified in one
+    buffer, exposed as a string array built directly from offsets."""
+    import binascii
+
+    from vector_ray.ml.hashing import hash_utf8_128
+
+    h1, h2 = hash_utf8_128(arr)
+    n = len(h1)
+    inter = np.empty((n, 2), dtype=">u8")
+    inter[:, 0] = h1
+    inter[:, 1] = h2
+    hexb = binascii.hexlify(inter.tobytes())
+    offsets = pa.py_buffer((np.arange(n + 1, dtype=np.int32) * 32)
+                           .tobytes())
+    return pa.Array.from_buffers(
+        pa.string(), n, [None, offsets, pa.py_buffer(hexb)])
+
+
 def conv_exact_dedup(
     ds: "Dataset",
     *,
@@ -1014,17 +1051,26 @@ def conv_exact_dedup(
     turn_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    turn_digest: str = "md5",
 ) -> "Dataset":
     """Conversation-level exact dedup over a transcripts table: two
     conversations are duplicates when their ORDERED (role, text) turn
     sequences are identical; the min ``conv_col`` survives.
 
-    Composition of existing scale paths — each conversation collapses
-    to one ordered content string through ``reduce_sorted`` (one sort,
-    per-block run collapse, driver chain bounded by one conversation
-    per block boundary), keyed with md5 for SQL-oracle parity, then
-    the standard min-id survivor rank.  Returns ``(conv_col,)`` rows,
-    one per surviving conversation."""
+    Scale plan: each turn's ``role + US + text`` is hashed to a fixed
+    32-hex digest PER ROW before any exchange, so the sort that orders
+    turns within a conversation moves 32 bytes/turn — never the
+    payload text (at corpus scale the payload-through-sort variant is
+    the definitional all-to-all killer).  Digested turns collapse to
+    one ordered digest string per conversation through
+    ``concat_sorted`` (one sort, per-block run collapse, O(blocks)
+    driver chain), then the standard min-id survivor rank.
+
+    ``turn_digest``: ``"md5"`` (default) is DuckDB-replayable
+    (``md5(role || chr(31) || text)``); ``"fast"`` uses the vectorized
+    128-bit polynomial kernel (no per-row Python — production path);
+    ``"payload"`` keeps the legacy full-text concat (fixture/debug
+    only).  Returns ``(conv_col,)`` rows, one per survivor."""
     import pyarrow.compute as _pc
 
     from vector_ray.stages.sorted_ops import concat_sorted
@@ -1033,6 +1079,10 @@ def conv_exact_dedup(
         r = _pc.binary_join_element_wise(
             _pc.cast(t[role_col], pa.string()),
             _pc.cast(t[text_col], pa.string()), "\x1f")
+        if turn_digest == "md5":
+            r = _md5_hex_buffered(r)
+        elif turn_digest == "fast":
+            r = _fast_hex128(r)
         return pa.table({conv_col: t[conv_col],
                          turn_col: t[turn_col],
                          "turn_repr": r})
@@ -1047,5 +1097,6 @@ def conv_exact_dedup(
         order_by=[turn_col], sep="\n")
     survivors = exact_dedup_docs(
         reduced.select_columns([conv_col, "turn_repr"]),
-        text_col="turn_repr", id_col=conv_col, hash="md5")
+        text_col="turn_repr", id_col=conv_col,
+        hash="fast" if turn_digest == "fast" else "md5")
     return survivors.select_columns([conv_col])

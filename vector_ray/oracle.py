@@ -1510,8 +1510,10 @@ FROM read_parquet('{media_path}') GROUP BY 1
 def sql_conv_dedup(transcripts_path: str) -> str:
     """Conversation-level exact dedup (ml/dedup.conv_exact_dedup):
     min conv_id per identical ORDERED (role, text) turn sequence —
-    SQL replays the reduce-concat content key exactly
-    (role || US || text joined by newline in turn order, md5-keyed)."""
+    SQL replays the per-turn digest plan exactly: each turn hashes to
+    md5(role || US || text) BEFORE aggregation (the engine's
+    pre-exchange digest), digests join by newline in turn order,
+    md5-keyed."""
     return f"""
 WITH base AS (
   SELECT conv_id, turn_idx, role, text
@@ -1523,7 +1525,7 @@ with_dups AS (
   FROM base WHERE substr(md5(conv_id), 1, 1) = '0'),
 conv AS (
   SELECT conv_id,
-         md5(string_agg(role || chr(31) || text, chr(10)
+         md5(string_agg(md5(role || chr(31) || text), chr(10)
                         ORDER BY turn_idx)) AS key
   FROM with_dups GROUP BY conv_id),
 m AS (SELECT conv_id, min(conv_id) OVER (PARTITION BY key) AS keep

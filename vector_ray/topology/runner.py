@@ -909,7 +909,8 @@ def _build_transform(
             ds, conv_col=c.get("conv_col", "conv_id"),
             turn_col=c.get("turn_col", "turn_idx"),
             role_col=c.get("role_col", "role"),
-            text_col=c.get("text_col", "text"))}
+            text_col=c.get("text_col", "text"),
+            turn_digest=c.get("turn_digest", "md5"))}
     if t == "media_decode":
         from vector_ray.ml.multimodal import decode_media
 

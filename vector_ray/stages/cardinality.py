@@ -25,7 +25,6 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Min
 
 
 def allowed_values(
@@ -35,31 +34,27 @@ def allowed_values(
     value_limit: int,
     order_col: str,
 ) -> list:
-    """First ``value_limit`` distinct values of ``tag_col`` by first-seen
-    order — partial min per batch, tiny groupby, driver-side rank (the
-    result is ≤ #distinct values, small by construction)."""
-
-    def partial(t: pa.Table) -> pa.Table:
-        df = t.select([tag_col, order_col]).to_pandas()
-        out = df.groupby(tag_col, sort=False)[order_col].min().reset_index()
-        return pa.Table.from_pandas(out, preserve_index=False)
-
-    firsts = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(tag_col)
-        .aggregate(Min(order_col, alias_name="first_seen"))
-    )
-    df = firsts.to_pandas().sort_values(["first_seen", tag_col], kind="mergesort")
-    return df[tag_col].head(value_limit).tolist()
+    """First ``value_limit`` distinct values of ``tag_col`` by
+    first-seen order, via the bounded multi-tag path (the driver never
+    sees more than ``value_limit`` rows per tag — a hostile
+    request_id-shaped tag can't gather #distinct to the driver)."""
+    return _allowed_values_multi(
+        ds, [tag_col], value_limit=value_limit, order_col=order_col
+    )[tag_col]
 
 
 def _allowed_values_multi(
     ds: Dataset, tag_cols: list[str], *, value_limit: int, order_col: str
 ) -> dict[str, list]:
-    """First ``value_limit`` distinct values per tag column, computed in
-    ONE pass over the data: each batch emits (tag_key, value, min-order)
-    partials for every column, a single groupby(tag_key, value) reduces
-    them, and the driver ranks per key."""
+    """First ``value_limit`` distinct values per tag column with a
+    BOUNDED footprint everywhere: each batch emits its per-value
+    min-order partials already cut to the ``value_limit`` earliest per
+    tag (a value in the true top-k has its globally-minimal partial in
+    some block, and fewer than k values can outrank it there — the
+    standard partial-top-k argument), one single-block task re-reduces
+    the ≤ limit × blocks survivors, and the driver gathers
+    ≤ limit × #tags rows.  No groupby exchange, no all-distinct
+    gather."""
     import pandas as pd
 
     def partial(t: pa.Table) -> pa.Table:
@@ -68,18 +63,29 @@ def _allowed_values_multi(
             df = t.select([c, order_col]).to_pandas()
             g = df.groupby(c, sort=False)[order_col].min().reset_index()
             g.columns = ["value", "first_seen"]
+            g = g.sort_values(["first_seen", "value"],
+                              kind="mergesort").head(value_limit)
             g["tag_key"] = c
             frames.append(g)
         return pa.Table.from_pandas(pd.concat(frames), preserve_index=False)
 
+    def combine(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        g = (df.groupby(["tag_key", "value"], sort=False)["first_seen"]
+             .min().reset_index())
+        g = g.sort_values(["first_seen", "value"], kind="mergesort")
+        g = g.groupby("tag_key", sort=False).head(value_limit)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
     firsts = (
         ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-        .groupby(["tag_key", "value"])
-        .aggregate(Min("first_seen", alias_name="first_seen"))
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow", batch_size=None)
         .to_pandas()
     )
     out = {}
-    for c, sub in firsts.groupby("tag_key"):
+    for c in tag_cols:
+        sub = firsts[firsts["tag_key"] == c]
         sub = sub.sort_values(["first_seen", "value"], kind="mergesort")
         out[c] = sub["value"].head(value_limit).tolist()
     return out

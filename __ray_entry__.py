@@ -1073,6 +1073,57 @@ def _q_conv_dedup_transcripts(sf_dir: str):
     return conv_exact_dedup(ds.union(copies))
 
 
+def _q_syslog_octet_events(sf_dir: str):
+    """RFC 6587 octet-counting framing end-to-end: a deterministic
+    octet-counted syslog capture generated from the events table
+    (data/syslog_capture.py) is framed by sources/framing.py
+    (reference lib/codecs/src/decoding/framing/octet_counting.rs) and
+    parsed by parse_syslog; the oracle reproduces every parsed field
+    from the SAME events parquet with integer arithmetic — the bytes
+    never enter SQL, so a framing bug cannot cancel out."""
+    import pyarrow as pa
+
+    from vector_ray.data.syslog_capture import ensure_syslog_octet_fixture
+    from vector_ray.functions.parse_logs import parse_syslog
+    from vector_ray.sources.framing import read_framed
+
+    paths = ensure_syslog_octet_fixture(sf_dir)
+    ds = read_framed(paths, framing="octet_counting",
+                     include_paths=False)
+
+    def run(t: pa.Table) -> pa.Table:
+        p = parse_syslog(t["message"])
+        return pa.table({
+            "stamp": p["stamp"], "host": p["host"], "tag": p["tag"],
+            "pid": p["pid"], "msg": p["message"],
+            "facility": p["facility"], "severity": p["severity"]})
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=None)
+
+
+def _q_native_json_events(sf_dir: str):
+    """native_json codec end-to-end (vector→vector interop,
+    functions/native_json.py vs lib/codecs/src/decoding/format/
+    native_json.rs): a deterministic NDJSON capture generated from
+    the events table is decoded, log frames are excluded by the
+    metric projection, and the typed metric columns are compared to
+    integer-derived oracle values computed straight from the events
+    parquet."""
+    import pyarrow as pa
+
+    from vector_ray.data.native_capture import ensure_native_json_fixture
+    from vector_ray.functions.native_json import (native_metrics_to_table,
+                                                  read_native_json)
+
+    paths = ensure_native_json_fixture(sf_dir)
+    ds = native_metrics_to_table(read_native_json(paths))
+
+    def sel(t: pa.Table) -> pa.Table:
+        return t.select(["name", "namespace", "kind", "mtype", "value"])
+
+    return ds.map_batches(sel, batch_format="pyarrow", batch_size=None)
+
+
 def _q_string_agg_events(sf_dir: str):
     """Grouped ORDERED string aggregation (SQL string_agg/listagg)
     via stages/sorted_ops.concat_sorted: per user, the comma-joined
@@ -3317,6 +3368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_range_2sided_events": _q_time_range_2sided_events,
         "count_min_users": _q_count_min_users,
         "codec_roundtrip_events": _q_codec_roundtrip_events,
+        "syslog_octet_events": _q_syslog_octet_events,
+        "native_json_events": _q_native_json_events,
         "except_events": _q_except_events,  # EXCEPT ALL
         "role_enrich": _q_role_enrich,
         "events_anti_join": _q_events_anti_join,
@@ -3434,6 +3487,8 @@ def oracle_sql() -> dict[str, str]:
         "route_rows_all": oracle.sql_route_rows_all(tpath, csv),
         "agg_summary_events": oracle.SQL_AGG_SUMMARY_EVENTS,
         "codec_roundtrip_events": oracle.SQL_CODEC_ROUNDTRIP_EVENTS,
+        "syslog_octet_events": oracle.SQL_SYSLOG_OCTET_EVENTS,
+        "native_json_events": oracle.SQL_NATIVE_JSON_EVENTS,
         "agg_sum_events": oracle.SQL_AGG_SUM_EVENTS,
         "agg_mean_events": oracle.SQL_AGG_MEAN_EVENTS,
         "agg_count_events": oracle.SQL_AGG_COUNT_EVENTS,

@@ -1,0 +1,241 @@
+"""Framing decoders vs the reference's documented test frames
+(lib/codecs/src/decoding/framing/{octet_counting,length_delimited,
+chunked_gelf}.rs unit cases, replayed byte-for-byte)."""
+
+import gzip
+import zlib
+
+import pytest
+
+from vector_ray.sources.framing import (ChunkedGelfDecoder, FramingError,
+                                        LengthDelimitedDecoder,
+                                        OctetCountingDecoder, decode_bytes)
+
+
+def _chunk(message_id: int, seq: int, total: int, payload: bytes) -> bytes:
+    return (b"\x1e\x0f" + message_id.to_bytes(8, "big")
+            + bytes([seq, total]) + payload)
+
+
+class TestOctetCounting:
+    # octet_counting.rs: non_octet_decode_works_with_multiple_frames
+    def test_non_octet_multiple_frames(self):
+        d = OctetCountingDecoder(max_length=128)
+        assert d.feed(b"<57>Mar 25 21:47:46 gleichner6005 quaerat[2444]:"
+                      b" There were ") == []
+        out = d.feed(b"8 penguins in the shop.\n")
+        assert out == ["<57>Mar 25 21:47:46 gleichner6005 quaerat[2444]:"
+                       " There were 8 penguins in the shop."]
+
+    # octet_counting.rs: octet_decode_works_with_multiple_frames
+    def test_octet_multiple_frames(self):
+        d = OctetCountingDecoder(max_length=30)
+        assert d.feed(b"28 abcdefghijklm") == []
+        # a frame-interior "3 " must not start a new length parse
+        assert d.feed(b"3 nopqrstuvwxyz") == ["abcdefghijklm3 nopqrstuvwxyz"]
+
+    # octet_counting.rs: octet_decode_moves_past_invalid_length
+    def test_moves_past_invalid_length(self):
+        d = OctetCountingDecoder(max_length=16)
+        out = d.feed(b"232>1 zork")
+        assert len(out) == 1 and isinstance(out[0], FramingError)
+        assert bytes(d.buf) == b"zork"
+
+    # octet_counting.rs: octet_decode_moves_past_invalid_utf8
+    def test_moves_past_invalid_utf8(self):
+        d = OctetCountingDecoder(max_length=16)
+        out = d.feed(b"4 \xf0\x28\x8c\xbc")
+        assert len(out) == 1 and isinstance(out[0], FramingError)
+        assert bytes(d.buf) == b""
+
+    # octet_counting.rs: octet_decode_moves_past_exceeded_frame_length
+    def test_moves_past_exceeded_frame_length(self):
+        d = OctetCountingDecoder(max_length=16)
+        out = d.feed(b"32thisshouldbelongerthanthmaxframeasizewhichmeans"
+                     b"thesyslogparserwillnotbeabletodecodeit\n")
+        assert len(out) == 1 and isinstance(out[0], FramingError)
+        assert bytes(d.buf) == b""
+
+    # octet_counting.rs: octet_decode_rejects_exceeded_frame_length
+    # (replayed with decode_once = the reference's manual decode calls)
+    def test_rejects_exceeded_frame_length(self):
+        d = OctetCountingDecoder(max_length=16)
+        d.buf.extend(b"26 abcdefghijklmnopqrstuvwxyzand here we are")
+        assert d.decode_once() is None
+        out = d.decode_once()
+        assert out[0] == "err" and isinstance(out[1], FramingError)
+        assert bytes(d.buf) == b"and here we are"
+
+    # octet_counting.rs: ..._rejects_exceeded_frame_length_multiple_frames
+    def test_rejects_exceeded_split_frames(self):
+        d = OctetCountingDecoder(max_length=16)
+        assert d.feed(b"26 abc") == []
+        out = d.feed(b"defghijklmnopqrstuvwxyzand here we are")
+        assert len(out) == 1 and isinstance(out[0], FramingError)
+        assert bytes(d.buf) == b"and here we are"
+
+    # octet_counting.rs: ..._moves_past_exceeded_frame_length_multiple_frames
+    # (replayed with decode_once = the reference's manual decode calls)
+    def test_discard_to_eol_across_frames(self):
+        d = OctetCountingDecoder(max_length=16)
+        d.feed(b"32thisshouldbelongerthanthmaxframeasizewhichmeans"
+               b"thesyslogparserwillnotbeabletodecodeit")
+        assert d.state == ("eol",)
+        d.buf.extend(b"wemustcontinuetodiscard\n32 something valid")
+        out = d.decode_once()
+        assert out[0] == "err" and isinstance(out[1], FramingError)
+        assert bytes(d.buf) == b"32 something valid"
+
+    def test_stream_of_valid_frames_and_eof(self):
+        d = OctetCountingDecoder()
+        msgs = ["<34>1 2021 host app - - - hi", "<0> tiny", "x" * 100]
+        data = b"".join(f"{len(m.encode())} ".encode() + m.encode()
+                        for m in msgs)
+        out = d.feed(data) + d.eof()
+        assert out == msgs
+
+    def test_decode_bytes_entry(self):
+        frames, errors = decode_bytes(b"5 hello5 world",
+                                      framing="octet_counting")
+        assert frames == ["hello", "world"] and errors == []
+
+
+class TestLengthDelimited:
+    # length_delimited.rs: decode_frame / decode_frames
+    def test_basic_frames(self):
+        d = LengthDelimitedDecoder()
+        assert d.feed(b"\x00\x00\x00\x03foo\x00\x00\x00\x03bar") == \
+            [b"foo", b"bar"]
+
+    # length_delimited.rs: decode_frame_2byte_length
+    def test_2byte_length(self):
+        d = LengthDelimitedDecoder(length_field_length=2)
+        assert d.feed(b"\x00\x03foo") == [b"foo"]
+
+    # length_delimited.rs: decode_frame_little_endian
+    def test_little_endian(self):
+        d = LengthDelimitedDecoder(length_field_is_big_endian=False)
+        assert d.feed(b"\x03\x00\x00\x00foo") == [b"foo"]
+
+    # length_delimited.rs: decode_frame_2byte_length_with_offset
+    def test_2byte_length_with_offset(self):
+        d = LengthDelimitedDecoder(length_field_length=2,
+                                   length_field_offset=2)
+        assert d.feed(b"\x00\x00\x00\x03foo") == [b"foo"]
+
+    # length_delimited.rs: decode_frame_ignore_unexpected_eof (mid-stream)
+    def test_incomplete_waits(self):
+        d = LengthDelimitedDecoder()
+        assert d.feed(b"\x00\x00\x00\x03fo") == []
+
+    # length_delimited.rs: decode_eof_frame_unexpected_eof
+    def test_torn_frame_at_eof_errors(self):
+        d = LengthDelimitedDecoder()
+        assert d.feed(b"\x00\x00\x00\x03fo") == []
+        out = d.eof()
+        assert len(out) == 1 and isinstance(out[0], FramingError)
+
+    # length_delimited.rs: decode_eof_frame_missing_header
+    def test_missing_header_at_eof_errors(self):
+        d = LengthDelimitedDecoder()
+        d.feed(b"foo")
+        out = d.eof()
+        assert len(out) == 1 and isinstance(out[0], FramingError)
+
+    def test_max_frame_length(self):
+        d = LengthDelimitedDecoder(max_frame_length=4)
+        out = d.feed(b"\x00\x00\x00\x08abcdefgh")
+        assert len(out) == 1 and isinstance(out[0], FramingError)
+
+
+class TestChunkedGelf:
+    def test_unchunked_passthrough(self):
+        d = ChunkedGelfDecoder()
+        assert d.decode_message(b'{"version":"1.1"}') == b'{"version":"1.1"}'
+
+    def test_two_chunks_out_of_order(self):
+        d = ChunkedGelfDecoder()
+        assert d.decode_message(_chunk(7, 1, 2, b" world")) is None
+        assert d.decode_message(_chunk(7, 0, 2, b"hello")) == b"hello world"
+        assert d.pending_message_ids() == []
+
+    def test_duplicate_chunk_ignored(self):
+        d = ChunkedGelfDecoder()
+        assert d.decode_message(_chunk(9, 0, 2, b"a")) is None
+        assert d.decode_message(_chunk(9, 0, 2, b"a")) is None
+        assert d.decode_message(_chunk(9, 1, 2, b"b")) == b"ab"
+
+    def test_invalid_total_chunks(self):
+        d = ChunkedGelfDecoder()
+        with pytest.raises(FramingError, match="invalid total"):
+            d.decode_message(_chunk(1, 0, 0, b"x"))
+        with pytest.raises(FramingError, match="invalid total"):
+            d.decode_message(b"\x1e\x0f" + (1).to_bytes(8, "big")
+                             + bytes([0, 129]) + b"x")
+
+    def test_sequence_beyond_total(self):
+        d = ChunkedGelfDecoder()
+        with pytest.raises(FramingError, match="sequence number"):
+            d.decode_message(_chunk(1, 2, 2, b"x"))
+
+    def test_short_header(self):
+        d = ChunkedGelfDecoder()
+        with pytest.raises(FramingError, match="less than 10"):
+            d.decode_message(b"\x1e\x0f\x00\x01")
+
+    def test_total_chunks_mismatch(self):
+        d = ChunkedGelfDecoder()
+        d.decode_message(_chunk(5, 0, 3, b"x"))
+        with pytest.raises(FramingError, match="mismatch"):
+            d.decode_message(_chunk(5, 1, 2, b"y"))
+
+    def test_pending_messages_limit(self):
+        d = ChunkedGelfDecoder(pending_messages_limit=1)
+        d.decode_message(_chunk(1, 0, 2, b"x"))
+        with pytest.raises(FramingError, match="pending"):
+            d.decode_message(_chunk(2, 0, 2, b"y"))
+
+    def test_max_length_drops_message(self):
+        d = ChunkedGelfDecoder(max_length=4)
+        d.decode_message(_chunk(3, 0, 2, b"abc"))
+        with pytest.raises(FramingError, match="max_length"):
+            d.decode_message(_chunk(3, 1, 2, b"defg"))
+        assert d.pending_message_ids() == []  # dropped entirely
+
+    def test_gzip_and_zlib_auto_decompression(self):
+        d = ChunkedGelfDecoder()
+        body = b'{"version":"1.1","short_message":"hi"}'
+        assert d.decode_message(gzip.compress(body)) == body
+        assert d.decode_message(zlib.compress(body)) == body
+        # chunked + compressed: compress first, then split into chunks
+        gz = gzip.compress(body)
+        half = len(gz) // 2
+        assert d.decode_message(_chunk(11, 0, 2, gz[:half])) is None
+        assert d.decode_message(_chunk(11, 1, 2, gz[half:])) == body
+
+    def test_multimember_gzip(self):
+        d = ChunkedGelfDecoder()
+        data = gzip.compress(b"part1") + gzip.compress(b"part2")
+        assert d.decode_message(data) == b"part1part2"
+
+    def test_incomplete_at_eof_reported(self):
+        d = ChunkedGelfDecoder()
+        d.decode_message(_chunk(42, 0, 3, b"x"))
+        assert d.pending_message_ids() == [42]
+
+
+class TestDecodeBytesGelfDump:
+    def test_length_prefixed_datagram_dump(self):
+        body1 = b'{"m":1}'
+        body2 = b'{"m":2}'
+        dgrams = [_chunk(1, 0, 2, body1[:3]), _chunk(1, 1, 2, body1[3:]),
+                  zlib.compress(body2)]
+        dump = b"".join(len(d).to_bytes(4, "big") + d for d in dgrams)
+        frames, errors = decode_bytes(dump, framing="chunked_gelf")
+        assert frames == [body1, body2] and errors == []
+
+    def test_incomplete_message_surfaces_as_error(self):
+        dg = _chunk(99, 0, 2, b"x")
+        dump = len(dg).to_bytes(4, "big") + dg
+        frames, errors = decode_bytes(dump, framing="chunked_gelf")
+        assert frames == [] and any("99 incomplete" in e for e in errors)

@@ -55,7 +55,7 @@ _TOKEN = re.compile(
 
 _FUNCS = {"exists", "is_null", "contains", "starts_with", "ends_with", "match",
           "match_any", "length", "strlen", "includes", "to_string",
-          "is_log", "is_metric"}
+          "is_log", "is_metric", "is_trace"}
 
 
 class ConditionError(ValueError):
@@ -262,16 +262,23 @@ class _Func(_Node):
         self.name, self.args = name, args
         self.boolean = name in ("exists", "is_null", "contains", "starts_with",
                                 "ends_with", "match", "match_any", "includes",
-                                "is_log", "is_metric")
+                                "is_log", "is_metric", "is_trace")
 
     def eval(self, batch):
         a = self.args
         n = batch.num_rows
-        if self.name in ("is_log", "is_metric"):
-            # Condition enum IsLog/IsMetric (src/conditions/mod.rs:23-48):
-            # in the columnar model metric rows carry an `mtype` column
-            is_metric_row = "mtype" in batch.column_names
-            want = (self.name == "is_metric") == is_metric_row
+        if self.name in ("is_log", "is_metric", "is_trace"):
+            # Condition enum IsLog/IsMetric/IsTrace
+            # (src/conditions/mod.rs:23-48): in the columnar model
+            # metric rows carry an `mtype` column and trace rows a
+            # `ttype` column; logs are everything else
+            cols = batch.column_names
+            if self.name == "is_metric":
+                want = "mtype" in cols
+            elif self.name == "is_trace":
+                want = "ttype" in cols
+            else:
+                want = "mtype" not in cols and "ttype" not in cols
             return pa.array([want] * n, pa.bool_())
         if self.name == "exists":
             v = a[0].eval(batch)
@@ -360,7 +367,7 @@ class Condition:
 
                 self.source = f"datadog_search:{csrc}"
                 self._node, self._fn = None, compile_datadog_search(csrc)
-            elif ctype in ("vrl", "is_log", "is_metric"):
+            elif ctype in ("vrl", "is_log", "is_metric", "is_trace"):
                 self.source = csrc if ctype == "vrl" else ctype
                 try:
                     self._node = _Parser(self.source).parse()

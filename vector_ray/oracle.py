@@ -2334,6 +2334,40 @@ FROM a
 """
 
 
+# octet-counting framing roundtrip (sources/framing.py +
+# parse_syslog): reproduce every parsed field of the deterministic
+# capture (data/syslog_capture.syslog_line) from the events table —
+# all integer-derived, no floats, no capture bytes in SQL
+SQL_SYSLOG_OCTET_EVENTS = """
+SELECT
+  'Feb ' || printf('%2d', 1 + event_id % 27) || ' ' ||
+    printf('%02d:%02d:%02d', (event_id % 86400) // 3600,
+           ((event_id % 86400) // 60) % 60, event_id % 60) AS stamp,
+  'h' || user_id AS host,
+  event_type AS tag,
+  CAST(event_id % 65536 AS BIGINT) AS pid,
+  'evt ' || event_id AS msg,
+  CAST((user_id % 192) // 8 AS BIGINT) AS facility,
+  CAST(user_id % 8 AS BIGINT) AS severity
+FROM events
+"""
+
+
+# native_json decode + metric projection (functions/native_json.py):
+# replay data/native_capture.native_line's integer-derived fields —
+# event_id % 7 == 0 rows are LOG frames and must be absent
+SQL_NATIVE_JSON_EVENTS = """
+SELECT event_type AS name,
+       'e' || event_id AS namespace,
+       CASE WHEN event_id % 2 = 0 THEN 'incremental'
+            ELSE 'absolute' END AS kind,
+       CASE WHEN event_id % 5 = 0 THEN 'gauge'
+            ELSE 'counter' END AS mtype,
+       CAST(user_id * 3 + 1 AS DOUBLE) AS value
+FROM events WHERE event_id % 7 <> 0
+"""
+
+
 # chi-square independence (stats.chi2_independence): event_type vs
 # user_id%4 segment; per-cell micro-quantized terms integer-summed
 SQL_CHI2_EVENTS = """

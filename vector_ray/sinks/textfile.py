@@ -22,6 +22,12 @@ from ray.data import Dataset
 
 from vector_ray.functions import encode as encode_fns
 
+def _encode_native_json(t, **kwargs):
+    from vector_ray.functions.native_json import encode_native_json_lines
+
+    return encode_native_json_lines(t, **kwargs)
+
+
 _ENCODERS = {
     "json": encode_fns.encode_json,
     "logfmt": encode_fns.encode_logfmt,
@@ -30,6 +36,7 @@ _ENCODERS = {
     "gelf": encode_fns.encode_gelf,
     "syslog": encode_fns.encode_syslog,
     "cef": encode_fns.encode_cef,
+    "native_json": _encode_native_json,
 }
 
 

@@ -1,0 +1,459 @@
+"""Framing decoders — the byte-stream → frame layer of the decoding
+pipeline, for replaying socket/datagram captures through the batch
+engine.
+
+Reference semantics (behavior only, no code):
+- ``octet_counting`` — lib/codecs/src/decoding/framing/octet_counting.rs
+  (RFC 6587 §3.4.1 syslog-over-TCP): frames are ``<len> <data>`` with
+  an ASCII decimal length; a buffer whose first byte is ``1``–``9``
+  enters octet mode, anything else falls back to newline framing.
+  ``max_length`` overruns discard the frame (by count, or to the next
+  newline) and surface as framing errors.
+- ``length_delimited`` — .../length_delimited.rs (tokio
+  LengthDelimitedCodec defaults): a fixed-width binary length header
+  (default u32 big-endian at offset 0) precedes each frame.
+- ``chunked_gelf`` — .../chunked_gelf.rs (Graylog GELF-over-UDP):
+  datagrams starting with magic ``1e 0f`` carry a 10-byte chunk
+  header (u64 message id, u8 seq, u8 total ≤ 128); chunks reassemble
+  per message id and the completed payload auto-decompresses by magic
+  (gzip ``1f 8b`` / zlib ``78`` with a valid FCHECK).  The
+  reference's receive-timeout discard has no batch analogue — a
+  capture is fully present, so incomplete messages surface at EOF via
+  ``pending_message_ids()`` instead of a timer.
+
+Batch shape: these are per-file sequential state machines (framing is
+inherently a byte-order-dependent scan), so the Dataset entry point
+``read_framed`` runs ONE task per file — files parallelize, bytes
+within a file stream through the decoder once.  Frames/errors are
+emitted in order with their frame index for downstream determinism.
+"""
+
+from __future__ import annotations
+
+import zlib as _zlib
+
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+_DEFAULT_MAX = (1 << 63) - 1  # "no limit" sentinel matching usize::MAX intent
+
+
+class FramingError(Exception):
+    """A frame-level decode failure (bad length, overrun, bad UTF-8,
+    bad chunk header...).  Carried as a value in batch decoding so one
+    torn frame never kills the file."""
+
+
+# ---------------------------------------------------------------------------
+# octet_counting (RFC 6587 §3.4.1)
+
+
+class OctetCountingDecoder:
+    """Stateful octet-counting decoder with newline fallback.
+
+    States mirror the reference exactly (NotDiscarding /
+    Discarding(n) / DiscardingToEol), including its quirk of
+    re-checking the buffer head for a ``1``–``9`` digit before every
+    decode step.  One intended-semantics deviation: when a Discarding
+    frame is only partially available, the remaining discard count is
+    ``n - len(buf)`` (the reference's subtraction is reversed there,
+    which would underflow usize — we implement the intent)."""
+
+    def __init__(self, max_length: int | None = None):
+        self.max_length = _DEFAULT_MAX if max_length is None else max_length
+        self.buf = bytearray()
+        self.state: tuple | None = None  # None | ("not",) | ("disc", n) | ("eol",)
+
+    # -- single decode step: returns ("frame", str) | ("err", FramingError)
+    #    | None (need more data) ------------------------------------------
+    def _octet_step(self):
+        buf = self.buf
+        state = self.state
+        space_pos = buf.find(b" ")
+        newline_pos = buf.find(b"\n")
+        if state[0] == "disc":
+            n = state[1]
+            if len(buf) >= n:
+                del buf[:n]
+                self.state = None
+                return ("err", FramingError("Frame length limit exceeded"))
+            self.state = ("disc", n - len(buf))
+            buf.clear()
+            return None
+        if state[0] == "eol":
+            if newline_pos >= 0:
+                del buf[: newline_pos + 1]
+                self.state = None
+                return ("err", FramingError("Frame length limit exceeded"))
+            buf.clear()
+            return None
+        # NotDiscarding
+        if 0 <= space_pos < self.max_length:
+            head = bytes(buf[:space_pos])
+            if head.isdigit():
+                ln = int(head)
+            else:
+                del buf[: space_pos + 1]
+                self.state = None
+                return ("err", FramingError(
+                    "Unable to decode message len as number"))
+            frm = space_pos + 1
+            to = frm + ln
+            if ln > self.max_length:
+                self.state = ("disc", ln)
+                del buf[: space_pos + 1]
+                return None
+            if len(buf) >= to:
+                msg = bytes(buf[frm:to])
+                try:
+                    text = msg.decode("utf-8")
+                except UnicodeDecodeError:
+                    del buf[:to]
+                    self.state = None
+                    return ("err", FramingError(
+                        "Unable to decode message as UTF8"))
+                del buf[:to]
+                self.state = None
+                return ("frame", text)
+            return None  # wait for the rest of the frame
+        if newline_pos >= 0:
+            del buf[: newline_pos + 1]
+            return ("err", FramingError("Frame length limit exceeded"))
+        if len(buf) < self.max_length:
+            return None
+        self.state = ("eol",)
+        buf.clear()
+        return None
+
+    def _line_step(self, eof: bool):
+        buf = self.buf
+        pos = buf.find(b"\n")
+        if pos >= 0:
+            line = bytes(buf[:pos])
+            del buf[: pos + 1]
+            if line.endswith(b"\r"):
+                line = line[:-1]
+            if len(line) > self.max_length:
+                return ("err", FramingError("line length limit exceeded"))
+            try:
+                return ("frame", line.decode("utf-8"))
+            except UnicodeDecodeError:
+                return ("err", FramingError("invalid UTF-8 line"))
+        if eof and buf:
+            line = bytes(buf)
+            buf.clear()
+            try:
+                return ("frame", line.decode("utf-8"))
+            except UnicodeDecodeError:
+                return ("err", FramingError("invalid UTF-8 line"))
+        return None
+
+    def decode_once(self, eof: bool = False):
+        """One decode call (the reference's ``Decoder::decode``):
+        ``("frame", str)`` / ``("err", FramingError)`` / ``None`` for
+        need-more-data — which, unlike the stream driver ``feed``, may
+        leave decodable bytes in the buffer."""
+        # the reference re-arms octet mode whenever the buffer head is
+        # a non-zero digit — even mid-Discard (quirk kept for parity)
+        if self.buf and 0x31 <= self.buf[0] <= 0x39:
+            self.state = ("not",)
+        if self.state is not None:
+            return self._octet_step()
+        return self._line_step(eof)
+
+    def feed(self, data: bytes) -> list:
+        """Append bytes, return frames/FramingErrors decodable so far
+        (drives ``decode_once`` to quiescence, like a FramedRead loop
+        that keeps calling while the decoder makes progress)."""
+        self.buf.extend(data)
+        out = []
+        while True:
+            before = (len(self.buf), self.state)
+            r = self.decode_once()
+            if r is not None:
+                out.append(r[1])
+                continue
+            if (len(self.buf), self.state) == before:
+                return out
+
+    def eof(self) -> list:
+        """Flush at end of input; a torn octet frame surfaces as one
+        final FramingError (the stream ended mid-frame)."""
+        out = []
+        while True:
+            before = (len(self.buf), self.state)
+            r = self.decode_once(eof=True)
+            if r is not None:
+                out.append(r[1])
+                continue
+            if self.buf and (len(self.buf), self.state) == before:
+                out.append(FramingError(
+                    f"{len(self.buf)} bytes remaining at EOF "
+                    "(torn frame)"))
+                self.buf.clear()
+                self.state = None
+            return out
+
+
+# ---------------------------------------------------------------------------
+# length_delimited (tokio LengthDelimitedCodec defaults)
+
+
+class LengthDelimitedDecoder:
+    """Fixed-width binary length header framing.  Options mirror the
+    reference's LengthDelimitedCoderOptions: field length (bytes),
+    field offset, endianness, max frame length (default 8 MiB).  The
+    header (offset + field) is skipped; the payload is raw bytes."""
+
+    def __init__(self, *, length_field_length: int = 4,
+                 length_field_offset: int = 0,
+                 length_field_is_big_endian: bool = True,
+                 max_frame_length: int = 8 * 1024 * 1024):
+        if length_field_length not in (1, 2, 3, 4, 8):
+            raise ValueError("length_field_length must be 1,2,3,4 or 8")
+        self.flen = length_field_length
+        self.off = length_field_offset
+        self.bo = "big" if length_field_is_big_endian else "little"
+        self.max = max_frame_length
+        self.buf = bytearray()
+        self.dead = False  # an oversize frame poisons the stream (tokio)
+
+    def _step(self):
+        if self.dead:
+            self.buf.clear()
+            return None
+        hdr = self.off + self.flen
+        if len(self.buf) < hdr:
+            return None
+        n = int.from_bytes(self.buf[self.off:hdr], self.bo)
+        if n > self.max:
+            # tokio's LengthDelimitedCodec errors and the stream is
+            # unrecoverable — one error, remaining bytes discarded
+            self.dead = True
+            self.buf.clear()
+            return ("err", FramingError(
+                f"frame length {n} exceeds max_frame_length {self.max}"))
+        if len(self.buf) < hdr + n:
+            return None
+        frame = bytes(self.buf[hdr:hdr + n])
+        del self.buf[:hdr + n]
+        return ("frame", frame)
+
+    def feed(self, data: bytes) -> list:
+        self.buf.extend(data)
+        out = []
+        while True:
+            r = self._step()
+            if r is None:
+                return out
+            out.append(r[1])
+
+    def eof(self) -> list:
+        out = self.feed(b"")
+        if self.buf and not self.dead:
+            out.append(FramingError(
+                f"{len(self.buf)} bytes remaining at EOF (torn frame)"))
+            self.buf.clear()
+        return out
+
+
+# ---------------------------------------------------------------------------
+# chunked_gelf (Graylog GELF-over-UDP reassembly)
+
+_GELF_MAGIC = b"\x1e\x0f"
+_GELF_MAX_TOTAL_CHUNKS = 128
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gelf_decompress(data: bytes, mode: str = "auto") -> bytes:
+    if mode == "auto":
+        if data.startswith(_GZIP_MAGIC):
+            mode = "gzip"
+        elif (len(data) >= 2 and data[0] == 0x78
+              and (data[0] * 256 + data[1]) % 31 == 0):
+            mode = "zlib"
+        else:
+            mode = "none"
+    if mode == "gzip":
+        out = bytearray()
+        rest = data
+        while rest:  # multi-member gzip, like the reference's MultiGz
+            d = _zlib.decompressobj(16 + _zlib.MAX_WBITS)
+            out += d.decompress(rest)
+            rest = d.unused_data
+        return bytes(out)
+    if mode == "zlib":
+        return _zlib.decompress(data)
+    return data
+
+
+class ChunkedGelfDecoder:
+    """Datagram-oriented GELF reassembly.  ``decode_message`` takes ONE
+    datagram and returns the complete (decompressed) message when its
+    last chunk arrives, else None.  Validation order and error causes
+    match the reference: short header, total ∉ [1,128], seq ≥ total,
+    pending-limit, total-mismatch, duplicate chunk (silently ignored),
+    max_length overrun (drops the whole message)."""
+
+    def __init__(self, *, decompression: str = "auto",
+                 max_length: int | None = None,
+                 pending_messages_limit: int | None = None):
+        if decompression not in ("auto", "gzip", "zlib", "none"):
+            raise ValueError(decompression)
+        self.decompression = decompression
+        self.max_length = max_length
+        self.pending_limit = pending_messages_limit
+        # message_id -> [total_chunks, {seq: bytes}, current_length]
+        self.state: dict[int, list] = {}
+
+    def pending_message_ids(self) -> list[int]:
+        """Message ids still incomplete — the batch analogue of the
+        reference's timeout discard (report instead of a timer)."""
+        return sorted(self.state)
+
+    def decode_message(self, datagram: bytes) -> bytes | None:
+        if not datagram.startswith(_GELF_MAGIC):
+            return _gelf_decompress(datagram, self.decompression)
+        chunk = datagram[2:]
+        if len(chunk) < 10:
+            raise FramingError(
+                f"invalid chunk header with less than 10 bytes "
+                f"(got {len(chunk)})")
+        message_id = int.from_bytes(chunk[:8], "big")
+        seq = chunk[8]
+        total = chunk[9]
+        payload = chunk[10:]
+        if not (0 < total <= _GELF_MAX_TOTAL_CHUNKS):
+            raise FramingError(
+                f"message {message_id} chunk {seq}: invalid total "
+                f"chunks {total} (must be 1..={_GELF_MAX_TOTAL_CHUNKS})")
+        if seq >= total:
+            raise FramingError(
+                f"message {message_id}: sequence number {seq} >= "
+                f"total chunks {total}")
+        if (self.pending_limit is not None
+                and message_id not in self.state
+                and len(self.state) >= self.pending_limit):
+            raise FramingError(
+                f"pending messages limit {self.pending_limit} reached "
+                f"at message {message_id}")
+        st = self.state.setdefault(message_id, [total, {}, 0])
+        if st[0] != total:
+            raise FramingError(
+                f"message {message_id}: total chunks mismatch "
+                f"(first saw {st[0]}, chunk {seq} says {total})")
+        if seq in st[1]:
+            return None  # duplicate chunk: ignored
+        st[1][seq] = payload
+        st[2] += len(payload)
+        if self.max_length is not None and st[2] > self.max_length:
+            del self.state[message_id]
+            raise FramingError(
+                f"message {message_id} exceeded max_length "
+                f"{self.max_length} (got {st[2]} bytes); dropped")
+        if len(st[1]) == st[0]:
+            del self.state[message_id]
+            return _gelf_decompress(
+                b"".join(st[1][i] for i in range(total)),
+                self.decompression)
+        return None
+
+
+# ---------------------------------------------------------------------------
+# batch entry points
+
+
+def decode_bytes(data: bytes, *, framing: str, **opts):
+    """Frame a whole byte buffer.  Returns ``(frames, errors)`` where
+    frames are ``str`` (octet_counting) or ``bytes``
+    (length_delimited / chunked_gelf) in stream order.
+
+    ``chunked_gelf`` input is a datagram dump: u32-BE length-prefixed
+    datagrams (the natural capture format for UDP) — each datagram is
+    split off with the length_delimited decoder, then reassembled."""
+    frames: list = []
+    errors: list[str] = []
+    if framing == "octet_counting":
+        dec = OctetCountingDecoder(max_length=opts.get("max_length"))
+        items = dec.feed(data) + dec.eof()
+        for it in items:
+            (errors if isinstance(it, FramingError) else frames).append(
+                str(it) if isinstance(it, FramingError) else it)
+        return frames, errors
+    if framing == "length_delimited":
+        dec = LengthDelimitedDecoder(
+            **{k: v for k, v in opts.items()
+               if k in ("length_field_length", "length_field_offset",
+                        "length_field_is_big_endian", "max_frame_length")})
+        for it in dec.feed(data) + dec.eof():
+            (errors if isinstance(it, FramingError) else frames).append(
+                str(it) if isinstance(it, FramingError) else it)
+        return frames, errors
+    if framing == "chunked_gelf":
+        ld = LengthDelimitedDecoder()
+        gelf = ChunkedGelfDecoder(
+            decompression=opts.get("decompression", "auto"),
+            max_length=opts.get("max_length"),
+            pending_messages_limit=opts.get("pending_messages_limit"))
+        for it in ld.feed(data) + ld.eof():
+            if isinstance(it, FramingError):
+                errors.append(str(it))
+                continue
+            try:
+                msg = gelf.decode_message(it)
+            except FramingError as e:
+                errors.append(str(e))
+                continue
+            if msg is not None:
+                frames.append(msg)
+        for mid in gelf.pending_message_ids():
+            errors.append(f"message {mid} incomplete at EOF")
+        return frames, errors
+    raise ValueError(f"unknown framing {framing!r}")
+
+
+def read_framed(paths, *, framing: str, include_paths: bool = True,
+                emit_errors: bool = False, **opts) -> Dataset:
+    """Dataset of framed messages: one decode task per file (framing
+    is a sequential scan; files are the parallel unit, matching the
+    file source).  Columns: ``message`` (string for octet_counting,
+    binary otherwise), ``frame_idx`` (order within its file), plus
+    ``path`` / ``error`` when requested."""
+    if isinstance(paths, str):
+        paths = [paths]
+    binary = framing in ("length_delimited", "chunked_gelf")
+
+    def decode_one(batch: pa.Table) -> pa.Table:
+        out = {"path": [], "frame_idx": [], "message": [], "error": []}
+        for p in batch["item"].to_pylist():
+            with open(p, "rb") as f:
+                data = f.read()
+            frames, errors = decode_bytes(data, framing=framing, **opts)
+            for i, fr in enumerate(frames):
+                out["path"].append(p)
+                out["frame_idx"].append(i)
+                out["message"].append(fr)
+                out["error"].append(None)
+            if emit_errors:
+                for e in errors:
+                    out["path"].append(p)
+                    out["frame_idx"].append(None)
+                    out["message"].append(None)
+                    out["error"].append(e)
+        t = pa.table({
+            "path": pa.array(out["path"], pa.string()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+            "message": pa.array(
+                out["message"], pa.binary() if binary else pa.string()),
+            "error": pa.array(out["error"], pa.string()),
+        })
+        cols = ["message", "frame_idx"]
+        if include_paths:
+            cols = ["path"] + cols
+        if emit_errors:
+            cols.append("error")
+        return t.select(cols)
+
+    return rd.from_items(list(paths)).map_batches(
+        decode_one, batch_format="pyarrow", batch_size=None)

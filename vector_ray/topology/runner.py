@@ -210,6 +210,45 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
             lines=spec.config.get("lines"),
             sequence=bool(spec.config.get("sequence", False)),
         )
+    if spec.type == "native_json":
+        # vector→vector interop NDJSON (functions/native_json.py);
+        # project: raw (kind+payload) | metrics | traces
+        import glob as _glob
+
+        from vector_ray.functions.native_json import (
+            native_metrics_to_table, native_traces_to_table,
+            read_native_json)
+
+        path = spec.config["path"].format(**variables)
+        paths = sorted(_glob.glob(path)) if any(
+            ch in path for ch in "*?[") else path
+        ds = read_native_json(paths)
+        proj = spec.config.get("project", "events")
+        if proj == "metrics":
+            return native_metrics_to_table(ds)
+        if proj == "traces":
+            return native_traces_to_table(ds)
+        return ds
+    if spec.type == "framed_file":
+        # byte-stream/datagram captures: framing = octet_counting |
+        # length_delimited | chunked_gelf (sources/framing.py)
+        import glob as _glob
+
+        from vector_ray.sources.framing import read_framed
+
+        path = spec.config["path"].format(**variables)
+        paths = sorted(_glob.glob(path)) if any(
+            ch in path for ch in "*?[") else [path]
+        opts = {k: spec.config[k] for k in (
+            "max_length", "length_field_length", "length_field_offset",
+            "length_field_is_big_endian", "max_frame_length",
+            "decompression", "pending_messages_limit")
+            if k in spec.config}
+        return read_framed(
+            paths, framing=spec.config.get("framing", "octet_counting"),
+            include_paths=bool(spec.config.get("include_paths", True)),
+            emit_errors=bool(spec.config.get("emit_errors", False)),
+            **opts)
     raise ConfigError(f"unknown source type {spec.type!r}")
 
 

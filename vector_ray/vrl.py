@@ -407,7 +407,7 @@ _NEEDS_N = {"uuid_v4", "uuid_v7", "random_int", "random_float",
 # src/conditions/vrl.rs + website/cue/reference/remap/functions)
 _PRED_FUNCS = {"exists", "is_null", "is_string", "contains", "starts_with",
                "ends_with", "match", "includes", "length", "strlen",
-               "is_log", "is_metric", "match_datadog_query"}
+               "is_log", "is_metric", "is_trace", "match_datadog_query"}
 
 # enumeration functions taking a closure (`fn(x) -> |k, v| { ... }`);
 # VRL closure semantics per website/cue/reference/remap/functions/
@@ -1085,12 +1085,18 @@ def _eval_pred(name, argnodes, args, ctx: _Ctx):
         # columnar events ARE the batch, so the query runs over ctx.batch
         q = _lit_of(argnodes[-1], args[-1])
         return pc.fill_null(_dd_query(str(q))(ctx.batch), False)
-    if name == "is_log":
-        return pa.array([True] * n)
-    if name == "is_metric":
-        # parity with conditions.is_metric: metric-shaped batches carry
-        # a metric kind column
-        return pa.array(["metric_kind" in ctx.batch.column_names] * n)
+    if name in ("is_log", "is_metric", "is_trace"):
+        # parity with conditions IsLog/IsMetric/IsTrace
+        # (src/conditions/mod.rs:23-48): metric-shaped batches carry a
+        # metric kind column (`mtype`, or `metric_kind` after
+        # metric_to_log's prefixing), trace-shaped ones a `ttype`
+        # marker; logs are everything else
+        cols = ctx.batch.column_names
+        is_m = "mtype" in cols or "metric_kind" in cols
+        is_t = "ttype" in cols
+        want = {"is_log": not is_m and not is_t,
+                "is_metric": is_m, "is_trace": is_t}[name]
+        return pa.array([want] * n)
     raise VrlError(f"unknown predicate {name!r}")
 
 

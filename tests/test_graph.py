@@ -204,6 +204,19 @@ class TestBFS:
         gd = dict(zip(got["node"].to_pylist(), got["dist"].to_pylist()))
         assert gd == {0: 0, 1: 1, 2: 2}   # 3,4 beyond bound; island absent
 
+    def test_auto_picks_both_sides_identically(self):
+        # at the node_broadcast_limit boundary auto routes to broadcast
+        # below and join above — results bit-identical either way
+        from vector_ray.stages.graph import bfs_levels
+        edges = _rng_graph(17, 25, 70)
+        lo = bfs_levels(_edge_ds(edges, 3), sources=[1], max_hops=3,
+                        impl="auto", node_broadcast_limit=1 << 40)
+        hi = bfs_levels(_edge_ds(edges, 3), sources=[1], max_hops=3,
+                        impl="auto", node_broadcast_limit=1)
+        ld = dict(zip(lo["node"].to_pylist(), lo["dist"].to_pylist()))
+        hd = dict(zip(hi["node"].to_pylist(), hi["dist"].to_pylist()))
+        assert ld == hd == self._bfs_local(edges, [1], 3)
+
 
 class TestGraphFuzz:
     """Seeded differential sweep: broadcast ≡ join ≡ local replay over

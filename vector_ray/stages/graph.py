@@ -443,7 +443,8 @@ def bfs_levels(
     *,
     sources,
     max_hops: int = 4,
-    impl: str = "broadcast",
+    impl: str = "auto",
+    node_broadcast_limit: int = 5_000_000,
 ) -> pa.Table:
     """Minimum hop distance from a source set over a directed edge
     Dataset (``src``/``dst`` int64): returns (node, dist) for every
@@ -459,8 +460,15 @@ def bfs_levels(
     and visited stay Datasets; each level is one left-semi join
     (edges ⋈ frontier on src), a sorted-run distinct on dst, and one
     left-anti join against visited — nothing node-sized ever touches
-    the driver, the 100-TB web-graph path."""
+    the driver, the 100-TB web-graph path.  ``impl="auto"`` (default)
+    picks broadcast while the 2×edge-count node bound stays under
+    ``node_broadcast_limit`` (same probe as pagerank — the caller
+    shouldn't have to know the graph's size class; both impls are
+    bit-identical)."""
     srcs = sorted({int(s) for s in sources})
+    if impl == "auto":
+        probe = _pagerank_node_count_probe(edges)
+        impl = "broadcast" if probe <= node_broadcast_limit else "join"
     if impl == "broadcast":
         return _bfs_broadcast(edges, srcs, max_hops)
     if impl == "join":

@@ -618,28 +618,20 @@ def _q_kmeans_assign_embeddings(sf_dir: str):
 
 
 def _q_kmeans_clusters_embeddings(sf_dir: str):
-    """Full Lloyd k-means (k=10, 5 iterations, deterministic integer-
-    quantized centroid updates): cluster sizes.  Iterative float
-    argmin is not SQL-expressible — rows-only; determinism and
-    convergence are pinned by tests/test_kmeans.py."""
-    import numpy as np
-    import pandas as pd
+    """Full Lloyd k-means (k=10, 5 iterations) — the bit-replayable
+    integer variant (ml/kmeans.kmeans_exact): exact-int assignment
+    distances, half-up integer centroid updates, so the ENTIRE loop
+    replays in SQL via one chained CTE pair per iteration (the
+    pagerank pattern; graduated from rows-only in round 5).  Returns
+    final cluster sizes."""
     import ray.data as rd
 
-    from vector_ray.ml.kmeans import kmeans
+    from vector_ray.ml.kmeans import kmeans_exact
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
-    labeled, _ = kmeans(ds, 10, n_iter=5)
-    sizes: dict[int, int] = {}
-    for t in labeled.select_columns(["cluster"]).iter_batches(
-            batch_format="pyarrow", batch_size=None):
-        for c, n in zip(*np.unique(
-                t["cluster"].to_numpy(zero_copy_only=False),
-                return_counts=True)):
-            sizes[int(c)] = sizes.get(int(c), 0) + int(n)
-    return pd.DataFrame(
-        {"cluster": sorted(sizes), "n": [sizes[c] for c in sorted(sizes)]})
+    sizes, _ = kmeans_exact(ds, 10, n_iter=5)
+    return sizes
 
 
 def _q_semantic_dedup_pairs(sf_dir: str):
@@ -3544,6 +3536,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate_docs": oracle.SQL_DECONTAMINATE_DOCS,
         "stratified_sample_events": oracle.SQL_STRATIFIED_SAMPLE_EVENTS,
         "kmeans_assign_embeddings": oracle.SQL_KMEANS_ASSIGN_EMBEDDINGS,
+        # graduated round 5: the integer-exact Lloyd loop replays fully
+        "kmeans_clusters_embeddings": oracle.sql_kmeans_exact(),
         "semantic_dedup_pairs": oracle.SQL_SEMANTIC_DEDUP_PAIRS,
         "exact_quantiles_events": oracle.SQL_EXACT_QUANTILES_EVENTS,
         "time_range_sum_events": oracle.SQL_TIME_RANGE_SUM_EVENTS,

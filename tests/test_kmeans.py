@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 import ray.data as rd
 
@@ -93,3 +94,49 @@ def test_semantic_dedup_pairs_within_cluster_only(ray_session):
     assert (0, 4) in pairs and (2, 5) in pairs
     # 0 and 2 are in different clusters: never compared
     assert all(not (a in (0, 1, 4) and b in (2, 3, 5)) for a, b in pairs)
+
+
+class TestKmeansExact:
+    """Bit-replayable integer Lloyd (ml/kmeans.kmeans_exact): layout
+    invariance + full-loop DuckDB CTE replay."""
+
+    def _emb(self, n=120, d=6, seed=9):
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(n, d)).astype(np.float32)
+        return pd.DataFrame({"vec_id": np.arange(n),
+                             "embedding": list(vecs)})
+
+    def test_layout_invariant(self, ray_session):
+        from vector_ray.ml.kmeans import kmeans_exact
+
+        df = self._emb()
+        outs = []
+        for parts in (1, 7):
+            sizes, cq = kmeans_exact(
+                rd.from_pandas(df).repartition(parts), 5, n_iter=4)
+            outs.append((sorted(zip(sizes["cluster"].to_pylist(),
+                                    sizes["n"].to_pylist())),
+                         cq.tolist()))
+        assert outs[0] == outs[1]
+
+    def test_sql_replay(self, ray_session):
+        import duckdb
+
+        from vector_ray import oracle
+        from vector_ray.ml.kmeans import kmeans_exact
+
+        df = self._emb(n=90, d=4, seed=3)
+        sizes, _ = kmeans_exact(
+            rd.from_pandas(df).repartition(4), 6, n_iter=3)
+        got = sorted(zip(sizes["cluster"].to_pylist(),
+                         sizes["n"].to_pylist()))
+        con = duckdb.connect()
+        emb = pa.table({
+            "vec_id": pa.array(df["vec_id"], pa.int64()),
+            "embedding": pa.array([list(map(float, v))
+                                   for v in df["embedding"]],
+                                  pa.list_(pa.float32()))})
+        con.register("embeddings", emb)
+        want = sorted(con.sql(
+            oracle.sql_kmeans_exact(k=6, n_iter=3, dim=4)).fetchall())
+        assert got == [tuple(w) for w in want]

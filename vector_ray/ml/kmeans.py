@@ -128,6 +128,85 @@ def kmeans(
     return out, cents
 
 
+def kmeans_exact(
+    ds: Dataset,
+    k: int,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_iter: int = 5,
+    quant_bits: int = 16,
+) -> tuple[pa.Table, np.ndarray]:
+    """Bit-replayable Lloyd: the ENTIRE loop is integer arithmetic, so
+    every iteration replays exactly in SQL (the pagerank chained-CTE
+    pattern applied to k-means) and is bit-identical at any
+    parallelism/engine.
+
+    Quantization is ``floor(x·2^b + 0.5)`` — two exact IEEE ops (the
+    scale is a power of two and a float32 mantissa fits float64 with
+    room for the +0.5), identical in numpy and SQL, unlike
+    ``round()`` whose half-even (numpy) vs half-away (DuckDB) split
+    bites at exact .5 fractions.  Centroid update is the half-up
+    integer division ``(2·sum + n) // (2·n)`` (numpy floor_divide; SQL
+    ``floor((2.0·s+n)/(2.0·n))`` — the float form is safe because a
+    non-integer quotient sits ≥ 1/(2n) from the boundary, orders of
+    magnitude above one ulp).  Distances are exact int64 sums of
+    squares; ties take the lowest cluster on both engines.
+
+    Returns ``(sizes, cq)``: a (cluster, n) Arrow table of final
+    assignment counts and the quantized (k, d) int64 centroids."""
+    mat_ds = ds.materialize()
+    refs = mat_ds.to_arrow_refs()
+    scale = float(1 << quant_bits)
+    cents_f = seed_centroids(mat_ds, k, vec_col=vec_col, id_col=id_col)
+    cq = np.floor(cents_f * scale + 0.5).astype(np.int64)
+    d = cq.shape[1]
+
+    @ray.remote
+    def partial(t: pa.Table, cq: np.ndarray):
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return None
+        xq = np.floor(_as_matrix(t[vec_col]).astype(np.float64)
+                      * scale + 0.5).astype(np.int64)
+        d2 = ((xq[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+        lab = np.argmin(d2, axis=1)  # first (lowest) cluster on ties
+        sums = np.zeros((k, d), dtype=np.int64)
+        np.add.at(sums, lab, xq)
+        return sums, np.bincount(lab, minlength=k).astype(np.int64)
+
+    for _ in range(max(0, int(n_iter))):
+        parts = [p for p in ray.get(
+            [partial.remote(r, cq) for r in refs]) if p is not None]
+        tot = np.sum([p[0] for p in parts], axis=0)
+        cnt = np.sum([p[1] for p in parts], axis=0)
+        nz = cnt > 0
+        new = cq.copy()  # empty clusters keep their previous centroid
+        new[nz] = np.floor_divide(2 * tot[nz] + cnt[nz, None],
+                                  2 * cnt[nz, None])
+        cq = new
+
+    # final assignment pass under the converged centroids — counts
+    # come back as per-block bincounts (k ints each, driver-tiny)
+    @ray.remote
+    def count_pass(t: pa.Table, cq: np.ndarray):
+        if t.num_rows == 0 or vec_col not in t.column_names:
+            return None
+        xq = np.floor(_as_matrix(t[vec_col]).astype(np.float64)
+                      * scale + 0.5).astype(np.int64)
+        d2 = ((xq[:, None, :] - cq[None, :, :]) ** 2).sum(axis=2)
+        return np.bincount(np.argmin(d2, axis=1), minlength=k)
+
+    counts = np.sum([c for c in ray.get(
+        [count_pass.remote(r, cq) for r in refs]) if c is not None],
+        axis=0).astype(np.int64)
+    present = counts > 0
+    sizes = pa.table({
+        "cluster": pa.array(np.nonzero(present)[0].astype(np.int64)),
+        "n": pa.array(counts[present]),
+    })
+    return sizes, cq
+
+
 def kmeans_assign(
     ds: Dataset,
     centroids: np.ndarray,

@@ -648,6 +648,72 @@ r AS (
 SELECT vec_id, cid AS cluster FROM r WHERE rn = 1
 """
 
+def sql_kmeans_exact(k: int = 10, n_iter: int = 5, dim: int = 64,
+                     quant_bits: int = 16) -> str:
+    """Full Lloyd loop replay (ml/kmeans.kmeans_exact): one chained
+    CTE pair per iteration — exact-int assignment distances (parallel
+    unnest zip, sum of squared diffs), half-up integer centroid
+    update floor((2s+n)/(2n)), empty clusters carry the previous
+    centroid — then the final assignment's cluster sizes.  All
+    arithmetic matches the engine bit-for-bit (see kmeans_exact's
+    docstring for the two float ops and why they're exact)."""
+    scale = float(1 << quant_bits)
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT))
+           AS xq
+  FROM embeddings),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, xq AS cq
+  FROM q ORDER BY vec_id LIMIT {k})"""]
+    for i in range(1, n_iter + 1):
+        parts.append(f""",
+d{i} AS (
+  SELECT vec_id, cid, sum((x - cv) * (x - cv))::BIGINT AS d2
+  FROM (SELECT q.vec_id, cc.cid, unnest(q.xq) AS x,
+               unnest(cc.cq) AS cv
+        FROM q CROSS JOIN c{i - 1} cc)
+  GROUP BY vec_id, cid),
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER
+      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{i}) WHERE rn = 1),
+s{i} AS (
+  SELECT cid, i, sum(x)::BIGINT AS s
+  FROM (SELECT a.cid, unnest(q.xq) AS x,
+               unnest(range(1, {dim + 1})) AS i
+        FROM a{i} a JOIN q USING (vec_id))
+  GROUP BY cid, i),
+n{i} AS (SELECT cid, count(*)::BIGINT AS n FROM a{i} GROUP BY cid),
+u{i} AS (
+  SELECT s.cid,
+         list(CAST(floor((2.0 * s.s + n.n) / (2.0 * n.n)) AS BIGINT)
+              ORDER BY s.i) AS cq
+  FROM s{i} s JOIN n{i} n USING (cid) GROUP BY s.cid),
+c{i} AS (
+  SELECT p.cid, COALESCE(u.cq, p.cq) AS cq
+  FROM c{i - 1} p LEFT JOIN u{i} u USING (cid))""")
+    f = n_iter + 1
+    parts.append(f""",
+d{f} AS (
+  SELECT vec_id, cid, sum((x - cv) * (x - cv))::BIGINT AS d2
+  FROM (SELECT q.vec_id, cc.cid, unnest(q.xq) AS x,
+               unnest(cc.cq) AS cv
+        FROM q CROSS JOIN c{n_iter} cc)
+  GROUP BY vec_id, cid),
+a{f} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER
+      (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d{f}) WHERE rn = 1)
+SELECT cid AS cluster, count(*)::BIGINT AS n
+FROM a{f} GROUP BY cid""")
+    return "".join(parts)
+
+
 # SemDeDup pairs (ml/kmeans.semantic_dedup_pairs): nearest of the 4
 # vec_id<4 centroids over the dup-synthesized embeddings, cosine
 # pairs within clusters only.

@@ -3297,7 +3297,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_transcripts": _q_sample_transcripts,
         # --- windows / sessions (§2.8) ---
         "session_stats_events": _q_session_stats_events,
-        "repetition_docs": _q_repetition_docs,
         "distinct_users_events": _q_distinct_users_events,
         # --- conditions, parsers, codecs (§2.2, §2.6, §2.7) ---
         "lm_score_docs": _q_lm_score_docs,
@@ -3311,6 +3310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (codec_roundtrip_events: second §2.6 rep beside nginx_parse,
         # moved past 50 to make room for the set-op family while
         # keeping kmeans_assign inside the checked window)
+        # --- round-5 codec/framing gains (§2.6 tail) ---
+        "syslog_octet_events": _q_syslog_octet_events,
+        "native_json_events": _q_native_json_events,
         # --- enrichment (§2.3) ---
         "cidr_enrich_events": _q_cidr_enrich_events,
         "snapshot_enrich_events": _q_snapshot_enrich_events,
@@ -3342,7 +3344,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "minhash_exact_dedup_docs": _q_minhash_exact_dedup_docs,
         "span_dedup_docs": _q_span_dedup_docs,
-        "ngram_jaccard_pairs_docs": _q_ngram_jaccard_pairs_docs,
+        # (ngram_jaccard_pairs_docs: 4th dedup-family rep, rotated past
+        # 50 for the round-5 framing row; stays locally swept.
+        # repetition_docs rotated likewise — gopher_filter_docs carries
+        # the quality-filter family in-window.)
         "doc_fingerprint": _q_doc_fingerprint,
         "lang_id_consistency_docs": _q_lang_id_consistency_docs,
         "rollup_events": _q_rollup_events,
@@ -3350,8 +3355,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_docs": _q_top_terms_docs,
         "decontaminate_docs": _q_decontaminate_docs,
         "pivot_events": _q_pivot_events,
-        "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
+        # round-5 graduation: the FULL integer-exact Lloyd loop is the
+        # stronger kmeans rep (kmeans_assign = one pass of it; rotated
+        # past 50, stays swept)
+        "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         # ================= driver window ends here (50) =================
+        "kmeans_assign_embeddings": _q_kmeans_assign_embeddings,
+        "ngram_jaccard_pairs_docs": _q_ngram_jaccard_pairs_docs,
         "doc_quality": _q_doc_quality,
         "exact_quantiles_events": _q_exact_quantiles_events,
         "string_agg_events": _q_string_agg_events,
@@ -3360,8 +3370,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_range_2sided_events": _q_time_range_2sided_events,
         "count_min_users": _q_count_min_users,
         "codec_roundtrip_events": _q_codec_roundtrip_events,
-        "syslog_octet_events": _q_syslog_octet_events,
-        "native_json_events": _q_native_json_events,
+        "repetition_docs": _q_repetition_docs,
         "except_events": _q_except_events,  # EXCEPT ALL
         "role_enrich": _q_role_enrich,
         "events_anti_join": _q_events_anti_join,
@@ -3406,7 +3415,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sft_pairs_transcripts": _q_sft_pairs_transcripts,
         "diff_events": _q_diff_events,
         "unpivot_events": _q_unpivot_events,
-        "kmeans_clusters_embeddings": _q_kmeans_clusters_embeddings,
         "sliding_window_events": _q_sliding_window_events,
         "embedding_dedup_pairs": _q_embedding_dedup_pairs,
         "pii_redact_docs": _q_pii_redact_docs,

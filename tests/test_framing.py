@@ -239,3 +239,68 @@ class TestDecodeBytesGelfDump:
         dump = len(dg).to_bytes(4, "big") + dg
         frames, errors = decode_bytes(dump, framing="chunked_gelf")
         assert frames == [] and any("99 incomplete" in e for e in errors)
+
+
+class TestNetflowV5:
+    @staticmethod
+    def _packet(records, sys_up=1000, secs=1_700_000_000):
+        hdr = (5).to_bytes(2, "big") + len(records).to_bytes(2, "big") \
+            + sys_up.to_bytes(4, "big") + secs.to_bytes(4, "big") \
+            + (0).to_bytes(4, "big") + (42).to_bytes(4, "big") \
+            + bytes([1, 2]) + (0).to_bytes(2, "big")
+        body = b""
+        for (src, dst, pkts, octets, sport, dport, prot) in records:
+            body += (src.to_bytes(4, "big") + dst.to_bytes(4, "big")
+                     + (0).to_bytes(4, "big")      # nexthop
+                     + (1).to_bytes(2, "big") + (2).to_bytes(2, "big")
+                     + pkts.to_bytes(4, "big") + octets.to_bytes(4, "big")
+                     + (10).to_bytes(4, "big") + (20).to_bytes(4, "big")
+                     + sport.to_bytes(2, "big") + dport.to_bytes(2, "big")
+                     + bytes([0, 0x18, prot, 0])   # pad, flags, prot, tos
+                     + (65001).to_bytes(2, "big") + (65002).to_bytes(2, "big")
+                     + bytes([24, 16]) + (0).to_bytes(2, "big"))
+        return hdr + body
+
+    def test_decode_two_records(self):
+        from vector_ray.sources.framing import decode_netflow_v5
+
+        pkt = self._packet([
+            (0x0A000001, 0xC0A80102, 7, 512, 443, 55000, 6),
+            (0x08080808, 0x0A000002, 1, 64, 53, 4000, 17),
+        ])
+        recs = decode_netflow_v5(pkt)
+        assert len(recs) == 2
+        r0 = recs[0]
+        assert r0["srcaddr"] == "10.0.0.1" and r0["dstaddr"] == "192.168.1.2"
+        assert r0["d_pkts"] == 7 and r0["d_octets"] == 512
+        assert r0["srcport"] == 443 and r0["dstport"] == 55000
+        assert r0["prot"] == 6 and r0["tcp_flags"] == 0x18
+        assert r0["src_as"] == 65001 and r0["src_mask"] == 24
+        assert r0["version"] == 5 and r0["flow_sequence"] == 42
+        assert r0["engine_type"] == 1 and r0["engine_id"] == 2
+        assert recs[1]["srcaddr"] == "8.8.8.8" and recs[1]["prot"] == 17
+
+    def test_wrong_version_rejected(self):
+        from vector_ray.sources.framing import FramingError, decode_netflow_v5
+
+        pkt = bytearray(self._packet([(1, 2, 1, 1, 1, 1, 6)]))
+        pkt[0:2] = (9).to_bytes(2, "big")
+        with pytest.raises(FramingError, match="version 9"):
+            decode_netflow_v5(bytes(pkt))
+
+    def test_truncated_rejected(self):
+        from vector_ray.sources.framing import FramingError, decode_netflow_v5
+
+        pkt = self._packet([(1, 2, 1, 1, 1, 1, 6)])[:-10]
+        with pytest.raises(FramingError, match="truncated"):
+            decode_netflow_v5(pkt)
+
+    def test_decode_bytes_dump(self):
+        import json
+
+        pkt = self._packet([(0x01020304, 0x05060708, 3, 99, 80, 8080, 6)])
+        dump = len(pkt).to_bytes(4, "big") + pkt
+        frames, errors = decode_bytes(dump, framing="netflow")
+        assert errors == [] and len(frames) == 1
+        rec = json.loads(frames[0])
+        assert rec["srcaddr"] == "1.2.3.4" and rec["d_octets"] == 99

@@ -30,6 +30,7 @@ emitted in order with their frame index for downstream determinism.
 
 from __future__ import annotations
 
+import json as _json
 import zlib as _zlib
 
 import pyarrow as pa
@@ -361,6 +362,81 @@ class ChunkedGelfDecoder:
 
 
 # ---------------------------------------------------------------------------
+# netflow v5 (.../netflow.rs limits itself to delegating the wire
+# format to a parser crate and emitting one event per flow record with
+# the packet header fields merged in; v5 is the fixed-layout classic —
+# 24-byte header + count × 48-byte records, all big-endian.  v9/IPFIX
+# are template-based exporter-state machines and stay out of scope.)
+
+_V5_HEADER = 24
+_V5_RECORD = 48
+
+
+def _ipv4(x: int) -> str:
+    return f"{x >> 24 & 255}.{x >> 16 & 255}.{x >> 8 & 255}.{x & 255}"
+
+
+def decode_netflow_v5(datagram: bytes, *,
+                      max_length: int = 65536) -> list[dict]:
+    """One NetFlow v5 export datagram → one dict per flow record
+    (header fields merged into every record, the reference's event
+    shape).  Raises FramingError on wrong version / overrun / torn
+    records."""
+    if len(datagram) > max_length:
+        raise FramingError("Frame length limit exceeded")
+    if len(datagram) < _V5_HEADER:
+        raise FramingError(
+            f"short NetFlow packet ({len(datagram)} bytes)")
+    version = int.from_bytes(datagram[0:2], "big")
+    if version != 5:
+        raise FramingError(f"Unsupported NetFlow version {version}")
+    count = int.from_bytes(datagram[2:4], "big")
+    need = _V5_HEADER + count * _V5_RECORD
+    if len(datagram) < need:
+        raise FramingError(
+            f"NetFlow v5 packet truncated: header says {count} "
+            f"records ({need} bytes), got {len(datagram)}")
+    hdr = {
+        "version": 5,
+        "count": count,
+        "sys_up_time": int.from_bytes(datagram[4:8], "big"),
+        "unix_secs": int.from_bytes(datagram[8:12], "big"),
+        "unix_nsecs": int.from_bytes(datagram[12:16], "big"),
+        "flow_sequence": int.from_bytes(datagram[16:20], "big"),
+        "engine_type": datagram[20],
+        "engine_id": datagram[21],
+        "sampling_interval": int.from_bytes(datagram[22:24], "big"),
+    }
+    out = []
+    for i in range(count):
+        r = datagram[_V5_HEADER + i * _V5_RECORD:
+                     _V5_HEADER + (i + 1) * _V5_RECORD]
+        rec = dict(hdr)
+        rec.update({
+            "srcaddr": _ipv4(int.from_bytes(r[0:4], "big")),
+            "dstaddr": _ipv4(int.from_bytes(r[4:8], "big")),
+            "nexthop": _ipv4(int.from_bytes(r[8:12], "big")),
+            "input": int.from_bytes(r[12:14], "big"),
+            "output": int.from_bytes(r[14:16], "big"),
+            "d_pkts": int.from_bytes(r[16:20], "big"),
+            "d_octets": int.from_bytes(r[20:24], "big"),
+            "first": int.from_bytes(r[24:28], "big"),
+            "last": int.from_bytes(r[28:32], "big"),
+            "srcport": int.from_bytes(r[32:34], "big"),
+            "dstport": int.from_bytes(r[34:36], "big"),
+            "tcp_flags": r[37],
+            "prot": r[38],
+            "tos": r[39],
+            "src_as": int.from_bytes(r[40:42], "big"),
+            "dst_as": int.from_bytes(r[42:44], "big"),
+            "src_mask": r[44],
+            "dst_mask": r[45],
+        })
+        out.append(rec)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # batch entry points
 
 
@@ -389,6 +465,23 @@ def decode_bytes(data: bytes, *, framing: str, **opts):
         for it in dec.feed(data) + dec.eof():
             (errors if isinstance(it, FramingError) else frames).append(
                 str(it) if isinstance(it, FramingError) else it)
+        return frames, errors
+    if framing == "netflow":
+        # datagram dump (u32-BE length-prefixed), one decode per packet
+        ld = LengthDelimitedDecoder()
+        for it in ld.feed(data) + ld.eof():
+            if isinstance(it, FramingError):
+                errors.append(str(it))
+                continue
+            try:
+                # the reference frames out one JSON document per flow
+                # record (netflow.rs: `type Item = Bytes // json`)
+                frames.extend(
+                    _json.dumps(rec, separators=(",", ":"))
+                    for rec in decode_netflow_v5(
+                        it, max_length=opts.get("max_length", 65536)))
+            except FramingError as e:
+                errors.append(str(e))
         return frames, errors
     if framing == "chunked_gelf":
         ld = LengthDelimitedDecoder()

@@ -57,8 +57,10 @@ class TestDriverWindow:
         assert missing == [], missing
 
     def test_rows_only_count_pinned(self):
+        # round 5 graduated kmeans_clusters (integer-exact Lloyd
+        # replays fully in SQL); the remaining two are threshold
+        # heuristics whose *_exact_* variants are value-oracled
         keys, oracle = _keys(), _oracle_keys()
         rows_only = [q for q in keys if q not in oracle]
-        assert sorted(rows_only) == ["kmeans_clusters_embeddings",
-                                     "minhash_dedup_docs",
+        assert sorted(rows_only) == ["minhash_dedup_docs",
                                      "simhash_pairs_docs"]

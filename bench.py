@@ -120,7 +120,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      # round-4 continuation: sequence analytics +
                      # statistical tests
                      "cusum_events", "coverage_events",
-                     "streaks_events", "ks_events"):
+                     "streaks_events", "ks_events",
+                     # round-5: framing + interop codecs, exact Lloyd
+                     "syslog_octet_events", "native_json_events",
+                     "kmeans_clusters_embeddings"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -304,3 +304,48 @@ class TestNetflowV5:
         assert errors == [] and len(frames) == 1
         rec = json.loads(frames[0])
         assert rec["srcaddr"] == "1.2.3.4" and rec["d_octets"] == 99
+
+
+class TestStrataSnappy:
+    def test_roundtrip(self):
+        import pyarrow as pa
+
+        from vector_ray.sources.framing import decode_strata_snappy
+
+        payload = b"line one\nline two unicode \xc3\xa9\nline three\n" * 20
+        comp = pa.Codec("snappy").compress(payload, asbytes=True)
+        data = b"strata-header v1 source=app\n" + comp
+        out = decode_strata_snappy(data)
+        assert out == b"strata-header v1 source=app\n" + payload
+
+    def test_missing_header_delimiter(self):
+        from vector_ray.sources.framing import (FramingError,
+                                                decode_strata_snappy)
+
+        with pytest.raises(FramingError, match="No header delimiter"):
+            decode_strata_snappy(b"no newline at all")
+
+    def test_empty_payload_yields_none(self):
+        from vector_ray.sources.framing import decode_strata_snappy
+
+        assert decode_strata_snappy(b"header only\n") is None
+
+    def test_max_decompressed_size(self):
+        import pyarrow as pa
+
+        from vector_ray.sources.framing import (FramingError,
+                                                decode_strata_snappy)
+
+        comp = pa.Codec("snappy").compress(b"x" * 4096, asbytes=True)
+        with pytest.raises(FramingError, match="exceeds maximum"):
+            decode_strata_snappy(b"h\n" + comp, max_frame_bytes=1024)
+
+    def test_decode_bytes_entry(self):
+        import pyarrow as pa
+
+        from vector_ray.sources.framing import decode_bytes
+
+        payload = b"a\nb\nc"
+        data = b"hdr\n" + pa.Codec("snappy").compress(payload, asbytes=True)
+        frames, errors = decode_bytes(data, framing="strata_snappy")
+        assert errors == [] and frames == [b"hdr\n" + payload]

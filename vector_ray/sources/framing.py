@@ -362,6 +362,48 @@ class ChunkedGelfDecoder:
 
 
 # ---------------------------------------------------------------------------
+# strata_snappy (.../strata_snappy.rs): a whole-file format — one
+# newline-terminated header line followed by ONE raw (unframed)
+# snappy block.  The frame is header + decompressed payload; all
+# decoding happens at EOF because the block has no internal framing.
+
+
+def decode_strata_snappy(data: bytes, *,
+                         max_frame_bytes: int = 16 * 1024 * 1024,
+                         ) -> bytes | None:
+    """Header line + decompressed payload, or None when the payload
+    is empty (the reference's no-payload-at-EOF case)."""
+    import pyarrow as _pa
+
+    from vector_ray.functions.codecs import _snappy_len
+
+    if len(data) > max_frame_bytes:
+        raise FramingError(
+            f"Decompressed Strata Snappy frame size {len(data)} "
+            f"exceeds maximum allowed size of {max_frame_bytes} bytes")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise FramingError(
+            "No header delimiter (newline) found in Strata log data")
+    comp = data[nl + 1:]
+    if not comp:
+        return None
+    try:
+        n = _snappy_len(comp)
+    except IndexError as e:
+        raise FramingError(f"Strata Snappy decompression failed: {e}")
+    if n > max_frame_bytes:
+        raise FramingError(
+            f"Decompressed Strata Snappy frame size {n} exceeds "
+            f"maximum allowed size of {max_frame_bytes} bytes")
+    try:
+        payload = _pa.Codec("snappy").decompress(comp, n, asbytes=True)
+    except (OSError, _pa.ArrowInvalid, _pa.ArrowIOError) as e:
+        raise FramingError(f"Strata Snappy decompression failed: {e}")
+    return data[:nl + 1] + payload
+
+
+# ---------------------------------------------------------------------------
 # netflow v5 (.../netflow.rs limits itself to delegating the wire
 # format to a parser crate and emitting one event per flow record with
 # the packet header fields merged in; v5 is the fixed-layout classic —
@@ -466,6 +508,16 @@ def decode_bytes(data: bytes, *, framing: str, **opts):
             (errors if isinstance(it, FramingError) else frames).append(
                 str(it) if isinstance(it, FramingError) else it)
         return frames, errors
+    if framing == "strata_snappy":
+        try:
+            f = decode_strata_snappy(
+                data, max_frame_bytes=opts.get(
+                    "max_frame_bytes", 16 * 1024 * 1024))
+            if f is not None:
+                frames.append(f)
+        except FramingError as e:
+            errors.append(str(e))
+        return frames, errors
     if framing == "netflow":
         # datagram dump (u32-BE length-prefixed), one decode per packet
         ld = LengthDelimitedDecoder()
@@ -515,7 +567,8 @@ def read_framed(paths, *, framing: str, include_paths: bool = True,
     ``path`` / ``error`` when requested."""
     if isinstance(paths, str):
         paths = [paths]
-    binary = framing in ("length_delimited", "chunked_gelf")
+    binary = framing in ("length_delimited", "chunked_gelf",
+                         "strata_snappy")
 
     def decode_one(batch: pa.Table) -> pa.Table:
         out = {"path": [], "frame_idx": [], "message": [], "error": []}

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import json
 import os
-import re
 import resource
 import subprocess
 import sys
@@ -97,26 +96,46 @@ def ensure_big_transcripts() -> str:
 # ---------------------------------------------------------------- sampling
 
 class PlasmaSampler(threading.Thread):
-    """Poll ray memory_summary for peak plasma usage + spill."""
+    """Poll /dev/shm (plasma is shm-backed) + the session spill dir.
 
-    def __init__(self, period: float = 3.0):
+    ray's memory_summary API needs grpc, absent in this container, so
+    the object-store footprint is read straight from the filesystem:
+    peak /dev/shm bytes-used delta since start, and the byte size of
+    /tmp/ray/session_latest/ray_spilled_objects* for spill.
+    """
+
+    def __init__(self, period: float = 2.0):
         super().__init__(daemon=True)
         self.period = period
         self.peak_mib = 0.0
         self.spilled_mib = 0.0
+        self._base = self._shm_used()
         self._stop = threading.Event()
 
+    @staticmethod
+    def _shm_used() -> float:
+        st = os.statvfs("/dev/shm")
+        return (st.f_blocks - st.f_bavail) * st.f_frsize / 2**20
+
+    @staticmethod
+    def _spill_mib() -> float:
+        total = 0
+        import glob as _g
+        for d in _g.glob("/tmp/ray/session_latest/ray_spilled_objects*"):
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+        return total / 2**20
+
     def run(self):
-        from ray._private.internal_api import memory_summary
         while not self._stop.is_set():
             try:
-                s = memory_summary(stats_only=True)
-                m = re.search(r"Plasma memory usage (\d+) MiB", s)
-                if m:
-                    self.peak_mib = max(self.peak_mib, float(m.group(1)))
-                m = re.search(r"Spilled (\d+) MiB", s)
-                if m:
-                    self.spilled_mib = max(self.spilled_mib, float(m.group(1)))
+                self.peak_mib = max(self.peak_mib,
+                                    self._shm_used() - self._base)
+                self.spilled_mib = max(self.spilled_mib, self._spill_mib())
             except Exception:
                 pass
             self._stop.wait(self.period)

@@ -1116,6 +1116,127 @@ def _q_native_json_events(sf_dir: str):
     return ds.map_batches(sel, batch_format="pyarrow", batch_size=None)
 
 
+def _q_native_proto_events(sf_dir: str):
+    """Binary ``native`` codec end-to-end (functions/native_proto.py
+    vs lib/codecs/src/decoding/format/native.rs + event.proto): a
+    length-delimited EventArray capture carrying the SAME event
+    content as the native_json fixture is decoded through the pure-
+    Python protobuf wire codec and projected to the typed metric
+    columns — the two formats share one oracle, pinning their
+    interchangeability the way the reference's 1024 paired fixtures
+    do (those pairs are checked in tests/test_native_proto.py)."""
+    import pyarrow as pa
+
+    from vector_ray.data.codec_captures import ensure_native_proto_fixture
+    from vector_ray.functions.native_json import native_metrics_to_table
+    from vector_ray.functions.native_proto import read_native
+
+    paths = ensure_native_proto_fixture(sf_dir)
+    ds = native_metrics_to_table(read_native(paths))
+
+    def sel(t: pa.Table) -> pa.Table:
+        return t.select(["name", "namespace", "kind", "mtype", "value"])
+
+    return ds.map_batches(sel, batch_format="pyarrow", batch_size=None)
+
+
+def _q_json_paths_events(sf_dir: str):
+    """json_paths deserializer end-to-end (functions/json_paths.py vs
+    lib/codecs/src/decoding/format/json_paths.rs): a deterministic
+    NDJSON capture of three-path documents (identity + explode +
+    bytes) decodes to one event per matched value; every projected
+    field is integer-derived from the events parquet so the oracle
+    replays the explode fan-out with a bounded series join."""
+    import ray.data as rd
+
+    import pyarrow as pa
+
+    from vector_ray.data.codec_captures import ensure_json_paths_fixture
+    from vector_ray.functions.json_paths import decode_json_paths
+
+    paths = ensure_json_paths_fixture(sf_dir)
+    ops = {"meta": "identity", "recs": "explode", "tail": "bytes"}
+
+    def decode_one(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in (
+            "expr", "eid", "meta_user", "meta_etype", "rec_seq",
+            "rec_cents", "tail")}
+        for p in batch["item"].to_pylist():
+            with open(p, "rb") as f:
+                data = f.read()
+            for expr, val in decode_json_paths(data, ops):
+                cols["expr"].append(expr)
+                if expr == "meta":
+                    cols["eid"].append(val["eid"])
+                    cols["meta_user"].append(val["user"])
+                    cols["meta_etype"].append(val["etype"])
+                    cols["rec_seq"].append(None)
+                    cols["rec_cents"].append(None)
+                    cols["tail"].append(None)
+                elif expr == "recs":
+                    cols["eid"].append(val["eid"])
+                    cols["meta_user"].append(None)
+                    cols["meta_etype"].append(None)
+                    cols["rec_seq"].append(val["seq"])
+                    cols["rec_cents"].append(val["cents"])
+                    cols["tail"].append(None)
+                else:  # tail (bytes op → string "eid:done")
+                    cols["eid"].append(int(val.split(":", 1)[0]))
+                    cols["meta_user"].append(None)
+                    cols["meta_etype"].append(None)
+                    cols["rec_seq"].append(None)
+                    cols["rec_cents"].append(None)
+                    cols["tail"].append(val)
+        return pa.table({
+            "expr": pa.array(cols["expr"], pa.string()),
+            "eid": pa.array(cols["eid"], pa.int64()),
+            "meta_user": pa.array(cols["meta_user"], pa.int64()),
+            "meta_etype": pa.array(cols["meta_etype"], pa.string()),
+            "rec_seq": pa.array(cols["rec_seq"], pa.int64()),
+            "rec_cents": pa.array(cols["rec_cents"], pa.int64()),
+            "tail": pa.array(cols["tail"], pa.string()),
+        })
+
+    return rd.from_items(list(paths)).map_batches(
+        decode_one, batch_format="pyarrow", batch_size=None)
+
+
+def _q_strata_events(sf_dir: str):
+    """strata format + strata_snappy framing end-to-end
+    (functions/strata.py + sources/framing.decode_strata_snappy vs
+    lib/codecs/src/decoding/format/strata.rs + framing/
+    strata_snappy.rs): snappy-block capture files decompress to a
+    header line + NDJSON log lines; every event carries the shard
+    header, and all fields replay from the events parquet."""
+    import json as _json
+
+    import pyarrow as pa
+
+    from vector_ray.data.codec_captures import ensure_strata_fixture
+    from vector_ray.functions.strata import read_strata
+
+    paths = ensure_strata_fixture(sf_dir, snappy=True)
+    ds = read_strata(paths, framing="strata_snappy")
+
+    def project(t: pa.Table) -> pa.Table:
+        eid, level, cents, bucket = [], [], [], []
+        for p in t["payload"].to_pylist():
+            ev = _json.loads(p)
+            eid.append(ev["eid"])
+            level.append(ev["level"])
+            cents.append(ev["cents"])
+            bucket.append(ev["strata_file_header"]["bucket"])
+        return pa.table({
+            "eid": pa.array(eid, pa.int64()),
+            "level": pa.array(level, pa.string()),
+            "cents": pa.array(cents, pa.int64()),
+            "bucket": pa.array(bucket, pa.string()),
+        })
+
+    return ds.map_batches(project, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def _q_string_agg_events(sf_dir: str):
     """Grouped ORDERED string aggregation (SQL string_agg/listagg)
     via stages/sorted_ops.concat_sorted: per user, the comma-joined
@@ -3370,6 +3491,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_range_2sided_events": _q_time_range_2sided_events,
         "count_min_users": _q_count_min_users,
         "codec_roundtrip_events": _q_codec_roundtrip_events,
+        # round-5 §2.6 closure: the last three reference format
+        # decoders (in-window reps: syslog_octet + native_json)
+        "native_proto_events": _q_native_proto_events,
+        "json_paths_events": _q_json_paths_events,
+        "strata_events": _q_strata_events,
         "repetition_docs": _q_repetition_docs,
         "except_events": _q_except_events,  # EXCEPT ALL
         "role_enrich": _q_role_enrich,
@@ -3489,6 +3615,10 @@ def oracle_sql() -> dict[str, str]:
         "codec_roundtrip_events": oracle.SQL_CODEC_ROUNDTRIP_EVENTS,
         "syslog_octet_events": oracle.SQL_SYSLOG_OCTET_EVENTS,
         "native_json_events": oracle.SQL_NATIVE_JSON_EVENTS,
+        # binary native carries the SAME content — one shared oracle
+        "native_proto_events": oracle.SQL_NATIVE_JSON_EVENTS,
+        "json_paths_events": oracle.SQL_JSON_PATHS_EVENTS,
+        "strata_events": oracle.SQL_STRATA_EVENTS,
         "agg_sum_events": oracle.SQL_AGG_SUM_EVENTS,
         "agg_mean_events": oracle.SQL_AGG_MEAN_EVENTS,
         "agg_count_events": oracle.SQL_AGG_COUNT_EVENTS,

@@ -2434,6 +2434,39 @@ FROM events WHERE event_id % 7 <> 0
 """
 
 
+# json_paths decode (functions/json_paths.py): replay
+# data/codec_captures.json_paths_doc — one 'meta' identity event and
+# one 'tail' bytes event per input row, plus 1 + event_id % 3
+# exploded 'recs' elements (bounded series join, j <= event_id % 3)
+SQL_JSON_PATHS_EVENTS = """
+SELECT 'meta' AS expr, event_id AS eid, user_id AS meta_user,
+       event_type AS meta_etype, CAST(NULL AS BIGINT) AS rec_seq,
+       CAST(NULL AS BIGINT) AS rec_cents, CAST(NULL AS VARCHAR) AS tail
+FROM events
+UNION ALL
+SELECT 'recs', event_id, NULL, NULL, g.j,
+       CAST((user_id * 7 + g.j * 13) % 1000 AS BIGINT), NULL
+FROM events CROSS JOIN (VALUES (0), (1), (2)) AS g(j)
+WHERE g.j <= event_id % 3
+UNION ALL
+SELECT 'tail', event_id, NULL, NULL, NULL, NULL,
+       event_id || ':done'
+FROM events
+"""
+
+
+# strata format + strata_snappy framing (functions/strata.py):
+# replay data/codec_captures.strata_line + strata_header — the shard
+# header rides on every event (SHARDS = 4)
+SQL_STRATA_EVENTS = """
+SELECT event_id AS eid,
+       CASE WHEN event_id % 11 = 0 THEN 'error' ELSE 'info' END AS level,
+       CAST(user_id * 3 + 1 AS BIGINT) AS cents,
+       'b' || CAST(event_id % 4 AS VARCHAR) AS bucket
+FROM events
+"""
+
+
 # chi-square independence (stats.chi2_independence): event_type vs
 # user_id%4 segment; per-cell micro-quantized terms integer-summed
 SQL_CHI2_EVENTS = """

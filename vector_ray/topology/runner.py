@@ -249,6 +249,72 @@ def _build_source(spec: ComponentSpec, variables: dict) -> Dataset:
             include_paths=bool(spec.config.get("include_paths", True)),
             emit_errors=bool(spec.config.get("emit_errors", False)),
             **opts)
+    if spec.type == "native":
+        # binary vector→vector interop: length-delimited EventArray
+        # frames (functions/native_proto.py); same projections as the
+        # native_json source so the two are drop-in interchangeable
+        import glob as _glob
+
+        from vector_ray.functions.native_json import (
+            native_metrics_to_table, native_traces_to_table)
+        from vector_ray.functions.native_proto import read_native
+
+        path = spec.config["path"].format(**variables)
+        paths = sorted(_glob.glob(path)) if any(
+            ch in path for ch in "*?[") else path
+        ds = read_native(paths)
+        proj = spec.config.get("project", "events")
+        if proj == "metrics":
+            return native_metrics_to_table(ds)
+        if proj == "traces":
+            return native_traces_to_table(ds)
+        return ds
+    if spec.type == "strata":
+        # header-enriched NDJSON capture, optionally strata_snappy-
+        # framed (functions/strata.py)
+        import glob as _glob
+
+        from vector_ray.functions.strata import read_strata
+
+        path = spec.config["path"].format(**variables)
+        paths = sorted(_glob.glob(path)) if any(
+            ch in path for ch in "*?[") else path
+        return read_strata(
+            paths, framing=spec.config.get("framing", "bytes"),
+            header_field_name=spec.config.get(
+                "header_field_name", "strata_file_header"),
+            include_paths=bool(spec.config.get("include_paths", False)))
+    if spec.type == "json_paths":
+        # path-routed JSON decode (functions/json_paths.py): one
+        # event per matched value, {"expr", "data"} columns
+        import glob as _glob
+
+        import pyarrow as _pa
+        import ray.data as _rd
+
+        from vector_ray.functions.json_paths import (compile_paths,
+                                                     json_paths_events_table)
+
+        path = spec.config["path"].format(**variables)
+        paths = sorted(_glob.glob(path)) if any(
+            ch in path for ch in "*?[") else [path]
+        ops = compile_paths(spec.config["paths"])
+
+        def _decode(batch: _pa.Table) -> _pa.Table:
+            out = []
+            for p in batch["item"].to_pylist():
+                with open(p, "rb") as f:
+                    t = json_paths_events_table(
+                        _pa.array([f.read()], _pa.binary()), ops)
+                out.append(t.drop_columns(["row_idx"]))
+            if not out:
+                out = [json_paths_events_table(
+                    _pa.array([], _pa.binary()), ops)
+                    .drop_columns(["row_idx"])]
+            return _pa.concat_tables(out)
+
+        return _rd.from_items(list(paths)).map_batches(
+            _decode, batch_format="pyarrow", batch_size=None)
     raise ConfigError(f"unknown source type {spec.type!r}")
 
 

@@ -182,3 +182,15 @@ def test_native_json_log_roundtrip_fuzz(seed):
         line = encode_native_json("log", inner)
         back = parse_native_json(line)
         assert back == [("log", inner)]
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_native_proto_log_roundtrip_fuzz(seed):
+    from vector_ray.functions.native_proto import (encode_native,
+                                                   parse_native)
+    rng = random.Random(0x9607 + seed)
+    events = [("log", {f"f{i}": _rand_value(rng)
+                       for i in range(rng.randint(1, 6))})
+              for _ in range(rng.randint(1, 8))]
+    blob = encode_native(events)
+    assert parse_native(blob) == events

@@ -3232,6 +3232,31 @@ def _q_twa_events(sf_dir: str):
                              value_col="vc")
 
 
+def _q_gapfill_events(sf_dir: str):
+    """Time-bucket gap fill + LOCF (stages/gapfill.py): per-user 6h
+    buckets of summed value cents; every bucket between a user's first
+    and last observation emitted, missing buckets carry the previous
+    bucket's value forward (filled = 1).  One (key, bucket) aggregation
+    exchange + one sort; gap ranges materialize vectorized inside block
+    tasks, block-boundary gaps via an O(#blocks) driver carry chain —
+    integer-exact at any parallelism."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.gapfill import gap_fill
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "ts": t["ts"],
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    ds = _events(sf_dir, columns=["user_id", "ts", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return gap_fill(ds, keys=["user_id"], ts_col="ts", value_col="vc",
+                    every_us=21_600_000_000)
+
+
 def _q_expect_quarantine_events(sf_dir: str):
     """Data-quality expectations (stages/expect.py): rows violating
     any rule route to quarantine with a comma-joined failed-rule tag
@@ -3597,6 +3622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_events": _q_impute_events,
         "segment_overlap_events": _q_segment_overlap_events,
         "pair_support_lineitem": _q_pair_support_lineitem,
+        "gapfill_events": _q_gapfill_events,
     }
 
 
@@ -3768,6 +3794,7 @@ def oracle_sql() -> dict[str, str]:
         "impute_events": oracle.SQL_IMPUTE_EVENTS,
         "segment_overlap_events": oracle.SQL_SEGMENT_OVERLAP_EVENTS,
         "pair_support_lineitem": oracle.SQL_PAIR_SUPPORT_LINEITEM,
+        "gapfill_events": oracle.SQL_GAPFILL_EVENTS,
     }
 
 

@@ -2721,3 +2721,34 @@ FROM d d1 JOIN d d2
  AND d1.l_partkey < d2.l_partkey
 GROUP BY 1, 2 HAVING count(*) >= 2
 """
+
+
+# time-bucket gap fill with LOCF (stages/gapfill.py): 6h buckets of
+# summed value cents per user; every bucket between a user's first and
+# last observation emitted, missing buckets carry the previous value
+# (filled = 1).  Exact integer replay — DuckDB last_value IGNORE NULLS
+# mirrors the engine's LOCF carry.
+SQL_GAPFILL_EVENTS = """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS tu,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events),
+a AS (
+  SELECT user_id, tu // 21600000000 AS b, SUM(vc)::BIGINT AS v
+  FROM e GROUP BY 1, 2),
+bounds AS (SELECT user_id, min(b) AS mn, max(b) AS mx
+           FROM a GROUP BY 1),
+s AS (SELECT user_id, unnest(generate_series(mn, mx)) AS b
+      FROM bounds),
+j AS (SELECT s.user_id, s.b, a.v
+      FROM s LEFT JOIN a USING (user_id, b)),
+f AS (SELECT user_id, b * 21600000000 AS bucket_us,
+        last_value(v IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY b) AS value,
+        CAST(v IS NULL AS BIGINT) AS filled
+      FROM j)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(bucket_us AS BIGINT) AS bucket_us,
+       CAST(value AS BIGINT) AS value, filled
+FROM f
+"""

@@ -900,6 +900,13 @@ def _build_transform(
             ds, keys=c["keys"], ts_col=c["ts_col"],
             value_col=c["value_col"],
             out_col=c.get("out_col", "twa_micro"))}
+    if t == "gap_fill":
+        from vector_ray.stages.gapfill import gap_fill
+
+        return {"": gap_fill(
+            ds, keys=c["keys"], ts_col=c["ts_col"],
+            value_col=c["value_col"], every_us=int(c["every_us"]),
+            agg=c.get("agg", "sum"))}
     if t == "rank_sum_u2":
         import ray.data as _rd
 

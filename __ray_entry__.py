@@ -3232,6 +3232,23 @@ def _q_twa_events(sf_dir: str):
                              value_col="vc")
 
 
+def _q_log_templates(sf_dir: str):
+    """Log template mining (stages/templates.py): variable fragments
+    (timestamps, numbers, msg tails, quoted args) masked to
+    placeholders by an ordered RE2 rule list, constant skeletons
+    counted, deterministic top-50 by (n desc, template).  Stateless
+    vectorized mask, map-side count combine, one exchange, partial
+    top-k cut — nothing inventory-sized on the driver."""
+    import ray.data as rd
+
+    from vector_ray.data.transcripts import ensure_transcripts
+    from vector_ray.stages.templates import log_templates
+
+    ds = rd.read_parquet(ensure_transcripts(sf_dir),
+                         columns=["text"])
+    return log_templates(ds, text_col="text", k=50)
+
+
 def _q_gapfill_events(sf_dir: str):
     """Time-bucket gap fill + LOCF (stages/gapfill.py): per-user 6h
     buckets of summed value cents; every bucket between a user's first
@@ -3623,6 +3640,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_overlap_events": _q_segment_overlap_events,
         "pair_support_lineitem": _q_pair_support_lineitem,
         "gapfill_events": _q_gapfill_events,
+        "log_templates_transcripts": _q_log_templates,
     }
 
 
@@ -3795,6 +3813,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_overlap_events": oracle.SQL_SEGMENT_OVERLAP_EVENTS,
         "pair_support_lineitem": oracle.SQL_PAIR_SUPPORT_LINEITEM,
         "gapfill_events": oracle.SQL_GAPFILL_EVENTS,
+        "log_templates_transcripts": oracle.sql_log_templates(tpath),
     }
 
 

@@ -2752,3 +2752,27 @@ SELECT CAST(user_id AS BIGINT) AS user_id,
        CAST(value AS BIGINT) AS value, filled
 FROM f
 """
+
+
+def sql_log_templates(transcripts_path: str, k: int = 50) -> str:
+    """Template-mining replay: the SAME ordered RE2 rule list the
+    engine applies (stages/templates.DEFAULT_RULES) nested as DuckDB
+    regexp_replace(..., 'g') calls — one dialect (RE2) on both
+    engines, so templates match byte-for-byte; deterministic top-k via
+    the (n DESC, template) total order."""
+    from vector_ray.stages.templates import DEFAULT_RULES
+
+    expr = "text"
+    for pat, rep in DEFAULT_RULES:
+        p = pat.replace("'", "''")
+        r = rep.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{r}', 'g')"
+    return f"""
+WITH m AS (
+  SELECT {expr} AS template
+  FROM read_parquet('{transcripts_path}/*.parquet')),
+c AS (SELECT template, count(*)::BIGINT AS n FROM m GROUP BY 1)
+SELECT template, n FROM c
+ORDER BY n DESC, template
+LIMIT {k}
+"""

@@ -900,6 +900,16 @@ def _build_transform(
             ds, keys=c["keys"], ts_col=c["ts_col"],
             value_col=c["value_col"],
             out_col=c.get("out_col", "twa_micro"))}
+    if t == "log_templates":
+        from vector_ray.stages.templates import (DEFAULT_RULES,
+                                                 log_templates)
+
+        rules = [(r["pattern"], r["replacement"])
+                 for r in c["rules"]] if "rules" in c \
+            else DEFAULT_RULES
+        return {"": log_templates(
+            ds, text_col=c.get("text_col", "text"),
+            k=c.get("k", 50), rules=rules)}
     if t == "gap_fill":
         from vector_ray.stages.gapfill import gap_fill
 

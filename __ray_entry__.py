@@ -3232,6 +3232,48 @@ def _q_twa_events(sf_dir: str):
                              value_col="vc")
 
 
+def _q_scd2_events(sf_dir: str):
+    """SCD2 interval build (stages/scd.py): per-user runs of equal
+    event_type collapse to versioned (value, valid_from, valid_to)
+    rows — ONE full-data sort with composite-run change detection
+    (block-boundary continuations settled by a 1-string-per-block
+    driver chain), then a window lead over the #versions-bounded
+    change set; valid_to null for each user's open version."""
+    from vector_ray.stages.scd import scd2_intervals
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "ts",
+                                  "event_id"])
+    return scd2_intervals(ds, keys=["user_id"], ts_col="ts",
+                          value_col="event_type",
+                          tiebreak=["event_id"])
+
+
+def _q_spearman_events(sf_dir: str):
+    """Spearman rank correlation (stats.spearman_corr): per-type rank
+    correlation of value cents vs event time — two sorted rank passes
+    (unique tie-broken ranks, all-integer) feed the grouped-corr
+    sufficient sums; one IEEE expression + half-away micro round per
+    group, bit-exact vs the SQL row_number replay."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import spearman_corr
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "xv": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64()),
+            "yv": pc.cast(t["ts"], pa.int64()),
+            "event_id": t["event_id"]})
+
+    ds = _events(sf_dir, columns=["event_type", "value", "ts",
+                                  "event_id"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return spearman_corr(ds, keys=["event_type"], x="xv", y="yv",
+                         tiebreak="event_id")
+
+
 def _q_log_templates(sf_dir: str):
     """Log template mining (stages/templates.py): variable fragments
     (timestamps, numbers, msg tails, quoted args) masked to
@@ -3641,6 +3683,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pair_support_lineitem": _q_pair_support_lineitem,
         "gapfill_events": _q_gapfill_events,
         "log_templates_transcripts": _q_log_templates,
+        "spearman_events": _q_spearman_events,
+        "scd2_events": _q_scd2_events,
     }
 
 
@@ -3814,6 +3858,8 @@ def oracle_sql() -> dict[str, str]:
         "pair_support_lineitem": oracle.SQL_PAIR_SUPPORT_LINEITEM,
         "gapfill_events": oracle.SQL_GAPFILL_EVENTS,
         "log_templates_transcripts": oracle.sql_log_templates(tpath),
+        "spearman_events": oracle.SQL_SPEARMAN_EVENTS,
+        "scd2_events": oracle.SQL_SCD2_EVENTS,
     }
 
 

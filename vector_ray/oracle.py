@@ -2776,3 +2776,61 @@ SELECT template, n FROM c
 ORDER BY n DESC, template
 LIMIT {k}
 """
+
+
+# Spearman rank correlation (stats.spearman_corr): per-type rank
+# correlation of value cents vs event time, UNIQUE tie-broken ranks
+# (row_number over (axis, event_id)) so every intermediate is integer
+# and the micro-rounded statistic replays bit-exactly.
+SQL_SPEARMAN_EVENTS = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xv,
+         epoch_us(ts) AS yv, event_id
+  FROM events),
+r AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY xv, event_id) AS rx,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY yv, event_id) AS ry
+  FROM e),
+s AS (SELECT event_type, count(*)::BIGINT AS n,
+             CAST(sum(rx) AS BIGINT) AS sx,
+             CAST(sum(ry) AS BIGINT) AS sy,
+             CAST(sum(rx*rx) AS BIGINT) AS sxx,
+             CAST(sum(ry*ry) AS BIGINT) AS syy,
+             CAST(sum(rx*ry) AS BIGINT) AS sxy
+      FROM r GROUP BY 1)
+SELECT event_type, n,
+       CAST(round(1000000.0 *
+         (CAST(n*sxy - sx*sy AS DOUBLE)
+            / sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+                   * CAST(n*syy - sy*sy AS DOUBLE)))) AS BIGINT)
+         AS spearman_micro
+FROM s
+"""
+
+
+# SCD2 interval build (stages/scd.py): per-user runs of equal
+# event_type collapsed to (value, valid_from, valid_to) versions;
+# valid_to = next version's valid_from (NULL for the open version).
+SQL_SCD2_EVENTS = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts, event_id
+  FROM events),
+w AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS pv
+  FROM e),
+c AS (SELECT user_id, event_type, ts, event_id
+      FROM w WHERE pv IS NULL OR pv <> event_type),
+f AS (SELECT user_id, event_type, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS valid_to
+      FROM c)
+SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
+       CAST(valid_from AS BIGINT) AS valid_from,
+       CAST(valid_to AS BIGINT) AS valid_to
+FROM f
+"""

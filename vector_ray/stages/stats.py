@@ -848,3 +848,67 @@ def impute_group_median(
 
     return mat.map_batches(fill, batch_format="pyarrow",
                            batch_size=None)
+
+
+def spearman_corr(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    x: str,
+    y: str,
+    tiebreak: str,
+) -> Dataset:
+    """Per-``keys`` Spearman rank correlation between ``x`` and ``y``.
+
+    Ranks are UNIQUE 1-based positions under the total orders
+    (x, tiebreak) and (y, tiebreak) — deterministic tie-breaking on
+    both axes rather than fractional average ranks, so every
+    intermediate stays integer and the whole statistic replays
+    bit-exactly in SQL as ``row_number()`` windows (the fractional-
+    average-rank variant differs only in the presence of ties and
+    needs half-integer arithmetic for no extra fidelity here).
+
+    Two sorted rank passes (sorted_ops.add_group_rank — each is one
+    sort + an O(#blocks) driver chain) feed the integer sufficient
+    sums of grouped_corr; output is (keys, n, spearman_micro) with
+    spearman_micro = r × 1e6 half-away rounded, null when either
+    rank variance is zero (degenerate single-row groups)."""
+    from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
+
+    keys = list(keys)
+    RX = "__sp_rx"
+    RY = "__sp_ry"
+
+    def keep1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or RANK_COL not in t.column_names:
+            return t
+        r = pc.add(pc.cast(t[RANK_COL], pa.int64()), 1)
+        return t.drop_columns([RANK_COL]).append_column(RX, r)
+
+    r1 = add_group_rank(ds, keys, [x, tiebreak]).map_batches(
+        keep1, batch_format="pyarrow", batch_size=None)
+
+    def keep2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or RANK_COL not in t.column_names:
+            return t
+        r = pc.add(pc.cast(t[RANK_COL], pa.int64()), 1)
+        return t.drop_columns([RANK_COL]).append_column(RY, r)
+
+    r2 = add_group_rank(r1, keys, [y, tiebreak]).map_batches(
+        keep2, batch_format="pyarrow", batch_size=None)
+
+    corr = grouped_corr(r2, keys=keys, x=RX, y=RY)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "corr_micro" not in t.column_names:
+            return pa.table({**{k: pa.array([], pa.string())
+                                for k in keys},
+                             "n": pa.array([], pa.int64()),
+                             "spearman_micro": pa.array([],
+                                                        pa.int64())})
+        return pa.table({**{k: t[k] for k in keys},
+                         "n": t["n"],
+                         "spearman_micro": t["corr_micro"]})
+
+    return corr.map_batches(finish, batch_format="pyarrow",
+                            batch_size=None)

@@ -900,6 +900,19 @@ def _build_transform(
             ds, keys=c["keys"], ts_col=c["ts_col"],
             value_col=c["value_col"],
             out_col=c.get("out_col", "twa_micro"))}
+    if t == "scd2":
+        from vector_ray.stages.scd import scd2_intervals
+
+        return {"": scd2_intervals(
+            ds, keys=c["keys"], ts_col=c["ts_col"],
+            value_col=c["value_col"],
+            tiebreak=c.get("tiebreak", ()))}
+    if t == "spearman_corr":
+        from vector_ray.stages.stats import spearman_corr
+
+        return {"": spearman_corr(
+            ds, keys=c["keys"], x=c["x"], y=c["y"],
+            tiebreak=c["tiebreak"])}
     if t == "log_templates":
         from vector_ray.stages.templates import (DEFAULT_RULES,
                                                  log_templates)

@@ -3232,6 +3232,44 @@ def _q_twa_events(sf_dir: str):
                              value_col="vc")
 
 
+def _q_rolling_median_events(sf_dir: str):
+    """Rolling 7-row median (stages/rolling.py): the despiking filter
+    SQL writes as median() OVER (... ROWS 6 PRECEDING) — one sort,
+    full-depth windows via sliding_window_view C kernels, run-head
+    shallow windows batched across runs per depth, block-boundary
+    context via an O(#blocks · W) driver tail chain.  Median DOUBLED
+    (2x) so even-window midpoints stay integer — bit-exact replay."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.rolling import rolling_stat
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"], "event_id": t["event_id"],
+            "tu": pc.cast(t["ts"], pa.int64()),
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts",
+                                  "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    out = rolling_stat(ds, keys=["user_id"],
+                       order_by=["tu", "event_id"], value_col="vc",
+                       window=7, stat="median")
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "roll_median2" not in t.column_names:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_id": pa.array([], pa.int64()),
+                "roll_median2": pa.array([], pa.int64())})
+        return t.select(["user_id", "event_id", "roll_median2"])
+
+    return out.map_batches(project, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def _q_scd2_events(sf_dir: str):
     """SCD2 interval build (stages/scd.py): per-user runs of equal
     event_type collapse to versioned (value, valid_from, valid_to)
@@ -3685,6 +3723,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "log_templates_transcripts": _q_log_templates,
         "spearman_events": _q_spearman_events,
         "scd2_events": _q_scd2_events,
+        "rolling_median_events": _q_rolling_median_events,
     }
 
 
@@ -3860,6 +3899,7 @@ def oracle_sql() -> dict[str, str]:
         "log_templates_transcripts": oracle.sql_log_templates(tpath),
         "spearman_events": oracle.SQL_SPEARMAN_EVENTS,
         "scd2_events": oracle.SQL_SCD2_EVENTS,
+        "rolling_median_events": oracle.SQL_ROLLING_MEDIAN_EVENTS,
     }
 
 

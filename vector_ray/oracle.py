@@ -2834,3 +2834,20 @@ SELECT CAST(user_id AS BIGINT) AS user_id, event_type,
        CAST(valid_to AS BIGINT) AS valid_to
 FROM f
 """
+
+
+# rolling ROWS-frame median (stages/rolling.py): 7-row sliding median
+# of value cents per user; DOUBLED (2x) so even-window midpoints stay
+# integer on both engines.
+SQL_ROLLING_MEDIAN_EVENTS = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tu,
+         CAST(round(value * 100) AS BIGINT) AS vc
+  FROM events)
+SELECT user_id, event_id,
+       CAST(round(2 * median(vc) OVER (
+         PARTITION BY user_id ORDER BY tu, event_id
+         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS BIGINT)
+         AS roll_median2
+FROM e
+"""

@@ -900,6 +900,13 @@ def _build_transform(
             ds, keys=c["keys"], ts_col=c["ts_col"],
             value_col=c["value_col"],
             out_col=c.get("out_col", "twa_micro"))}
+    if t == "rolling_stat":
+        from vector_ray.stages.rolling import rolling_stat
+
+        return {"": rolling_stat(
+            ds, keys=c["keys"], order_by=c["order_by"],
+            value_col=c["value_col"], window=int(c["window"]),
+            stat=c.get("stat", "median"))}
     if t == "scd2":
         from vector_ray.stages.scd import scd2_intervals
 

@@ -3567,8 +3567,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_events": _q_mad_events,
         "events_semi_join": _q_events_semi_join,
         # (events_anti_join: semi rep covers the family, moved past 50)
-        "top2_per_type": _q_top2_per_type,
-        "orders_mktsegment_join": _q_orders_mktsegment_join,
+        # (top2_per_type / orders_mktsegment_join: rank-per-group and
+        # Dataset-join families keep window reps via throttle/semi/
+        # asof/interval — rotated past 50 for the round-5 ops)
+        "rolling_median_events": _q_rolling_median_events,
+        "log_templates_transcripts": _q_log_templates,
         "asof_join_events": _q_asof_join_events,
         "interval_join_events": _q_interval_join_events,
         "window_fns_events": _q_window_fns_events,
@@ -3621,6 +3624,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition_docs,
         "except_events": _q_except_events,  # EXCEPT ALL
         "role_enrich": _q_role_enrich,
+        "top2_per_type": _q_top2_per_type,
+        "orders_mktsegment_join": _q_orders_mktsegment_join,
         "events_anti_join": _q_events_anti_join,
         # aggregate keeps summary + diff in-window; latest shares their
         # two-phase partial machinery and stays locally oracle-swept
@@ -3720,10 +3725,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_overlap_events": _q_segment_overlap_events,
         "pair_support_lineitem": _q_pair_support_lineitem,
         "gapfill_events": _q_gapfill_events,
-        "log_templates_transcripts": _q_log_templates,
         "spearman_events": _q_spearman_events,
         "scd2_events": _q_scd2_events,
-        "rolling_median_events": _q_rolling_median_events,
     }
 
 

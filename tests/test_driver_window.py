@@ -40,6 +40,13 @@ class TestDriverWindow:
         assert "zorder_events" in first50         # storage-layout rep
         assert "mode_per_user" not in first50     # rotated past 50
         assert "dd_filter_events" not in first50  # rotated past 50
+        # round-5 session-2 rotations: new rolling-order-stat and
+        # log-template families in; rank-per-group and Dataset-join
+        # keep reps via throttle/semi/asof/interval
+        assert "rolling_median_events" in first50
+        assert "log_templates_transcripts" in first50
+        assert "top2_per_type" not in first50
+        assert "orders_mktsegment_join" not in first50
         # core per-component reps that must never rotate out
         for q in ("parse_extract", "enrich_lookup", "route_rows_all",
                   "dedupe_events", "reduce_events", "throttle_events",

@@ -123,7 +123,12 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      "streaks_events", "ks_events",
                      # round-5: framing + interop codecs, exact Lloyd
                      "syslog_octet_events", "native_json_events",
-                     "kmeans_clusters_embeddings"):
+                     "kmeans_clusters_embeddings",
+                     # round-5 session 2: timeseries + warehouse +
+                     # robust-window + template mining
+                     "gapfill_events", "log_templates_transcripts",
+                     "spearman_events", "scd2_events",
+                     "rolling_median_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

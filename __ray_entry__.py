@@ -3232,6 +3232,28 @@ def _q_twa_events(sf_dir: str):
                              value_col="vc")
 
 
+def _q_benford_events(sf_dir: str):
+    """Benford first-digit deviation (stats.benford_deviation): per
+    event_type digit counts of |value cents| + scaled max deviation
+    from micro-quantized Benford constants — pure integer arithmetic
+    (no runtime transcendental on either engine), 9-column mask
+    partials through one exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import benford_deviation
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "vc": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                          pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return benford_deviation(ds, keys=["event_type"], value_col="vc")
+
+
 def _q_rolling_median_events(sf_dir: str):
     """Rolling 7-row median (stages/rolling.py): the despiking filter
     SQL writes as median() OVER (... ROWS 6 PRECEDING) — one sort,
@@ -3727,6 +3749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gapfill_events": _q_gapfill_events,
         "spearman_events": _q_spearman_events,
         "scd2_events": _q_scd2_events,
+        "benford_events": _q_benford_events,
     }
 
 
@@ -3903,6 +3926,7 @@ def oracle_sql() -> dict[str, str]:
         "spearman_events": oracle.SQL_SPEARMAN_EVENTS,
         "scd2_events": oracle.SQL_SCD2_EVENTS,
         "rolling_median_events": oracle.SQL_ROLLING_MEDIAN_EVENTS,
+        "benford_events": oracle.SQL_BENFORD_EVENTS,
     }
 
 

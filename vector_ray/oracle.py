@@ -2851,3 +2851,45 @@ SELECT user_id, event_id,
          AS roll_median2
 FROM e
 """
+
+
+# Benford first-digit deviation (stats.benford_deviation): per-type
+# digit counts of |value cents| plus the scaled max deviation from the
+# SAME micro-quantized Benford constants — pure integer arithmetic on
+# both engines.
+SQL_BENFORD_EVENTS = """
+WITH e AS (
+  SELECT event_type,
+         abs(CAST(round(value * 100) AS BIGINT)) AS v
+  FROM events),
+d AS (
+  SELECT event_type,
+         CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS fd
+  FROM e WHERE v > 0),
+c AS (
+  SELECT event_type,
+         sum(CASE WHEN fd = 1 THEN 1 ELSE 0 END)::BIGINT AS o1,
+         sum(CASE WHEN fd = 2 THEN 1 ELSE 0 END)::BIGINT AS o2,
+         sum(CASE WHEN fd = 3 THEN 1 ELSE 0 END)::BIGINT AS o3,
+         sum(CASE WHEN fd = 4 THEN 1 ELSE 0 END)::BIGINT AS o4,
+         sum(CASE WHEN fd = 5 THEN 1 ELSE 0 END)::BIGINT AS o5,
+         sum(CASE WHEN fd = 6 THEN 1 ELSE 0 END)::BIGINT AS o6,
+         sum(CASE WHEN fd = 7 THEN 1 ELSE 0 END)::BIGINT AS o7,
+         sum(CASE WHEN fd = 8 THEN 1 ELSE 0 END)::BIGINT AS o8,
+         sum(CASE WHEN fd = 9 THEN 1 ELSE 0 END)::BIGINT AS o9
+  FROM d GROUP BY 1)
+SELECT event_type, o1, o2, o3, o4, o5, o6, o7, o8, o9,
+       (o1+o2+o3+o4+o5+o6+o7+o8+o9)::BIGINT AS n,
+       greatest(
+         abs(1000000*o1 - (o1+o2+o3+o4+o5+o6+o7+o8+o9)*301030),
+         abs(1000000*o2 - (o1+o2+o3+o4+o5+o6+o7+o8+o9)*176091),
+         abs(1000000*o3 - (o1+o2+o3+o4+o5+o6+o7+o8+o9)*124939),
+         abs(1000000*o4 - (o1+o2+o3+o4+o5+o6+o7+o8+o9)*96910),
+         abs(1000000*o5 - (o1+o2+o3+o4+o5+o6+o7+o8+o9)*79181),
+         abs(1000000*o6 - (o1+o2+o3+o4+o5+o6+o7+o8+o9)*66947),
+         abs(1000000*o7 - (o1+o2+o3+o4+o5+o6+o7+o8+o9)*57992),
+         abs(1000000*o8 - (o1+o2+o3+o4+o5+o6+o7+o8+o9)*51153),
+         abs(1000000*o9 - (o1+o2+o3+o4+o5+o6+o7+o8+o9)*45757)
+       )::BIGINT AS benford_dev_num
+FROM c
+"""

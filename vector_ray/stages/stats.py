@@ -912,3 +912,79 @@ def spearman_corr(
 
     return corr.map_batches(finish, batch_format="pyarrow",
                             batch_size=None)
+
+
+# Benford expected first-digit probabilities, micro-quantized ONCE as
+# integer constants (round(1e6 * log10(1 + 1/d))) so neither engine
+# evaluates a transcendental at runtime — the whole statistic is
+# integer arithmetic.
+BENFORD_MICRO = (301030, 176091, 124939, 96910, 79181,
+                 66947, 57992, 51153, 45757)
+
+
+def benford_deviation(
+    ds: Dataset,
+    *,
+    keys: Sequence[str],
+    value_col: str,
+) -> Dataset:
+    """Per-``keys`` first-significant-digit distribution vs Benford's
+    law — the fraud/data-quality screen.
+
+    Output: keys + o1..o9 (int64 digit counts over rows with
+    |value| > 0) + n (their sum) + ``benford_dev_num`` =
+    max_d |1e6·o_d − n·p_d_micro| — the scaled max absolute deviation
+    (divide by n·1e6 for the usual statistic).  First digits come from
+    the decimal string of |value| (no float log10 edge cases at powers
+    of ten); everything is exact integer arithmetic, bit-identical at
+    any parallelism and in SQL.
+
+    One exchange: per block each key contributes a 9-column count
+    partial (mask sums), the groupby-sum collapses them, the deviation
+    is a vectorized finish."""
+    keys = list(keys)
+    OC = [f"o{d}" for d in range(1, 10)]
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.abs_checked(pc.cast(t[value_col], pa.int64()))
+        first = pc.utf8_slice_codeunits(
+            pc.cast(v, pa.string()), 0, 1)
+        nz = pc.greater(v, 0).to_numpy(zero_copy_only=False)
+        f = first.to_numpy(zero_copy_only=False)
+        cols = {k: t[k] for k in keys}
+        for d in range(1, 10):
+            cols[f"o{d}"] = pa.array(
+                ((f == str(d)) & nz).astype(np.int64))
+        g = (pa.table(cols).group_by(keys)
+             .aggregate([(c, "sum") for c in OC]))
+        return g.rename_columns(keys + OC)
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+    agg = parts.groupby(keys).sum(OC)
+
+    def finish(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sum(o1)" not in t.column_names:
+            return pa.table({
+                **{k: pa.array([], pa.string()) for k in keys},
+                **{c: pa.array([], pa.int64()) for c in OC},
+                "n": pa.array([], pa.int64()),
+                "benford_dev_num": pa.array([], pa.int64())})
+        o = np.stack([t[f"sum(o{d})"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64) for d in range(1, 10)],
+                     axis=1)
+        n = o.sum(axis=1)
+        p = np.array(BENFORD_MICRO, np.int64)
+        dev = np.abs(1_000_000 * o - n[:, None] * p[None, :]) \
+            .max(axis=1)
+        out = {k: t[k] for k in keys}
+        for i, c in enumerate(OC):
+            out[c] = pa.array(o[:, i])
+        out["n"] = pa.array(n)
+        out["benford_dev_num"] = pa.array(dev)
+        # a key whose every value is zero has no first digit at all —
+        # SQL's v > 0 filter drops it entirely; mirror that
+        return pa.table(out).filter(pa.array(n > 0))
+
+    return agg.map_batches(finish, batch_format="pyarrow",
+                           batch_size=None)

@@ -900,6 +900,11 @@ def _build_transform(
             ds, keys=c["keys"], ts_col=c["ts_col"],
             value_col=c["value_col"],
             out_col=c.get("out_col", "twa_micro"))}
+    if t == "benford_deviation":
+        from vector_ray.stages.stats import benford_deviation
+
+        return {"": benford_deviation(
+            ds, keys=c["keys"], value_col=c["value_col"])}
     if t == "rolling_stat":
         from vector_ray.stages.rolling import rolling_stat
 

@@ -226,9 +226,30 @@ def interval_join(
             # expansion bytes, so a blow-up still takes the partition
             # path)
             expanded = expanded.materialize()
-        joined = hash_partition_join(
-            tagged, expanded, on=[_CHUNK] + by, how="inner",
-            right_suffix=suffix)
+            joined = hash_partition_join(
+                tagged, expanded, on=[_CHUNK] + by, how="inner",
+                right_suffix=suffix)
+        else:
+            # tagged/expanded are LAZY maps, so the engine's auto
+            # partition count can't read their bytes and would fall
+            # back to the CPU floor — a fixed P that melts down at
+            # scale (measured: 240M-turn run, P=16, ~11 GB per merge
+            # task, RAM-saturated for >1h; BASELINE.md round-5).  The
+            # pre-tag inputs ARE materialized: size P from them, with
+            # a 2x headroom factor for the join output + acero state.
+            from vector_ray.stages.hash_join import _TARGET_PART_BYTES
+
+            total = 0
+            for d in (points, intervals):
+                try:
+                    total += int(d.size_bytes() or 0)
+                except Exception:
+                    pass
+            P = max(_join_partitions(cap=64),
+                    -(-(2 * total) // _TARGET_PART_BYTES))
+            joined = hash_partition_join(
+                tagged, expanded, on=[_CHUNK] + by, how="inner",
+                right_suffix=suffix, num_partitions=P)
     else:
         joined = tagged.join(expanded, "inner", parts,
                              on=tuple([_CHUNK] + by), right_suffix=suffix)

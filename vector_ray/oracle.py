@@ -2482,7 +2482,7 @@ grid AS (SELECT rt.a, ct.b, rt.r, ct.c, COALESCE(cells.o, 0) AS o
 SELECT CAST(sum(CAST(round(1000000.0 *
          (((CAST(o AS HUGEINT)*n - CAST(r AS HUGEINT)*c)
            * (CAST(o AS HUGEINT)*n - CAST(r AS HUGEINT)*c))
-          / (1.0*n*r*c))) AS BIGINT))
+          / CAST(CAST(n AS HUGEINT)*r*c AS DOUBLE))) AS BIGINT))
        AS BIGINT) AS chi2_micro,
        CAST((SELECT count(*) FROM rt) - 1 AS BIGINT)
          * CAST((SELECT count(*) FROM ct) - 1 AS BIGINT) AS dof,

@@ -3536,6 +3536,35 @@ def _q_pair_support_lineitem(sf_dir: str):
                                item_col="l_partkey", min_support=2)
 
 
+def _q_seq_match_events(sf_dir: str):
+    """Sequence pattern match (paths.sequence_match): per-user ordered
+    event-type sequence as a symbol string (one sort exchange moving
+    1 byte/event, arrow run collapse), RE2 non-overlapping counts of
+    click→{view|error}*→purchase — MATCH_RECOGNIZE-lite; DuckDB
+    replays via string_agg ORDER BY + regexp_extract_all (same RE2)."""
+    from vector_ray.stages.paths import sequence_match
+
+    ds = _events(sf_dir, columns=["user_id", "event_id", "ts",
+                                  "event_type"])
+    return sequence_match(
+        ds, key="user_id", order_by=["ts", "event_id"],
+        state_col="event_type", pattern="c[ve]*p",
+        alphabet={"signup": "s", "view": "v", "click": "c",
+                  "purchase": "p", "error": "e"})
+
+
+def _q_split_docs(sf_dir: str):
+    """Deterministic train/val/test assignment (mixing.assign_splits):
+    id-hash bucket vs cumulative integer boundaries — reproducible,
+    resumable, stable under re-partitioning; md5 replay is bit-exact
+    in SQL.  Zero exchange."""
+    from vector_ray.ml.mixing import assign_splits
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source"])
+    return assign_splits(ds, splits=(("train", 90), ("val", 5),
+                                     ("test", 5)))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # ORDER MATTERS: the driver oracle-checks only the FIRST 50 entries,
     # so the first 50 carry exactly one strongest oracle-checked query
@@ -3750,6 +3779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_events": _q_spearman_events,
         "scd2_events": _q_scd2_events,
         "benford_events": _q_benford_events,
+        "seq_match_events": _q_seq_match_events,
+        "split_docs": _q_split_docs,
     }
 
 
@@ -3927,6 +3958,8 @@ def oracle_sql() -> dict[str, str]:
         "scd2_events": oracle.SQL_SCD2_EVENTS,
         "rolling_median_events": oracle.SQL_ROLLING_MEDIAN_EVENTS,
         "benford_events": oracle.SQL_BENFORD_EVENTS,
+        "seq_match_events": oracle.SQL_SEQ_MATCH_EVENTS,
+        "split_docs": oracle.SQL_SPLIT_DOCS,
     }
 
 

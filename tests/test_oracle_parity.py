@@ -35,6 +35,7 @@ def _oracle_sqls():
                 tpath, oracle.ensure_enrichment_csvs()["role_enrichment"]),
             "sft_pairs_transcripts": oracle.sql_sft_pairs(tpath),
             "conv_dedup_transcripts": oracle.sql_conv_dedup(tpath),
+            "log_templates_transcripts": oracle.sql_log_templates(tpath),
         }
     )
     return sqls

@@ -1290,3 +1290,52 @@ def test_quality_pipeline_yaml(tmp_path):
     assert sc["clean_out"] + sc["quarantine_out"] == n
     assert sc["quarantine_out"] == 0        # clean fixture passes
     assert sc["profile_out"] == 15          # 3 columns x 5 metrics
+
+
+def test_seq_match_split_yaml_types(tmp_path):
+    """sequence_match / assign_splits as YAML components."""
+    import duckdb
+
+    from vector_ray.topology import Topology, run_topology
+
+    sf = "/root/testdata/sf0.001"
+    topo = Topology.from_yaml(f"""
+sources:
+  events:
+    type: parquet
+    path: {sf}/events.parquet
+    columns: [event_id, ts, user_id, event_type]
+  docs:
+    type: parquet
+    path: {sf}/documents.parquet
+    columns: [doc_id, source]
+transforms:
+  seq:
+    type: sequence_match
+    inputs: [events]
+    key: user_id
+    order_by: [ts, event_id]
+    state_col: event_type
+    pattern: "c[ve]*p"
+    alphabet: {{signup: s, view: v, click: c, purchase: p, error: e}}
+  split:
+    type: assign_splits
+    inputs: [docs]
+    splits: [{{name: train, part: 8}}, {{name: val, part: 1}},
+             {{name: test, part: 1}}]
+sinks:
+  seq_out: {{type: parquet, inputs: [seq], path: "{tmp_path}/a"}}
+  split_out: {{type: parquet, inputs: [split], path: "{tmp_path}/b"}}
+""")
+    res = run_topology(topo)
+    sc = res.sink_counts
+    n_users = duckdb.sql(
+        f"SELECT count(DISTINCT user_id) FROM "
+        f"'{sf}/events.parquet'").fetchone()[0]
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM '{sf}/documents.parquet'").fetchone()[0]
+    assert sc["seq_out"] == n_users
+    assert sc["split_out"] == n_docs
+    out = duckdb.sql(
+        f"SELECT DISTINCT split FROM '{tmp_path}/b/*.parquet'").df()
+    assert set(out["split"]) <= {"train", "val", "test"}

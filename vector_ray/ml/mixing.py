@@ -25,6 +25,8 @@ splitmix64 kernel (production path; md5 is the oracle-parity path).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -219,3 +221,47 @@ def cap_per_group(
 
     return ranked.map_batches(keep, batch_format="pyarrow",
                               batch_size=None)
+
+
+def assign_splits(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    splits: Sequence[tuple[str, int]] = (("train", 98), ("val", 1),
+                                         ("test", 1)),
+    denom: int = 1_000_000,
+    hash: str = "md5",
+    out_col: str = "split",
+) -> Dataset:
+    """Deterministic train/val/test assignment — the dataset-freeze
+    step every training corpus needs.  Row → split by its id-hash
+    bucket against cumulative integer boundaries ``floor(denom *
+    cum_part / W)``: membership is a pure function of the id, so the
+    split is reproducible, resumable, stable under re-partitioning,
+    and new rows never move existing ones between splits.  All
+    integers (the md5 replay is bit-for-bit in SQL); pure streaming,
+    zero exchange, no count pass."""
+    parts = [(str(s), int(p)) for s, p in splits]
+    if not parts or any(p <= 0 for _, p in parts):
+        raise ValueError("splits must be (name, positive_part) pairs")
+    W = sum(p for _, p in parts)
+    cum, bounds = 0, []
+    for _, p in parts:
+        cum += p
+        bounds.append((denom * cum) // W)
+    bounds[-1] = denom          # last split catches every bucket
+    barr = np.array(bounds, np.int64)
+    labels = pa.array([s for s, _ in parts], pa.string())
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.string()))
+        ids = pc.cast(t[id_col], pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        h = _id_hash(ids, hash, t.num_rows) % denom
+        idx = np.searchsorted(barr, h, side="right")
+        return t.append_column(out_col, labels.take(pa.array(idx)))
+
+    return ds.map_batches(tag, batch_format="pyarrow",
+                          batch_size=None)

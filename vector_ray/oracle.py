@@ -2893,3 +2893,38 @@ SELECT event_type, o1, o2, o3, o4, o5, o6, o7, o8, o9,
        )::BIGINT AS benford_dev_num
 FROM c
 """
+
+
+# sequence pattern match (paths.sequence_match): per-user ordered
+# event-type symbol string + RE2 non-overlapping match counts — DuckDB
+# string_agg ORDER BY + regexp_extract_all run the same RE2 engine.
+SQL_SEQ_MATCH_EVENTS = """
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v'
+              WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+              WHEN 'error' THEN 'e' ELSE '_' END AS sym
+  FROM events),
+q AS (SELECT user_id, string_agg(sym, '' ORDER BY ts, event_id) AS seq
+      FROM s GROUP BY user_id)
+SELECT user_id,
+       CAST(len(regexp_extract_all(seq, 'c[ve]*p')) AS BIGINT)
+         AS n_matches,
+       CAST(CASE WHEN len(regexp_extract_all(seq, 'c[ve]*p')) > 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS matched
+FROM q
+"""
+
+
+# train/val/test assignment (mixing.assign_splits): md5 id-hash bucket
+# vs cumulative integer boundaries floor(denom*cum_part/W), replayed
+# bit-for-bit — 90/5/5 over documents.
+SQL_SPLIT_DOCS = """
+SELECT doc_id, source,
+  CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+            % 1000000 < 900000 THEN 'train'
+       WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+            % 1000000 < 950000 THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+"""

@@ -149,3 +149,69 @@ def max_streak(
     return drop_empty_blocks(
         tagged.groupby("__part").map_groups(solve,
                                             batch_format="pyarrow"))
+
+
+def sequence_match(
+    ds: Dataset,
+    *,
+    key: str,
+    order_by: Sequence[str],
+    state_col: str,
+    pattern: str,
+    alphabet: dict[str, str],
+    other: str = "_",
+) -> Dataset:
+    """MATCH_RECOGNIZE-lite: regex pattern detection over each key's
+    ORDERED state sequence (e.g. ``c[ve]*p`` = "click, then any views/
+    errors, then purchase" per user) — the funnel-with-wildcards shape
+    SQL needs MATCH_RECOGNIZE for (the reference has no ordering
+    surface at all; SURVEY §2.9 gained family).
+
+    Each state maps to ONE symbol char via ``alphabet`` (unmapped →
+    ``other``), states collapse to one string per key through
+    ``concat_sorted`` (one sort exchange moving 1 byte/event, per-block
+    arrow run collapse, O(blocks) driver boundary chain), then RE2
+    counts non-overlapping matches per key.  DuckDB replays verbatim:
+    ``string_agg(sym, '' ORDER BY ...)`` + ``regexp_extract_all`` run
+    the SAME RE2 engine, so counts are bit-identical.
+
+    Output: ``(key, n_matches, matched)`` — one row per key.
+    """
+    from vector_ray.stages.sorted_ops import concat_sorted
+
+    states = pa.array(list(alphabet.keys()), pa.string())
+    syms = pa.array(list(alphabet.values()), pa.string())
+    for s in alphabet.values():
+        if len(s) != 1:
+            raise ValueError("alphabet symbols must be single chars")
+
+    def to_sym(t: pa.Table) -> pa.Table:
+        cols = {key: t[key]}
+        for c in order_by:
+            cols[c] = t[c]
+        if t.num_rows == 0:
+            cols["sym"] = pa.array([], pa.string())
+            return pa.table(cols)
+        idx = pc.index_in(pc.cast(t[state_col], pa.string()),
+                          value_set=states)
+        cols["sym"] = pc.fill_null(syms.take(idx), other)
+        return pa.table(cols)
+
+    tagged = ds.map_batches(to_sym, batch_format="pyarrow",
+                            batch_size=None)
+    seqs = concat_sorted(tagged, group_by=[key], value_col="sym",
+                         order_by=list(order_by), sep="")
+
+    def match(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sym" not in t.column_names:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64()),
+                             "matched": pa.array([], pa.int64())})
+        n = pc.cast(pc.count_substring_regex(t["sym"], pattern=pattern),
+                    pa.int64())
+        return pa.table({key: t[key], "n_matches": n,
+                         "matched": pc.cast(pc.greater(n, 0),
+                                            pa.int64())})
+
+    return seqs.map_batches(match, batch_format="pyarrow",
+                            batch_size=None)

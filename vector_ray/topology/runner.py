@@ -905,6 +905,23 @@ def _build_transform(
 
         return {"": benford_deviation(
             ds, keys=c["keys"], value_col=c["value_col"])}
+    if t == "sequence_match":
+        from vector_ray.stages.paths import sequence_match
+
+        return {"": sequence_match(
+            ds, key=c["key"], order_by=c["order_by"],
+            state_col=c["state_col"], pattern=c["pattern"],
+            alphabet=c["alphabet"], other=c.get("other", "_"))}
+    if t == "assign_splits":
+        from vector_ray.ml.mixing import assign_splits
+
+        return {"": assign_splits(
+            ds, id_col=c.get("id_col", "doc_id"),
+            splits=[(s["name"], int(s["part"]))
+                    for s in c["splits"]],
+            denom=int(c.get("denom", 1_000_000)),
+            hash=c.get("hash", "md5"),
+            out_col=c.get("out_col", "split"))}
     if t == "rolling_stat":
         from vector_ray.stages.rolling import rolling_stat
 

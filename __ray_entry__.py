@@ -3536,6 +3536,28 @@ def _q_pair_support_lineitem(sf_dir: str):
                                item_col="l_partkey", min_support=2)
 
 
+def _q_winsorize_events(sf_dir: str):
+    """Grouped winsorization (stats.winsorize_group): clip value cents
+    into the per-type [p05, p95] quantile_disc band — one exact-
+    quantile pass for driver-sized bounds, broadcast once via ray.put,
+    one streaming integer clip; replays as least(greatest(v,lo),hi)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import winsorize_group
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return winsorize_group(ds, key="event_type", value_col="cents")
+
+
 def _q_seq_match_events(sf_dir: str):
     """Sequence pattern match (paths.sequence_match): per-user ordered
     event-type sequence as a symbol string (one sort exchange moving
@@ -3779,6 +3801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_events": _q_spearman_events,
         "scd2_events": _q_scd2_events,
         "benford_events": _q_benford_events,
+        "winsorize_events": _q_winsorize_events,
         "seq_match_events": _q_seq_match_events,
         "split_docs": _q_split_docs,
     }
@@ -3958,6 +3981,7 @@ def oracle_sql() -> dict[str, str]:
         "scd2_events": oracle.SQL_SCD2_EVENTS,
         "rolling_median_events": oracle.SQL_ROLLING_MEDIAN_EVENTS,
         "benford_events": oracle.SQL_BENFORD_EVENTS,
+        "winsorize_events": oracle.SQL_WINSORIZE_EVENTS,
         "seq_match_events": oracle.SQL_SEQ_MATCH_EVENTS,
         "split_docs": oracle.SQL_SPLIT_DOCS,
     }

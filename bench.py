@@ -128,7 +128,10 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      # robust-window + template mining
                      "gapfill_events", "log_templates_transcripts",
                      "spearman_events", "scd2_events",
-                     "rolling_median_events"):
+                     "rolling_median_events",
+                     # round-5 session 3: sequence regex + split freeze
+                     "seq_match_events", "split_docs",
+                     "winsorize_events"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -2928,3 +2928,22 @@ SELECT doc_id, source,
        ELSE 'test' END AS split
 FROM documents
 """
+
+
+# grouped winsorization (stats.winsorize_group): clip into the
+# per-type [p05, p95] quantile_disc band — all integer, the clip is
+# least(greatest(v, lo), hi) verbatim.
+SQL_WINSORIZE_EVENTS = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+b AS (
+  SELECT event_type,
+         quantile_disc(cents, 0.05) AS lo,
+         quantile_disc(cents, 0.95) AS hi
+  FROM e GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.cents,
+       least(greatest(e.cents, b.lo), b.hi) AS winsorized
+FROM e JOIN b USING (event_type)
+"""

@@ -311,6 +311,68 @@ def grouped_trimmed_mean(
     })
 
 
+def winsorize_group(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    lo_q: tuple[int, int] = (1, 20),
+    hi_q: tuple[int, int] = (19, 20),
+    out_col: str = "winsorized",
+) -> Dataset:
+    """Per-row winsorization: CLIP ``value_col`` into the group's
+    [lo_q, hi_q] discrete-quantile band (quantile_disc semantics) —
+    the keep-every-row sibling of ``grouped_trimmed_mean`` (which
+    drops outliers) and the standard robust-feature prep before
+    training.  All integers end to end, so the clip replays verbatim
+    as SQL ``least(greatest(v, lo), hi)``.
+
+    One grouped_quantiles pass for the driver-sized per-group bounds,
+    bounds broadcast as (sorted keys, lo, hi) arrays via ``ray.put`` +
+    ``pc.index_in`` (never re-shipped per batch), then ONE streaming
+    clip pass — zero extra exchange.  Rows of groups absent from the
+    bounds (possible only under upstream filtering races) pass
+    through unclipped."""
+    import ray
+
+    from vector_ray.stages.quantile_exact import grouped_quantiles
+
+    mat = ds.materialize()
+    b = grouped_quantiles(mat, keys=[key], value_col=value_col,
+                          qs={"lo": lo_q, "hi": hi_q})
+    if len(b) == 0:
+        def passthrough(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                out_col, pc.cast(t[value_col], pa.int64()))
+
+        return mat.map_batches(passthrough, batch_format="pyarrow",
+                               batch_size=None)
+    sch = mat.schema()
+    key_type = dict(zip(sch.names, sch.types))[key]
+    ref = ray.put((pa.array(b[key].tolist(), key_type),
+                   b["lo"].to_numpy().astype(np.int64),
+                   b["hi"].to_numpy().astype(np.int64)))
+
+    def clip(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        kk, lo, hi = ray.get(ref)
+        idx_arr = pc.index_in(t[key], value_set=kk)
+        if isinstance(idx_arr, pa.ChunkedArray):
+            idx_arr = idx_arr.combine_chunks()
+        known = pc.is_valid(idx_arr).to_numpy(zero_copy_only=False)
+        idx = pc.fill_null(idx_arr, 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        x = pc.cast(t[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        clipped = np.minimum(np.maximum(x, lo[idx]), hi[idx])
+        out = np.where(known, clipped, x)
+        return t.append_column(out_col, pa.array(out))
+
+    return mat.map_batches(clip, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def grouped_bitops(
     ds: Dataset,
     *,

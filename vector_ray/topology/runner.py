@@ -905,6 +905,14 @@ def _build_transform(
 
         return {"": benford_deviation(
             ds, keys=c["keys"], value_col=c["value_col"])}
+    if t == "winsorize":
+        from vector_ray.stages.stats import winsorize_group
+
+        return {"": winsorize_group(
+            ds, key=c["key"], value_col=c["value_col"],
+            lo_q=tuple(c.get("lo_q", (1, 20))),
+            hi_q=tuple(c.get("hi_q", (19, 20))),
+            out_col=c.get("out_col", "winsorized"))}
     if t == "sequence_match":
         from vector_ray.stages.paths import sequence_match
 

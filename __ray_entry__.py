@@ -3536,6 +3536,33 @@ def _q_pair_support_lineitem(sf_dir: str):
                                item_col="l_partkey", min_support=2)
 
 
+def _q_wmedian_events(sf_dir: str):
+    """Grouped weighted median (stats.grouped_weighted_median): the
+    smallest cents value whose running weight reaches half the type's
+    total — driver-tiny weight totals, ONE sorted exchange for the
+    segmented running weight sum, per-block first-cross min partials
+    driver-combined; all integer, windowed-cumsum SQL replay."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import grouped_weighted_median
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64()),
+            "w": pa.array(t["event_id"].to_numpy() % 9 + 1,
+                          pa.int64()),
+            "event_id": t["event_id"]})
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return grouped_weighted_median(
+        ds, key="event_type", value_col="cents", weight_col="w",
+        tiebreak="event_id")
+
+
 def _q_winsorize_events(sf_dir: str):
     """Grouped winsorization (stats.winsorize_group): clip value cents
     into the per-type [p05, p95] quantile_disc band — one exact-
@@ -3802,6 +3829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scd2_events": _q_scd2_events,
         "benford_events": _q_benford_events,
         "winsorize_events": _q_winsorize_events,
+        "wmedian_events": _q_wmedian_events,
         "seq_match_events": _q_seq_match_events,
         "split_docs": _q_split_docs,
     }
@@ -3982,6 +4010,7 @@ def oracle_sql() -> dict[str, str]:
         "rolling_median_events": oracle.SQL_ROLLING_MEDIAN_EVENTS,
         "benford_events": oracle.SQL_BENFORD_EVENTS,
         "winsorize_events": oracle.SQL_WINSORIZE_EVENTS,
+        "wmedian_events": oracle.SQL_WMEDIAN_EVENTS,
         "seq_match_events": oracle.SQL_SEQ_MATCH_EVENTS,
         "split_docs": oracle.SQL_SPLIT_DOCS,
     }

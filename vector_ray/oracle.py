@@ -2947,3 +2947,26 @@ SELECT e.event_id, e.event_type, e.cents,
        least(greatest(e.cents, b.lo), b.hi) AS winsorized
 FROM e JOIN b USING (event_type)
 """
+
+
+# grouped weighted median (stats.grouped_weighted_median): smallest
+# value whose running weight reaches half the group total — windowed
+# integer cumsum + row_number replay; weight = event_id % 9 + 1.
+SQL_WMEDIAN_EVENTS = """
+WITH e AS (
+  SELECT event_type AS k,
+         CAST(round(value * 100) AS BIGINT) AS v,
+         event_id % 9 + 1 AS w, event_id AS id
+  FROM events),
+r AS (
+  SELECT k, v, id,
+         sum(w) OVER (PARTITION BY k ORDER BY v, id
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         sum(w) OVER (PARTITION BY k) AS tw
+  FROM e),
+f AS (SELECT k, v, row_number() OVER (PARTITION BY k
+                                      ORDER BY v, id) AS rn
+      FROM r WHERE 2 * cw >= tw)
+SELECT k AS event_type, CAST(v AS BIGINT) AS wmedian
+FROM f WHERE rn = 1
+"""

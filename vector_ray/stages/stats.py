@@ -373,6 +373,94 @@ def winsorize_group(
                            batch_size=None)
 
 
+def grouped_weighted_median(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    weight_col: str,
+    tiebreak: str,
+    out_col: str = "wmedian",
+) -> pa.Table:
+    """Weighted lower median per group: the smallest value whose
+    running weight reaches half the group's total (``2·cumw ≥ totw``
+    over rows ordered by ``(value, tiebreak)``) — the
+    sample-weighted percentile every weighted-corpus statistic needs.
+    Integer weights keep every comparison exact and SQL-replayable
+    (windowed cumsum + row_number replay).
+
+    Plan: per-block weight-total partials combine ON THE DRIVER
+    (#groups-sized, tiny-aggregate convention); ``window_functions``
+    provides the segmented running weight sum in its ONE sorted pass
+    (O(blocks) driver carry chain); totals broadcast once via
+    ``ray.put``; candidate rows (first to cross half) reduce through
+    per-block min partials on the driver.  One exchange total."""
+    import ray
+
+    from vector_ray.stages.window_fns import window_functions
+
+    mat = ds.materialize()
+
+    @ray.remote
+    def wsum(t: pa.Table):
+        if t.num_rows == 0 or key not in t.column_names:
+            return {}
+        g = pa.table({"k": pc.cast(t[key], pa.string()),
+                      "w": pc.cast(t[weight_col], pa.int64())}) \
+            .group_by(["k"]).aggregate([("w", "sum")])
+        return dict(zip(g["k"].to_pylist(), g["w_sum"].to_pylist()))
+
+    totals: dict = {}
+    for d in ray.get([wsum.remote(r) for r in mat.to_arrow_refs()]):
+        for k, w in d.items():
+            totals[k] = totals.get(k, 0) + w
+    if not totals:
+        return pa.table({key: pa.array([], pa.string()),
+                         out_col: pa.array([], pa.int64())})
+    tk = sorted(totals)
+    ref = ray.put((pa.array(tk, pa.string()),
+                   np.array([totals[k] for k in tk], np.int64)))
+
+    ann = window_functions(mat, keys=[key],
+                           order_by=[value_col, tiebreak],
+                           value_col=weight_col)
+
+    @ray.remote
+    def first_cross(t: pa.Table):
+        if t.num_rows == 0 or "cum_value" not in t.column_names:
+            return {}
+        kk, tw = ray.get(ref)
+        idx = pc.index_in(pc.cast(t[key], pa.string()),
+                          value_set=kk).to_numpy(zero_copy_only=False)
+        cum = t["cum_value"].to_numpy(zero_copy_only=False)
+        v = pc.cast(t[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tb = pc.cast(t[tiebreak], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        m = 2 * cum >= tw[idx.astype(np.int64)]
+        if not m.any():
+            return {}
+        ki, vi, ti = idx[m], v[m], tb[m]
+        order = np.lexsort((ti, vi, ki))
+        ki, vi, ti = ki[order], vi[order], ti[order]
+        head = np.ones(len(ki), dtype=bool)
+        head[1:] = ki[1:] != ki[:-1]
+        return {int(k): (int(a), int(b)) for k, a, b
+                in zip(ki[head], vi[head], ti[head])}
+
+    best: dict = {}
+    for d in ray.get([first_cross.remote(r)
+                      for r in ann.materialize().to_arrow_refs()]):
+        for i, vt in d.items():
+            if i not in best or vt < best[i]:
+                best[i] = vt
+    return pa.table({key: pa.array([tk[i] for i in sorted(best)],
+                                   pa.string()),
+                     out_col: pa.array([best[i][0]
+                                        for i in sorted(best)],
+                                       pa.int64())})
+
+
 def grouped_bitops(
     ds: Dataset,
     *,

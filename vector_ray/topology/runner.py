@@ -905,6 +905,15 @@ def _build_transform(
 
         return {"": benford_deviation(
             ds, keys=c["keys"], value_col=c["value_col"])}
+    if t == "weighted_median":
+        import ray.data as _rd
+
+        from vector_ray.stages.stats import grouped_weighted_median
+
+        return {"": _rd.from_arrow(grouped_weighted_median(
+            ds, key=c["key"], value_col=c["value_col"],
+            weight_col=c["weight_col"], tiebreak=c["tiebreak"],
+            out_col=c.get("out_col", "wmedian")))}
     if t == "winsorize":
         from vector_ray.stages.stats import winsorize_group
 

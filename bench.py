@@ -131,7 +131,8 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      "rolling_median_events",
                      # round-5 session 3: sequence regex + split freeze
                      "seq_match_events", "split_docs",
-                     "winsorize_events", "wmedian_events"):
+                     "winsorize_events", "wmedian_events",
+                     "inverted_index_docs"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

@@ -177,7 +177,18 @@ def _schema_of(ds: Dataset) -> pa.Schema | None:
     return pa.schema([(n, _pa_type(t)) for n, t in zip(s.names, s.types)])
 
 
-_TARGET_PART_BYTES = 256 << 20
+# Partition target for the merge stage.  Sized against the MERGE
+# TASK'S HEAP, not the wire: instrumented at the 72M-turn interval
+# join (VECTOR_RAY_JOIN_DEBUG, BASELINE.md round-5), a 165 MB
+# partition drives ~1.8 GB of task RSS — ~11x amplification from the
+# two side-split filter copies, acero's row-table encoding of both
+# sides, and the materialized join output.  64 MB partitions keep a
+# full 32-task merge wave under ~25 GB of worker heap beside the
+# object store; the previous 256 MB target RAM-saturated the box at
+# 240M turns (watchdog-killed at 144M).  Partition counts only grow
+# once inputs pass ~1 GB (the CPU floor dominates below), so
+# small-scale plans are unchanged.
+_TARGET_PART_BYTES = 64 << 20
 _BROADCAST_BYTES = 32 << 20
 
 
@@ -505,6 +516,14 @@ def hash_partition_join(
     extra = [_SALT] if salted else []
 
     def merge(t: pa.Table) -> pa.Table:
+        import os as _os
+        if _os.environ.get("VECTOR_RAY_JOIN_DEBUG"):
+            import resource as _res
+            with open("/tmp/join_debug.log", "a") as _f:
+                _f.write(f"pid={_os.getpid()} rows={t.num_rows} "
+                         f"bytes={t.nbytes} parts="
+                         f"{len(pc.unique(t[_PART]))} rss_mib="
+                         f"{_res.getrusage(_res.RUSAGE_SELF).ru_maxrss // 1024}\n")
         side = t[_SIDE].to_numpy(zero_copy_only=False)
         lmask = side == 0
         ltab = t.filter(pa.array(lmask)).select(lnames + extra)

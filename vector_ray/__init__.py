@@ -20,3 +20,19 @@ Architecture (idiomatic Ray Data, NOT a port):
 """
 
 __version__ = "0.1.0"
+
+# Return freed Arrow buffers to the OS immediately.  pyarrow's
+# jemalloc pool keeps a 1 s dirty-page decay by default; Ray reuses
+# worker processes across MANY string-heavy block tasks, and the
+# retained pages accumulate per worker (measured: a 240M-turn
+# conv_dedup run at 8 CPUs — 4x more tasks per worker than at 32 —
+# grew one worker to ~19 GB anon RSS and drew the kernel OOM killer;
+# BASELINE.md round-5).  Importing any vector_ray module inside a
+# worker (every UDF does) applies this process-wide; the allocation-
+# churn cost is noise next to block-task compute.
+try:  # pragma: no cover - absent on non-jemalloc builds
+    import pyarrow as _pa
+
+    _pa.jemalloc_set_decay_ms(0)
+except Exception:
+    pass

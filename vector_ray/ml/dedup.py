@@ -63,7 +63,24 @@ def content_hash128(ds: Dataset, *, text_col: str = "text",
     from vector_ray.ml.hashing import hash_utf8_128
 
     def h(t: pa.Table) -> pa.Table:
-        h1, h2 = hash_utf8_128(t[text_col])
+        # hash in bounded row slices: the UCS-4 polynomial kernel's
+        # transient is ~8-16x the utf8 bytes it scans, so one call
+        # over a multi-GB block (sort fan-in at low CPU counts makes
+        # them) would balloon the task heap — slices cap it at the
+        # slice's string bytes (BASELINE.md round-5 OOM postmortem)
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        step = 1 << 20
+        if t.num_rows <= step:
+            h1, h2 = hash_utf8_128(col)
+        else:
+            p1, p2 = [], []
+            for off in range(0, t.num_rows, step):
+                a, b = hash_utf8_128(col.slice(off, step))
+                p1.append(a)
+                p2.append(b)
+            h1, h2 = np.concatenate(p1), np.concatenate(p2)
         t = t.append_column(out_cols[0], pa.array(h1, pa.uint64()))
         return t.append_column(out_cols[1], pa.array(h2, pa.uint64()))
 
@@ -72,14 +89,22 @@ def content_hash128(ds: Dataset, *, text_col: str = "text",
 
 def exact_dedup_docs(ds: Dataset, *, text_col: str = "text",
                      id_col: str = "doc_id",
-                     hash: str = "fast") -> Dataset:
+                     hash: str = "fast",
+                     id_only: bool = False) -> Dataset:
     """Exact dedup: one survivor (min id) per distinct text content.
 
     Hash-partition on the content hash (the groupby shuffle key is the
     digest, not the full document — only the hash + id move in the
     shuffle reduce).  ``hash="fast"`` (default) keys on the vectorized
     128-bit kernel; ``hash="md5"`` keeps the per-row md5 for digest
-    parity with SQL oracles."""
+    parity with SQL oracles.
+
+    ``id_only=True`` drops EVERY payload column (incl. the text) right
+    after hashing, so the rank sort moves (hash, id) rows only — the
+    caller that wants surviving ids (conversation dedup) must not ship
+    text through the exchange (measured: carrying the ~600 B/conv
+    digest strings through the 240M-turn sort at 8 CPUs drew the
+    kernel OOM killer; BASELINE.md round-5)."""
     from vector_ray.stages.sorted_ops import RANK_COL, add_group_rank
 
     if hash == "md5":
@@ -88,6 +113,8 @@ def exact_dedup_docs(ds: Dataset, *, text_col: str = "text",
     else:
         hashed = content_hash128(ds, text_col=text_col)
         keys = ["text_h1", "text_h2"]
+    if id_only:
+        hashed = hashed.select_columns([id_col] + keys)
     ranked = add_group_rank(hashed, keys, [id_col])
 
     def keep_first(t: pa.Table) -> pa.Table:
@@ -1098,5 +1125,6 @@ def conv_exact_dedup(
     survivors = exact_dedup_docs(
         reduced.select_columns([conv_col, "turn_repr"]),
         text_col="turn_repr", id_col=conv_col,
-        hash="fast" if turn_digest == "fast" else "md5")
+        hash="fast" if turn_digest == "fast" else "md5",
+        id_only=True)
     return survivors.select_columns([conv_col])

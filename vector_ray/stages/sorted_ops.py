@@ -611,6 +611,35 @@ def concat_sorted(
 
     keep = [interior_refs[i] for i, f in enumerate(firsts)
             if f is not None]
+    # Low CPU counts make the sort fan-in to FEW, HUGE blocks (8 ×
+    # ~1 GB at 240M turns / 8 CPUs), and a collapsed-run block of long
+    # concat strings then feeds one downstream task a multi-GB input —
+    # the hash kernel's transient on top of it drew the kernel OOM
+    # killer (BASELINE.md round-5).  Split oversized interiors into
+    # ≤128 MB slices (plasma refs, never gathered); skipped entirely
+    # when the sorted blocks are already reasonably sized.
+    _MAX_INTERIOR = 128 << 20
+    try:
+        avg_block = (sorted_ds.size_bytes() or 0) / max(
+            1, sorted_ds.num_blocks())
+    except Exception:
+        avg_block = 0
+    if keep and avg_block > 2 * _MAX_INTERIOR:
+
+        @ray.remote(num_returns="dynamic")
+        def _split_big(t: pa.Table):
+            if t.nbytes <= _MAX_INTERIOR or t.num_rows <= 1:
+                yield t
+                return
+            k = -(-t.nbytes // _MAX_INTERIOR)
+            step = max(1, -(-t.num_rows // k))
+            for off in range(0, t.num_rows, step):
+                yield t.slice(off, step)
+
+        split = []
+        for r in keep:
+            split.extend(list(ray.get(_split_big.remote(r))))
+        keep = split
     parts = []
     if keep:
         parts.append(rd.from_arrow_refs(keep))

@@ -3536,6 +3536,66 @@ def _q_pair_support_lineitem(sf_dir: str):
                                item_col="l_partkey", min_support=2)
 
 
+def _q_share_events(sf_dir: str):
+    """ratio_to_report (stats.grouped_share): each event's share of
+    its type's total cents, micro-quantized via the fixed
+    round(1e6·(v/tot)) expression — driver-tiny totals broadcast once,
+    ONE streaming annotate pass, zero exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.stages.stats import grouped_share
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "event_type": t["event_type"],
+            "cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                             pa.int64())})
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return grouped_share(ds, key="event_type", value_col="cents")
+
+
+def _q_fuzzy_pairs_docs(sf_dir: str):
+    """Edit-distance-1 pair join (ml/fuzzy.fuzzy_pairs): deletion-
+    neighborhood (SymSpell) blocking — arrow-sliced variant gen, one
+    hash exchange on the variant hash, bounded per-bucket all-pairs,
+    exact O(len) verify; short synthetic codes carry the typo-dup
+    shape; DuckDB replays as a levenshtein() self-join."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from vector_ray.ml.fuzzy import fuzzy_pairs
+
+    def prep(t: pa.Table) -> pa.Table:
+        import numpy as np
+        d = t["doc_id"]
+        dv = (d.combine_chunks() if isinstance(d, pa.ChunkedArray)
+              else d).to_numpy()
+        code = np.char.add(np.char.add(np.char.add(
+            "w", (dv % 50).astype("U2")), "x"), (dv % 7).astype("U1"))
+        return pa.table({"doc_id": t["doc_id"], "code": pa.array(code)})
+
+    ds = _docs(sf_dir).select_columns(["doc_id"]) \
+        .map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return fuzzy_pairs(ds, id_col="doc_id", text_col="code")
+
+
+def _q_inverted_index_docs(sf_dir: str):
+    """Inverted index (vocab.inverted_index): per token the 16
+    smallest doc ids as a comma posting string + kept count + TRUE
+    document frequency — capped postings bound stop-word strings, df
+    stays exact via the map-side-combined vocabulary exchange; df
+    joins postings through the hash-partition engine (no vocabulary
+    broadcast)."""
+    from vector_ray.ml.vocab import inverted_index
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return inverted_index(ds, max_postings=16)
+
+
 def _q_wmedian_events(sf_dir: str):
     """Grouped weighted median (stats.grouped_weighted_median): the
     smallest cents value whose running weight reaches half the type's
@@ -3640,7 +3700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_transcripts": _q_sample_transcripts,
         # --- windows / sessions (§2.8) ---
         "session_stats_events": _q_session_stats_events,
-        "distinct_users_events": _q_distinct_users_events,
+        "seq_match_events": _q_seq_match_events,
         # --- conditions, parsers, codecs (§2.2, §2.6, §2.7) ---
         "lm_score_docs": _q_lm_score_docs,
         "vrl_conditional_events": _q_vrl_conditional_events,
@@ -3665,7 +3725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # quantile_exact rep — two passes + broadcast — so the family
         # rep rotated; exact_quantiles stays locally swept past 50)
         "mad_events": _q_mad_events,
-        "events_semi_join": _q_events_semi_join,
+        "split_docs": _q_split_docs,
         # (events_anti_join: semi rep covers the family, moved past 50)
         # (top2_per_type / orders_mktsegment_join: rank-per-group and
         # Dataset-join families keep window reps via throttle/semi/
@@ -3830,8 +3890,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benford_events": _q_benford_events,
         "winsorize_events": _q_winsorize_events,
         "wmedian_events": _q_wmedian_events,
-        "seq_match_events": _q_seq_match_events,
-        "split_docs": _q_split_docs,
+        "inverted_index_docs": _q_inverted_index_docs,
+        "share_events": _q_share_events,
+        "fuzzy_pairs_docs": _q_fuzzy_pairs_docs,
+        "distinct_users_events": _q_distinct_users_events,
+        "events_semi_join": _q_events_semi_join,
     }
 
 
@@ -4011,6 +4074,9 @@ def oracle_sql() -> dict[str, str]:
         "benford_events": oracle.SQL_BENFORD_EVENTS,
         "winsorize_events": oracle.SQL_WINSORIZE_EVENTS,
         "wmedian_events": oracle.SQL_WMEDIAN_EVENTS,
+        "inverted_index_docs": oracle.SQL_INVERTED_INDEX_DOCS,
+        "share_events": oracle.SQL_SHARE_EVENTS,
+        "fuzzy_pairs_docs": oracle.SQL_FUZZY_PAIRS_DOCS,
         "seq_match_events": oracle.SQL_SEQ_MATCH_EVENTS,
         "split_docs": oracle.SQL_SPLIT_DOCS,
     }

@@ -132,7 +132,8 @@ def _run_benchmarks(sf_dir: str, num_cpus: int) -> dict:
                      # round-5 session 3: sequence regex + split freeze
                      "seq_match_events", "split_docs",
                      "winsorize_events", "wmedian_events",
-                     "inverted_index_docs"):
+                     "inverted_index_docs", "share_events",
+                     "fuzzy_pairs_docs"):
             t0 = time.perf_counter()
             res = entry_mod.queries()[name](sf_dir)
             if hasattr(res, "count"):

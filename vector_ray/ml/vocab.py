@@ -222,3 +222,62 @@ def tf_idf(
 
     return with_df.map_batches(score, batch_format="pyarrow",
                                batch_size=None)
+
+
+def inverted_index(
+    ds: Dataset,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = " ",
+    max_postings: int = 32,
+) -> Dataset:
+    """Posting lists: ``(token, postings, n_kept, df)`` — per token
+    the comma-joined ascending list of the ``max_postings`` SMALLEST
+    doc ids containing it, plus the kept count and the TRUE document
+    frequency over all docs.  The capped-postings + full-df split is
+    the scale point: stop-word posting strings stay bounded while df
+    stays exact (an uncapped index would ship #docs-sized strings for
+    every frequent token).
+
+    Plan: distinct (doc, token) pairs per block (docs never straddle
+    rows), df via the map-side-combined vocabulary exchange
+    (``doc_freq``), postings via segmented rank over (token, doc) +
+    rank cap + ``concat_sorted`` run collapse, then tokenized df joins
+    through the hash-partition engine — no vocabulary broadcast, the
+    proven tf⋈df shape."""
+    from vector_ray.stages.blocks import drop_empty_blocks
+    from vector_ray.stages.hash_join import hash_partition_join
+    from vector_ray.stages.sorted_ops import (RANK_COL, add_group_rank,
+                                              concat_sorted)
+
+    tf = doc_term_freq(ds, text_col, id_col,
+                       pattern=pattern).materialize()
+    df = doc_freq(tf)
+    ranked = add_group_rank(tf, ["token"], [id_col])
+
+    def cap(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or RANK_COL not in t.column_names:
+            return pa.table({"token": pa.array([], pa.string()),
+                             id_col: pa.array([], pa.int64()),
+                             "doc_str": pa.array([], pa.string())})
+        t = t.filter(pc.less(t[RANK_COL], max_postings))
+        return pa.table({
+            "token": t["token"], id_col: t[id_col],
+            "doc_str": pc.cast(t[id_col], pa.string())})
+
+    capped = ranked.map_batches(cap, batch_format="pyarrow",
+                                batch_size=None)
+    postings = concat_sorted(capped, group_by=["token"],
+                             value_col="doc_str", order_by=[id_col],
+                             sep=",", count_field="n_kept")
+
+    def tidy(t: pa.Table) -> pa.Table:
+        return pa.table({"token": t["token"],
+                         "postings": t["doc_str"],
+                         "n_kept": t["n_kept"]})
+
+    postings = postings.map_batches(tidy, batch_format="pyarrow",
+                                    batch_size=None)
+    return drop_empty_blocks(
+        hash_partition_join(postings, df, on=["token"], how="inner"))

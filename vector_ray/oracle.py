@@ -2970,3 +2970,58 @@ f AS (SELECT k, v, row_number() OVER (PARTITION BY k
 SELECT k AS event_type, CAST(v AS BIGINT) AS wmedian
 FROM f WHERE rn = 1
 """
+
+
+# inverted index (vocab.inverted_index): capped ascending posting
+# lists + exact df; tokenization = string_split on ' ' with empties
+# dropped (the vocab convention).
+SQL_INVERTED_INDEX_DOCS = """
+WITH pairs AS (
+  SELECT DISTINCT doc_id, token FROM
+    (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+     FROM documents)
+  WHERE token <> ''),
+dfreq AS (SELECT token, count(*)::BIGINT AS df FROM pairs
+          GROUP BY token),
+r AS (SELECT token, doc_id,
+             row_number() OVER (PARTITION BY token
+                                ORDER BY doc_id) AS rn
+      FROM pairs),
+p AS (SELECT token,
+             string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id)
+               AS postings,
+             count(*)::BIGINT AS n_kept
+      FROM r WHERE rn <= 16 GROUP BY token)
+SELECT p.token, p.postings, p.n_kept, dfreq.df
+FROM p JOIN dfreq USING (token)
+"""
+
+
+# ratio_to_report (stats.grouped_share): share of the group total,
+# micro-quantized via the fixed round(1e6·(v/tot)) expression — one
+# exact-integer-operand division + one multiply + half-away round.
+SQL_SHARE_EVENTS = """
+WITH e AS (
+  SELECT event_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id, event_type, cents,
+       CAST(round(1000000.0 * (CAST(cents AS DOUBLE) /
+            CAST(sum(cents) OVER (PARTITION BY event_type) AS DOUBLE)))
+         AS BIGINT) AS share_micro
+FROM e
+"""
+
+
+# edit-distance-1 pair join (ml/fuzzy.fuzzy_pairs): short synthetic
+# codes w{id%50}x{id%7}; DuckDB replays as a levenshtein self-join.
+SQL_FUZZY_PAIRS_DOCS = """
+WITH c AS (
+  SELECT doc_id,
+         'w' || (doc_id % 50) || 'x' || (doc_id % 7) AS s
+  FROM documents)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+FROM c a JOIN c b
+  ON a.doc_id < b.doc_id AND levenshtein(a.s, b.s) <= 1
+"""

@@ -373,6 +373,63 @@ def winsorize_group(
                            batch_size=None)
 
 
+def grouped_share(
+    ds: Dataset,
+    *,
+    key: str,
+    value_col: str,
+    out_col: str = "share_micro",
+) -> Dataset:
+    """SQL ``ratio_to_report``: each row's share of its group's total,
+    micro-quantized via the fixed 2-IEEE-op expression
+    ``round(1e6 · (v / tot))`` (one exact-integer-operand division +
+    one multiply + half-away round — bit-identical at any parallelism
+    and in SQL).  Group totals are #groups-sized: per-block partials
+    combine ON THE DRIVER (tiny-aggregate convention), broadcast once
+    via ``ray.put``, ONE streaming annotate pass — zero exchange.
+    Zero-total groups emit null."""
+    import ray
+
+    mat = ds.materialize()
+
+    @ray.remote
+    def vsum(t: pa.Table):
+        if t.num_rows == 0 or key not in t.column_names:
+            return {}
+        g = pa.table({"k": pc.cast(t[key], pa.string()),
+                      "v": pc.cast(t[value_col], pa.int64())}) \
+            .group_by(["k"]).aggregate([("v", "sum")])
+        return dict(zip(g["k"].to_pylist(), g["v_sum"].to_pylist()))
+
+    totals: dict = {}
+    for d in ray.get([vsum.remote(r) for r in mat.to_arrow_refs()]):
+        for k, v in d.items():
+            totals[k] = totals.get(k, 0) + v
+    tk = sorted(totals)
+    ref = ray.put((pa.array(tk, pa.string()),
+                   np.array([totals[k] for k in tk], np.int64)))
+
+    def annotate(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        kk, tot = ray.get(ref)
+        idx = pc.index_in(pc.cast(t[key], pa.string()),
+                          value_set=kk).to_numpy(zero_copy_only=False)
+        v = pc.cast(t[value_col], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        tv = tot[idx.astype(np.int64)].astype(np.float64)
+        ok = tv != 0.0
+        micro = np.where(
+            ok, _half_away(np.where(ok, 1e6 * (v / np.where(ok, tv, 1.0)),
+                                    0.0)), 0).astype(np.int64)
+        return t.append_column(
+            out_col, pa.array(micro, pa.int64(),
+                              mask=~ok))
+
+    return mat.map_batches(annotate, batch_format="pyarrow",
+                           batch_size=None)
+
+
 def grouped_weighted_median(
     ds: Dataset,
     *,

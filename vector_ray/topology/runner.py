@@ -905,6 +905,27 @@ def _build_transform(
 
         return {"": benford_deviation(
             ds, keys=c["keys"], value_col=c["value_col"])}
+    if t == "grouped_share":
+        from vector_ray.stages.stats import grouped_share
+
+        return {"": grouped_share(
+            ds, key=c["key"], value_col=c["value_col"],
+            out_col=c.get("out_col", "share_micro"))}
+    if t == "fuzzy_pairs":
+        from vector_ray.ml.fuzzy import fuzzy_pairs
+
+        return {"": fuzzy_pairs(
+            ds, id_col=c.get("id_col", "doc_id"),
+            text_col=c.get("text_col", "text"),
+            max_len=int(c.get("max_len", 64)))}
+    if t == "inverted_index":
+        from vector_ray.ml.vocab import inverted_index
+
+        return {"": inverted_index(
+            ds, id_col=c.get("id_col", "doc_id"),
+            text_col=c.get("text_col", "text"),
+            pattern=c.get("pattern", " "),
+            max_postings=int(c.get("max_postings", 32)))}
     if t == "weighted_median":
         import ray.data as _rd
 

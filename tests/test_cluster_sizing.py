@@ -83,7 +83,8 @@ def test_auto_partitions_scale_with_bytes(monkeypatch, ray_session):
     import pyarrow as pa
     import ray.data as rd
 
-    from vector_ray.stages.hash_join import _auto_partitions
+    from vector_ray.stages.hash_join import (_TARGET_PART_BYTES,
+                                             _auto_partitions)
 
     _fake_cpus(monkeypatch, 32)
     left = rd.from_arrow(pa.table({"k": [1, 2], "v": [1.0, 2.0]})) \
@@ -97,7 +98,7 @@ def test_auto_partitions_scale_with_bytes(monkeypatch, ray_session):
     monkeypatch.setattr(type(left), "size_bytes",
                         lambda self: 512 * gib, raising=True)
     p_512g = _auto_partitions(left, right)     # 1 TiB total
-    assert p_512g == (1024 * gib) // (256 << 20)  # 4096 partitions
+    assert p_512g == (1024 * gib) // _TARGET_PART_BYTES
     monkeypatch.setattr(type(left), "size_bytes",
                         lambda self: 2048 * gib, raising=True)
     assert _auto_partitions(left, right) > p_512g  # monotone in bytes

@@ -543,7 +543,7 @@ def minhash_lsh_dedup(
     concurrency: int | tuple = (1, 4),
     verify: str = "jaccard",
     verify_in: str = "auto",
-    components: str = "driver",
+    components: str = "auto",
 ) -> tuple[Dataset, pd.DataFrame]:
     """MinHash+LSH near-dup removal.
 
@@ -581,13 +581,36 @@ def minhash_lsh_dedup(
     band_rows = ds.map_batches(_hash_batch, batch_format="pyarrow",
                                batch_size=None)
 
+    _pairs_df_pre = None
+    _pairs_ds_pre = None
+    if components == "auto":
+        # the driver path holds the candidate-pair list + union-find
+        # (O(candidate pairs) driver memory — measured 10-12 GiB at 6M
+        # short docs); count the pairs IN the object store first and
+        # only collect below a bound, else take the fully-distributed
+        # chain (pairs/verify/components never leave the store)
+        _pairs_ds_pre = _candidate_pairs_sorted(
+            band_rows, id_col=id_col, as_dataset=True).materialize()
+        if _pairs_ds_pre.count() > 5_000_000:
+            components = "distributed"
+        else:
+            components = "driver"
+            _pairs_df_pre = _pairs_ds_pre.to_pandas()
+            if len(_pairs_df_pre) == 0:
+                _pairs_df_pre = pd.DataFrame({"a": [], "b": []})
+            else:
+                _pairs_df_pre = (_pairs_df_pre.drop_duplicates()
+                                 .reset_index(drop=True))
+
     if components == "distributed":
         # UNBOUNDED chain: candidate pairs, verification, and connected
         # components all stay in the object store — the driver only
         # ever holds per-block run summaries and the final clusters
         # frame (O(duplicate docs), pairs never collected).
-        pairs_ds = _candidate_pairs_sorted(band_rows, id_col=id_col,
-                                           as_dataset=True)
+        pairs_ds = (_pairs_ds_pre if _pairs_ds_pre is not None
+                    else _candidate_pairs_sorted(band_rows,
+                                                 id_col=id_col,
+                                                 as_dataset=True))
         verified_ds = _verify_pairs_join(
             ds, pairs_ds, id_col=id_col, text_col=text_col,
             shingle_n=shingle_n, threshold=threshold, verify=verify,
@@ -609,7 +632,8 @@ def minhash_lsh_dedup(
                                  "cluster": cl["label"]})             .sort_values(id_col).reset_index(drop=True)
         return survivors, clusters
 
-    pairs_df = _candidate_pairs_sorted(band_rows, id_col=id_col)
+    pairs_df = (_pairs_df_pre if _pairs_df_pre is not None
+                else _candidate_pairs_sorted(band_rows, id_col=id_col))
 
     if len(pairs_df) == 0:
         return ds, pd.DataFrame({id_col: [], "cluster": []})

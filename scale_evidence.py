@@ -219,8 +219,12 @@ def _run_pipeline(name: str, num_cpus: int) -> dict:
                                                 "text"])
 
         def as_docs(t: pa.Table) -> pa.Table:
-            doc_id = pc.binary_join_element_wise(
-                t["conv_id"], pc.cast(t["turn_idx"], pa.string()), "#")
+            # numeric doc ids (conv number * 10^4 + turn_idx) unlock
+            # the fully-distributed components path in minhash dedup
+            conv_n = pc.cast(pc.utf8_slice_codeunits(
+                pc.cast(t["conv_id"], pa.string()), 5, 13), pa.int64())
+            doc_id = pc.add(pc.multiply(conv_n, 10_000),
+                            pc.cast(t["turn_idx"], pa.int64()))
             return pa.table({"doc_id": doc_id, "text": t["text"]})
 
         docs = src.map_batches(as_docs, batch_format="pyarrow",

@@ -543,7 +543,7 @@ def minhash_lsh_dedup(
     concurrency: int | tuple = (1, 4),
     verify: str = "jaccard",
     verify_in: str = "auto",
-    components: str = "auto",
+    components: str = "driver",
 ) -> tuple[Dataset, pd.DataFrame]:
     """MinHash+LSH near-dup removal.
 
@@ -591,7 +591,23 @@ def minhash_lsh_dedup(
         # chain (pairs/verify/components never leave the store)
         _pairs_ds_pre = _candidate_pairs_sorted(
             band_rows, id_col=id_col, as_dataset=True).materialize()
-        if _pairs_ds_pre.count() > 5_000_000:
+        sch = _pairs_ds_pre.schema()
+        _ids_numeric = bool(sch and sch.types
+                            and pa.types.is_integer(sch.types[0]))
+        # Switch-over bound, calibrated at the 240M-turn evidence run:
+        # the driver path held a >50M-pair frame + union-find at
+        # ~12 GiB / 313 s wall (~200 B/pair), while the distributed
+        # label-propagation chain on the same input had not converged
+        # at 2x that wall when killed — iterative joins are several-
+        # fold slower at single-node sizes.  So "auto" keeps the
+        # driver until its frame approaches real memory pressure
+        # (~40 GiB) and only then pays for the store-resident chain;
+        # components="distributed" forces it for corpora known to be
+        # beyond any driver (requires numeric ids).
+        if _ids_numeric and _pairs_ds_pre.count() > 200_000_000:
+            # distributed union-find needs numeric ids; string-id
+            # corpora keep the driver path (hash ids to int64 upstream
+            # to unlock the fully-distributed chain)
             components = "distributed"
         else:
             components = "driver"

@@ -479,3 +479,30 @@ def test_exact_dedup_fast_matches_md5(docs):
     fast = sorted(exact_dedup_docs(ds).to_pandas()["doc_id"])
     md5 = sorted(exact_dedup_docs(ds, hash="md5").to_pandas()["doc_id"])
     assert fast == md5 and len(fast) == 80
+
+
+def test_minhash_components_auto_string_ids():
+    """components='auto' with STRING ids must keep the driver path
+    (distributed union-find needs numeric ids) and match the explicit
+    driver-path result."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from vector_ray.ml.dedup import minhash_lsh_dedup
+
+    words = ("alpha beta gamma delta epsilon zeta eta theta "
+             "iota kappa lam mu").split()
+    texts = [" ".join(words) for _ in range(6)] + [
+        " ".join(words[:-1] + ["CHANGED"]) for _ in range(3)]
+    t = pa.table({
+        "doc_id": pa.array([f"d{i:03d}" for i in range(len(texts))]),
+        "text": pa.array(texts)})
+    out_auto, cl_auto = minhash_lsh_dedup(
+        rd.from_arrow(t), threshold=0.8, components="auto")
+    out_drv, cl_drv = minhash_lsh_dedup(
+        rd.from_arrow(t), threshold=0.8, components="driver")
+    a = sorted(out_auto.to_pandas()["doc_id"])
+    d = sorted(out_drv.to_pandas()["doc_id"])
+    assert a == d
+    assert cl_auto.sort_values("doc_id").reset_index(drop=True).equals(
+        cl_drv.sort_values("doc_id").reset_index(drop=True))
